@@ -1,0 +1,712 @@
+"""Vectorized Relates kernels over GeomBatch candidate pairs.
+
+``relate(method, A, ia, B, ib)`` evaluates Contains / Intersects /
+EuclideanDistance for candidate pairs ``(A[ia[k]], B[ib[k]])`` — the exact
+same truth tables as the scalar spec (rayjoin.geom.spec, itself a
+transcription of /root/reference/src/relates_impl.rs).  Pairs are bucketed by
+(kind_a, kind_b); each bucket kernel is a composition of segmented primitives
+(edge×edge intersection tests, vertex-in-ring ray casts, point-segment
+distance mins) with per-chunk bounds on expansion size so memory stays flat.
+
+Two rare Contains buckets (LineString ⊇ Line, LineString ⊇ LineString) use a
+scalar fallback: their geo v0.14 algorithm is an inherently sequential walk
+(spec.linestring_contains_line).  They never appear in the hot paths
+(point/polygon/rect workloads) and the candidate sets are R-tree-pruned.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from . import spec
+from .batch import GeomBatch
+from .primitives import (
+    cross_expand,
+    repeat_expand,
+    seg_all,
+    seg_any,
+    seg_min,
+    v_dist,
+    v_line_contains_point,
+    v_line_intersects_line,
+    v_point_contains_point,
+    v_point_seg_distance,
+    v_rect_contains_point,
+    v_rect_contains_rect,
+    v_rect_intersects_rect,
+    v_seg_seg_distance,
+    v_tri_Contains_point,
+)
+from .spec import LINE, LINESTRING, POINT, POLYGON, RECT, TRIANGLE, DIMENSIONS
+
+OUTSIDE, INSIDE, ON_BOUNDARY = 0, 1, 2
+
+# max expanded rows per evaluation chunk
+_CHUNK_LIMIT = 4_000_000
+
+
+# ---------------------------------------------------------------------------
+# ragged selections
+# ---------------------------------------------------------------------------
+
+
+def _edges_sel(batch: GeomBatch, gids: np.ndarray, mode: str) -> Tuple[np.ndarray, np.ndarray]:
+    """(start, count) of edge rows per geometry. mode: all | ext | int."""
+    if mode == "all":
+        return batch.geom_edge_start(gids), batch.geom_edge_count(gids)
+    first = batch.ext_ring(gids)
+    if mode == "ext":
+        s = batch.ring_edge_off[first]
+        return s, batch.ring_edge_off[first + 1] - s
+    if mode == "int":  # interior rings only
+        s = batch.ring_edge_off[first + 1]
+        last = batch.geom_ring_off[gids + 1]
+        return s, batch.ring_edge_off[last] - s
+    raise ValueError(mode)
+
+
+def _verts_sel(batch: GeomBatch, gids: np.ndarray, mode: str = "ext") -> Tuple[np.ndarray, np.ndarray]:
+    """(start, count) of vertex rows. mode: ext (first ring) | all."""
+    if mode == "all":
+        return batch.geom_vert_start(gids), batch.geom_vert_count(gids)
+    first = batch.ext_ring(gids)
+    s = batch.ring_vert_off[first]
+    return s, batch.ring_vert_off[first + 1] - s
+
+
+# ---------------------------------------------------------------------------
+# composite segmented kernels
+# ---------------------------------------------------------------------------
+
+
+def _window_clip_edges(batch, gids, mode, wmin_x, wmin_y, wmax_x, wmax_y, pad):
+    """Per-pair edge selection: keep only edges whose (padded) bbox overlaps
+    the pair's bbox-overlap window.  Linear in total edge count.
+
+    Returns (edge_rows, pair_of_row, counts_per_pair) with rows grouped by
+    pair in expansion order.
+    """
+    s, c = _edges_sel(batch, gids, mode)
+    pid, k = repeat_expand(c)
+    E = batch.edges[s[pid] + k]
+    p = pad[pid]
+    keep = ~(
+        (np.minimum(E[:, 0], E[:, 2]) - p > wmax_x[pid])
+        | (np.maximum(E[:, 0], E[:, 2]) + p < wmin_x[pid])
+        | (np.minimum(E[:, 1], E[:, 3]) - p > wmax_y[pid])
+        | (np.maximum(E[:, 1], E[:, 3]) + p < wmin_y[pid])
+    )
+    pid = pid[keep]
+    E = E[keep]
+    counts = np.bincount(pid, minlength=gids.size)
+    return E, pid, counts
+
+
+def _any_edge_intersect(A, ia, ma, B, ib, mb) -> np.ndarray:
+    """Any edge-pair intersection between the selected ring edges.
+
+    Exact-safe two-stage evaluation: any segment-pair intersection (including
+    the relative_eq collinear fallback, whose reach is ≤ ~1.05e-8·len beyond
+    the segment bbox) lies inside the pair's padded bbox-overlap window, so
+    edges outside the window are clipped in a linear pass before the
+    quadratic edge×edge expansion.
+    """
+    P = ia.size
+    ba = A.bbox[ia]
+    bb = B.bbox[ib]
+    # pad bound: ellipse reach scales with segment length <= geometry bbox
+    # manhattan diagonal; factor 2.2e-8 covers twice the reach (window is
+    # shared by both clip passes)
+    pad = 2.2e-8 * (
+        (ba[:, 2] - ba[:, 0]) + (ba[:, 3] - ba[:, 1]) + (bb[:, 2] - bb[:, 0]) + (bb[:, 3] - bb[:, 1])
+    )
+    wmin_x = np.maximum(ba[:, 0], bb[:, 0]) - pad
+    wmin_y = np.maximum(ba[:, 1], bb[:, 1]) - pad
+    wmax_x = np.minimum(ba[:, 2], bb[:, 2]) + pad
+    wmax_y = np.minimum(ba[:, 3], bb[:, 3]) + pad
+    zero = pad * 0.0
+    Ea, pa, cntA = _window_clip_edges(A, ia, ma, wmin_x, wmin_y, wmax_x, wmax_y, zero)
+    Eb, pb, cntB = _window_clip_edges(B, ib, mb, wmin_x, wmin_y, wmax_x, wmax_y, zero)
+    pid, kka, kkb = cross_expand(cntA, cntB)
+    if pid.size == 0:
+        return np.zeros(P, dtype=bool)
+    startsA = np.concatenate([[0], np.cumsum(cntA)[:-1]])
+    startsB = np.concatenate([[0], np.cumsum(cntB)[:-1]])
+    ea = Ea[startsA[pid] + kka]
+    eb = Eb[startsB[pid] + kkb]
+    # per-row prefilter (edge-bbox vs edge-bbox, padded)
+    p = pad[pid]
+    near = ~(
+        (np.minimum(ea[:, 0], ea[:, 2]) - p > np.maximum(eb[:, 0], eb[:, 2]))
+        | (np.maximum(ea[:, 0], ea[:, 2]) + p < np.minimum(eb[:, 0], eb[:, 2]))
+        | (np.minimum(ea[:, 1], ea[:, 3]) - p > np.maximum(eb[:, 1], eb[:, 3]))
+        | (np.maximum(ea[:, 1], ea[:, 3]) + p < np.minimum(eb[:, 1], eb[:, 3]))
+    )
+    if not near.any():
+        return np.zeros(P, dtype=bool)
+    ea = ea[near]
+    eb = eb[near]
+    m = v_line_intersects_line(
+        ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
+    )
+    return seg_any(m, pid[near], P)
+
+
+def _min_edge_dist(A, ia, ma, B, ib, mb) -> np.ndarray:
+    sa, ca = _edges_sel(A, ia, ma)
+    sb, cb = _edges_sel(B, ib, mb)
+    pid, ka, kb = cross_expand(ca, cb)
+    ea = A.edges[sa[pid] + ka]
+    eb = B.edges[sb[pid] + kb]
+    d = v_seg_seg_distance(
+        ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
+    )
+    return seg_min(d, ca * cb)
+
+
+def _point_min_edge_dist(px, py, B, ib, mb) -> np.ndarray:
+    sb, cb = _edges_sel(B, ib, mb)
+    pid, k = repeat_expand(cb)
+    eb = B.edges[sb[pid] + k]
+    d = v_point_seg_distance(px[pid], py[pid], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3])
+    return seg_min(d, cb)
+
+
+def _ring_position(batch: GeomBatch, ring_ids, px, py) -> np.ndarray:
+    """Vector twin of spec.ring_position for (ring, point) requests."""
+    n = ring_ids.size
+    vs = batch.ring_vert_off[ring_ids]
+    vc = batch.ring_vert_off[ring_ids + 1] - vs
+    es = batch.ring_edge_off[ring_ids]
+    ec = batch.ring_edge_off[ring_ids + 1] - es
+
+    # boundary: exact vertex match
+    pidv, kv = repeat_expand(vc)
+    V = batch.xy[vs[pidv] + kv]
+    veq = (V[:, 0] == px[pidv]) & (V[:, 1] == py[pidv])
+    bnd = seg_any(veq, pidv, n)
+    # one-vertex ring special (line_string_contains_point len==1)
+    one = vc == 1
+    if one.any():
+        v1 = batch.xy[vs[one]]
+        bnd[one] |= v_point_contains_point(v1[:, 0], v1[:, 1], px[one], py[one])
+
+    pide, ke = repeat_expand(ec)
+    E = batch.edges[es[pide] + ke]
+    qx = px[pide]
+    qy = py[pide]
+    sx, sy, ex, ey = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    # boundary: strictly inside an axis-aligned segment
+    horiz = (sy == ey) & (sy == qy) & (np.minimum(sx, ex) < qx) & (qx < np.maximum(sx, ex))
+    verti = (sx == ex) & (sx == qx) & (np.minimum(sy, ey) < qy) & (qy < np.maximum(sy, ey))
+    bnd |= seg_any(horiz | verti, pide, n)
+
+    # ray cast (geo v0.14 get_position loop)
+    ywin = (qy > np.minimum(sy, ey)) & (qy <= np.maximum(sy, ey)) & (qx <= np.maximum(sx, ex))
+    nonh = sy != ey
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xints = (qy - sy) * (ex - sx) / (ey - sy) + sx
+    crossing = ywin & np.where(nonh, (sx == ex) | (qx <= xints), False)
+    ncross = np.bincount(pide[crossing], minlength=n) if crossing.any() else np.zeros(n, np.int64)
+    inside = (ncross % 2) == 1
+
+    pos = np.where(bnd, ON_BOUNDARY, np.where(inside, INSIDE, OUTSIDE)).astype(np.int8)
+    pos[vc == 0] = OUTSIDE
+    return pos
+
+
+def _poly_contains_points(batch: GeomBatch, gids, px, py) -> np.ndarray:
+    """spec.polygon_contains_point for (polygon, point) requests.
+
+    Exact-safe bbox prefilter: a point outside the polygon's bbox ray-casts
+    to OUTSIDE (the crossing window conditions can never produce odd parity
+    there), so only in-bbox requests expand to per-edge rows.
+    """
+    n = gids.size
+    bb = batch.bbox[gids]
+    inbb = (px >= bb[:, 0]) & (px <= bb[:, 2]) & (py >= bb[:, 1]) & (py <= bb[:, 3])
+    out = np.zeros(n, dtype=bool)
+    if not inbb.any():
+        return out
+    sub = np.flatnonzero(inbb)
+    gids, px, py = gids[sub], px[sub], py[sub]
+    first, nr = batch.rings_of(gids)
+    rid, rk = repeat_expand(nr)
+    pos = _ring_position(batch, first[rid] + rk, px[rid], py[rid])
+    is_ext = rk == 0
+    ok_ext = np.zeros(sub.size, dtype=bool)
+    ok_ext[rid[is_ext]] = pos[is_ext] == INSIDE
+    ok_int = seg_all(np.where(is_ext, True, pos == OUTSIDE), rid, sub.size)
+    out[sub] = ok_ext & ok_int
+    return out
+
+
+def _verts_in_container(contain_fn, B, ib, mode="ext") -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Expand B-side vertices per pair; contain_fn(pid, vx, vy) -> bool rows.
+    Returns (rows_mask, pid, count_per_pair)."""
+    sb, cb = _verts_sel(B, ib, mode)
+    pid, k = repeat_expand(cb)
+    V = B.xy[sb[pid] + k]
+    return contain_fn(pid, V[:, 0], V[:, 1]), pid, cb
+
+
+def _ls_contains_point(batch: GeomBatch, gids, px, py) -> np.ndarray:
+    """spec.line_string_contains_point for (linestring, point) requests."""
+    n = gids.size
+    vs, vc = _verts_sel(batch, gids)
+    pidv, kv = repeat_expand(vc)
+    V = batch.xy[vs[pidv] + kv]
+    veq = (V[:, 0] == px[pidv]) & (V[:, 1] == py[pidv])
+    out = seg_any(veq, pidv, n)
+    one = vc == 1
+    if one.any():
+        v1 = batch.xy[vs[one]]
+        out[one] |= v_point_contains_point(v1[:, 0], v1[:, 1], px[one], py[one])
+    es, ec = _edges_sel(batch, gids, "ext")
+    pide, ke = repeat_expand(ec)
+    E = batch.edges[es[pide] + ke]
+    qx, qy = px[pide], py[pide]
+    sx, sy, ex, ey = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    horiz = (sy == ey) & (sy == qy) & (np.minimum(sx, ex) < qx) & (qx < np.maximum(sx, ex))
+    verti = (sx == ex) & (sx == qx) & (np.minimum(sy, ey) < qy) & (qy < np.maximum(sy, ey))
+    out |= seg_any(horiz | verti, pide, n)
+    out[vc == 0] = False
+    return out
+
+
+def _point_in_geom(A, ia, B, ib, *, capital: bool) -> np.ndarray:
+    """b is POINT: containment of the point in A per A's kind bucket.
+    capital selects reference Capital-Contains (triangle patch applies either
+    way; for rect both resolve to the inclusive interval)."""
+    ka = int(A.kind[ia[0]])
+    px, py = B.points_xy(ib)
+    if ka == POINT:
+        qx, qy = A.points_xy(ia)
+        return v_point_contains_point(qx, qy, px, py)
+    if ka == LINE:
+        L = A.line_arr(ia)
+        return v_line_contains_point(L[:, 0], L[:, 1], L[:, 2], L[:, 3], px, py)
+    if ka == LINESTRING:
+        return _ls_contains_point(A, ia, px, py)
+    if ka == POLYGON:
+        return _poly_contains_points(A, ia, px, py)
+    if ka == RECT:
+        R = A.rect_arr(ia)
+        return v_rect_contains_point(R[:, 0], R[:, 1], R[:, 2], R[:, 3], px, py)
+    if ka == TRIANGLE:
+        T = A.tri_arr(ia)
+        return v_tri_Contains_point(T[:, 0], T[:, 1], T[:, 2], T[:, 3], T[:, 4], T[:, 5], px, py)
+    raise AssertionError(ka)
+
+
+def _all_verts_in_poly(A, ia, B, ib, mode="ext") -> np.ndarray:
+    rows, pid, cb = _verts_in_container(
+        lambda pid, vx, vy: _poly_contains_points(A, ia[pid], vx, vy), B, ib, mode
+    )
+    return seg_all(rows, pid, ia.size)
+
+
+def _any_vert_in_poly(A, ia, B, ib, mode="all") -> np.ndarray:
+    """Any vertex of B (mode over B's rings) raycast-contained in polygon A."""
+    sb, cb = _verts_sel(B, ib, mode)
+    pid, k = repeat_expand(cb)
+    V = B.xy[sb[pid] + k]
+    rows = _poly_contains_points(A, ia[pid], V[:, 0], V[:, 1])
+    return seg_any(rows, pid, ia.size)
+
+
+def _all_verts_in_rect(A, ia, B, ib, mode="ext") -> np.ndarray:
+    R = A.rect_arr(ia)
+    rows, pid, cb = _verts_in_container(
+        lambda pid, vx, vy: v_rect_contains_point(
+            R[pid, 0], R[pid, 1], R[pid, 2], R[pid, 3], vx, vy
+        ),
+        B,
+        ib,
+        mode,
+    )
+    return seg_all(rows, pid, ia.size)
+
+
+def _all_verts_in_tri(A, ia, B, ib, mode="ext") -> np.ndarray:
+    T = A.tri_arr(ia)
+    rows, pid, cb = _verts_in_container(
+        lambda pid, vx, vy: v_tri_Contains_point(
+            T[pid, 0], T[pid, 1], T[pid, 2], T[pid, 3], T[pid, 4], T[pid, 5], vx, vy
+        ),
+        B,
+        ib,
+        mode,
+    )
+    return seg_all(rows, pid, ia.size)
+
+
+def _all_verts_on_line(A, ia, B, ib) -> np.ndarray:
+    L = A.line_arr(ia)
+    rows, pid, cb = _verts_in_container(
+        lambda pid, vx, vy: v_line_contains_point(
+            L[pid, 0], L[pid, 1], L[pid, 2], L[pid, 3], vx, vy
+        ),
+        B,
+        ib,
+        "ext",
+    )
+    return seg_all(rows, pid, ia.size)
+
+
+# ---------------------------------------------------------------------------
+# scalar fallback (rare sequential-algorithm buckets)
+# ---------------------------------------------------------------------------
+
+
+def to_spec(batch: GeomBatch, gid: int):
+    """Decode one geometry back into a spec object (tests + fallback)."""
+    k = int(batch.kind[gid])
+    r0 = batch.geom_ring_off[gid]
+    r1 = batch.geom_ring_off[gid + 1]
+    rings = [
+        [tuple(p) for p in batch.xy[batch.ring_vert_off[r] : batch.ring_vert_off[r + 1]]]
+        for r in range(r0, r1)
+    ]
+    if k == POINT:
+        return spec.Point(*rings[0][0])
+    if k == LINE:
+        return spec.Line(*rings[0][0], *rings[0][1])
+    if k == LINESTRING:
+        return spec.LineString(tuple(rings[0]))
+    if k == POLYGON:
+        # rings are already closed/normalized at decode
+        return spec.Polygon(tuple(rings[0]), tuple(tuple(r) for r in rings[1:]))
+    if k == RECT:
+        b = batch.bbox[gid]
+        return spec.Rect(b[0], b[1], b[2], b[3])
+    if k == TRIANGLE:
+        v = rings[0]
+        return spec.Triangle(*v[0], *v[1], *v[2])
+    raise AssertionError(k)
+
+
+def _scalar_bucket(method: str, A, ia, B, ib) -> np.ndarray:
+    fn = {"contains": spec.contains, "intersects": spec.intersects, "distance": spec.distance}[
+        method
+    ]
+    out = np.empty(ia.size, dtype=np.float64 if method == "distance" else bool)
+    cache_a = {}
+    cache_b = {}
+    for k in range(ia.size):
+        ga = cache_a.setdefault(int(ia[k]), to_spec(A, int(ia[k])))
+        gb = cache_b.setdefault(int(ib[k]), to_spec(B, int(ib[k])))
+        out[k] = fn(ga, gb)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# bucket bodies
+# ---------------------------------------------------------------------------
+
+
+def _or_chain(P: int, *terms) -> np.ndarray:
+    """Lazy OR: each term fn(sel)->bool runs only on still-False pairs.
+    Boolean OR is order-insensitive, so this is purely an optimization."""
+    out = np.zeros(P, dtype=bool)
+    idx = np.arange(P, dtype=np.int64)
+    for fn in terms:
+        if idx.size == 0:
+            break
+        r = fn(idx)
+        out[idx] = r
+        idx = idx[~r]
+    return out
+
+
+def _intersects_bucket(ka, kb, A, ia, B, ib) -> np.ndarray:  # noqa: C901
+    P = ia.size
+    if ka == POINT and kb == POINT:
+        ax, ay = A.points_xy(ia)
+        bx, by = B.points_xy(ib)
+        return (ax == bx) & (ay == by)  # exact == (gen.py:103)
+    if kb == POINT:
+        return _point_in_geom(A, ia, B, ib, capital=True)
+    if ka == POINT:
+        return _intersects_bucket(kb, ka, B, ib, A, ia)
+
+    seg_kinds = (LINE, LINESTRING)
+    if ka in seg_kinds and kb in seg_kinds:
+        return _any_edge_intersect(A, ia, "ext", B, ib, "ext")
+    if ka in seg_kinds and kb == RECT:
+        return _intersects_bucket(kb, ka, B, ib, A, ia)
+    if ka == RECT and kb in seg_kinds:
+        return _or_chain(
+            P,
+            lambda s: _all_verts_in_rect(A, ia[s], B, ib[s]),
+            lambda s: _any_edge_intersect(A, ia[s], "ext", B, ib[s], "ext"),
+        )
+    if ka in seg_kinds and kb == TRIANGLE:
+        return _intersects_bucket(kb, ka, B, ib, A, ia)
+    if ka == TRIANGLE and kb in seg_kinds:
+        return _or_chain(
+            P,
+            lambda s: _all_verts_in_tri(A, ia[s], B, ib[s]),
+            lambda s: _any_edge_intersect(A, ia[s], "ext", B, ib[s], "ext"),
+        )
+    if ka in seg_kinds and kb == POLYGON:
+        return _intersects_bucket(kb, ka, B, ib, A, ia)
+    if ka == POLYGON and kb in seg_kinds:
+        # geo Polygon×Line/LineString: ring crossings or any vertex contained
+        return _or_chain(
+            P,
+            lambda s: _any_edge_intersect(A, ia[s], "all", B, ib[s], "ext"),
+            lambda s: _any_vert_in_poly(A, ia[s], B, ib[s], "ext"),
+        )
+    if ka == RECT and kb == RECT:
+        return v_rect_intersects_rect(A.rect_arr(ia), B.rect_arr(ib))
+    if ka == RECT and kb == TRIANGLE:
+        return _or_chain(
+            P,
+            lambda s: _all_verts_in_rect(A, ia[s], B, ib[s]),
+            lambda s: _any_edge_intersect(A, ia[s], "ext", B, ib[s], "ext"),
+            lambda s: _all_verts_in_tri(B, ib[s], A, ia[s]),
+        )
+    if ka == TRIANGLE and kb == RECT:
+        return _intersects_bucket(kb, ka, B, ib, A, ia)
+    if ka == TRIANGLE and kb == TRIANGLE:
+        return _or_chain(
+            P,
+            lambda s: _all_verts_in_tri(A, ia[s], B, ib[s]),
+            lambda s: _any_edge_intersect(A, ia[s], "ext", B, ib[s], "ext"),
+            lambda s: _all_verts_in_tri(B, ib[s], A, ia[s]),
+        )
+    if ka == TRIANGLE and kb == POLYGON:
+        # relates_impl.rs:359-367 quirk: tri ∩ exterior-ring || has-holes
+        first, nr = B.rings_of(ib)
+        return _or_chain(
+            P,
+            lambda s: (nr[s] > 1),
+            lambda s: _any_edge_intersect(A, ia[s], "ext", B, ib[s], "ext"),
+            lambda s: _all_verts_in_tri(A, ia[s], B, ib[s], "ext"),
+        )
+    if ka == POLYGON and kb == TRIANGLE:
+        return _intersects_bucket(kb, ka, B, ib, A, ia)
+    # polygon×polygon family (RECT participates via its ring per rect_to_polygon)
+    if ka in (POLYGON, RECT) and kb in (POLYGON, RECT):
+        # normalize to Polygon.intersects(other_as_polygon):
+        pg, pia, ot, oib = (A, ia, B, ib) if ka == POLYGON else (B, ib, A, ia)
+        return _or_chain(
+            P,
+            lambda s: _any_edge_intersect(pg, pia[s], "all", ot, oib[s], "all"),
+            lambda s: _any_vert_in_poly(pg, pia[s], ot, oib[s], "all"),
+            lambda s: _all_verts_in_poly(ot, oib[s], pg, pia[s], "ext"),  # other ⊇ pg
+            lambda s: _all_verts_in_poly(pg, pia[s], ot, oib[s], "ext"),  # pg ⊇ other
+        )
+    raise AssertionError((ka, kb))
+
+
+def _contains_bucket(ka, kb, A, ia, B, ib) -> np.ndarray:  # noqa: C901
+    P = ia.size
+    if DIMENSIONS[ka] < DIMENSIONS[kb]:
+        return np.zeros(P, dtype=bool)
+    if kb == POINT:
+        return _point_in_geom(A, ia, B, ib, capital=True)
+    if ka == LINE:  # kb in (LINE, LINESTRING)
+        return _all_verts_on_line(A, ia, B, ib)
+    if ka == LINESTRING:  # sequential walk algorithm — scalar fallback
+        return _scalar_bucket("contains", A, ia, B, ib)
+    if ka == POLYGON:
+        if kb == LINE:
+            return _all_verts_in_poly(A, ia, B, ib) & ~_any_edge_intersect(
+                A, ia, "all", B, ib, "ext"
+            )
+        if kb == LINESTRING:
+            # interiors-only crossing check (geo quirk, spec.polygon_contains_linestring)
+            return _all_verts_in_poly(A, ia, B, ib) & ~_any_edge_intersect(
+                A, ia, "int", B, ib, "ext"
+            )
+        if kb == POLYGON:
+            return _all_verts_in_poly(A, ia, B, ib, "ext")
+        if kb == RECT:
+            return _all_verts_in_poly(A, ia, B, ib, "ext") & ~_any_edge_intersect(
+                A, ia, "all", B, ib, "ext"
+            )
+        if kb == TRIANGLE:
+            return _all_verts_in_poly(A, ia, B, ib, "ext")
+    if ka == RECT:
+        if kb == RECT:
+            return v_rect_contains_rect(A.rect_arr(ia), B.rect_arr(ib))
+        return _all_verts_in_rect(A, ia, B, ib, "ext")
+    if ka == TRIANGLE:
+        return _all_verts_in_tri(A, ia, B, ib, "ext")
+    raise AssertionError((ka, kb))
+
+
+def _distance_bucket(ka, kb, A, ia, B, ib) -> np.ndarray:  # noqa: C901
+    P = ia.size
+    seg_kinds = (LINE, LINESTRING)
+    if ka == POINT and kb == POINT:
+        ax, ay = A.points_xy(ia)
+        bx, by = B.points_xy(ib)
+        return v_dist(ax, ay, bx, by)
+    if ka == POINT and kb != POINT:
+        return _distance_bucket(kb, ka, B, ib, A, ia)
+    if kb == POINT:
+        px, py = B.points_xy(ib)
+        if ka == LINE:
+            L = A.line_arr(ia)
+            return v_point_seg_distance(px, py, L[:, 0], L[:, 1], L[:, 2], L[:, 3])
+        if ka == LINESTRING:
+            zero = _ls_contains_point(A, ia, px, py)
+            d = _point_min_edge_dist(px, py, A, ia, "ext")
+            return np.where(zero, 0.0, d)
+        if ka == POLYGON:
+            zero = _poly_contains_points(A, ia, px, py) | _ls_contains_point(A, ia, px, py)
+            d = _point_min_edge_dist(px, py, A, ia, "all")
+            return np.where(zero, 0.0, d)
+        if ka == RECT:
+            R = A.rect_arr(ia)
+            zero = v_rect_contains_point(R[:, 0], R[:, 1], R[:, 2], R[:, 3], px, py)
+            d = _point_min_edge_dist(px, py, A, ia, "ext")
+            return np.where(zero, 0.0, d)
+        if ka == TRIANGLE:
+            T = A.tri_arr(ia)
+            zero = v_tri_Contains_point(
+                T[:, 0], T[:, 1], T[:, 2], T[:, 3], T[:, 4], T[:, 5], px, py
+            )
+            d = _point_min_edge_dist(px, py, A, ia, "ext")
+            return np.where(zero, 0.0, d)
+
+    if ka in seg_kinds and kb in seg_kinds:
+        return _min_edge_dist(A, ia, "ext", B, ib, "ext")
+
+    # polygon pairs
+    if ka == POLYGON and kb in seg_kinds:
+        if kb == LINE:
+            # polygon_line_distance_exterior
+            zero = _intersects_bucket(POLYGON, LINE, A, ia, B, ib)
+            d = _min_edge_dist(A, ia, "ext", B, ib, "ext")
+            return np.where(zero, 0.0, d)
+        # LS: 0 if poly∩ls or poly⊇ls, else min over all rings
+        zero = _intersects_bucket(POLYGON, LINESTRING, A, ia, B, ib) | _contains_bucket(
+            POLYGON, LINESTRING, A, ia, B, ib
+        )
+        d = _min_edge_dist(A, ia, "all", B, ib, "ext")
+        return np.where(zero, 0.0, d)
+    if ka in seg_kinds and kb == POLYGON:
+        return _distance_bucket(kb, ka, B, ib, A, ia)
+    if ka == POLYGON and kb == POLYGON:
+        zero = _intersects_bucket(POLYGON, POLYGON, A, ia, B, ib)
+        d = _min_edge_dist(A, ia, "all", B, ib, "all")
+        return np.where(zero, 0.0, d)
+
+    if ka == RECT:
+        if kb in seg_kinds:
+            zero = _intersects_bucket(RECT, kb, A, ia, B, ib)
+            d = _min_edge_dist(A, ia, "ext", B, ib, "ext")
+            return np.where(zero, 0.0, d)
+        if kb == RECT:
+            zero = v_rect_intersects_rect(A.rect_arr(ia), B.rect_arr(ib))
+            d = _min_edge_dist(A, ia, "ext", B, ib, "ext")
+            return np.where(zero, 0.0, d)
+        if kb == TRIANGLE:
+            zero = _intersects_bucket(RECT, TRIANGLE, A, ia, B, ib)
+            d = _min_edge_dist(A, ia, "ext", B, ib, "ext")
+            return np.where(zero, 0.0, d)
+        if kb == POLYGON:
+            # gen.py:128 — 0 iff Rect ∩ exterior-ring-as-LineString; else
+            # per-rect-edge polygon_line_distance_exterior (which can still
+            # hit 0 when the rect is strictly inside the polygon)
+            zero = _all_verts_in_rect(A, ia, B, ib, "ext") | _any_edge_intersect(
+                A, ia, "ext", B, ib, "ext"
+            )
+            edge_zero = _any_edge_intersect(B, ib, "all", A, ia, "ext") | _any_vert_in_poly(
+                B, ib, A, ia, "ext"
+            )
+            d = _min_edge_dist(B, ib, "ext", A, ia, "ext")
+            return np.where(zero | edge_zero, 0.0, d)
+    if kb == RECT:
+        return _distance_bucket(kb, ka, B, ib, A, ia)
+
+    if ka == TRIANGLE:
+        if kb in seg_kinds:
+            zero = _intersects_bucket(TRIANGLE, kb, A, ia, B, ib)
+            d = _min_edge_dist(A, ia, "ext", B, ib, "ext")
+            return np.where(zero, 0.0, d)
+        if kb == TRIANGLE:
+            zero = _intersects_bucket(TRIANGLE, TRIANGLE, A, ia, B, ib)
+            d = _min_edge_dist(A, ia, "ext", B, ib, "ext")
+            return np.where(zero, 0.0, d)
+        if kb == POLYGON:
+            # gen.py:133 — 0 iff tri ∩ exterior ring; else per-tri-edge
+            # polygon_line_distance_exterior
+            zero = _all_verts_in_tri(A, ia, B, ib, "ext") | _any_edge_intersect(
+                A, ia, "ext", B, ib, "ext"
+            )
+            edge_zero = _any_edge_intersect(B, ib, "all", A, ia, "ext") | _any_vert_in_poly(
+                B, ib, A, ia, "ext"
+            )
+            d = _min_edge_dist(B, ib, "ext", A, ia, "ext")
+            return np.where(zero | edge_zero, 0.0, d)
+    if kb == TRIANGLE:
+        return _distance_bucket(kb, ka, B, ib, A, ia)
+    raise AssertionError((ka, kb))
+
+
+_BUCKETS = {
+    "intersects": _intersects_bucket,
+    "contains": _contains_bucket,
+    "distance": _distance_bucket,
+}
+
+
+# ---------------------------------------------------------------------------
+# public entry
+# ---------------------------------------------------------------------------
+
+
+def relate(method: str, A: GeomBatch, ia, B: GeomBatch, ib) -> np.ndarray:
+    """Evaluate a Relates method over candidate pairs; bucketed + chunked."""
+    ia = np.asarray(ia, dtype=np.int64)
+    ib = np.asarray(ib, dtype=np.int64)
+    P = ia.size
+    out = np.empty(P, dtype=np.float64 if method == "distance" else bool)
+    if P == 0:
+        return out
+    # Self-pair shortcut (same batch, same row): for every validated
+    # geometry g, Intersects(g,g) is true (the first edge/vertex test in
+    # each bucket body fires on itself) and EuclideanDistance(g,g) is
+    # exactly 0.0 (every distance body zero-short-circuits on Intersects).
+    # Contains(g,g) is NOT constant (boundary-exclusive ray casts), so it
+    # runs through the buckets.
+    if A is B and method in ("intersects", "distance"):
+        selfmask = ia == ib
+        if selfmask.any():
+            out[selfmask] = True if method == "intersects" else 0.0
+            rest = np.flatnonzero(~selfmask)
+            if rest.size:
+                out[rest] = relate(method, A, ia[rest], B, ib[rest])
+            return out
+    bucket_fn = _BUCKETS[method]
+    key = A.kind[ia].astype(np.int16) * 8 + B.kind[ib]
+    order = np.argsort(key, kind="stable")
+    keys_sorted = key[order]
+    bounds = np.flatnonzero(np.diff(keys_sorted)) + 1
+    starts = np.concatenate([[0], bounds, [P]])
+    # per-pair expansion estimate for chunking
+    ca = np.maximum(A.geom_edge_count(ia), 1)
+    cb = np.maximum(B.geom_edge_count(ib), 1)
+    weight = (ca * cb)[order]
+    for s, e in zip(starts[:-1], starts[1:]):
+        k = int(keys_sorted[s])
+        ka, kb = k >> 3, k & 7
+        idx = order[s:e]
+        # chunk so cumulative expansion stays under the limit
+        w = weight[s:e]
+        cum = np.cumsum(w)
+        lo = 0
+        while lo < idx.size:
+            hi = int(np.searchsorted(cum, (cum[lo - 1] if lo else 0) + _CHUNK_LIMIT)) + 1
+            hi = min(max(hi, lo + 1), idx.size)
+            sel = idx[lo:hi]
+            out[sel] = bucket_fn(ka, kb, A, ia[sel], B, ib[sel])
+            lo = hi
+    return out
