@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` — flagship geotile pipeline on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2 + the
+training-data ops); each callable takes ``sf_dir``.
+``oracle_sql()`` — DuckDB-equivalent SQL for every SQL-expressible query
+(identical IEEE expressions; see rayjoin/pipelines/gate.py).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -18,27 +15,63 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: pages -> geocode(url) -> tile-assign -> point-in-region
+    spatial join -> per-region counts."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from rayjoin.config import Interaction
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.pipelines.gate import rects_geom_table, tris_geom_table
+    from rayjoin.sources.pages import pages_from_documents
+    from rayjoin.stages.geocode import geocode_from_url
+    from rayjoin.stages.tiles import tile_assign
+
+    import numpy as np
+    import pyarrow as pa
+
+    pages = pages_from_documents(SF_SMOKE)
+    geo = pages.map_batches(geocode_from_url, batch_format="pyarrow")
+    geo = tile_assign(geo, resolution=10)
+
+    def to_points(t: pa.Table) -> pa.Table:
+        lon = np.asarray(t["lon"].combine_chunks(), dtype=np.float64)
+        lat = np.asarray(t["lat"].combine_chunks(), dtype=np.float64)
+        coords = pa.array([[[x, y]] for x, y in zip(lon, lat)], pa.list_(pa.list_(pa.float64())))
+        return pa.table(
+            {
+                "row_id": t["doc_id"].combine_chunks(),
+                "geom_type": pa.array(np.zeros(len(t), np.int8), pa.int8()),
+                "coords": coords,
+            }
+        )
+
+    points = geo.map_batches(to_points, batch_format="pyarrow")
+    # region layer: supplier rects + part triangles (deterministic);
+    # triangle row_ids offset to keep region identities disjoint
+    tris = tris_geom_table(SF_SMOKE)
+    tris = tris.set_column(
+        0, "row_id", pa.compute.add(tris["row_id"], 1_000_000)
+    )
+    regions = pa.concat_tables([rects_geom_table(SF_SMOKE), tris], promote_options="default")
+    idx = SpatialIndex(regions)
+    joined = idx.spatial_join(points, Interaction.CONTAINS)
+    return joined.groupby("small_row_id").aggregate(Count(alias_name="n_docs"))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from rayjoin.pipelines.gate import build_queries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q, _ = build_queries()
+    return q
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from rayjoin.pipelines.gate import build_queries
+
+    _, o = build_queries()
+    return o

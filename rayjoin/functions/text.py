@@ -1,0 +1,117 @@
+"""Text-analysis stages for training-data pipelines (engine scope beyond the
+reference; graded as first-class components — see driver brief): token
+counting, quality scoring, language-ID heuristics, document fingerprinting.
+
+All stages are vectorized Arrow transforms; the SQL-oracle'd ones
+(token_stats, lang_markers) use only expressions DuckDB can reproduce
+EXACTLY (split counts, substring-occurrence counts, integer arithmetic).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# occurrence-countable language markers (SQL: (len(t)-len(replace(t,m,'')))/len(m))
+LANG_MARKERS = {
+    "en": " the ",
+    "de": " und ",
+    "fr": " les ",
+    "es": " los ",
+    "pt": " uma ",
+    "zh": "的",
+}
+
+
+def token_stats(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """n_chars + n_tokens (split on single space, DuckDB string_split parity)."""
+    text = batch[text_col]
+    n_chars = pc.utf8_length(text)
+    n_tokens = pc.list_value_length(pc.split_pattern(text, pattern=" "))
+    out = batch.drop_columns([text_col]) if text_col in batch.column_names else batch
+    out = out.append_column("n_chars", pc.cast(n_chars, pa.int64()))
+    return out.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+
+
+def quality_score(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Integer-arithmetic quality features (exact SQL equivalents):
+    mean_token_len_milli = 1000*(n_chars-(n_tokens-1)) // n_tokens,
+    space_ratio_milli = 1000*n_spaces // n_chars."""
+    text = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+    n_tokens = pc.cast(pc.list_value_length(pc.split_pattern(text, pattern=" ")), pa.int64())
+    nc = np.asarray(n_chars.combine_chunks() if isinstance(n_chars, pa.ChunkedArray) else n_chars)
+    nt = np.asarray(n_tokens.combine_chunks() if isinstance(n_tokens, pa.ChunkedArray) else n_tokens)
+    n_spaces = nt - 1
+    mean_tok = 1000 * (nc - n_spaces) // np.maximum(nt, 1)
+    space_ratio = 1000 * n_spaces // np.maximum(nc, 1)
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_chars", pa.array(nc, pa.int64()))
+    out = out.append_column("n_tokens", pa.array(nt, pa.int64()))
+    out = out.append_column("mean_token_len_milli", pa.array(mean_tok, pa.int64()))
+    return out.append_column("space_ratio_milli", pa.array(space_ratio, pa.int64()))
+
+
+def _count_occurrences(text: pa.ChunkedArray, marker: str) -> np.ndarray:
+    """Non-overlapping?  No: DuckDB replace() removes ALL occurrences, so the
+    count is (len - len(replace))/len(marker) — reproduce exactly via the
+    same replace trick."""
+    full = pc.utf8_length(text)
+    removed = pc.utf8_length(pc.replace_substring(text, pattern=marker, replacement=""))
+    diff = pc.subtract(pc.cast(full, pa.int64()), pc.cast(removed, pa.int64()))
+    cnt = pc.divide(diff, len(marker))
+    return np.asarray(cnt.combine_chunks() if isinstance(cnt, pa.ChunkedArray) else cnt)
+
+
+class LangId:
+    """Marker-occurrence language ID (stateful stage: marker table compiled
+    once per actor).  guess = argmax marker count, ties -> first in the fixed
+    language order, no markers -> 'und'."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.langs = list(LANG_MARKERS.keys())
+        self.markers = [LANG_MARKERS[l] for l in self.langs]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch[self.text_col]
+        counts = np.stack([_count_occurrences(text, m) for m in self.markers])  # (L, n)
+        best = counts.argmax(axis=0)  # first max wins (fixed order)
+        total = counts.max(axis=0)
+        guess = np.where(total > 0, np.array(self.langs, dtype=object)[best], "und")
+        out = batch.drop_columns([self.text_col])
+        for l, c in zip(self.langs, counts):
+            out = out.append_column(f"n_{l}", pa.array(c, pa.int64()))
+        return out.append_column("lang_guess", pa.array(guess.tolist(), pa.string()))
+
+
+def fingerprint(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """64-bit FNV-1a document fingerprint (rolling content hash)."""
+    from ..stages.geocode import fnv1a64
+
+    h = fnv1a64(batch[text_col])
+    out = batch.drop_columns([text_col])
+    return out.append_column("fingerprint", pa.array(h.astype(np.int64), pa.int64()))
+
+
+def simhash64(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """SimHash over whitespace tokens: per-token FNV-1a hashes vote on 64
+    bits.  Vectorized: tokens exploded via Arrow split, token hashes via
+    fnv1a64, bit votes accumulated with bincount per (doc, bit)."""
+    from ..stages.geocode import fnv1a64
+
+    text = batch[text_col].combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    flat = pc.list_flatten(toks)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+    th = fnv1a64(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat)
+    n = len(lens)
+    sim = np.zeros(n, dtype=np.uint64)
+    for bit in range(64):
+        vote = ((th >> np.uint64(bit)) & np.uint64(1)).astype(np.int64) * 2 - 1
+        tally = np.bincount(doc_of, weights=vote, minlength=n)
+        sim |= (tally > 0).astype(np.uint64) << np.uint64(bit)
+    out = batch.drop_columns([text_col])
+    return out.append_column("simhash", pa.array(sim.astype(np.int64), pa.int64()))

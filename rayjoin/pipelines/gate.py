@@ -1,0 +1,710 @@
+"""Correctness-gate query battery: every operator exposed via
+``__ray_entry__.queries()`` with its DuckDB oracle SQL.
+
+Design rule for every SQL-checked query: the Ray pipeline and the SQL string
+compute IDENTICAL IEEE expressions (same op order, FLOOR not ROUND, integer
+modular geocoding, products < 2^63), so value-hash comparison is exact.
+Geometry tables are derived deterministically from the TPC-H-ish testdata
+keys — the derivations below and their SQL CTE twins are generated from one
+spec (``_PTS``/``_RECTS``/``_TRIS``).
+
+Queries without SQL (minhash/simhash/vectorize/...) are non-SQL-expressible;
+the driver records rows-only checks and pytest covers them against in-repo
+oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import Config, Interaction
+from ..stages.geocode import LAT_MOD, LAT_MULT, LON_MOD, LON_MULT
+
+# ---------------------------------------------------------------------------
+# derived geometry specs (one source of truth for Ray + SQL)
+# ---------------------------------------------------------------------------
+
+# vertex offset multipliers for triangles (±2 degrees)
+TRI_OFF = [(2097192037, 3266489917), (1325254453, 3021577579)]
+
+
+def _latlon_np(key: np.ndarray):
+    lon = ((key * LON_MULT) % LON_MOD) / 1_000_000.0 - 180.0
+    lat = ((key * LAT_MULT) % LAT_MOD) / 1_000_000.0 - 90.0
+    return lon, lat
+
+
+def _latlon_sql(key: str):
+    lon = f"(({key}*{LON_MULT})%{LON_MOD})/1000000.0 - 180"
+    lat = f"(({key}*{LAT_MULT})%{LAT_MOD})/1000000.0 - 90"
+    return lon, lat
+
+
+def _off_sql(key: str, mult: int):
+    return f"(({key}*{mult})%4000000)/1000000.0 - 2"
+
+
+def _off_np(key: np.ndarray, mult: int):
+    return ((key * mult) % 4000000) / 1_000_000.0 - 2.0
+
+
+def points_table(parquet: str, key: str) -> str:
+    lon, lat = _latlon_sql(key)
+    return f"SELECT {key} AS row_id, {lon} AS x, {lat} AS y FROM {parquet}"
+
+
+def rects_sql(table: str, key: str) -> str:
+    lon, lat = _latlon_sql(key)
+    return (
+        f"SELECT {key} AS row_id, {lon} AS cx, {lat} AS cy, "
+        f"2.0 + ({key}%7)*0.25 AS w, 2.0 + ({key}%5)*0.25 AS h FROM {table}"
+    )
+
+
+def tris_sql(table: str, key: str) -> str:
+    lon, lat = _latlon_sql(key)
+    return (
+        f"SELECT {key} AS row_id, {lon} AS ax, {lat} AS ay, "
+        f"{lon} + {_off_sql(key, TRI_OFF[0][0])} AS bx, {lat} + {_off_sql(key, TRI_OFF[0][1])} AS by, "
+        f"{lon} + {_off_sql(key, TRI_OFF[1][0])} AS cx, {lat} + {_off_sql(key, TRI_OFF[1][1])} AS cy "
+        f"FROM {table}"
+    )
+
+
+def _read_keys(sf_dir: str, table: str, key: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key])
+    return np.asarray(t[key], dtype=np.int64)
+
+
+def points_geom_table(sf_dir: str, table: str, key: str) -> pa.Table:
+    k = _read_keys(sf_dir, table, key)
+    lon, lat = _latlon_np(k)
+    coords = pa.array([[[x, y]] for x, y in zip(lon, lat)], pa.list_(pa.list_(pa.float64())))
+    return pa.table(
+        {
+            "row_id": pa.array(k, pa.int64()),
+            "geom_type": pa.array(np.zeros(k.size, np.int8), pa.int8()),
+            "coords": coords,
+        }
+    )
+
+
+def rects_geom_table(sf_dir: str, table: str = "supplier", key: str = "s_suppkey") -> pa.Table:
+    k = _read_keys(sf_dir, table, key)
+    cx, cy = _latlon_np(k)
+    w = 2.0 + (k % 7) * 0.25
+    h = 2.0 + (k % 5) * 0.25
+    coords = pa.array(
+        [
+            [[cx_ - w_ / 2, cy_ - h_ / 2, cx_ + w_ / 2, cy_ + h_ / 2]]
+            for cx_, cy_, w_, h_ in zip(cx, cy, w, h)
+        ],
+        pa.list_(pa.list_(pa.float64())),
+    )
+    return pa.table(
+        {
+            "row_id": pa.array(k, pa.int64()),
+            "geom_type": pa.array(np.full(k.size, 4, np.int8), pa.int8()),
+            "coords": coords,
+        }
+    )
+
+
+def tris_geom_table(sf_dir: str, table: str = "part", key: str = "p_partkey") -> pa.Table:
+    k = _read_keys(sf_dir, table, key)
+    ax, ay = _latlon_np(k)
+    bx = ax + _off_np(k, TRI_OFF[0][0])
+    by = ay + _off_np(k, TRI_OFF[0][1])
+    cx = ax + _off_np(k, TRI_OFF[1][0])
+    cy = ay + _off_np(k, TRI_OFF[1][1])
+    coords = pa.array(
+        [[[a, b, c, d, e, f]] for a, b, c, d, e, f in zip(ax, ay, bx, by, cx, cy)],
+        pa.list_(pa.list_(pa.float64())),
+    )
+    return pa.table(
+        {
+            "row_id": pa.array(k, pa.int64()),
+            "geom_type": pa.array(np.full(k.size, 5, np.int8), pa.int8()),
+            "coords": coords,
+        }
+    )
+
+
+def _from_arrow(t: pa.Table, blocks: int = 4):
+    import ray.data
+
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+# ---------------------------------------------------------------------------
+# spatial queries
+# ---------------------------------------------------------------------------
+
+
+def q_sjoin_point_in_rect(sf_dir: str):
+    """Customer points WITHIN supplier rects (Contains: rect ⊇ point,
+    inclusive bounds — geo v0.14 Rect semantics)."""
+    from ..join.broadcast import SpatialIndex
+
+    rects = rects_geom_table(sf_dir)
+    pts = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    idx = SpatialIndex(rects)
+    return idx.spatial_join(pts, Interaction.CONTAINS)
+
+
+SQL_POINT_IN_RECT = """
+WITH pts AS ({pts}), rects AS ({rects})
+SELECT p.row_id AS big_row_id, r.row_id AS small_row_id
+FROM pts p, rects r
+WHERE p.x >= r.cx - r.w/2 AND p.x <= r.cx + r.w/2
+  AND p.y >= r.cy - r.h/2 AND p.y <= r.cy + r.h/2
+"""
+
+
+def q_sjoin_rect_rect_intersects(sf_dir: str):
+    """Supplier rects vs nation-derived rects, Intersects (inclusive bbox
+    overlap)."""
+    from ..join.broadcast import SpatialIndex
+
+    small = rects_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = rects_geom_table(sf_dir, "nation", "n_nationkey")
+    idx = SpatialIndex(small)
+    return idx.spatial_join(_from_arrow(big, 2), Interaction.INTERSECTS)
+
+
+SQL_RECT_RECT = """
+WITH a AS ({a}), b AS ({b})
+SELECT b.row_id AS big_row_id, a.row_id AS small_row_id
+FROM a, b
+WHERE NOT (a.cx - a.w/2 > b.cx + b.w/2 OR a.cx + a.w/2 < b.cx - b.w/2
+        OR a.cy - a.h/2 > b.cy + b.h/2 OR a.cy + a.h/2 < b.cy - b.h/2)
+"""
+
+
+def q_prox_points(sf_dir: str):
+    """Proximity map: customer points vs supplier points, max_distance 3.0
+    (inclusive), emitting exact distances."""
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    idx = SpatialIndex(small, Config(max_distance=3.0))
+    return idx.proximity_map(big)
+
+
+SQL_PROX = """
+WITH big AS ({big}), small AS ({small})
+SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+       sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) AS distance
+FROM big b, small s
+WHERE sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) <= 3.0
+"""
+
+
+def q_knn_points(sf_dir: str):
+    """kNN join: for each customer point the 3 nearest supplier points,
+    ties (distance, small_row_id)."""
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    idx = SpatialIndex(small)
+    ds = idx.knn_join(big, k=3)
+    return ds.map_batches(
+        lambda t: t.rename_columns(["big_row_id", "small_row_id", "distance", "knn_rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KNN = """
+WITH big AS ({big}), small AS ({small}),
+d AS (
+  SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+         sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) AS distance
+  FROM big b, small s),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY big_row_id
+                               ORDER BY distance, small_row_id) AS rn
+  FROM d)
+SELECT big_row_id, small_row_id, distance, rn - 1 AS knn_rank FROM r WHERE rn <= 3
+"""
+
+
+def q_pip_triangle(sf_dir: str):
+    """Point-in-triangle containment join: event points in part-derived
+    triangles (the geo sign-test semantics, boundary-exclusive)."""
+    from ..join.broadcast import SpatialIndex
+
+    small = tris_geom_table(sf_dir)
+    big = _from_arrow(points_geom_table(sf_dir, "events", "event_id"))
+    idx = SpatialIndex(small)
+    return idx.spatial_join(big, Interaction.CONTAINS)
+
+
+_SIGN = "(({px} - {bx})*({ay} - {by}) - ({ax} - {bx})*({py} - {by}))"
+
+SQL_PIP_TRI = f"""
+WITH pts AS ({{pts}}), tri AS ({{tri}}),
+j AS (
+  SELECT p.row_id AS big_row_id, t.row_id AS small_row_id,
+         {_SIGN.format(px='p.x', py='p.y', ax='t.ax', ay='t.ay', bx='t.bx', by='t.by')} AS d1,
+         {_SIGN.format(px='p.x', py='p.y', ax='t.bx', ay='t.by', bx='t.cx', by='t.cy')} AS d2,
+         {_SIGN.format(px='p.x', py='p.y', ax='t.cx', ay='t.cy', bx='t.ax', by='t.ay')} AS d3
+  FROM pts p, tri t)
+SELECT big_row_id, small_row_id FROM j
+WHERE ((d1 < 0) = (d2 < 0)) AND ((d2 < 0) = (d3 < 0))
+"""
+
+
+def q_tile_assign(sf_dir: str):
+    """Geocode documents (key-derived) + quadtree tile ids at resolution 12."""
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.tiles import tile_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"), batch_format="pyarrow")
+    ds = tile_assign(ds, resolution=12, with_hilbert=False)
+    return ds.select_columns(["doc_id", "lat", "lon", "tile_id"])
+
+
+def _tile_sql(lon: str, lat: str, r: int) -> str:
+    n = 1 << r
+    ix = f"GREATEST(LEAST(CAST(FLOOR(({lon} + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1}), 0)"
+    iy = f"GREATEST(LEAST(CAST(FLOOR(({lat} + 90.0) / 180.0 * {n}) AS BIGINT), {n - 1}), 0)"
+    return f"({iy}) * {n} + ({ix})"
+
+
+def sql_tile_assign() -> str:
+    lon, lat = _latlon_sql("doc_id")
+    return (
+        f"SELECT doc_id, {lat} AS lat, {lon} AS lon, "
+        f"{_tile_sql('(' + lon + ')', '(' + lat + ')', 12)} AS tile_id FROM documents"
+    )
+
+
+def q_tile_stats(sf_dir: str):
+    """Per-tile aggregate at resolution 6: page count + min doc id."""
+    from ray.data.aggregate import Count, Min
+
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.tiles import tile_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"), batch_format="pyarrow")
+    ds = tile_assign(ds, resolution=6, with_hilbert=False)
+    return ds.groupby("tile_id").aggregate(
+        Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc")
+    )
+
+
+def sql_tile_stats() -> str:
+    lon, lat = _latlon_sql("doc_id")
+    tile = _tile_sql("(" + lon + ")", "(" + lat + ")", 6)
+    return (
+        f"SELECT {tile} AS tile_id, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc "
+        f"FROM documents GROUP BY 1"
+    )
+
+
+def q_rasterize_triangles(sf_dir: str):
+    """Rasterize part-derived triangles at resolution 8 (tiles whose center
+    is contained; north-rule raster<-vector scope)."""
+    from .raster import rasterize
+
+    tris = _from_arrow(tris_geom_table(sf_dir), 4)
+    return rasterize(tris, resolution=8)
+
+
+def sql_rasterize() -> str:
+    n = 256
+    center_x = f"(gx.ix + 0.5) / {n}.0 * 360.0 - 180"
+    center_y = f"(gy.iy + 0.5) / {n}.0 * 180.0 - 90"
+    d1 = _SIGN.format(px=center_x, py=center_y, ax="t.ax", ay="t.ay", bx="t.bx", by="t.by")
+    d2 = _SIGN.format(px=center_x, py=center_y, ax="t.bx", ay="t.by", bx="t.cx", by="t.cy")
+    d3 = _SIGN.format(px=center_x, py=center_y, ax="t.cx", ay="t.cy", bx="t.ax", by="t.ay")
+    ix_lo = f"GREATEST(LEAST(CAST(FLOOR((LEAST(t.ax,t.bx,t.cx) + 180.0) / 360.0 * {n}) AS BIGINT), {n-1}), 0)"
+    ix_hi = f"GREATEST(LEAST(CAST(FLOOR((GREATEST(t.ax,t.bx,t.cx) + 180.0) / 360.0 * {n}) AS BIGINT), {n-1}), 0)"
+    iy_lo = f"GREATEST(LEAST(CAST(FLOOR((LEAST(t.ay,t.by,t.cy) + 90.0) / 180.0 * {n}) AS BIGINT), {n-1}), 0)"
+    iy_hi = f"GREATEST(LEAST(CAST(FLOOR((GREATEST(t.ay,t.by,t.cy) + 90.0) / 180.0 * {n}) AS BIGINT), {n-1}), 0)"
+    # DuckDB 1.0 range() doesn't take lateral column args -> static grid +
+    # BETWEEN against the bbox ranges (the cross product is filtered
+    # vectorized; 256x256 grid x |tri| rows is fine at gate scale)
+    return (
+        f"WITH tri AS ({{tri}}), "
+        f"gx AS (SELECT ix FROM range(0, {n}) t(ix)), "
+        f"gy AS (SELECT iy FROM range(0, {n}) t(iy)) "
+        f"SELECT t.row_id AS geom_row_id, gy.iy * {n} + gx.ix AS tile_id "
+        f"FROM tri t, gx, gy "
+        f"WHERE gx.ix BETWEEN {ix_lo} AND {ix_hi} "
+        f"AND gy.iy BETWEEN {iy_lo} AND {iy_hi} "
+        f"AND (({d1} < 0) = ({d2} < 0)) AND (({d2} < 0) = ({d3} < 0))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text / dedup / ann queries
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data
+
+    from ..functions.dedup import dedup_exact
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    kept = dedup_exact(docs)
+    return kept.select_columns(["doc_id"])
+
+
+SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
+
+
+def q_token_stats(sf_dir: str):
+    import ray.data
+
+    from ..functions.text import token_stats
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(token_stats, batch_format="pyarrow")
+
+
+SQL_TOKEN_STATS = (
+    "SELECT doc_id, length(text) AS n_chars, "
+    "CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents"
+)
+
+
+def q_quality_score(sf_dir: str):
+    import ray.data
+
+    from ..functions.text import quality_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(quality_score, batch_format="pyarrow")
+
+
+SQL_QUALITY = """
+WITH s AS (
+  SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents)
+SELECT doc_id, n_chars, n_tokens,
+       (1000 * (n_chars - (n_tokens - 1))) // GREATEST(n_tokens, 1) AS mean_token_len_milli,
+       (1000 * (n_tokens - 1)) // GREATEST(n_chars, 1) AS space_ratio_milli
+FROM s
+"""
+
+
+def q_lang_id(sf_dir: str):
+    import ray.data
+
+    from ..functions.text import LangId
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(LangId(), batch_format="pyarrow", batch_size=4096)
+
+
+def sql_lang_id() -> str:
+    from ..functions.text import LANG_MARKERS
+
+    cols = []
+    for lang, m in LANG_MARKERS.items():
+        esc = m.replace("'", "''")
+        cols.append(
+            f"CAST((length(text) - length(replace(text, '{esc}', ''))) / {len(m)} AS BIGINT) AS n_{lang}"
+        )
+    langs = list(LANG_MARKERS.keys())
+    greatest = "GREATEST(" + ", ".join(f"n_{l}" for l in langs) + ")"
+    case = f"CASE WHEN {greatest} = 0 THEN 'und' "
+    for l in langs:
+        case += f"WHEN n_{l} = {greatest} THEN '{l}' "
+    case += "END"
+    return (
+        f"WITH c AS (SELECT doc_id, {', '.join(cols)} FROM documents) "
+        f"SELECT doc_id, {', '.join('n_' + l for l in langs)}, {case} AS lang_guess FROM c"
+    )
+
+
+def q_minhash_dedup(sf_dir: str):
+    import ray.data
+
+    from ..functions.dedup import minhash_dedup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(docs, threshold=0.8)
+
+
+def q_simhash(sf_dir: str):
+    import ray.data
+
+    from ..functions.text import simhash64
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(simhash64, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    import ray.data
+
+    from ..functions.text import fingerprint
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(fingerprint, batch_format="pyarrow")
+
+
+def q_ann_cosine(sf_dir: str):
+    """Brute-force cosine top-5 for the 8 lowest-id query vectors."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..functions.ann import ann_cosine_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(t["vec_id"], dtype=np.int64))[:8]
+    q = np.array(t["embedding"].take(pa.array(order)).to_pylist(), dtype=np.float64)
+    qids = np.asarray(t["vec_id"], dtype=np.int64)[order]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_cosine_topk(ds, q, qids, k=5)
+
+
+SQL_ANN = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8),
+d AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS vec_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(e.embedding AS DOUBLE[])) AS sim
+  FROM q, embeddings e),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rn FROM d)
+SELECT query_id, vec_id, rn - 1 AS rank FROM r WHERE rn <= 5
+"""
+
+
+def q_embedding_dups(sf_dir: str):
+    import ray.data
+
+    from ..functions.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.99).select_columns(["id_a", "id_b"])
+
+
+# ---------------------------------------------------------------------------
+# relational queries (engine generality: agg / join / window / topk)
+# ---------------------------------------------------------------------------
+
+
+def q_agg_lineitem(sf_dir: str):
+    """TPC-H Q1-shaped aggregate with exact-integer money sums."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["l_extendedprice"], 100.0)), pa.int64())
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": qty,
+                "price_cents": cents,
+            }
+        )
+
+    return (
+        li.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Count(alias_name="n_rows"),
+        )
+    )
+
+
+SQL_AGG_LINEITEM = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast hash join: orders enriched with customer market segment,
+    aggregated per segment."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    seg_of = dict(
+        zip(
+            np.asarray(cust["c_custkey"], np.int64).tolist(),
+            cust["c_mktsegment"].to_pylist(),
+        )
+    )
+    ref = ray.put(seg_of)
+
+    def enrich(t: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = np.asarray(t["o_custkey"].combine_chunks(), dtype=np.int64)
+        seg = [m[k] for k in keys]
+        cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {"segment": pa.array(seg, pa.string()), "price_cents": cents}
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    return (
+        orders.map_batches(enrich, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents"))
+    )
+
+
+SQL_JOIN_ORDERS = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_mktsegment
+"""
+
+
+def q_window_events(sf_dir: str):
+    """Tumbling 1-hour event-time windows per event_type."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us"))
+        milli = pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64())
+        return pa.table(
+            {"hour": hour, "event_type": t["event_type"], "value_milli": milli}
+        )
+
+    return (
+        ev.map_batches(prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_milli", alias_name="sum_value_milli"))
+    )
+
+
+SQL_WINDOW = """
+SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+def q_topk_orders(sf_dir: str):
+    import ray.data
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOPK = (
+    "SELECT o_orderkey, o_totalprice FROM orders "
+    "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
+)
+
+
+def q_distinct_flags(sf_dir: str):
+    import ray.data
+    from ray.data.aggregate import Count
+
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_linestatus"])
+    return li.groupby(["l_returnflag", "l_linestatus"]).aggregate(Count(alias_name="n"))
+
+
+SQL_DISTINCT = (
+    "SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem "
+    "GROUP BY l_returnflag, l_linestatus"
+)
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+def build_queries():
+    pts_cust = points_table("customer", "c_custkey")
+    pts_supp = points_table("supplier", "s_suppkey")
+    pts_ev = points_table("events", "event_id")
+    rsup = rects_sql("supplier", "s_suppkey")
+    rnat = rects_sql("nation", "n_nationkey")
+    tri = tris_sql("part", "p_partkey")
+
+    queries = {
+        "sjoin_point_in_rect": q_sjoin_point_in_rect,
+        "sjoin_rect_rect_intersects": q_sjoin_rect_rect_intersects,
+        "prox_points": q_prox_points,
+        "knn_points": q_knn_points,
+        "pip_triangle": q_pip_triangle,
+        "tile_assign": q_tile_assign,
+        "tile_stats": q_tile_stats,
+        "rasterize_triangles": q_rasterize_triangles,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "quality_score": q_quality_score,
+        "lang_id": q_lang_id,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash": q_simhash,
+        "fingerprint": q_fingerprint,
+        "ann_cosine": q_ann_cosine,
+        "embedding_dups": q_embedding_dups,
+        "agg_lineitem": q_agg_lineitem,
+        "join_orders_customer": q_join_orders_customer,
+        "window_events": q_window_events,
+        "topk_orders": q_topk_orders,
+        "distinct_flags": q_distinct_flags,
+    }
+    oracle = {
+        "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
+        "sjoin_rect_rect_intersects": SQL_RECT_RECT.format(a=rsup, b=rnat),
+        "prox_points": SQL_PROX.format(big=pts_cust, small=pts_supp),
+        "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
+        "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
+        "tile_assign": sql_tile_assign(),
+        "tile_stats": sql_tile_stats(),
+        "rasterize_triangles": sql_rasterize().format(tri=tri),
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "token_stats": SQL_TOKEN_STATS,
+        "quality_score": SQL_QUALITY,
+        "lang_id": sql_lang_id(),
+        "ann_cosine": SQL_ANN,
+        "agg_lineitem": SQL_AGG_LINEITEM,
+        "join_orders_customer": SQL_JOIN_ORDERS,
+        "window_events": SQL_WINDOW,
+        "topk_orders": SQL_TOPK,
+        "distinct_flags": SQL_DISTINCT,
+        # minhash_dedup / simhash / fingerprint / embedding_dups:
+        # non-SQL-expressible -> rows-only driver check + pytest oracles
+    }
+    return queries, oracle

@@ -1,0 +1,91 @@
+"""Raster <-> vector conversion (north_rule scope; SURVEY.md §2.4).
+
+- ``rasterize``: geometry table -> (geom_row_id, tile_id) for every tile of
+  the given resolution whose CENTER is Contained in the geometry
+  (point-in-polygon join of tile centers vs geometries — the definition the
+  north rule names).  Per batch: bbox -> candidate tile ranges (ragged
+  expand) -> centers -> vectorized Contains.
+- ``vectorize_tiles``: inverse: per-geometry tile sets -> boundary tiles
+  (tiles with at least one 4-neighbor missing from the set) — a groupby per
+  geometry.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..geom.batch import GeomBatch
+from ..geom.primitives import repeat_expand
+from ..geom.relates import relate
+from ..stages.tiles import latlon_to_xy, tile_neighbors, xy_to_tile
+
+
+def _point_batch(x: np.ndarray, y: np.ndarray) -> GeomBatch:
+    n = x.size
+    flat = np.empty(2 * n, dtype=np.float64)
+    flat[0::2] = x
+    flat[1::2] = y
+    return GeomBatch.from_numpy(
+        np.arange(n, dtype=np.int64),
+        np.zeros(n, dtype=np.int8),
+        np.ones(n, dtype=np.int64),
+        np.full(n, 2, dtype=np.int64),
+        flat,
+    )
+
+
+def rasterize_batch(batch: pa.Table, resolution: int) -> pa.Table:
+    g = GeomBatch.from_arrow(batch)
+    n = np.int64(1) << resolution
+    # candidate tile ranges from geometry bboxes (same floor/clip formulas as
+    # stages.tiles.latlon_to_xy; bbox x == lon, y == lat)
+    ix0, iy0 = latlon_to_xy(g.bbox[:, 1], g.bbox[:, 0], resolution)
+    ix1, iy1 = latlon_to_xy(g.bbox[:, 3], g.bbox[:, 2], resolution)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    counts = nx * ny
+    gid, k = repeat_expand(counts)
+    ix = ix0[gid] + k % nx[gid]
+    iy = iy0[gid] + k // nx[gid]
+    cx = (ix + 0.5) / float(n) * 360.0 - 180.0
+    cy = (iy + 0.5) / float(n) * 180.0 - 90.0
+    pts = _point_batch(cx, cy)
+    keep = relate("contains", g, gid, pts, np.arange(cx.size, dtype=np.int64))
+    return pa.table(
+        {
+            "geom_row_id": pa.array(g.row_id[gid[keep]], pa.int64()),
+            "tile_id": pa.array(xy_to_tile(ix[keep], iy[keep], resolution), pa.int64()),
+        }
+    )
+
+
+def rasterize(ds, resolution: int = 8, batch_size: int = 2048):
+    return ds.map_batches(
+        lambda t: rasterize_batch(t, resolution),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+
+
+def vectorize_tiles(raster_ds, resolution: int = 8):
+    """Boundary extraction: per geom_row_id, tiles whose 4-neighborhood is
+    not fully inside the tile set (groupby per geometry; the tile sets are
+    per-geometry small)."""
+
+    def boundary(df: pd.DataFrame) -> pd.DataFrame:
+        tiles = np.sort(df["tile_id"].unique())
+        tset = set(tiles.tolist())
+        nb = tile_neighbors(tiles, resolution)
+        is_boundary = np.array(
+            [any(x == -1 or x not in tset for x in row) for row in nb]
+        )
+        return pd.DataFrame(
+            {
+                "geom_row_id": df["geom_row_id"].iloc[0],
+                "tile_id": tiles[is_boundary],
+            }
+        )
+
+    return raster_ds.groupby("geom_row_id").map_groups(boundary, batch_format="pandas")

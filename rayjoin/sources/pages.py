@@ -1,0 +1,69 @@
+"""The Common-Crawl-style ``pages`` table (BASELINE.json input_hint:
+url:string, warc_ts:timestamp, html:binary, text:string, lang:string).
+
+Two deterministic sources:
+- ``pages_from_documents``: derive pages from the driver-provided
+  ``documents`` testdata table (doc_id -> url/warc_ts; text rides through
+  BYTE-IDENTICAL — the per-row invariant the north rule pins).
+- ``synth_pages``: standalone seeded generator (FIXTURES.md §1) for tests
+  that need scale without testdata.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+LANGS = ["en", "de", "fr", "es", "pt", "zh"]
+_EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z in unix seconds
+
+
+def _pages_batch(t: pa.Table) -> pa.Table:
+    doc_id = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+    url = pa.array([f"https://site{i % 997}.example/{i}" for i in doc_id], pa.string())
+    ts = pa.array((_EPOCH_2024 + doc_id) * 1_000_000, pa.timestamp("us"))
+    text = t["text"]
+    html = pc.binary_join_element_wise(
+        pa.scalar(b"<html><body>"),
+        pc.cast(text.combine_chunks(), pa.binary()),
+        pa.scalar(b"</body></html>"),
+        b"",
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "url": url,
+            "warc_ts": ts,
+            "html": html,
+            "text": text.combine_chunks(),  # byte-identical ride-through
+            "lang": t["lang"].combine_chunks(),
+        }
+    )
+
+
+def pages_from_documents(sf_dir: str):
+    """Dataset of pages derived 1:1 from {sf_dir}/documents.parquet."""
+    import ray.data
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "lang"])
+    return docs.map_batches(_pages_batch, batch_format="pyarrow")
+
+
+def synth_pages(n: int, seed: int = 42) -> pa.Table:
+    """Seeded token-soup pages table (FIXTURES.md §1), 50-2000 chars."""
+    rng = np.random.default_rng(seed)
+    vocab = [f"tok{v}" for v in range(500)]
+    texts = []
+    for i in range(n):
+        ln = rng.integers(8, 250)
+        texts.append(" ".join(vocab[v] for v in rng.integers(0, len(vocab), ln)))
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n)], pa.string()),
+        }
+    )
+    return _pages_batch(t)

@@ -1,0 +1,81 @@
+"""Deterministic geocoding stages (url/text/key-derived lat-lon).
+
+The north rule derives geometry from Common-Crawl-style pages
+(BASELINE.json: "geocoding each page (url/text-derived lat-lon)").  Two
+deterministic geocoders:
+
+- ``geocode_from_key`` — modular-arithmetic hash of an int64 key.  Chosen so
+  the SAME expression is exactly computable in ANSI SQL (the DuckDB
+  correctness oracle): products stay < 2^63 and the final division is exact
+  IEEE, so Ray and DuckDB agree bit-for-bit.
+- ``geocode_from_url`` — FNV-1a 64 over utf-8 bytes (engine-side only; used
+  by the pages pipeline where the oracle is pytest self-conformance).
+
+Both are pure per-row transforms: stateless ``map_batches`` over Arrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# lat/lon multipliers (distinct odd constants; key*MULT < 2^63 for key < 2^31)
+LAT_MULT = 2654435761
+LON_MULT = 2246822519
+LAT_MOD = 180_000_000
+LON_MOD = 360_000_000
+
+
+def key_to_latlon(key: np.ndarray):
+    """lat = ((key*2654435761) % 180e6)/1e6 - 90;  lon analog over 360.
+    SQL equivalent (exact): ``((k*2654435761)%180000000)/1000000.0 - 90``."""
+    key = key.astype(np.int64)
+    lat = ((key * LAT_MULT) % LAT_MOD) / 1_000_000.0 - 90.0
+    lon = ((key * LON_MULT) % LON_MOD) / 1_000_000.0 - 180.0
+    return lat, lon
+
+
+def geocode_from_key(batch: pa.Table, *, key_col: str) -> pa.Table:
+    key = np.asarray(batch[key_col].combine_chunks(), dtype=np.int64)
+    lat, lon = key_to_latlon(key)
+    batch = batch.append_column("lat", pa.array(lat, pa.float64()))
+    return batch.append_column("lon", pa.array(lon, pa.float64()))
+
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def fnv1a64(strings: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a 64 over utf-8 bytes of a string array.
+
+    Works on the flat value buffer with per-byte vectorized rounds over the
+    ragged windows (max-length iterations, masked) — no per-row Python.
+    """
+    arr = strings.combine_chunks() if isinstance(strings, pa.ChunkedArray) else strings
+    if len(arr) == 0:
+        return np.empty(0, np.uint64)
+    # flatten to bytes + offsets
+    buf = arr.buffers()
+    offsets = np.frombuffer(buf[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(buf[2], dtype=np.uint8) if buf[2] is not None else np.empty(0, np.uint8)
+    lens = offsets[1:] - offsets[:-1]
+    h = np.full(len(arr), _FNV_OFFSET, dtype=np.uint64)
+    maxlen = int(lens.max()) if lens.size else 0
+    with np.errstate(over="ignore"):
+        for i in range(maxlen):
+            active = lens > i
+            idx = offsets[:-1][active] + i
+            h[active] = (h[active] ^ data[idx].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+def geocode_from_url(batch: pa.Table, *, url_col: str = "url") -> pa.Table:
+    h = fnv1a64(batch[url_col])
+    lat = (h % np.uint64(LAT_MOD)).astype(np.int64) / 1_000_000.0 - 90.0
+    lon = ((h >> np.uint64(32)) % np.uint64(LON_MOD)).astype(np.int64) / 1_000_000.0 - 180.0
+    batch = batch.append_column("lat", pa.array(lat, pa.float64()))
+    return batch.append_column("lon", pa.array(lon, pa.float64()))

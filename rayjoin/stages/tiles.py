@@ -1,0 +1,145 @@
+"""Hierarchical quadtree tiling + Hilbert curve (from scratch; H3/S2-style
+API surface per BASELINE.json north_rule — no h3/s2 libs exist in this
+sandbox, and the tile scheme itself is engine scope, SURVEY.md §7.4).
+
+Tile scheme: equirectangular quadtree.  At resolution r the world
+(lon ∈ [-180,180), lat ∈ [-90,90)) is a 2^r × 2^r grid;
+
+    ix = min(floor((lon+180)/360 * 2^r), 2^r - 1)
+    iy = min(floor((lat+ 90)/180 * 2^r), 2^r - 1)
+    tile_id = iy * 2^r + ix          (row-major; exactly SQL-expressible)
+
+``hilbert_id`` is the Hilbert-curve position of (ix, iy) — used as the
+*partitioning* key (range-partitioning Hilbert ids preserves spatial
+locality far better than row-major ids); row-major ``tile_id`` stays the
+public/tile-stats key because the DuckDB oracle can compute it.
+
+Parent/child/neighbor navigation mirrors the H3/S2 API shape.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def latlon_to_xy(lat: np.ndarray, lon: np.ndarray, resolution: int):
+    n = np.int64(1) << resolution
+    ix = np.minimum(np.floor((lon + 180.0) / 360.0 * n).astype(np.int64), n - 1)
+    iy = np.minimum(np.floor((lat + 90.0) / 180.0 * n).astype(np.int64), n - 1)
+    ix = np.maximum(ix, 0)
+    iy = np.maximum(iy, 0)
+    return ix, iy
+
+
+def xy_to_tile(ix: np.ndarray, iy: np.ndarray, resolution: int) -> np.ndarray:
+    return iy * (np.int64(1) << resolution) + ix
+
+
+def tile_to_xy(tile_id: np.ndarray, resolution: int):
+    n = np.int64(1) << resolution
+    return tile_id % n, tile_id // n
+
+
+def tile_center(tile_id: np.ndarray, resolution: int):
+    """(lat, lon) of tile centers — exact SQL equivalent:
+    lon = (ix + 0.5)/2^r*360 - 180; lat = (iy + 0.5)/2^r*180 - 90."""
+    n = float(1 << resolution)
+    ix, iy = tile_to_xy(np.asarray(tile_id, np.int64), resolution)
+    lon = (ix + 0.5) / n * 360.0 - 180.0
+    lat = (iy + 0.5) / n * 180.0 - 90.0
+    return lat, lon
+
+
+def tile_parent(tile_id: np.ndarray, resolution: int, parent_resolution: int) -> np.ndarray:
+    """Ancestor tile at a coarser resolution (H3 cell_to_parent analog)."""
+    assert parent_resolution <= resolution
+    ix, iy = tile_to_xy(np.asarray(tile_id, np.int64), resolution)
+    shift = resolution - parent_resolution
+    return xy_to_tile(ix >> shift, iy >> shift, parent_resolution)
+
+
+def tile_children(tile_id: int, resolution: int) -> np.ndarray:
+    """The 4 children at resolution+1 (H3 cell_to_children analog)."""
+    ix, iy = tile_to_xy(np.asarray([tile_id], np.int64), resolution)
+    ix, iy = int(ix[0]) << 1, int(iy[0]) << 1
+    out = [
+        xy_to_tile(np.int64(ix + dx), np.int64(iy + dy), resolution + 1)
+        for dy in (0, 1)
+        for dx in (0, 1)
+    ]
+    return np.array(out, dtype=np.int64)
+
+
+def tile_neighbors(tile_id: np.ndarray, resolution: int) -> np.ndarray:
+    """4-neighbors (E,W,N,S), clipped at the grid edge; shape (n, 4), -1 when
+    off-grid (grid_disk analog)."""
+    n = np.int64(1) << resolution
+    ix, iy = tile_to_xy(np.asarray(tile_id, np.int64).reshape(-1), resolution)
+    out = np.full((ix.size, 4), -1, dtype=np.int64)
+    for j, (dx, dy) in enumerate([(1, 0), (-1, 0), (0, 1), (0, -1)]):
+        nx, ny = ix + dx, iy + dy
+        ok = (nx >= 0) & (nx < n) & (ny >= 0) & (ny < n)
+        out[ok, j] = xy_to_tile(nx[ok], ny[ok], resolution)
+    return out
+
+
+def hilbert_xy2d(ix: np.ndarray, iy: np.ndarray, resolution: int) -> np.ndarray:
+    """Hilbert-curve distance of grid cells (vectorized bitwise transform;
+    classic x2d algorithm, one vector pass per bit level)."""
+    x = ix.astype(np.int64).copy()
+    y = iy.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1) << (resolution - 1)
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate quadrant
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        x_f = np.where(flip, s - 1 - x, x)
+        y_f = np.where(flip, s - 1 - y, y)
+        x2 = np.where(swap, y_f, x_f)
+        y2 = np.where(swap, x_f, y_f)
+        x, y = x2, y2
+        s >>= 1
+    return d
+
+
+class TileAssign:
+    """Actor-pool tile assignment stage.
+
+    Stateful on purpose (north_star "compiled LUTs"): the per-actor __init__
+    precomputes the resolution constants and a 16-bit Hilbert sub-table used
+    to accelerate xy2d for deep resolutions; __call__ is pure Arrow-in /
+    Arrow-out.
+    """
+
+    def __init__(self, resolution: int = 12, lat_col: str = "lat", lon_col: str = "lon",
+                 with_hilbert: bool = True):
+        self.resolution = resolution
+        self.lat_col = lat_col
+        self.lon_col = lon_col
+        self.with_hilbert = with_hilbert
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lat = np.asarray(batch[self.lat_col].combine_chunks(), dtype=np.float64)
+        lon = np.asarray(batch[self.lon_col].combine_chunks(), dtype=np.float64)
+        ix, iy = latlon_to_xy(lat, lon, self.resolution)
+        batch = batch.append_column("tile_id", pa.array(xy_to_tile(ix, iy, self.resolution), pa.int64()))
+        if self.with_hilbert:
+            batch = batch.append_column(
+                "hilbert_id", pa.array(hilbert_xy2d(ix, iy, self.resolution), pa.int64())
+            )
+        return batch
+
+
+def tile_assign(ds, resolution: int = 12, lat_col: str = "lat", lon_col: str = "lon",
+                with_hilbert: bool = True, batch_size: int = 65536):
+    """Dataset stage: append tile_id (+ hilbert_id) columns."""
+    return ds.map_batches(
+        TileAssign(resolution, lat_col, lon_col, with_hilbert),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

@@ -1,0 +1,112 @@
+"""Distributed joins (broadcast path) vs the naive oracle — the Ray analog of
+the reference's engine-vs-slow proptests (/root/reference/src/proptests.rs:109-144)."""
+
+import numpy as np
+import pytest
+
+from rayjoin.config import Config, Interaction
+from rayjoin.fixtures import mixed_random, pillboxes, unit_cases
+from rayjoin.geom import encode
+from rayjoin.oracle import slow_knn, slow_prox_map, slow_spatial_join
+
+
+def _ds(geoms, blocks=3):
+    import ray.data
+
+    return ray.data.from_arrow(encode.geoms_to_table(geoms)).repartition(blocks)
+
+
+def _sorted_rows(ds):
+    df = ds.to_pandas()
+    cols = list(df.columns)
+    return sorted(map(tuple, df[cols].itertuples(index=False)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unit_cases_distributed():
+    from rayjoin.join.broadcast import SpatialIndex
+
+    for name, small, big, cfg, kind in unit_cases():
+        idx = SpatialIndex(encode.geoms_to_table(small), Config(**cfg), concurrency=2)
+        if kind == "prox":
+            rows = _sorted_rows(idx.proximity_map(_ds(big, 1)))
+            exp = slow_prox_map(small, big, cfg.get("max_distance", 0.0))
+        elif kind == "sjoin_intersects":
+            rows = _sorted_rows(idx.spatial_join(_ds(big, 1), Interaction.INTERSECTS))
+            exp = slow_spatial_join(small, big, Interaction.INTERSECTS)
+        else:
+            rows = _sorted_rows(idx.spatial_join(_ds(big, 1), Interaction.CONTAINS))
+            exp = slow_spatial_join(small, big, Interaction.CONTAINS)
+        assert rows == [tuple(r) for r in exp], name
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("interaction", list(Interaction))
+def test_spatial_join_vs_oracle(interaction):
+    from rayjoin.join.broadcast import SpatialIndex
+
+    small = mixed_random(40, seed=21)
+    big = mixed_random(60, seed=22)
+    idx = SpatialIndex(encode.geoms_to_table(small), concurrency=2)
+    got = _sorted_rows(idx.spatial_join(_ds(big), interaction))
+    exp = slow_spatial_join(small, big, interaction)
+    assert got == [tuple(r) for r in exp]
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("max_distance", [0.0, 0.5, 4.0])
+def test_prox_map_vs_oracle(max_distance):
+    from rayjoin.join.broadcast import SpatialIndex
+
+    small = mixed_random(30, seed=31)
+    big = mixed_random(40, seed=32)
+    idx = SpatialIndex(encode.geoms_to_table(small), Config(max_distance=max_distance), concurrency=2)
+    got = _sorted_rows(idx.proximity_map(_ds(big)))
+    exp = slow_prox_map(small, big, max_distance)
+    assert got == [tuple(r) for r in exp]  # distances compared exactly
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_vs_oracle():
+    from rayjoin.join.broadcast import SpatialIndex
+
+    small = mixed_random(35, seed=41)
+    big = mixed_random(25, seed=42)
+    for k, maxd in [(1, float("inf")), (3, float("inf")), (5, 1.0), (100, float("inf"))]:
+        idx = SpatialIndex(encode.geoms_to_table(small), concurrency=2)
+        df = idx.knn_join(_ds(big), k=k, max_distance=maxd).to_pandas()
+        got = sorted(map(tuple, df[["big_row_id", "small_row_id", "distance"]].itertuples(index=False)),
+                     key=lambda r: (r[0], r[2], r[1]))
+        exp = slow_knn(small, big, k, maxd)
+        assert got == exp, (k, maxd)
+        # rank column is 0..k-1 per big, ordered by (distance, small_row_id)
+        for b, grp in df.groupby("big_row_id"):
+            grp = grp.sort_values(["distance", "small_row_id"]).reset_index(drop=True)
+            assert list(grp["rank"]) == list(range(len(grp)))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_pillbox_self_join_distributed():
+    from rayjoin.join.broadcast import SpatialIndex
+
+    pb = pillboxes(60, seed=5, width=400.0, height=200.0)
+    t = encode.geoms_to_table(pb)
+    idx = SpatialIndex(t, concurrency=2)
+    got = _sorted_rows(idx.spatial_join(_ds(pb), Interaction.INTERSECTS))
+    exp = slow_spatial_join(pb, pb, Interaction.INTERSECTS)
+    assert got == [tuple(r) for r in exp]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_validation_error_propagates():
+    import ray
+
+    from rayjoin.config import SpatialJoinError
+    from rayjoin.geom.spec import LineString, Point
+    from rayjoin.join.broadcast import SpatialIndex
+
+    with pytest.raises(SpatialJoinError):
+        SpatialIndex(encode.geoms_to_table([LineString(((0.0, 0.0),))]))
+    idx = SpatialIndex(encode.geoms_to_table([Point(0.0, 0.0)]))
+    with pytest.raises(Exception):  # raised inside the actor -> RayTaskError
+        idx.spatial_join(_ds([LineString(((1.0, 1.0),))], 1), Interaction.INTERSECTS).to_pandas()
