@@ -1,0 +1,288 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32) and prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {name: sec},
+ "sf": ..., "num_cpus": N, ...derived rates...}
+
+--scaling: runs the same bench twice in fresh processes (8 vs 32 CPUs) and
+prints both times + scaling efficiency (the sandbox proxy for the N vs 4N
+node criterion, BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _warm_worker_pool(n: int) -> None:
+    """Force the full worker pool to exist with the task-runtime modules
+    imported BEFORE timing.  Raylet spawns at most ~4 workers at a time and
+    reuses released ones, so short warmup tasks drain on a partial pool and
+    the first measured pipeline would pay ~N cold worker starts with
+    simultaneous numpy/pyarrow/ray.data imports (~25s contended at 32 CPUs).
+    Loop sleep-pinned tasks until n distinct worker PIDs exist."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def _spawn(sleep_s: float):
+        import os
+        import time as _t
+
+        import pandas  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+        import ray.data  # noqa: F401  (map-task runtime)
+
+        import rayjoin.join.broadcast  # noqa: F401
+
+        _t.sleep(sleep_s)
+        return os.getpid()
+
+    seen = set()
+    for attempt in range(6):
+        pids = ray.get([_spawn.remote(1.0) for _ in range(n)])
+        seen.update(pids)
+        if len(seen) >= n:
+            break
+
+
+def _consume(ds) -> int:
+    """Fully execute a Dataset, return row count (streaming, no driver blowup)."""
+    n = 0
+    for b in ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        n += b.num_rows
+    return n
+
+
+def bench_queries():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayjoin.config import Config, Interaction
+    from rayjoin.fixtures import pillboxes
+    from rayjoin.geom import encode
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.pipelines.gate import (
+        points_geom_table,
+        rects_geom_table,
+        tris_geom_table,
+        q_minhash_dedup,
+    )
+    from rayjoin.pipelines.raster import rasterize
+    from rayjoin.sources.pages import pages_from_documents
+    from rayjoin.stages.geocode import geocode_from_url
+    from rayjoin.stages.tiles import tile_assign
+
+    sf = SF_DIR
+    out = {}
+    rows = {}
+
+    # warm the page cache (measure compute+shuffle, not first disk read)
+    for t in ("events", "part", "customer", "supplier", "documents"):
+        ray.data.read_parquet(f"{sf}/{t}.parquet").count()
+
+    _warm_worker_pool(NUM_CPUS)
+
+    def timed(name, fn):
+        t0 = time.time()
+        r = fn()
+        out[name] = round(time.time() - t0, 3)
+        rows[name] = r
+
+    # 1. point-in-triangle spatial join: events points vs part triangles
+    def pip():
+        tris = tris_geom_table(sf)
+        pts = ray.data.from_arrow(points_geom_table(sf, "events", "event_id")).repartition(32)
+        idx = SpatialIndex(tris, batch_size=8192)
+        return _consume(idx.spatial_join(pts, Interaction.CONTAINS))
+
+    timed("pip_triangle", pip)
+
+    # 2. 5k pill-box self-join (reference bench parity,
+    #    benches/spatial_join.rs:86-99)
+    def pillbox():
+        pb = encode.geoms_to_table(pillboxes(5000, seed=42))
+        idx = SpatialIndex(pb, batch_size=1024)
+        big = ray.data.from_arrow(pb).repartition(32)
+        return _consume(idx.spatial_join(big, Interaction.INTERSECTS))
+
+    timed("pillbox_5k_self_join", pillbox)
+
+    # 3. proximity map
+    def prox():
+        small = points_geom_table(sf, "supplier", "s_suppkey")
+        big = ray.data.from_arrow(points_geom_table(sf, "customer", "c_custkey")).repartition(16)
+        idx = SpatialIndex(small, Config(max_distance=3.0))
+        return _consume(idx.proximity_map(big))
+
+    timed("prox_points", prox)
+
+    # 4. kNN join
+    def knn():
+        small = points_geom_table(sf, "supplier", "s_suppkey")
+        big = ray.data.from_arrow(points_geom_table(sf, "customer", "c_custkey")).repartition(16)
+        idx = SpatialIndex(small)
+        return _consume(idx.knn_join(big, k=3))
+
+    timed("knn_points", knn)
+
+    # 5. geocode + tile assignment over pages (tiles/sec)
+    def tiles():
+        ds = pages_from_documents(sf).map_batches(geocode_from_url, batch_format="pyarrow")
+        ds = tile_assign(ds, resolution=12)
+        return _consume(ds.select_columns(["doc_id", "tile_id", "hilbert_id"]))
+
+    timed("geocode_tile", tiles)
+
+    # 6. rasterize triangles
+    def raster():
+        tris = ray.data.from_arrow(tris_geom_table(sf)).repartition(32)
+        return _consume(rasterize(tris, resolution=8))
+
+    timed("rasterize", raster)
+
+    # 7. minhash near-dup over documents
+    timed("minhash_dedup", lambda: _consume(q_minhash_dedup(sf)))
+
+    return out, rows
+
+
+def scaling_workload() -> dict:
+    """Heavy, compute-bound headline for the two-cluster-size criterion:
+    events points replicated REP× (ids offset) joined against part
+    triangles.  Big enough that per-batch kernel work dominates fixed
+    pipeline costs at both parallelism levels."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from rayjoin.config import Interaction
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.pipelines.gate import points_geom_table, tris_geom_table
+
+    rep = int(os.environ.get("GRAFT_SCALE_REP", "100"))
+    sf = SF_DIR
+    pts = points_geom_table(sf, "events", "event_id")
+    n = pts.num_rows
+    tables = []
+    ids = np.asarray(pts["row_id"], dtype=np.int64)
+    for r in range(rep):
+        t = pts.set_column(0, "row_id", pa.array(ids + r * 10_000_000, pa.int64()))
+        tables.append(t)
+    big_t = pa.concat_tables(tables)
+    big = ray.data.from_arrow(big_t).repartition(NUM_CPUS * 8).materialize()
+    idx = SpatialIndex(tris_geom_table(sf), batch_size=65536)
+    t0 = time.time()
+    # count() consumes the whole stream but keeps result blocks off the
+    # driver (iter_batches would serialize ~50MB of pairs through one core)
+    rows = idx.spatial_join(big, Interaction.CONTAINS).count()
+    dt = time.time() - t0
+    return {"probe_rows": n * rep, "joined_rows": rows, "sec": round(dt, 3),
+            "probe_rows_per_sec": round(n * rep / dt)}
+
+
+def main():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    secs, rows = bench_queries()
+    total = round(sum(secs.values()), 3)
+    join_rows = rows["pip_triangle"] + rows["pillbox_5k_self_join"] + rows["prox_points"] + rows["knn_points"]
+    join_sec = secs["pip_triangle"] + secs["pillbox_5k_self_join"] + secs["prox_points"] + secs["knn_points"]
+    tile_rows = rows["geocode_tile"] + rows["rasterize"]
+    tile_sec = secs["geocode_tile"] + secs["rasterize"]
+    result = {
+        "metric": "rayjoin headline pipelines (spatial joins + tiling + dedup) wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": secs,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "joined_rows_per_sec": round(join_rows / join_sec) if join_sec else None,
+        "tiles_per_sec": round(tile_rows / tile_sec) if tile_sec else None,
+        "rows": rows,
+    }
+    print(json.dumps(result))
+    ray.shutdown()
+
+
+def scaling_child():
+    """Run the heavy headline once in this process and print one JSON line."""
+    import ray
+
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    # warm workers before timing (cold spawn would bias the high-cpu run)
+    _warm_worker_pool(NUM_CPUS)
+    # one untimed pass: absorbs all remaining session one-time costs (worker
+    # imports the pool loop missed, plasma first-touch, executor spin-up) so
+    # both parallelism levels measure steady-state compute
+    scaling_workload()
+    r = scaling_workload()
+    r["num_cpus"] = NUM_CPUS
+    print(json.dumps(r))
+    ray.shutdown()
+
+
+def scaling():
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
+             "--scaling-child"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "workload": "spatial join: events points x%s vs part triangles"
+                % os.environ.get("GRAFT_SCALE_REP", "100"),
+                "sec_8": r_lo["sec"],
+                "sec_32": r_hi["sec"],
+                "probe_rows": r_lo["probe_rows"],
+                "rows_per_sec_8": r_lo["probe_rows_per_sec"],
+                "rows_per_sec_32": r_hi["probe_rows_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "sf": SF_DIR,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling-child" in sys.argv:
+        scaling_child()
+    elif "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

@@ -100,12 +100,15 @@ def minhash_signatures(texts, *, num_perm: int = 64, k: int = 5, seed: int = 1) 
     b = rng.integers(0, 2**61, size=num_perm, dtype=np.uint64)
     sig = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     counts = np.diff(doc_off)
-    doc_of = np.repeat(np.arange(n), counts)
+    nonempty = counts > 0
+    starts = doc_off[:-1][nonempty]
     with np.errstate(over="ignore"):
         for p in range(num_perm):
             ph = flat * a[p] + b[p]
             if ph.size:
-                np.minimum.at(sig[:, p], doc_of, ph)
+                # shingles are contiguous per doc -> segmented min via
+                # reduceat (ufunc.at is ~100x slower)
+                sig[nonempty, p] = np.minimum.reduceat(ph, starts)
     return sig
 
 
@@ -146,37 +149,58 @@ def minhash_dedup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
 
     bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
 
+    # coarse-bucket the (band, band_hash) space so each map_groups group is a
+    # large chunk (a per-LSH-bucket map_groups would shuffle into millions of
+    # singleton groups); the per-bucket pairing is a vectorized pandas groupby
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["band_hash"].combine_chunks(), dtype=np.int64)
+        return t.append_column("bucket", pa.array((b % 127 + 127) % 127, pa.int64()))
+
+    bands_ds = bands_ds.map_batches(add_bucket, batch_format="pyarrow")
+
     def bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(df[id_col].unique())
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(ids.size, 1)
-        return pd.DataFrame({"id_a": ids[ia], "id_b": ids[ib]})
+        out_a, out_b = [], []
+        for _, grp in df.groupby(["band", "band_hash"]):
+            ids = np.sort(grp[id_col].unique())
+            if ids.size < 2:
+                continue
+            ia, ib = np.triu_indices(ids.size, 1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series([], dtype="int64"), "id_b": pd.Series([], dtype="int64")}
+            )
+        df = pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+        return df.drop_duplicates()
 
-    cands = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
-    # distinct candidate pairs (a pair can fire in many bands)
-    from ray.data.aggregate import Count
-
-    cands = cands.groupby(["id_a", "id_b"]).aggregate(Count(alias_name="n_bands"))
+    cands = bands_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
 
     # verify with exact jaccard: broadcast the text of candidate ids
-    texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
+    # (broadcast verify is the small-side pattern; at cluster scale the
+    # verifier becomes a hash-join of texts onto the candidate pairs)
     import ray
 
+    texts = {r[id_col]: r[text_col] for r in ds.select_columns([id_col, text_col]).take_all()}
     text_ref = ray.put(texts)
 
     def verify(t: pa.Table) -> pa.Table:
         tx = ray.get(text_ref)
         ia = t["id_a"].to_pylist()
         ib = t["id_b"].to_pylist()
-        keep = []
-        for x, y in zip(ia, ib):
-            keep.append(jaccard_shingles(tx[x], tx[y], shingle_k) >= threshold)
-        return t.filter(pa.array(keep)).select(["id_a", "id_b"])
+        keep = [jaccard_shingles(tx[x], tx[y], shingle_k) >= threshold for x, y in zip(ia, ib)]
+        return t.filter(pa.array(keep, pa.bool_())).select(["id_a", "id_b"])
 
-    return cands.map_batches(verify, batch_format="pyarrow")
+    verified = cands.map_batches(verify, batch_format="pyarrow")
+    # distinct (a pair can fire in buckets of several bands): the verified
+    # set is small, so a single-partition dedupe beats a full groupby shuffle
+    return verified.repartition(1).map_batches(
+        lambda df: df.drop_duplicates(ignore_index=True),
+        batch_format="pandas",
+        batch_size=None,
+    )
 
 
 def jaccard_shingles(a: str, b: str, k: int = 5) -> float:

@@ -1,0 +1,199 @@
+"""Partitioned spatial join (PBSM-style) — the two-large-sides scale path.
+
+When neither side fits in the object store, the broadcast index
+(rayjoin.join.broadcast) stops working; this module implements the classic
+partition-based spatial-merge plan the blueprint calls for (SURVEY.md §7.6):
+
+1. **Sample** both sides' bboxes (seeded) to pick a grid resolution whose
+   expected per-cell candidate count is bounded (skew-aware: the driver
+   samples, not full data).
+2. **Replicate** each geometry to every grid cell its (max_distance-dilated,
+   small side only) bbox overlaps — a ``flat_map``-shaped ``map_batches``
+   emitting (cell, side, row) rows.
+3. **Co-locate** with one ``groupby(cell)`` shuffle; per cell, build an STR
+   tree on the small rows and probe the big rows with the same vectorized
+   kernels as the broadcast path.
+4. **Duplicate suppression** by the reference-point rule: a pair is emitted
+   only by the cell that contains the top-left corner of the intersection of
+   the two (dilated) bboxes — so each qualifying pair appears exactly once,
+   no post-shuffle dedup pass.
+
+The output row set is EXACTLY the broadcast path's (tested side by side).
+At 100 TB the groupby(cell) is the only all-to-all exchange; hot cells can
+be split by raising ``target_cells`` (finer grid) — cells are independent.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..config import Config, Interaction
+from ..geom.batch import GeomBatch
+from ..geom.relates import relate
+from ..state.rtree import STRtree, dilate
+from ..stages.validate import validate_batch
+from ..geom.primitives import repeat_expand
+
+
+def _sample_extent(ds, frac: float = 0.1, seed: int = 42):
+    """Seeded bbox sample -> (extent, mean cell occupancy estimate)."""
+    import ray.data
+
+    def bboxes(t: pa.Table) -> pa.Table:
+        g = GeomBatch.from_arrow(t)
+        return pa.table(
+            {
+                "xmin": pa.array(g.bbox[:, 0]),
+                "ymin": pa.array(g.bbox[:, 1]),
+                "xmax": pa.array(g.bbox[:, 2]),
+                "ymax": pa.array(g.bbox[:, 3]),
+            }
+        )
+
+    sample = ds.random_sample(frac, seed=seed).map_batches(bboxes, batch_format="pyarrow")
+    df = sample.to_pandas()
+    if df.empty:
+        df = ds.limit(1000).map_batches(bboxes, batch_format="pyarrow").to_pandas()
+    return df
+
+
+class GridSpec:
+    """Uniform grid over the joint extent; cell ids are row-major."""
+
+    def __init__(self, x0, y0, x1, y1, nx, ny):
+        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
+        self.nx, self.ny = nx, ny
+        self.wx = (x1 - x0) / nx if x1 > x0 else 1.0
+        self.wy = (y1 - y0) / ny if y1 > y0 else 1.0
+
+    def cell_range(self, bbox: np.ndarray):
+        """Inclusive (ix0, iy0, ix1, iy1) per bbox row, clipped to the grid."""
+        ix0 = np.clip(((bbox[:, 0] - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
+        iy0 = np.clip(((bbox[:, 1] - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
+        ix1 = np.clip(((bbox[:, 2] - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
+        iy1 = np.clip(((bbox[:, 3] - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
+        return ix0, iy0, ix1, iy1
+
+    def cell_of_point(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        ix = np.clip(((x - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
+        iy = np.clip(((y - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
+        return iy * self.nx + ix
+
+    @staticmethod
+    def plan(small_ds, big_ds, target_cells: int = 256, sample_frac: float = 0.2,
+             seed: int = 42, max_distance: float = 0.0) -> "GridSpec":
+        a = _sample_extent(small_ds, sample_frac, seed)
+        b = _sample_extent(big_ds, sample_frac, seed + 1)
+        x0 = min(a["xmin"].min(), b["xmin"].min()) - max_distance
+        y0 = min(a["ymin"].min(), b["ymin"].min()) - max_distance
+        x1 = max(a["xmax"].max(), b["xmax"].max()) + max_distance
+        y1 = max(a["ymax"].max(), b["ymax"].max()) + max_distance
+        n = max(int(math.sqrt(target_cells)), 1)
+        # widen slightly so max coords fall inside the last cell
+        pad = max((x1 - x0), (y1 - y0), 1.0) * 1e-9
+        return GridSpec(x0 - pad, y0 - pad, x1 + pad, y1 + pad, n, n)
+
+
+def _replicate(ds, grid: GridSpec, side: int, dilate_by: float):
+    """Emit one row per (geometry, overlapped cell)."""
+
+    def rep(t: pa.Table) -> pa.Table:
+        g = GeomBatch.from_arrow(t)
+        validate_batch(g)
+        bb = dilate(g.bbox, dilate_by) if dilate_by else g.bbox
+        ix0, iy0, ix1, iy1 = grid.cell_range(bb)
+        nx = ix1 - ix0 + 1
+        ny = iy1 - iy0 + 1
+        counts = nx * ny
+        gid, k = repeat_expand(counts)
+        cx = ix0[gid] + k % nx[gid]
+        cy = iy0[gid] + k // nx[gid]
+        cell = cy * grid.nx + cx
+        taken = t.take(pa.array(gid))
+        return (
+            taken.append_column("cell", pa.array(cell, pa.int64()))
+            .append_column("side", pa.array(np.full(gid.size, side, np.int8), pa.int8()))
+        )
+
+    return ds.map_batches(rep, batch_format="pyarrow")
+
+
+def _cell_join(grid: GridSpec, config: Config, interaction: Optional[Interaction],
+               mode: str):
+    """Per-cell build+probe, duplicate-suppressed by the reference-point rule."""
+    max_d = config.max_distance
+
+    def join_cell(df: pd.DataFrame) -> pd.DataFrame:
+        cell = int(df["cell"].iloc[0])
+        t = pa.Table.from_pandas(df, preserve_index=False)
+        small_t = t.filter(pa.compute.equal(t["side"], 0)).drop_columns(["cell", "side"])
+        big_t = t.filter(pa.compute.equal(t["side"], 1)).drop_columns(["cell", "side"])
+        if small_t.num_rows == 0 or big_t.num_rows == 0:
+            return pd.DataFrame({"big_row_id": pd.Series([], dtype="int64"),
+                                 "small_row_id": pd.Series([], dtype="int64"),
+                                 **({"distance": pd.Series([], dtype="float64")} if mode == "prox" else {})})
+        small = GeomBatch.from_arrow(small_t)
+        big = GeomBatch.from_arrow(big_t)
+        tree = STRtree(dilate(small.bbox, max_d))
+        q, s = tree.query(big.bbox)
+        # reference-point duplicate suppression: emit only from the cell
+        # containing the intersection corner of the two (dilated) bboxes
+        sb = dilate(small.bbox, max_d)[s] if max_d else small.bbox[s]
+        rx = np.maximum(sb[:, 0], big.bbox[q][:, 0])
+        ry = np.maximum(sb[:, 1], big.bbox[q][:, 1])
+        own = grid.cell_of_point(rx, ry) == cell
+        q, s = q[own], s[own]
+        if mode == "join":
+            if interaction is Interaction.INTERSECTS:
+                keep = relate("intersects", small, s, big, q)
+            elif interaction is Interaction.CONTAINS:
+                keep = relate("contains", small, s, big, q)
+            else:
+                keep = relate("contains", big, q, small, s)
+            return pd.DataFrame(
+                {
+                    "big_row_id": big.row_id[q[keep]],
+                    "small_row_id": small.row_id[s[keep]],
+                }
+            )
+        d = relate("distance", small, s, big, q)
+        keep = d <= max_d
+        return pd.DataFrame(
+            {
+                "big_row_id": big.row_id[q[keep]],
+                "small_row_id": small.row_id[s[keep]],
+                "distance": d[keep],
+            }
+        )
+
+    return join_cell
+
+
+def partitioned_spatial_join(big, small, interaction: Interaction,
+                             config: Config = Config(), target_cells: int = 256,
+                             seed: int = 42):
+    """Dataset[big_row_id, small_row_id] — same rows as the broadcast path."""
+    grid = GridSpec.plan(small, big, target_cells, seed=seed, max_distance=config.max_distance)
+    rep = _replicate(small, grid, side=0, dilate_by=config.max_distance).union(
+        _replicate(big, grid, side=1, dilate_by=0.0)
+    )
+    return rep.groupby("cell").map_groups(
+        _cell_join(grid, config, interaction, "join"), batch_format="pandas"
+    )
+
+
+def partitioned_proximity_map(big, small, config: Config, target_cells: int = 256,
+                              seed: int = 42):
+    """Dataset[big_row_id, small_row_id, distance] — same rows as broadcast."""
+    grid = GridSpec.plan(small, big, target_cells, seed=seed, max_distance=config.max_distance)
+    rep = _replicate(small, grid, side=0, dilate_by=config.max_distance).union(
+        _replicate(big, grid, side=1, dilate_by=0.0)
+    )
+    return rep.groupby("cell").map_groups(
+        _cell_join(grid, config, None, "prox"), batch_format="pandas"
+    )

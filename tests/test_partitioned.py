@@ -1,0 +1,60 @@
+"""Partitioned (PBSM) join path ≡ broadcast path ≡ oracle."""
+
+import numpy as np
+import pytest
+
+from rayjoin.config import Config, Interaction
+from rayjoin.fixtures import mixed_random, pillboxes
+from rayjoin.geom import encode
+from rayjoin.oracle import slow_prox_map, slow_spatial_join
+
+
+def _ds(geoms, blocks=3):
+    import ray.data
+
+    return ray.data.from_arrow(encode.geoms_to_table(geoms)).repartition(blocks)
+
+
+def _rows(ds):
+    df = ds.to_pandas()
+    return sorted(map(tuple, df[list(df.columns)].itertuples(index=False)))
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("interaction", list(Interaction))
+def test_partitioned_join_matches_oracle(interaction):
+    from rayjoin.join.partitioned import partitioned_spatial_join
+
+    small = mixed_random(40, seed=51)
+    big = mixed_random(50, seed=52)
+    got = _rows(partitioned_spatial_join(_ds(big), _ds(small), interaction, target_cells=64))
+    exp = slow_spatial_join(small, big, interaction)
+    assert got == [tuple(r) for r in exp]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_prox_matches_oracle():
+    from rayjoin.join.partitioned import partitioned_proximity_map
+
+    small = mixed_random(30, seed=61)
+    big = mixed_random(30, seed=62)
+    cfg = Config(max_distance=0.7)
+    got = _rows(partitioned_proximity_map(_ds(big), _ds(small), cfg, target_cells=49))
+    exp = slow_prox_map(small, big, 0.7)
+    assert got == [tuple(r) for r in exp]  # exact distances
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_matches_broadcast_on_pillboxes():
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.partitioned import partitioned_spatial_join
+
+    pb = pillboxes(300, seed=9, width=800.0, height=400.0)
+    t = encode.geoms_to_table(pb)
+    bro = _rows(SpatialIndex(t).spatial_join(_ds(pb, 4), Interaction.INTERSECTS))
+    par = _rows(
+        partitioned_spatial_join(_ds(pb, 4), _ds(pb, 4), Interaction.INTERSECTS, target_cells=100)
+    )
+    assert par == bro
+    # no duplicate pairs from replication (reference-point suppression)
+    assert len(par) == len(set(par))
