@@ -69,3 +69,22 @@ class Config:
         v = self.max_distance
         if not (isinstance(v, (int, float)) and math.isfinite(v) and v >= 0.0):
             raise BadMaxDistance(v)
+
+    # Reference entry-point parity (/root/reference/src/structs.rs:57-79):
+    # Config::new().max_distance(d).serial(small) / .parallel(small).
+    # On Ray both build the same broadcast index; "parallel" is the natural
+    # mode (probe tasks fan out over the cluster), "serial" simply caps the
+    # probe batch parallelism.
+
+    def with_max_distance(self, v: float) -> "Config":
+        return Config(max_distance=v)
+
+    def serial(self, small, **kwargs):
+        from .join.broadcast import SpatialIndex
+
+        return SpatialIndex(small, self, **kwargs)
+
+    def parallel(self, small, **kwargs):
+        from .join.broadcast import SpatialIndex
+
+        return SpatialIndex(small, self, **kwargs)

@@ -54,6 +54,7 @@ class BroadcastIndex:
     def __init__(self, small, config: Config = Config()):
         self.config = config
         table = _to_table(small)
+        self.table = table  # kept for *_with_geos outputs
         self.batch = GeomBatch.from_arrow(table)
         validate_batch(self.batch)
         self.tree = STRtree(dilate(self.batch.bbox, config.max_distance))
@@ -80,7 +81,20 @@ def _candidates(index: BroadcastIndex, big: GeomBatch):
     return index.tree.query(big.bbox)
 
 
-def _probe_join(index: BroadcastIndex, big: GeomBatch, interaction: Interaction) -> pa.Table:
+def _attach_geos(out: pa.Table, index: BroadcastIndex, s_pos: np.ndarray,
+                 big_table: pa.Table, q_pos: np.ndarray) -> pa.Table:
+    """The *_with_geos variants (/root/reference/src/index.rs:449-475,
+    537-599): clone both geometries into each output row."""
+    bt = big_table.take(pa.array(q_pos))
+    st = index.table.take(pa.array(s_pos))
+    out = out.append_column("big_geom_type", bt["geom_type"].combine_chunks())
+    out = out.append_column("big_coords", bt["coords"].combine_chunks())
+    out = out.append_column("small_geom_type", st["geom_type"].combine_chunks())
+    return out.append_column("small_coords", st["coords"].combine_chunks())
+
+
+def _probe_join(index: BroadcastIndex, big: GeomBatch, interaction: Interaction,
+                big_table: pa.Table = None, with_geos: bool = False) -> pa.Table:
     q, s = _candidates(index, big)
     if interaction is Interaction.INTERSECTS:
         keep = relate("intersects", index.batch, s, big, q)
@@ -88,27 +102,34 @@ def _probe_join(index: BroadcastIndex, big: GeomBatch, interaction: Interaction)
         keep = relate("contains", index.batch, s, big, q)
     else:  # WITHIN: big.Contains(small)
         keep = relate("contains", big, q, index.batch, s)
-    return pa.table(
+    out = pa.table(
         {
             "big_row_id": pa.array(big.row_id[q[keep]], pa.int64()),
             "small_row_id": pa.array(index.batch.row_id[s[keep]], pa.int64()),
         }
     )
+    if with_geos:
+        out = _attach_geos(out, index, s[keep], big_table, q[keep])
+    return out
 
 
-def _probe_prox(index: BroadcastIndex, big: GeomBatch) -> pa.Table:
+def _probe_prox(index: BroadcastIndex, big: GeomBatch, big_table: pa.Table = None,
+                with_geos: bool = False) -> pa.Table:
     q, s = _candidates(index, big)
     d = relate("distance", index.batch, s, big, q)
     if not np.isfinite(d).all():
         raise AssertionError("non-finite distance")  # index.rs:436 assert
     keep = d <= index.config.max_distance  # inclusive (index.rs:438)
-    return pa.table(
+    out = pa.table(
         {
             "big_row_id": pa.array(big.row_id[q[keep]], pa.int64()),
             "small_row_id": pa.array(index.batch.row_id[s[keep]], pa.int64()),
             "distance": pa.array(d[keep], pa.float64()),
         }
     )
+    if with_geos:
+        out = _attach_geos(out, index, s[keep], big_table, q[keep])
+    return out
 
 
 def _probe_knn(index: BroadcastIndex, big: GeomBatch, k: int, max_distance: float) -> pa.Table:
@@ -203,22 +224,24 @@ def _get_index(index_ref) -> BroadcastIndex:
 
 
 def _run_probe(index: BroadcastIndex, batch: pa.Table, mode: str,
-               interaction: Optional[Interaction], k: int, max_distance: float) -> pa.Table:
+               interaction: Optional[Interaction], k: int, max_distance: float,
+               with_geos: bool = False) -> pa.Table:
     big = GeomBatch.from_arrow(batch)
     validate_batch(big)
     if mode == "join":
-        return _probe_join(index, big, interaction)
+        return _probe_join(index, big, interaction, batch, with_geos)
     if mode == "prox":
-        return _probe_prox(index, big)
+        return _probe_prox(index, big, batch, with_geos)
     if mode == "knn":
         return _probe_knn(index, big, k, max_distance)
     raise ValueError(mode)
 
 
 def probe_fn(batch: pa.Table, *, index_ref, mode: str, interaction=None, k: int = 0,
-             max_distance: float = float("inf")) -> pa.Table:
+             max_distance: float = float("inf"), with_geos: bool = False) -> pa.Table:
     """Stateless probe task body (default execution mode)."""
-    return _run_probe(_get_index(index_ref), batch, mode, interaction, k, max_distance)
+    return _run_probe(_get_index(index_ref), batch, mode, interaction, k, max_distance,
+                      with_geos)
 
 
 class ProbeActor:
@@ -228,16 +251,17 @@ class ProbeActor:
     where per-worker caching would duplicate memory across many workers)."""
 
     def __init__(self, index_ref, mode: str, interaction: Optional[Interaction] = None,
-                 k: int = 0, max_distance: float = float("inf")):
+                 k: int = 0, max_distance: float = float("inf"), with_geos: bool = False):
         self.index: BroadcastIndex = ray.get(index_ref)
         self.mode = mode
         self.interaction = interaction
         self.k = k
         self.max_distance = max_distance
+        self.with_geos = with_geos
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return _run_probe(self.index, batch, self.mode, self.interaction, self.k,
-                          self.max_distance)
+                          self.max_distance, self.with_geos)
 
 
 class SpatialIndex:
@@ -275,9 +299,17 @@ class SpatialIndex:
         """Dataset[big_row_id, small_row_id]; semantics index.rs:497-534."""
         return self._probe(big, mode="join", interaction=interaction)
 
+    def spatial_join_with_geos(self, big, interaction: Interaction):
+        """Same + both geometry payloads (index.rs:537-599)."""
+        return self._probe(big, mode="join", interaction=interaction, with_geos=True)
+
     def proximity_map(self, big):
         """Dataset[big_row_id, small_row_id, distance]; inclusive threshold."""
         return self._probe(big, mode="prox")
+
+    def proximity_map_with_geos(self, big):
+        """Same + both geometry payloads (index.rs:449-475)."""
+        return self._probe(big, mode="prox", with_geos=True)
 
     def knn_join(self, big, k: int, max_distance: float = float("inf")):
         """Dataset[big_row_id, small_row_id, distance, rank]; new engine scope

@@ -63,40 +63,52 @@ def _sample_extent(ds, frac: float = 0.1, seed: int = 42):
 
 
 class GridSpec:
-    """Uniform grid over the joint extent; cell ids are row-major."""
+    """Skew-aware grid: cell boundaries are *equi-depth quantiles* of the
+    sampled bbox centers (not uniform widths), so hot regions get
+    proportionally more, smaller cells and the per-cell candidate load stays
+    balanced (the explicit skew handling the north rule requires — a uniform
+    grid over a clustered corpus puts most pairs in a few cells).
+    Cell ids are row-major over the boundary arrays."""
 
-    def __init__(self, x0, y0, x1, y1, nx, ny):
-        self.x0, self.y0, self.x1, self.y1 = x0, y0, x1, y1
-        self.nx, self.ny = nx, ny
-        self.wx = (x1 - x0) / nx if x1 > x0 else 1.0
-        self.wy = (y1 - y0) / ny if y1 > y0 else 1.0
+    def __init__(self, bx: np.ndarray, by: np.ndarray):
+        self.bx = np.asarray(bx, dtype=np.float64)  # nx+1 ascending
+        self.by = np.asarray(by, dtype=np.float64)
+        self.nx = self.bx.size - 1
+        self.ny = self.by.size - 1
+
+    def _ix(self, x: np.ndarray) -> np.ndarray:
+        return np.clip(np.searchsorted(self.bx, x, side="right") - 1, 0, self.nx - 1)
+
+    def _iy(self, y: np.ndarray) -> np.ndarray:
+        return np.clip(np.searchsorted(self.by, y, side="right") - 1, 0, self.ny - 1)
 
     def cell_range(self, bbox: np.ndarray):
         """Inclusive (ix0, iy0, ix1, iy1) per bbox row, clipped to the grid."""
-        ix0 = np.clip(((bbox[:, 0] - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
-        iy0 = np.clip(((bbox[:, 1] - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
-        ix1 = np.clip(((bbox[:, 2] - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
-        iy1 = np.clip(((bbox[:, 3] - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
-        return ix0, iy0, ix1, iy1
+        return self._ix(bbox[:, 0]), self._iy(bbox[:, 1]), self._ix(bbox[:, 2]), self._iy(bbox[:, 3])
 
     def cell_of_point(self, x: np.ndarray, y: np.ndarray) -> np.ndarray:
-        ix = np.clip(((x - self.x0) / self.wx).astype(np.int64), 0, self.nx - 1)
-        iy = np.clip(((y - self.y0) / self.wy).astype(np.int64), 0, self.ny - 1)
-        return iy * self.nx + ix
+        return self._iy(y) * self.nx + self._ix(x)
 
     @staticmethod
     def plan(small_ds, big_ds, target_cells: int = 256, sample_frac: float = 0.2,
              seed: int = 42, max_distance: float = 0.0) -> "GridSpec":
         a = _sample_extent(small_ds, sample_frac, seed)
         b = _sample_extent(big_ds, sample_frac, seed + 1)
-        x0 = min(a["xmin"].min(), b["xmin"].min()) - max_distance
-        y0 = min(a["ymin"].min(), b["ymin"].min()) - max_distance
-        x1 = max(a["xmax"].max(), b["xmax"].max()) + max_distance
-        y1 = max(a["ymax"].max(), b["ymax"].max()) + max_distance
+        df = pd.concat([a, b], ignore_index=True)
+        x0 = df["xmin"].min() - max_distance
+        y0 = df["ymin"].min() - max_distance
+        x1 = df["xmax"].max() + max_distance
+        y1 = df["ymax"].max() + max_distance
         n = max(int(math.sqrt(target_cells)), 1)
-        # widen slightly so max coords fall inside the last cell
         pad = max((x1 - x0), (y1 - y0), 1.0) * 1e-9
-        return GridSpec(x0 - pad, y0 - pad, x1 + pad, y1 + pad, n, n)
+        cx = ((df["xmin"] + df["xmax"]) * 0.5).to_numpy()
+        cy = ((df["ymin"] + df["ymax"]) * 0.5).to_numpy()
+        # interior boundaries at equi-depth quantiles of the sampled centers;
+        # dedupe collapses degenerate boundaries under extreme ties
+        qs = np.linspace(0.0, 1.0, n + 1)[1:-1]
+        bx = np.unique(np.concatenate([[x0 - pad], np.quantile(cx, qs), [x1 + pad]]))
+        by = np.unique(np.concatenate([[y0 - pad], np.quantile(cy, qs), [y1 + pad]]))
+        return GridSpec(bx, by)
 
 
 def _replicate(ds, grid: GridSpec, side: int, dilate_by: float):

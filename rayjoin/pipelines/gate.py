@@ -165,6 +165,17 @@ WHERE p.x >= r.cx - r.w/2 AND p.x <= r.cx + r.w/2
 """
 
 
+def q_sjoin_point_in_rect_partitioned(sf_dir: str):
+    """Same join through the PBSM partitioned path (two-large-sides plan):
+    replicate-to-cells + groupby(cell) shuffle + reference-point dedup.
+    Same oracle SQL as the broadcast variant — the row sets must agree."""
+    from ..join.partitioned import partitioned_spatial_join
+
+    rects = _from_arrow(rects_geom_table(sf_dir), 2)
+    pts = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    return partitioned_spatial_join(pts, rects, Interaction.CONTAINS, target_cells=64)
+
+
 def q_sjoin_rect_rect_intersects(sf_dir: str):
     """Supplier rects vs nation-derived rects, Intersects (inclusive bbox
     overlap)."""
@@ -663,6 +674,7 @@ def build_queries():
 
     queries = {
         "sjoin_point_in_rect": q_sjoin_point_in_rect,
+        "sjoin_point_in_rect_partitioned": q_sjoin_point_in_rect_partitioned,
         "sjoin_rect_rect_intersects": q_sjoin_rect_rect_intersects,
         "prox_points": q_prox_points,
         "knn_points": q_knn_points,
@@ -687,6 +699,7 @@ def build_queries():
     }
     oracle = {
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
+        "sjoin_point_in_rect_partitioned": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_rect_rect_intersects": SQL_RECT_RECT.format(a=rsup, b=rnat),
         "prox_points": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),

@@ -1,0 +1,58 @@
+"""Sampled Hilbert-curve range partitioner (north_star: "a sampled
+Hilbert-curve range partitioner drives a groupby-shuffle").
+
+``plan_hilbert_ranges`` samples the dataset's hilbert ids (seeded) and picks
+equi-depth range boundaries; ``assign_partitions`` tags every row with its
+range id in one vectorized pass.  Range-partitioning Hilbert ids preserves
+2-D locality, so downstream per-partition spatial work (joins, tile stats,
+partitioned parquet output) touches compact regions — and equi-depth
+boundaries absorb skew (hot areas get more, smaller ranges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .tiles import hilbert_xy2d, latlon_to_xy
+
+
+def add_hilbert(ds, resolution: int = 12, lat_col: str = "lat", lon_col: str = "lon"):
+    def fn(t: pa.Table) -> pa.Table:
+        lat = np.asarray(t[lat_col].combine_chunks(), dtype=np.float64)
+        lon = np.asarray(t[lon_col].combine_chunks(), dtype=np.float64)
+        ix, iy = latlon_to_xy(lat, lon, resolution)
+        return t.append_column("hilbert_id", pa.array(hilbert_xy2d(ix, iy, resolution), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def plan_hilbert_ranges(ds, num_partitions: int, *, hilbert_col: str = "hilbert_id",
+                        sample_frac: float = 0.05, seed: int = 42) -> np.ndarray:
+    """Equi-depth range boundaries (len = num_partitions - 1) from a seeded
+    sample; driver-side, sample-sized memory only."""
+    sample = ds.select_columns([hilbert_col]).random_sample(sample_frac, seed=seed)
+    vals = np.asarray(sample.to_pandas()[hilbert_col], dtype=np.int64)
+    if vals.size == 0:
+        vals = np.asarray(ds.limit(10_000).to_pandas()[hilbert_col], dtype=np.int64)
+    qs = np.linspace(0.0, 1.0, num_partitions + 1)[1:-1]
+    return np.unique(np.quantile(vals, qs).astype(np.int64))
+
+
+def assign_partitions(ds, boundaries: np.ndarray, *, hilbert_col: str = "hilbert_id",
+                      out_col: str = "part_key"):
+    b = np.asarray(boundaries, dtype=np.int64)
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = np.asarray(t[hilbert_col].combine_chunks(), dtype=np.int64)
+        return t.append_column(out_col, pa.array(np.searchsorted(b, h, side="right"), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def hilbert_partitioned(ds, num_partitions: int, resolution: int = 12,
+                        lat_col: str = "lat", lon_col: str = "lon", seed: int = 42):
+    """add_hilbert -> sampled range plan -> part_key assignment."""
+    withh = add_hilbert(ds, resolution, lat_col, lon_col)
+    bounds = plan_hilbert_ranges(withh, num_partitions, seed=seed)
+    return assign_partitions(withh, bounds), bounds

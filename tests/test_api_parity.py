@@ -1,0 +1,91 @@
+"""Reference API parity: Config.serial/parallel, *_with_geos variants,
+Hilbert range partitioner, job entry (resume + byte identity)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayjoin.config import Config, Interaction
+from rayjoin.fixtures import mixed_random
+from rayjoin.geom import encode
+from rayjoin.oracle import slow_prox_map
+
+
+def _ds(geoms, blocks=2):
+    import ray.data
+
+    return ray.data.from_arrow(encode.geoms_to_table(geoms)).repartition(blocks)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_config_serial_parallel_and_with_geos():
+    small = mixed_random(15, seed=71)
+    big = mixed_random(15, seed=72)
+    cfg = Config().with_max_distance(1.0)
+    assert cfg.max_distance == 1.0
+    for build in (cfg.serial, cfg.parallel):
+        idx = build(encode.geoms_to_table(small))
+        df = idx.proximity_map_with_geos(_ds(big)).to_pandas()
+        exp = slow_prox_map(small, big, 1.0)
+        assert len(df) == len(exp)
+        # geometry payloads are the originals (clone semantics, index.rs:449-475)
+        for _, row in df.head(20).iterrows():
+            s = small[row["small_row_id"]]
+            b = big[row["big_row_id"]]
+            assert row["small_geom_type"] == s.kind
+            assert row["big_geom_type"] == b.kind
+            assert list(row["big_coords"][0]) == list(encode.geom_to_rings(b)[0])
+
+    idx = Config().serial(encode.geoms_to_table(small))
+    dfj = idx.spatial_join_with_geos(_ds(big), Interaction.INTERSECTS).to_pandas()
+    assert set(dfj.columns) == {
+        "big_row_id", "small_row_id", "big_geom_type", "big_coords",
+        "small_geom_type", "small_coords",
+    }
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hilbert_range_partitioner():
+    import ray.data
+
+    from rayjoin.stages.geocode import geocode_from_key
+    from rayjoin.stages.partition import hilbert_partitioned
+
+    # skewed input: 80% of keys clustered (hot region)
+    n = 4000
+    keys = np.concatenate([np.arange(200).repeat(16), np.arange(200, 1000)])
+    t = pa.table({"doc_id": pa.array(keys[:n], pa.int64())})
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: geocode_from_key(b, key_col="doc_id"), batch_format="pyarrow"
+    )
+    parts, bounds = hilbert_partitioned(ds, num_partitions=8, resolution=10, seed=1)
+    df = parts.to_pandas()
+    sizes = df.groupby("part_key").size()
+    # equi-depth: no partition holds more than ~3x the fair share
+    assert sizes.max() <= 3 * (len(df) / len(sizes))
+    # deterministic boundaries
+    _, bounds2 = hilbert_partitioned(ds, num_partitions=8, resolution=10, seed=1)
+    assert list(bounds) == list(bounds2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_job_runs_and_resumes(tmp_path):
+    import pyarrow.parquet as pq
+
+    from rayjoin.checkpoint import CheckpointManifest, read_output
+    from rayjoin.job import run_job
+
+    out = str(tmp_path / "job")
+    r1 = run_job("/root/testdata/sf0.001", out, resolution=10, shards=4)
+    assert r1["complete"] and r1["rows"] == 500
+    # resume is a no-op
+    r2 = run_job("/root/testdata/sf0.001", out, resolution=10, shards=4)
+    assert r2["wall_sec"] < 1.0
+    # byte-identical text per doc (the north-rule invariant)
+    got = read_output(out)
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    m = dict(zip(src["doc_id"].to_pylist(), src["text"].to_pylist()))
+    assert all(m[d] == t for d, t in zip(got["doc_id"].to_pylist(), got["text"].to_pylist()))
+    # lineage present
+    rec = CheckpointManifest(out).completed()["0"]
+    assert rec["input_fingerprint"].endswith("[0/4]") and rec["content_hash"]
