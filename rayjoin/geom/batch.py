@@ -41,7 +41,21 @@ class GeomBatch:
     xy: np.ndarray  # float64[V,2]
     # edges: per ring, contiguous, rings in geometry order
     ring_edge_off: np.ndarray  # int64[R+1] -> edge rows per ring
-    edges: np.ndarray  # float64[E,4] sx,sy,ex,ey
+    _edges: np.ndarray = None  # float64[E,4] sx,sy,ex,ey (lazy; see edges)
+
+    @property
+    def edges(self) -> np.ndarray:
+        """Edge array; derivable from xy + offsets, so it is DROPPED from
+        pickles (it is ~half of a broadcast index's bytes) and rebuilt once
+        per receiving worker."""
+        if self._edges is None:
+            self._edges = _build_edges(self.xy, self.ring_vert_off, self.ring_edge_off)
+        return self._edges
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_edges"] = None
+        return d
 
     # ---- accessors -------------------------------------------------------
 
@@ -197,9 +211,7 @@ def _build(n, row_id, kind, rings_per_geom, vals_per_ring, flat) -> GeomBatch:
     # edges per ring: count = max(nverts-1, 0)
     edge_counts = np.maximum(norm_counts - 1, 0)
     ring_edge_off = np.concatenate([[0], np.cumsum(edge_counts)])
-    ring_of_e, ek = _repeat_expand(edge_counts)
-    sv = ring_vert_off[ring_of_e] + ek
-    edges = np.column_stack([xy[sv, 0], xy[sv, 1], xy[sv + 1, 0], xy[sv + 1, 1]])
+    edges = _build_edges(xy, ring_vert_off, ring_edge_off)
 
     # bbox per geometry: min/max over its (normalized) vertices
     bbox = np.empty((n, 4), dtype=np.float64)
@@ -219,8 +231,15 @@ def _build(n, row_id, kind, rings_per_geom, vals_per_ring, flat) -> GeomBatch:
         ring_vert_off=ring_vert_off,
         xy=xy,
         ring_edge_off=ring_edge_off,
-        edges=edges,
+        _edges=edges,
     )
+
+
+def _build_edges(xy, ring_vert_off, ring_edge_off) -> np.ndarray:
+    edge_counts = np.diff(ring_edge_off)
+    ring_of_e, ek = _repeat_expand(edge_counts)
+    sv = ring_vert_off[ring_of_e] + ek
+    return np.column_stack([xy[sv, 0], xy[sv, 1], xy[sv + 1, 0], xy[sv + 1, 1]])
 
 
 def _repeat_expand(counts):

@@ -76,8 +76,10 @@ def seg_min(values: np.ndarray, counts: np.ndarray) -> np.ndarray:
         return out
     starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
     # reduceat over only the non-empty segments (reduceat misbehaves on
-    # empty segments: it returns values[start] of the next segment)
-    red = np.minimum.reduceat(values, starts[nonempty])
+    # empty segments: it returns values[start] of the next segment).
+    # fmin = NaN-ignoring min: the engine's defined behavior where the
+    # reference panics on NaN distances (see spec._nanmin).
+    red = np.fmin.reduceat(values, starts[nonempty])
     out[nonempty] = red
     return out
 
@@ -167,7 +169,7 @@ def v_point_seg_distance(px, py, sx, sy, ex, ey):
 def v_seg_seg_distance(asx, asy, aex, aey, bsx, bsy, bex, bey):
     """spec.line_line_distance: 0 if intersecting else min of 4 point-seg."""
     inter = v_line_intersects_line(asx, asy, aex, aey, bsx, bsy, bex, bey)
-    d = np.minimum.reduce(
+    d = np.fmin.reduce(  # NaN-ignoring (spec._nanmin semantics)
         [
             v_point_seg_distance(asx, asy, bsx, bsy, bex, bey),
             v_point_seg_distance(aex, aey, bsx, bsy, bex, bey),

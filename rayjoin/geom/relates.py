@@ -116,12 +116,15 @@ def _any_edge_intersect(A, ia, ma, B, ib, mb) -> np.ndarray:
     P = ia.size
     ba = A.bbox[ia]
     bb = B.bbox[ib]
-    # pad bound: ellipse reach scales with segment length <= geometry bbox
-    # manhattan diagonal; factor 2.2e-8 covers twice the reach (window is
-    # shared by both clip passes)
-    pad = 2.2e-8 * (
+    # pad bound on the relative_eq containment reach (spec.line_contains_point):
+    # relative term scales linearly with segment length (<= bbox manhattan
+    # diagonal), the ABSOLUTE epsilon term scales as sqrt(EPS*len), and
+    # zero-length segments still reach EPS/2 — all doubled because the window
+    # is shared by both clip passes.
+    manh = (
         (ba[:, 2] - ba[:, 0]) + (ba[:, 3] - ba[:, 1]) + (bb[:, 2] - bb[:, 0]) + (bb[:, 3] - bb[:, 1])
     )
+    pad = 4.4e-8 * manh + 2.2e-8 * np.sqrt(manh) + 1e-15
     wmin_x = np.maximum(ba[:, 0], bb[:, 0]) - pad
     wmin_y = np.maximum(ba[:, 1], bb[:, 1]) - pad
     wmax_x = np.minimum(ba[:, 2], bb[:, 2]) + pad

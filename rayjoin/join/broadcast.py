@@ -51,10 +51,12 @@ class BroadcastIndex:
     """Built small side: GeomBatch + STR tree over max_distance-dilated boxes
     (the ``cheap_buffer`` trick, /root/reference/src/rtrees.rs:159-166)."""
 
-    def __init__(self, small, config: Config = Config()):
+    def __init__(self, small, config: Config = Config(), keep_table: bool = True):
         self.config = config
         table = _to_table(small)
-        self.table = table  # kept for *_with_geos outputs
+        # original-coords table is only needed for *_with_geos outputs;
+        # dropping it (keep_table=False) cuts the broadcast payload ~40%
+        self.table = table if keep_table else None
         self.batch = GeomBatch.from_arrow(table)
         validate_batch(self.batch)
         self.tree = STRtree(dilate(self.batch.bbox, config.max_distance))
@@ -70,9 +72,9 @@ class BroadcastIndex:
             self.extent = (0.0, 0.0, 0.0, 0.0)
 
 
-def build_index(small, config: Config = Config()) -> "ray.ObjectRef":
+def build_index(small, config: Config = Config(), keep_table: bool = True) -> "ray.ObjectRef":
     """Build + broadcast: one ray.put, read by every probe actor."""
-    return ray.put(BroadcastIndex(small, config))
+    return ray.put(BroadcastIndex(small, config, keep_table))
 
 
 def _candidates(index: BroadcastIndex, big: GeomBatch):
@@ -85,6 +87,8 @@ def _attach_geos(out: pa.Table, index: BroadcastIndex, s_pos: np.ndarray,
                  big_table: pa.Table, q_pos: np.ndarray) -> pa.Table:
     """The *_with_geos variants (/root/reference/src/index.rs:449-475,
     537-599): clone both geometries into each output row."""
+    if index.table is None:
+        raise ValueError("index built with keep_table=False cannot emit *_with_geos")
     bt = big_table.take(pa.array(q_pos))
     st = index.table.take(pa.array(s_pos))
     out = out.append_column("big_geom_type", bt["geom_type"].combine_chunks())
@@ -270,12 +274,12 @@ class SpatialIndex:
     lazy ``ray.data.Dataset`` instead of an iterator."""
 
     def __init__(self, small, config: Config = Config(), concurrency: int | None = None,
-                 batch_size: int = 8192, use_actors: bool = False):
+                 batch_size: int = 8192, use_actors: bool = False, keep_table: bool = True):
         self.config = config
         self.concurrency = concurrency
         self.batch_size = batch_size
         self.use_actors = use_actors
-        self.index_ref = build_index(small, config)
+        self.index_ref = build_index(small, config, keep_table)
 
     def _probe(self, big, **kwargs):
         if self.use_actors:

@@ -137,20 +137,30 @@ def _replicate(ds, grid: GridSpec, side: int, dilate_by: float):
 
 def _cell_join(grid: GridSpec, config: Config, interaction: Optional[Interaction],
                mode: str):
-    """Per-cell build+probe, duplicate-suppressed by the reference-point rule."""
+    """Per-cell build+probe, duplicate-suppressed by the reference-point
+    rule.  Pure-Arrow group bodies: pandas conversion of nested coords
+    columns is python-object soup and dominated the shuffle wall time."""
     max_d = config.max_distance
 
-    def join_cell(df: pd.DataFrame) -> pd.DataFrame:
-        cell = int(df["cell"].iloc[0])
-        t = pa.Table.from_pandas(df, preserve_index=False)
-        small_t = t.filter(pa.compute.equal(t["side"], 0)).drop_columns(["cell", "side"])
-        big_t = t.filter(pa.compute.equal(t["side"], 1)).drop_columns(["cell", "side"])
+    def _empty() -> pa.Table:
+        cols = {
+            "big_row_id": pa.array([], pa.int64()),
+            "small_row_id": pa.array([], pa.int64()),
+        }
+        if mode == "prox":
+            cols["distance"] = pa.array([], pa.float64())
+        return pa.table(cols)
+
+    def join_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty()
+        cell = int(t["cell"][0].as_py())
+        small_t = t.filter(pa.compute.equal(t["side"], 0))
+        big_t = t.filter(pa.compute.equal(t["side"], 1))
         if small_t.num_rows == 0 or big_t.num_rows == 0:
-            return pd.DataFrame({"big_row_id": pd.Series([], dtype="int64"),
-                                 "small_row_id": pd.Series([], dtype="int64"),
-                                 **({"distance": pd.Series([], dtype="float64")} if mode == "prox" else {})})
-        small = GeomBatch.from_arrow(small_t)
-        big = GeomBatch.from_arrow(big_t)
+            return _empty()
+        small = GeomBatch.from_arrow(small_t.drop_columns(["cell", "side"]))
+        big = GeomBatch.from_arrow(big_t.drop_columns(["cell", "side"]))
         tree = STRtree(dilate(small.bbox, max_d))
         q, s = tree.query(big.bbox)
         # reference-point duplicate suppression: emit only from the cell
@@ -167,19 +177,19 @@ def _cell_join(grid: GridSpec, config: Config, interaction: Optional[Interaction
                 keep = relate("contains", small, s, big, q)
             else:
                 keep = relate("contains", big, q, small, s)
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    "big_row_id": big.row_id[q[keep]],
-                    "small_row_id": small.row_id[s[keep]],
+                    "big_row_id": pa.array(big.row_id[q[keep]], pa.int64()),
+                    "small_row_id": pa.array(small.row_id[s[keep]], pa.int64()),
                 }
             )
         d = relate("distance", small, s, big, q)
         keep = d <= max_d
-        return pd.DataFrame(
+        return pa.table(
             {
-                "big_row_id": big.row_id[q[keep]],
-                "small_row_id": small.row_id[s[keep]],
-                "distance": d[keep],
+                "big_row_id": pa.array(big.row_id[q[keep]], pa.int64()),
+                "small_row_id": pa.array(small.row_id[s[keep]], pa.int64()),
+                "distance": pa.array(d[keep], pa.float64()),
             }
         )
 
@@ -195,7 +205,7 @@ def partitioned_spatial_join(big, small, interaction: Interaction,
         _replicate(big, grid, side=1, dilate_by=0.0)
     )
     return rep.groupby("cell").map_groups(
-        _cell_join(grid, config, interaction, "join"), batch_format="pandas"
+        _cell_join(grid, config, interaction, "join"), batch_format="pyarrow"
     )
 
 
@@ -207,5 +217,5 @@ def partitioned_proximity_map(big, small, config: Config, target_cells: int = 25
         _replicate(big, grid, side=1, dilate_by=0.0)
     )
     return rep.groupby("cell").map_groups(
-        _cell_join(grid, config, None, "prox"), batch_format="pandas"
+        _cell_join(grid, config, None, "prox"), batch_format="pyarrow"
     )

@@ -67,41 +67,83 @@ class STRtree:
             starts = np.arange(0, cur.shape[0], self.fanout, dtype=np.int64)
             levels.append(_minmax_reduceat(cur, starts, self.fanout))
         self.levels = levels
+        self._padded = None
 
-    def query(self, qbox: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    @property
+    def padded(self):
+        """Padded (n_nodes, F, 4) child views per level: padding boxes are
+        inverted-infinite so they never overlap anything; lets the query
+        descend with one gather + one 3-D compare per level instead of
+        repeat/cumsum frontier machinery (~3x faster on wide frontiers).
+        Derivable from ``levels`` -> dropped from pickles (broadcast size)
+        and rebuilt once per receiving worker."""
+        if self._padded is None:
+            F = self.fanout
+            padded = []
+            for lvl in self.levels:
+                n_nodes = (lvl.shape[0] + F - 1) // F
+                pad = np.empty((n_nodes * F, 4), dtype=np.float64)
+                pad[:, 0] = np.inf
+                pad[:, 1] = np.inf
+                pad[:, 2] = -np.inf
+                pad[:, 3] = -np.inf
+                pad[: lvl.shape[0]] = lvl
+                padded.append(pad.reshape(n_nodes, F, 4))
+            self._padded = padded
+        return self._padded
+
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_padded"] = None
+        return d
+
+    def query(self, qbox: np.ndarray, chunk: int = 8192) -> Tuple[np.ndarray, np.ndarray]:
         """Inclusive bbox-overlap candidates.
 
         qbox: (m,4) query boxes -> (query_idx, entry_id) with entry_id from
-        ``ids`` (original row identity).
+        ``ids`` (original row identity).  Processed in probe chunks so the
+        per-level (frontier, F, 4) gather temporaries stay cache-sized —
+        unbounded frontiers allocate GBs and thrash memory bandwidth when
+        many workers run concurrently.
         """
         qbox = np.ascontiguousarray(qbox, dtype=np.float64)
         m = qbox.shape[0]
         if self.n == 0 or m == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
+        if m > chunk:
+            qs, es = [], []
+            for lo in range(0, m, chunk):
+                q, e = self.query(qbox[lo : lo + chunk], chunk)
+                qs.append(q + lo)
+                es.append(e)
+            return np.concatenate(qs), np.concatenate(es)
         F = self.fanout
         top = len(self.levels) - 1
-        fq = np.arange(m, dtype=np.int64)
-        fn = np.zeros(m, dtype=np.int64)
-        for lvl in range(top, -1, -1):
-            boxes = self.levels[lvl][fn]
-            hit = ~(
-                (qbox[fq, 0] > boxes[:, 2])
-                | (qbox[fq, 2] < boxes[:, 0])
-                | (qbox[fq, 1] > boxes[:, 3])
-                | (qbox[fq, 3] < boxes[:, 1])
+        # root check
+        root = self.levels[top][0]
+        fq = np.flatnonzero(
+            ~(
+                (qbox[:, 0] > root[2])
+                | (qbox[:, 2] < root[0])
+                | (qbox[:, 1] > root[3])
+                | (qbox[:, 3] < root[1])
             )
-            fq = fq[hit]
-            fn = fn[hit]
-            if lvl == 0 or fq.size == 0:
+        ).astype(np.int64)
+        fn = np.zeros(fq.size, dtype=np.int64)
+        for lvl in range(top - 1, -1, -1):
+            if fq.size == 0:
                 break
-            child_n = self.levels[lvl - 1].shape[0]
-            base = fn * F
-            cnt = np.minimum(F, child_n - base)
-            pair = np.repeat(np.arange(fq.size, dtype=np.int64), cnt)
-            starts = np.concatenate([[0], np.cumsum(cnt)[:-1]])
-            k = np.arange(pair.size, dtype=np.int64) - starts[pair]
-            fq = fq[pair]
-            fn = base[pair] + k
+            C = self.padded[lvl][fn]  # (k, F, 4)
+            Q = qbox[fq]
+            hit = ~(
+                (Q[:, None, 0] > C[:, :, 2])
+                | (Q[:, None, 2] < C[:, :, 0])
+                | (Q[:, None, 1] > C[:, :, 3])
+                | (Q[:, None, 3] < C[:, :, 1])
+            )
+            i, j = np.nonzero(hit)
+            fq = fq[i]
+            fn = fn[i] * F + j
         return fq, self.ids[self.order[fn]]
 
 
