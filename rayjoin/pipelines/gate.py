@@ -52,13 +52,13 @@ def _off_np(key: np.ndarray, mult: int):
 
 def points_table(parquet: str, key: str) -> str:
     lon, lat = _latlon_sql(key)
-    return f"SELECT {key} AS row_id, {lon} AS x, {lat} AS y FROM {parquet}"
+    return f"SELECT CAST({key} AS BIGINT) AS row_id, {lon} AS x, {lat} AS y FROM {parquet}"
 
 
 def rects_sql(table: str, key: str) -> str:
     lon, lat = _latlon_sql(key)
     return (
-        f"SELECT {key} AS row_id, {lon} AS cx, {lat} AS cy, "
+        f"SELECT CAST({key} AS BIGINT) AS row_id, {lon} AS cx, {lat} AS cy, "
         f"2.0 + ({key}%7)*0.25 AS w, 2.0 + ({key}%5)*0.25 AS h FROM {table}"
     )
 
@@ -66,7 +66,7 @@ def rects_sql(table: str, key: str) -> str:
 def tris_sql(table: str, key: str) -> str:
     lon, lat = _latlon_sql(key)
     return (
-        f"SELECT {key} AS row_id, {lon} AS ax, {lat} AS ay, "
+        f"SELECT CAST({key} AS BIGINT) AS row_id, {lon} AS ax, {lat} AS ay, "
         f"{lon} + {_off_sql(key, TRI_OFF[0][0])} AS bx, {lat} + {_off_sql(key, TRI_OFF[0][1])} AS by, "
         f"{lon} + {_off_sql(key, TRI_OFF[1][0])} AS cx, {lat} + {_off_sql(key, TRI_OFF[1][1])} AS cy "
         f"FROM {table}"
@@ -630,6 +630,99 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_sessionize_events(sf_dir: str):
+    """Session windows per user (gap > 30 min starts a new session)."""
+    import ray.data
+
+    from ..functions.stream import sessionize
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id", "value"]
+    )
+    return sessionize(ev, gap_minutes=30)
+
+
+SQL_SESSIONIZE = """
+WITH o AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS news
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT *, CAST(SUM(news) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+  FROM o)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       CAST(SUM(vm) AS BIGINT) AS sum_value_milli
+FROM s GROUP BY user_id, session_id
+"""
+
+
+def q_semi_join_lineitem(sf_dir: str):
+    """Broadcast semi join: lineitems of high-value orders, aggregated
+    (semi/anti pattern: broadcast key set, filter in map_batches)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.stream import broadcast_semi_join
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    keys = np.asarray(orders["o_orderkey"], np.int64)[
+        np.asarray(orders["o_totalprice"], np.float64) > 300000.0
+    ]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    semi = broadcast_semi_join(li, keys, key_col="l_orderkey")
+
+    def prep(t: pa.Table) -> pa.Table:
+        return t.append_column("qty", pc.cast(t["l_quantity"], pa.int64()))
+
+    return (
+        semi.map_batches(prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Count(alias_name="n_items"), Sum("qty", alias_name="sum_qty"))
+    )
+
+
+SQL_SEMI_JOIN = """
+SELECT l_orderkey, COUNT(*) AS n_items,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+GROUP BY l_orderkey
+"""
+
+
+def q_anti_join_lineitem(sf_dir: str):
+    """Broadcast anti join: count of lineitems NOT in high-value orders."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..functions.stream import broadcast_semi_join
+
+    orders = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+    keys = np.asarray(orders["o_orderkey"], np.int64)[
+        np.asarray(orders["o_totalprice"], np.float64) > 300000.0
+    ]
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"])
+    anti = broadcast_semi_join(li, keys, key_col="l_orderkey", anti=True)
+    return anti.groupby("l_returnflag").aggregate(Count(alias_name="n_items"))
+
+
+SQL_ANTI_JOIN = """
+SELECT l_returnflag, COUNT(*) AS n_items
+FROM lineitem
+WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 300000.0)
+GROUP BY l_returnflag
+"""
+
+
 def q_topk_orders(sf_dir: str):
     import ray.data
 
@@ -694,6 +787,9 @@ def build_queries():
         "agg_lineitem": q_agg_lineitem,
         "join_orders_customer": q_join_orders_customer,
         "window_events": q_window_events,
+        "sessionize_events": q_sessionize_events,
+        "semi_join_lineitem": q_semi_join_lineitem,
+        "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
         "distinct_flags": q_distinct_flags,
     }
@@ -715,6 +811,9 @@ def build_queries():
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_orders_customer": SQL_JOIN_ORDERS,
         "window_events": SQL_WINDOW,
+        "sessionize_events": SQL_SESSIONIZE,
+        "semi_join_lineitem": SQL_SEMI_JOIN,
+        "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,
         "distinct_flags": SQL_DISTINCT,
         # minhash_dedup / simhash / fingerprint / embedding_dups:
