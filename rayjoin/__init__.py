@@ -17,4 +17,25 @@ Reference semantics: /root/reference/src/{index.rs,relates_impl.rs,gen.py}.
 
 from .config import Config, Interaction, SpatialJoinError
 
-__all__ = ["Config", "Interaction", "SpatialJoinError"]
+
+def __getattr__(name):
+    # lazy: keep `import rayjoin` light (no ray import) for kernel-only users
+    if name == "SpatialIndex":
+        from .join.broadcast import SpatialIndex
+
+        return SpatialIndex
+    if name in ("partitioned_spatial_join", "partitioned_proximity_map"):
+        from .join import partitioned
+
+        return getattr(partitioned, name)
+    raise AttributeError(name)
+
+
+__all__ = [
+    "Config",
+    "Interaction",
+    "SpatialJoinError",
+    "SpatialIndex",
+    "partitioned_spatial_join",
+    "partitioned_proximity_map",
+]

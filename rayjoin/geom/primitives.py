@@ -157,12 +157,12 @@ def v_point_seg_distance(px, py, sx, sy, ex, ey):
     with np.errstate(divide="ignore", invalid="ignore"):
         r = ((px - sx) * dx + (py - sy) * dy) / d2
         s = ((sy - py) * dx - (sx - px) * dy) / d2
-    perp = np.abs(s) * np.sqrt(d2)
-    out = np.where(
-        degen | (r <= 0.0),
-        v_dist(px, py, sx, sy),
-        np.where(r >= 1.0, v_dist(px, py, ex, ey), perp),
-    )
+        perp = np.abs(s) * np.sqrt(d2)
+        out = np.where(
+            degen | (r <= 0.0),
+            v_dist(px, py, sx, sy),
+            np.where(r >= 1.0, v_dist(px, py, ex, ey), perp),
+        )
     return out
 
 

@@ -23,7 +23,22 @@ import sys
 import time
 
 
-def _shard_table(sf_dir: str, shard: int, n_shards: int):
+def _shard_table(sf_dir: str, shard: int, n_shards: int, synth_rows: int = 0):
+    if synth_rows:
+        # synthesized Common-Crawl-shaped corpus shard (scale demo mode):
+        # deterministic per shard, independent of shard count boundaries
+        from rayjoin.sources.pages import synth_pages
+
+        per = (synth_rows + n_shards - 1) // n_shards
+        lo = shard * per
+        n = max(min(synth_rows - lo, per), 0)
+        t = synth_pages(n, seed=1000 + shard)
+        import pyarrow.compute as pc
+
+        return (
+            t.select(["doc_id", "text", "lang"])
+            .set_column(0, "doc_id", pc.add(t["doc_id"], lo))
+        )
     import pyarrow.parquet as pq
 
     t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
@@ -31,7 +46,8 @@ def _shard_table(sf_dir: str, shard: int, n_shards: int):
     return t.slice(shard * per, per)
 
 
-def run_job(sf_dir: str, out_dir: str, resolution: int = 10, shards: int = 8):
+def run_job(sf_dir: str, out_dir: str, resolution: int = 10, shards: int = 8,
+            synth_rows: int = 0):
     import numpy as np
     import pyarrow as pa
     import ray
@@ -54,7 +70,7 @@ def run_job(sf_dir: str, out_dir: str, resolution: int = 10, shards: int = 8):
 
     def compute(part: str) -> pa.Table:
         shard = int(part)
-        src = _shard_table(sf_dir, shard, shards)
+        src = _shard_table(sf_dir, shard, shards, synth_rows)
         pages = _pages_batch(src)
         geo = tiler(geocode_from_url(pages))
         pts = pa.table(
@@ -109,6 +125,8 @@ def main(argv=None):
     ap.add_argument("--resolution", type=int, default=10)
     ap.add_argument("--shards", type=int, default=8)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--synth-rows", type=int, default=0,
+                    help="synthesize an N-row pages corpus instead of reading documents.parquet")
     args = ap.parse_args(argv)
 
     import ray
@@ -124,7 +142,7 @@ def main(argv=None):
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    run_job(args.sf_dir, args.out, args.resolution, args.shards)
+    run_job(args.sf_dir, args.out, args.resolution, args.shards, args.synth_rows)
     ray.shutdown()
 
 

@@ -36,14 +36,24 @@ PROX_SCHEMA = JOIN_SCHEMA.append(pa.field("distance", pa.float64()))
 KNN_SCHEMA = PROX_SCHEMA.append(pa.field("rank", pa.int64()))
 
 
+def _empty_geom_table() -> pa.Table:
+    from ..geom.encode import GEOM_SCHEMA
+
+    return GEOM_SCHEMA.empty_table()
+
+
 def _to_table(small) -> pa.Table:
+    if isinstance(small, (list, tuple)):  # spec geometry sequence (reference style)
+        from ..geom.encode import geoms_to_table
+
+        return geoms_to_table(small) if small else _empty_geom_table()
     if isinstance(small, pa.Table):
-        return small
+        return small if small.num_rows or small.num_columns else _empty_geom_table()
     if hasattr(small, "to_arrow_refs"):  # ray.data.Dataset
         refs = small.to_arrow_refs()
         tables = ray.get(refs)
-        tables = [t for t in tables if t.num_rows] or tables[:1]
-        return pa.concat_tables(tables) if tables else pa.table({})
+        tables = [t for t in tables if t.num_rows] or [t for t in tables if t.num_columns]
+        return pa.concat_tables(tables) if tables else _empty_geom_table()
     raise TypeError(type(small))
 
 
@@ -282,6 +292,10 @@ class SpatialIndex:
         self.index_ref = build_index(small, config, keep_table)
 
     def _probe(self, big, **kwargs):
+        if isinstance(big, (list, tuple, pa.Table)):
+            import ray.data
+
+            big = ray.data.from_arrow(_to_table(big))
         if self.use_actors:
             return big.map_batches(
                 ProbeActor,
