@@ -178,33 +178,34 @@ def _point_min_edge_dist(px, py, B, ib, mb) -> np.ndarray:
 
 
 def _ring_position(batch: GeomBatch, ring_ids, px, py) -> np.ndarray:
-    """Vector twin of spec.ring_position for (ring, point) requests."""
+    """Vector twin of spec.ring_position for (ring, point) requests.
+
+    Single edge-expansion pass: for rings with >=2 vertices every vertex is
+    an endpoint of some edge, so the exact-vertex-match boundary check rides
+    on the edge rows (halves the expanded row count vs a separate vertex
+    pass)."""
     n = ring_ids.size
     vs = batch.ring_vert_off[ring_ids]
     vc = batch.ring_vert_off[ring_ids + 1] - vs
     es = batch.ring_edge_off[ring_ids]
     ec = batch.ring_edge_off[ring_ids + 1] - es
 
-    # boundary: exact vertex match
-    pidv, kv = repeat_expand(vc)
-    V = batch.xy[vs[pidv] + kv]
-    veq = (V[:, 0] == px[pidv]) & (V[:, 1] == py[pidv])
-    bnd = seg_any(veq, pidv, n)
-    # one-vertex ring special (line_string_contains_point len==1)
-    one = vc == 1
-    if one.any():
-        v1 = batch.xy[vs[one]]
-        bnd[one] |= v_point_contains_point(v1[:, 0], v1[:, 1], px[one], py[one])
-
     pide, ke = repeat_expand(ec)
     E = batch.edges[es[pide] + ke]
     qx = px[pide]
     qy = py[pide]
     sx, sy, ex, ey = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+    # boundary: exact vertex match (edge endpoints cover all ring vertices)
+    veq = ((sx == qx) & (sy == qy)) | ((ex == qx) & (ey == qy))
     # boundary: strictly inside an axis-aligned segment
     horiz = (sy == ey) & (sy == qy) & (np.minimum(sx, ex) < qx) & (qx < np.maximum(sx, ex))
     verti = (sx == ex) & (sx == qx) & (np.minimum(sy, ey) < qy) & (qy < np.maximum(sy, ey))
-    bnd |= seg_any(horiz | verti, pide, n)
+    bnd = seg_any(veq | horiz | verti, pide, n)
+    # one-vertex ring special (line_string_contains_point len==1; no edges)
+    one = vc == 1
+    if one.any():
+        v1 = batch.xy[vs[one]]
+        bnd[one] |= v_point_contains_point(v1[:, 0], v1[:, 1], px[one], py[one])
 
     # ray cast (geo v0.14 get_position loop)
     ywin = (qy > np.minimum(sy, ey)) & (qy <= np.maximum(sy, ey)) & (qx <= np.maximum(sx, ex))
@@ -305,19 +306,48 @@ def _point_in_geom(A, ia, B, ib, *, capital: bool) -> np.ndarray:
 
 
 def _all_verts_in_poly(A, ia, B, ib, mode="ext") -> np.ndarray:
-    rows, pid, cb = _verts_in_container(
-        lambda pid, vx, vy: _poly_contains_points(A, ia[pid], vx, vy), B, ib, mode
-    )
-    return seg_all(rows, pid, ia.size)
+    """All vertices of B contained in polygon A.
+
+    Progressive: test each pair's FIRST vertex alone (one ray cast per
+    pair); only pairs whose first vertex is inside expand to a full
+    remaining-vertices pass.  Disjoint-but-bbox-overlapping pairs (the
+    common false case in dense joins) resolve ~|verts|x cheaper."""
+    P = ia.size
+    sb, cb = _verts_sel(B, ib, mode)
+    hasv = cb > 0
+    out = np.ones(P, dtype=bool)  # Rust all-on-empty -> true
+    if hasv.any():
+        v0 = B.xy[sb[hasv]]
+        out[hasv] = _poly_contains_points(A, ia[hasv], v0[:, 0], v0[:, 1])
+    surv = np.flatnonzero(out & (cb > 1))
+    if surv.size:
+        pid, k = repeat_expand(cb[surv] - 1)
+        V = B.xy[sb[surv][pid] + 1 + k]
+        rows = _poly_contains_points(A, ia[surv][pid], V[:, 0], V[:, 1])
+        out[surv] = seg_all(rows, pid, surv.size)
+    return out
 
 
 def _any_vert_in_poly(A, ia, B, ib, mode="all") -> np.ndarray:
-    """Any vertex of B (mode over B's rings) raycast-contained in polygon A."""
+    """Any vertex of B (mode over B's rings) raycast-contained in polygon A.
+
+    Progressive: pairs whose first vertex is already inside accept without
+    expanding the remaining vertices (the common true case for overlapping
+    geometry)."""
+    P = ia.size
     sb, cb = _verts_sel(B, ib, mode)
-    pid, k = repeat_expand(cb)
-    V = B.xy[sb[pid] + k]
-    rows = _poly_contains_points(A, ia[pid], V[:, 0], V[:, 1])
-    return seg_any(rows, pid, ia.size)
+    hasv = cb > 0
+    out = np.zeros(P, dtype=bool)
+    if hasv.any():
+        v0 = B.xy[sb[hasv]]
+        out[hasv] = _poly_contains_points(A, ia[hasv], v0[:, 0], v0[:, 1])
+    surv = np.flatnonzero(~out & (cb > 1))
+    if surv.size:
+        pid, k = repeat_expand(cb[surv] - 1)
+        V = B.xy[sb[surv][pid] + 1 + k]
+        rows = _poly_contains_points(A, ia[surv][pid], V[:, 0], V[:, 1])
+        out[surv] = seg_any(rows, pid, surv.size)
+    return out
 
 
 def _all_verts_in_rect(A, ia, B, ib, mode="ext") -> np.ndarray:
