@@ -212,6 +212,109 @@ def jaccard_shingles(a: str, b: str, k: int = 5) -> float:
 
 
 # ---------------------------------------------------------------------------
+# duplicate clusters (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+
+def dup_clusters(pairs_ds, *, max_rounds: int = 20):
+    """Resolve near-dup pairs into clusters: every doc gets the MIN id of its
+    connected component (so `keep = doc_id == cluster_id` keeps one doc per
+    cluster).
+
+    Min-label propagation: edges as (node, neighbor_label) rows,
+    groupby(node).min -> new labels, iterate until fixed point.  The edge
+    list never leaves the cluster; only the LABEL table (docs that appear in
+    some near-dup pair — a small fraction of any real corpus) is broadcast
+    per round for the lookup.
+
+    Returns Dataset[doc_id, cluster_id] for every doc appearing in a pair.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    edges = pairs_ds.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
+                ),
+                "peer": pa.concat_arrays(
+                    [t["id_b"].combine_chunks(), t["id_a"].combine_chunks()]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    # labels: start at min(node, peer) per node
+    labels = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    "label": pa.compute.min_element_wise(t["node"], t["peer"]),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+
+    for _ in range(max_rounds):
+        # propagate: neighbor labels via broadcast join of current labels
+        lbl = {r["node"]: r["label"] for r in labels.take_all()}
+        import ray
+
+        ref = ray.put(lbl)
+
+        def prop(t: pa.Table) -> pa.Table:
+            m = ray.get(ref)
+            node = np.asarray(t["node"].combine_chunks(), dtype=np.int64)
+            peer = np.asarray(t["peer"].combine_chunks(), dtype=np.int64)
+            peer_lbl = np.array([m[p] for p in peer], dtype=np.int64)
+            own = np.array([m[p] for p in node], dtype=np.int64)
+            return pa.table(
+                {
+                    "node": pa.array(node, pa.int64()),
+                    "label": pa.array(np.minimum(own, peer_lbl), pa.int64()),
+                }
+            )
+
+        new_labels = (
+            edges.map_batches(prop, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        new = {r["node"]: r["label"] for r in new_labels.take_all()}
+        if new == lbl:
+            break
+        labels = new_labels
+
+    return labels.map_batches(
+        lambda t: t.rename_columns(["doc_id", "cluster_id"]), batch_format="pyarrow"
+    )
+
+
+def near_dup_drop_list(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                       threshold: float = 0.8):
+    """End-to-end near-dedup: MinHash-LSH pairs -> connected components ->
+    the doc ids to DROP (every doc that is not its cluster's min).  Keeping
+    `corpus WHERE doc_id NOT IN drop_list` retains exactly one doc per
+    near-dup cluster."""
+    pairs = minhash_dedup_pairs(ds, id_col=id_col, text_col=text_col, threshold=threshold)
+    clusters = dup_clusters(pairs)
+    return clusters.map_batches(
+        lambda t: t.filter(
+            pa.compute.not_equal(t["doc_id"], t["cluster_id"])
+        ).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding near-dup (cosine)
 # ---------------------------------------------------------------------------
 

@@ -453,6 +453,18 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(docs, threshold=0.8)
 
 
+def q_near_dup_drop_list(sf_dir: str):
+    """MinHash pairs -> connected components -> drop list (keep one doc per
+    near-dup cluster).  Iterative -> rows-only driver check; pytest covers
+    the component semantics."""
+    import ray.data
+
+    from ..functions.dedup import near_dup_drop_list
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return near_dup_drop_list(docs)
+
+
 def q_simhash(sf_dir: str):
     import ray.data
 
@@ -780,6 +792,7 @@ def build_queries():
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "minhash_dedup": q_minhash_dedup,
+        "near_dup_drop_list": q_near_dup_drop_list,
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,

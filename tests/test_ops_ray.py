@@ -229,3 +229,21 @@ def test_text_ops_reference():
     s1 = simhash64(t).to_pandas()["simhash"]
     s2 = simhash64(t).to_pandas()["simhash"]
     assert s1.tolist() == s2.tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_clusters():
+    import ray.data
+
+    from rayjoin.functions.dedup import dup_clusters
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 3, 10, 30, 20], pa.int64()),
+            "id_b": pa.array([2, 3, 4, 11, 20, 40], pa.int64()),
+        }
+    )
+    out = dup_clusters(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    # components: {1,2,3,4} -> 1; {10,11} -> 10; {20,30,40} -> 20
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 30: 20, 40: 20}
