@@ -8,10 +8,10 @@ transcription of /root/reference/src/relates_impl.rs).  Pairs are bucketed by
 (edge×edge intersection tests, vertex-in-ring ray casts, point-segment
 distance mins) with per-chunk bounds on expansion size so memory stays flat.
 
-Two rare Contains buckets (LineString ⊇ Line, LineString ⊇ LineString) use a
-scalar fallback: their geo v0.14 algorithm is an inherently sequential walk
-(spec.linestring_contains_line).  They never appear in the hot paths
-(point/polygon/rect workloads) and the candidate sets are R-tree-pruned.
+Every bucket is vectorized, including the LineString-contains walks: the geo
+v0.14 'look_for' trace (spec.linestring_contains_line) runs as a state
+machine over segment index — one vectorized pass per index across all
+still-undecided pairs.
 """
 
 from __future__ import annotations
@@ -376,6 +376,41 @@ def _all_verts_in_tri(A, ia, B, ib, mode="ext") -> np.ndarray:
     return seg_all(rows, pid, ia.size)
 
 
+def _ls_contains_line(A, ia, lsx, lsy, lex, ley) -> np.ndarray:
+    """spec.linestring_contains_line vectorized: the geo v0.14 'look_for'
+    walk run as a state machine over segment index k (bounded by the longest
+    linestring; each iteration is one vectorized pass over still-undecided
+    pairs)."""
+    P = ia.size
+    sa, ca = _edges_sel(A, ia, "ext")
+    result = np.zeros(P, dtype=np.int8)  # 0 undecided, 1 true, 2 false
+    look = np.zeros(P, dtype=np.int8)  # 0 none, 1 -> looking for p1, 2 -> p0
+    kmax = int(ca.max()) if P else 0
+    for k in range(kmax):
+        act = np.flatnonzero((result == 0) & (ca > k))
+        if act.size == 0:
+            break
+        E = A.edges[sa[act] + k]
+        esx, esy, eex, eey = E[:, 0], E[:, 1], E[:, 2], E[:, 3]
+        p0x, p0y, p1x, p1y = lsx[act], lsy[act], lex[act], ley[act]
+        lk = look[act]
+        none = lk == 0
+        c0 = v_line_contains_point(esx, esy, eex, eey, p0x, p0y)
+        c1 = v_line_contains_point(esx, esy, eex, eey, p1x, p1y)
+        lk = np.where(none & c0, 1, np.where(none & c1, 2, lk))
+        looking = lk != 0
+        tx = np.where(lk == 1, p1x, p0x)
+        ty = np.where(lk == 1, p1y, p0y)
+        found = looking & v_line_contains_point(esx, esy, eex, eey, tx, ty)
+        # not found: the segment end must lie on the line we trace, else fail
+        on_line = v_line_contains_point(p0x, p0y, p1x, p1y, eex, eey)
+        fail = looking & ~found & ~on_line
+        res = np.where(found, 1, np.where(fail, 2, 0)).astype(np.int8)
+        result[act] = res
+        look[act] = lk
+    return result == 1
+
+
 def _all_verts_on_line(A, ia, B, ib) -> np.ndarray:
     L = A.line_arr(ia)
     rows, pid, cb = _verts_in_container(
@@ -544,8 +579,27 @@ def _contains_bucket(ka, kb, A, ia, B, ib) -> np.ndarray:  # noqa: C901
         return _point_in_geom(A, ia, B, ib, capital=True)
     if ka == LINE:  # kb in (LINE, LINESTRING)
         return _all_verts_on_line(A, ia, B, ib)
-    if ka == LINESTRING:  # sequential walk algorithm — scalar fallback
-        return _scalar_bucket("contains", A, ia, B, ib)
+    if ka == LINESTRING:
+        if kb == LINE:
+            L = B.line_arr(ib)
+            return _ls_contains_line(A, ia, L[:, 0], L[:, 1], L[:, 2], L[:, 3])
+        # LS ⊇ LS (gen.py:81): every segment of b contained in SOME single
+        # segment of a, via Line⊇Line (both endpoints on the segment)
+        sa, ca = _edges_sel(A, ia, "ext")
+        sb, cb = _edges_sel(B, ib, "ext")
+        pid, kka, kkb = cross_expand(ca, cb)
+        ea = A.edges[sa[pid] + kka]
+        eb = B.edges[sb[pid] + kkb]
+        m = v_line_contains_point(
+            ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 0], eb[:, 1]
+        ) & v_line_contains_point(ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 2], eb[:, 3])
+        # any over a-segs (inner), all over b-segs (outer):
+        # rows for pair p: index = a_k * cb[p] + b_k ; group key = (p, b_k)
+        key = pid * (int(cb.max()) + 1 if cb.size else 1) + kkb
+        uniq, inv = np.unique(key, return_inverse=True)
+        any_per_bseg = seg_any(m, inv, uniq.size)
+        pair_of_uniq = uniq // (int(cb.max()) + 1 if cb.size else 1)
+        return seg_all(any_per_bseg, pair_of_uniq, P)
     if ka == POLYGON:
         if kb == LINE:
             return _all_verts_in_poly(A, ia, B, ib) & ~_any_edge_intersect(

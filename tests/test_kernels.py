@@ -120,3 +120,25 @@ def test_polygon_hole_cases():
     _cross_check([holed], probes)
     _cross_check(probes, [holed])
     _cross_check(probes, probes)
+
+
+def test_linestring_contains_walk_vectorized():
+    """The geo 'look_for' walk (spanning collinear segments) and the LS⊇LS
+    any/all composition, vectorized == scalar."""
+    from rayjoin.geom.spec import Line, LineString
+
+    cases_a = [
+        LineString(((0.0, 0.0), (2.0, 0.0), (4.0, 0.0), (4.0, 4.0))),
+        LineString(((0.0, 0.0), (1.0, 1.0), (2.0, 2.0))),
+        LineString(((0.0, 0.0), (2.0, 0.0))),
+    ]
+    cases_b = [
+        Line(1.0, 0.0, 3.0, 0.0),  # spans two collinear segments
+        Line(3.0, 0.0, 4.0, 1.0),
+        Line(0.0, 0.0, 4.0, 0.0),
+        Line(0.5, 0.5, 1.5, 1.5),
+        LineString(((1.0, 0.0), (3.0, 0.0))),
+        LineString(((0.0, 0.0), (1.0, 1.0))),
+        LineString(((1.0, 0.0), (3.0, 0.0), (4.0, 1.0))),
+    ]
+    _cross_check(cases_a, cases_b, methods=("contains",))
