@@ -245,6 +245,35 @@ SELECT big_row_id, small_row_id, distance, rn - 1 AS knn_rank FROM r WHERE rn <=
 """
 
 
+def q_knn_points_capped(sf_dir: str):
+    """kNN with a distance cap: nearest 5 suppliers within 20.0 of each
+    event point (radius-limited variant; inclusive cap)."""
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "events", "event_id"))
+    idx = SpatialIndex(small)
+    ds = idx.knn_join(big, k=5, max_distance=20.0)
+    return ds.map_batches(
+        lambda t: t.rename_columns(["big_row_id", "small_row_id", "distance", "knn_rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_KNN_CAPPED = """
+WITH big AS ({big}), small AS ({small}),
+d AS (
+  SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+         sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) AS distance
+  FROM big b, small s),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY big_row_id
+                               ORDER BY distance, small_row_id) AS rn
+  FROM d WHERE distance <= 20.0)
+SELECT big_row_id, small_row_id, distance, rn - 1 AS knn_rank FROM r WHERE rn <= 5
+"""
+
+
 def q_pip_triangle(sf_dir: str):
     """Point-in-triangle containment join: event points in part-derived
     triangles (the geo sign-test semantics, boundary-exclusive)."""
@@ -323,6 +352,36 @@ def sql_tile_stats() -> str:
         f"SELECT {tile} AS tile_id, COUNT(*) AS n_docs, MIN(doc_id) AS min_doc "
         f"FROM documents GROUP BY 1"
     )
+
+
+def q_tile_rollup(sf_dir: str):
+    """Hierarchy consistency: assign res-12 tiles, roll up via tile_parent
+    to res 6, aggregate.  The SQL oracle computes res-6 ids DIRECTLY — the
+    two must agree exactly (floor(v*2^12) >> 6 == floor(v*2^6))."""
+    from ray.data.aggregate import Count
+
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.tiles import tile_assign, tile_parent
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"), batch_format="pyarrow")
+    ds = tile_assign(ds, resolution=12, with_hilbert=False)
+
+    def rollup(t: pa.Table) -> pa.Table:
+        parent = tile_parent(np.asarray(t["tile_id"].combine_chunks(), np.int64), 12, 6)
+        return pa.table({"tile6": pa.array(parent, pa.int64())})
+
+    return ds.map_batches(rollup, batch_format="pyarrow").groupby("tile6").aggregate(
+        Count(alias_name="n_docs")
+    )
+
+
+def sql_tile_rollup() -> str:
+    lon, lat = _latlon_sql("doc_id")
+    tile6 = _tile_sql("(" + lon + ")", "(" + lat + ")", 6)
+    return f"SELECT {tile6} AS tile6, COUNT(*) AS n_docs FROM documents GROUP BY 1"
 
 
 def q_rasterize_triangles(sf_dir: str):
@@ -783,9 +842,11 @@ def build_queries():
         "sjoin_rect_rect_intersects": q_sjoin_rect_rect_intersects,
         "prox_points": q_prox_points,
         "knn_points": q_knn_points,
+        "knn_points_capped": q_knn_points_capped,
         "pip_triangle": q_pip_triangle,
         "tile_assign": q_tile_assign,
         "tile_stats": q_tile_stats,
+        "tile_rollup": q_tile_rollup,
         "rasterize_triangles": q_rasterize_triangles,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -812,9 +873,11 @@ def build_queries():
         "sjoin_rect_rect_intersects": SQL_RECT_RECT.format(a=rsup, b=rnat),
         "prox_points": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
+        "knn_points_capped": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
         "tile_assign": sql_tile_assign(),
         "tile_stats": sql_tile_stats(),
+        "tile_rollup": sql_tile_rollup(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
