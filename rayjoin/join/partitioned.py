@@ -75,6 +75,7 @@ class GridSpec:
         self.by = np.asarray(by, dtype=np.float64)
         self.nx = self.bx.size - 1
         self.ny = self.by.size - 1
+        self.salts: dict = {}  # cell -> number of sub-partitions (hot cells)
 
     def _ix(self, x: np.ndarray) -> np.ndarray:
         return np.clip(np.searchsorted(self.bx, x, side="right") - 1, 0, self.nx - 1)
@@ -108,11 +109,36 @@ class GridSpec:
         qs = np.linspace(0.0, 1.0, n + 1)[1:-1]
         bx = np.unique(np.concatenate([[x0 - pad], np.quantile(cx, qs), [x1 + pad]]))
         by = np.unique(np.concatenate([[y0 - pad], np.quantile(cy, qs), [y1 + pad]]))
-        return GridSpec(bx, by)
+        grid = GridSpec(bx, by)
+        # hot-cell salts from the same sample: cells holding > 4x the mean
+        # sampled occupancy get S sub-partitions (big side hashed across S,
+        # small side replicated to all S).  S capped at 8 (< the 1024 salt
+        # field in the encoded cell key).
+        cells = grid.cell_of_point(cx, cy)
+        counts = np.bincount(cells, minlength=grid.nx * grid.ny)
+        # threshold against the TARGET occupancy (total / target_cells):
+        # coincident centers collapse quantile boundaries, so the realized
+        # grid can be much coarser than requested — exactly the case where
+        # sub-cell salting has to take over from boundary splitting
+        target_occ = max(cx.size / max(target_cells, 1), 1.0)
+        hot = np.flatnonzero(counts > 4 * target_occ)
+        grid.salts = {
+            int(c): int(min(8, math.ceil(counts[c] / (2 * target_occ)))) for c in hot
+            if min(8, math.ceil(counts[c] / (2 * target_occ))) > 1
+        }
+        return grid
 
 
-def _replicate(ds, grid: GridSpec, side: int, dilate_by: float):
-    """Emit one row per (geometry, overlapped cell)."""
+def _replicate(ds, grid: GridSpec, side: int, dilate_by: float,
+               salts: Optional[dict] = None):
+    """Emit one row per (geometry, overlapped cell).
+
+    Hot-cell salting (north_rule): cells listed in ``salts`` (cell -> S) are
+    split into S sub-partitions.  Each BIG row lands in exactly one salt
+    (hash of its row_id), the SMALL side is replicated to every salt — pair
+    co-location and the reference-point ownership rule are untouched, each
+    qualifying pair still appears exactly once."""
+    salts = salts or {}
 
     def rep(t: pa.Table) -> pa.Table:
         g = GeomBatch.from_arrow(t)
@@ -126,9 +152,28 @@ def _replicate(ds, grid: GridSpec, side: int, dilate_by: float):
         cx = ix0[gid] + k % nx[gid]
         cy = iy0[gid] + k // nx[gid]
         cell = cy * grid.nx + cx
+        salt = np.zeros(gid.size, dtype=np.int64)
+        if salts:
+            row_ids = g.row_id[gid]
+            for hot_cell, s in salts.items():
+                m = cell == hot_cell
+                if not m.any():
+                    continue
+                if side == 1:  # big: one deterministic salt per row
+                    salt[m] = (row_ids[m] * 2654435761) % s
+                else:  # small: replicate to every salt
+                    idx = np.flatnonzero(m)
+                    extra_gid = np.repeat(gid[idx], s - 1)
+                    extra_cell = np.repeat(cell[idx], s - 1)
+                    extra_salt = np.concatenate(
+                        [np.arange(1, s, dtype=np.int64) for _ in range(idx.size)]
+                    ) if idx.size else np.empty(0, np.int64)
+                    gid = np.concatenate([gid, extra_gid])
+                    cell = np.concatenate([cell, extra_cell])
+                    salt = np.concatenate([salt, extra_salt])
         taken = t.take(pa.array(gid))
         return (
-            taken.append_column("cell", pa.array(cell, pa.int64()))
+            taken.append_column("cell", pa.array(cell * 1024 + salt, pa.int64()))
             .append_column("side", pa.array(np.full(gid.size, side, np.int8), pa.int8()))
         )
 
@@ -154,7 +199,7 @@ def _cell_join(grid: GridSpec, config: Config, interaction: Optional[Interaction
     def join_cell(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _empty()
-        cell = int(t["cell"][0].as_py())
+        cell = int(t["cell"][0].as_py()) // 1024  # strip salt sub-key
         small_t = t.filter(pa.compute.equal(t["side"], 0))
         big_t = t.filter(pa.compute.equal(t["side"], 1))
         if small_t.num_rows == 0 or big_t.num_rows == 0:
@@ -201,8 +246,9 @@ def partitioned_spatial_join(big, small, interaction: Interaction,
                              seed: int = 42):
     """Dataset[big_row_id, small_row_id] — same rows as the broadcast path."""
     grid = GridSpec.plan(small, big, target_cells, seed=seed, max_distance=config.max_distance)
-    rep = _replicate(small, grid, side=0, dilate_by=config.max_distance).union(
-        _replicate(big, grid, side=1, dilate_by=0.0)
+    rep = _replicate(small, grid, side=0, dilate_by=config.max_distance,
+                     salts=grid.salts).union(
+        _replicate(big, grid, side=1, dilate_by=0.0, salts=grid.salts)
     )
     return rep.groupby("cell").map_groups(
         _cell_join(grid, config, interaction, "join"), batch_format="pyarrow"
@@ -213,8 +259,9 @@ def partitioned_proximity_map(big, small, config: Config, target_cells: int = 25
                               seed: int = 42):
     """Dataset[big_row_id, small_row_id, distance] — same rows as broadcast."""
     grid = GridSpec.plan(small, big, target_cells, seed=seed, max_distance=config.max_distance)
-    rep = _replicate(small, grid, side=0, dilate_by=config.max_distance).union(
-        _replicate(big, grid, side=1, dilate_by=0.0)
+    rep = _replicate(small, grid, side=0, dilate_by=config.max_distance,
+                     salts=grid.salts).union(
+        _replicate(big, grid, side=1, dilate_by=0.0, salts=grid.salts)
     )
     return rep.groupby("cell").map_groups(
         _cell_join(grid, config, None, "prox"), batch_format="pyarrow"

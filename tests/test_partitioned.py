@@ -58,3 +58,34 @@ def test_partitioned_matches_broadcast_on_pillboxes():
     assert par == bro
     # no duplicate pairs from replication (reference-point suppression)
     assert len(par) == len(set(par))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hot_cell_salting_preserves_rows():
+    """Skewed input (everything piled into one region) forces hot-cell salts;
+    the salted output must equal the broadcast row set exactly."""
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.partitioned import GridSpec, partitioned_spatial_join
+
+    rng = np.random.default_rng(4)
+    # 300 geoms: 90% share the IDENTICAL center (equi-depth boundaries
+    # cannot split coincident centers — the case salting exists for),
+    # 10% spread out
+    from rayjoin.geom.spec import Rect
+
+    geoms = []
+    for i in range(300):
+        if i % 10 == 0:
+            cx, cy = rng.uniform(0, 100, 2)
+        else:
+            cx, cy = 50.0, 50.0  # unsplittable hot spot
+        w, h = rng.uniform(0.1, 1.0, 2)
+        geoms.append(Rect(cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2))
+    t = encode.geoms_to_table(geoms)
+    ds = _ds(geoms, 4)
+    grid = GridSpec.plan(ds, ds, target_cells=36)
+    assert grid.salts, "skewed sample should produce at least one salted cell"
+    par = _rows(partitioned_spatial_join(ds, ds, Interaction.INTERSECTS, target_cells=36))
+    bro = _rows(SpatialIndex(t).spatial_join(ds, Interaction.INTERSECTS))
+    assert par == bro
+    assert len(par) == len(set(par))  # no duplicates from salt replication
