@@ -247,3 +247,42 @@ def test_dup_clusters():
     got = dict(zip(out["doc_id"], out["cluster_id"]))
     # components: {1,2,3,4} -> 1; {10,11} -> 10; {20,30,40} -> 20
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 30: 20, 40: 20}
+
+
+def test_wkt_roundtrip():
+    from rayjoin.fixtures import mixed_random
+    from rayjoin.geom import wkt
+
+    for g in mixed_random(40, seed=13):
+        s = wkt.to_wkt(g)
+        g2 = wkt.from_wkt(s)
+        # rect/triangle round-trip as polygons with the same boundary
+        p = spec.Point(0.123, -0.456)
+        assert spec.distance(g, p) == pytest.approx(spec.distance(g2, p), abs=1e-12)
+        assert spec.envelope(g) == pytest.approx(spec.envelope(g2))
+    assert wkt.from_wkt("POINT (1 2)") == spec.Point(1.0, 2.0)
+    with pytest.raises(ValueError):
+        wkt.from_wkt("MULTIPOINT (1 2)")  # unsupported, like the reference
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hilbert_partitioned_sink(tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from rayjoin.stages.geocode import geocode_from_key
+    from rayjoin.stages.sink import write_hilbert_partitioned
+
+    t = pa.table({"doc_id": pa.array(np.arange(2000, dtype=np.int64))})
+    ds = ray.data.from_arrow(t).map_batches(
+        lambda b: geocode_from_key(b, key_col="doc_id"), batch_format="pyarrow"
+    )
+    out = str(tmp_path / "sink")
+    bounds = write_hilbert_partitioned(ds, out, num_partitions=8, resolution=10)
+    files = glob.glob(f"{out}/part_key=*/*.parquet")
+    assert len(glob.glob(f"{out}/part_key=*")) >= 4  # several key-range dirs
+    back = pq.read_table(out)
+    assert back.num_rows == 2000
+    assert len(bounds) <= 7
