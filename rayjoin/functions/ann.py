@@ -13,9 +13,6 @@ only.  Approximate (standard IVF trade-off), deterministic given the seed.
 
 from __future__ import annotations
 
-import heapq
-from typing import Optional
-
 import numpy as np
 import pyarrow as pa
 

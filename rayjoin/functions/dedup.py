@@ -13,12 +13,11 @@ state per batch first, SURVEY.md aggregation guidance).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..stages.geocode import fnv1a64
 

@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 import time
 
 
@@ -53,7 +52,7 @@ def run_job(sf_dir: str, out_dir: str, resolution: int = 10, shards: int = 8,
     import ray
     import ray.data
 
-    from rayjoin.checkpoint import run_partitioned, read_output
+    from rayjoin.checkpoint import run_partitioned
     from rayjoin.config import Interaction
     from rayjoin.join.broadcast import SpatialIndex
     from rayjoin.pipelines.gate import rects_geom_table, tris_geom_table

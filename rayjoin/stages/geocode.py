@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 # lat/lon multipliers (distinct odd constants; key*MULT < 2^63 for key < 2^31)
 LAT_MULT = 2654435761
