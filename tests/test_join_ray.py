@@ -110,3 +110,47 @@ def test_validation_error_propagates():
     idx = SpatialIndex(encode.geoms_to_table([Point(0.0, 0.0)]))
     with pytest.raises(Exception):  # raised inside the actor -> RayTaskError
         idx.spatial_join(_ds([LineString(((1.0, 1.0),))], 1), Interaction.INTERSECTS).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_degenerate_corpus_distributed():
+    """The reference's proptest regression corpus through the full
+    broadcast AND partitioned paths (engine == oracle on its own inputs)."""
+    from rayjoin.fixtures import degenerate_cases
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.partitioned import partitioned_proximity_map
+
+    for name, small, big, maxd in degenerate_cases():
+        if big is None:
+            big = small
+        exp = slow_prox_map(small, big, maxd)
+        idx = SpatialIndex(encode.geoms_to_table(small), Config(max_distance=maxd))
+        got = _sorted_rows(idx.proximity_map(_ds(big, 1)))
+        assert got == [tuple(r) for r in exp], f"broadcast:{name}"
+        par = _sorted_rows(
+            partitioned_proximity_map(
+                _ds(big, 1), _ds(small, 1), Config(max_distance=maxd), target_cells=4
+            )
+        )
+        assert par == [tuple(r) for r in exp], f"partitioned:{name}"
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unit_cases_through_partitioned_path():
+    from rayjoin.join.partitioned import partitioned_proximity_map, partitioned_spatial_join
+
+    for name, small, big, cfg, kind in unit_cases():
+        if kind == "prox":
+            got = _sorted_rows(
+                partitioned_proximity_map(
+                    _ds(big, 1), _ds(small, 1), Config(**cfg), target_cells=9
+                )
+            )
+            exp = slow_prox_map(small, big, cfg.get("max_distance", 0.0))
+        else:
+            inter = Interaction.INTERSECTS if kind == "sjoin_intersects" else Interaction.CONTAINS
+            got = _sorted_rows(
+                partitioned_spatial_join(_ds(big, 1), _ds(small, 1), inter, target_cells=9)
+            )
+            exp = slow_spatial_join(small, big, inter)
+        assert got == [tuple(r) for r in exp], name
