@@ -247,11 +247,14 @@ def scaling_child():
     ray.data.DataContext.get_current().enable_progress_bars = False
     # warm workers before timing (cold spawn would bias the high-cpu run)
     _warm_worker_pool(NUM_CPUS)
-    # one untimed pass: absorbs all remaining session one-time costs (worker
-    # imports the pool loop missed, plasma first-touch, executor spin-up) so
-    # both parallelism levels measure steady-state compute
+    # one untimed pass absorbs session one-time costs (worker imports the
+    # pool loop missed, plasma first-touch, executor spin-up); then
+    # best-of-2 timed passes so a background hiccup on this shared box
+    # doesn't decide the measurement
     scaling_workload()
-    r = scaling_workload()
+    r1 = scaling_workload()
+    r2 = scaling_workload()
+    r = r1 if r1["sec"] <= r2["sec"] else r2
     r["num_cpus"] = NUM_CPUS
     print(json.dumps(r))
     ray.shutdown()
