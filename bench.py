@@ -92,9 +92,14 @@ def bench_queries():
     _warm_worker_pool(NUM_CPUS)
 
     def timed(name, fn):
-        t0 = time.time()
-        r = fn()
-        out[name] = round(time.time() - t0, 3)
+        # best-of-2: co-tenant noise on this shared box is ±20% run-to-run
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            r = fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        out[name] = round(best, 3)
         rows[name] = r
 
     # 1. point-in-triangle spatial join: events points vs part triangles
