@@ -114,7 +114,9 @@ def bench_queries():
     # 2. 5k pill-box self-join (reference bench parity,
     #    benches/spatial_join.rs:86-99)
     def pillbox():
-        pb = encode.geoms_to_table(pillboxes(5000, seed=42))
+        from rayjoin.fixtures import pillboxes_table
+
+        pb = pillboxes_table(5000, seed=42)
         idx = SpatialIndex(pb, batch_size=1024)
         big = ray.data.from_arrow(pb).repartition(32)
         return _consume(idx.spatial_join(big, Interaction.INTERSECTS))

@@ -115,26 +115,23 @@ def capsule(x0: float, y0: float, x1: float, y1: float, width: float, quadsegs: 
     In-repo replacement for GEOS buffer() (no GEOS in sandbox)."""
     dx, dy = x1 - x0, y1 - y0
     L = math.sqrt(dx * dx + dy * dy)
+    # trig via numpy ufuncs so this scalar builder is bit-identical to the
+    # vectorized pillboxes_table fast path (math.cos and np.cos differ by
+    # 1-2 ulp for some arguments)
     if L == 0.0:
         # degenerate: circle around the point
-        pts = []
         n = quadsegs * 4
-        for i in range(n):
-            a = 2 * math.pi * i / n
-            pts.append((x0 + width * math.cos(a), y0 + width * math.sin(a)))
-        return Polygon.new(pts)
+        a = 2.0 * math.pi * np.arange(n) / n
+        return Polygon.new(list(zip(x0 + width * np.cos(a), y0 + width * np.sin(a))))
     ux, uy = dx / L, dy / L  # unit along
-    theta = math.atan2(uy, ux)
-    pts = []
+    theta = float(np.arctan2(uy, ux))
     n = quadsegs * 2  # per half-circle
-    # half circle around (x1,y1) from theta-pi/2 to theta+pi/2
-    for i in range(n + 1):
-        a = theta - math.pi / 2 + math.pi * i / n
-        pts.append((x1 + width * math.cos(a), y1 + width * math.sin(a)))
-    # half circle around (x0,y0) from theta+pi/2 to theta+3pi/2
-    for i in range(n + 1):
-        a = theta + math.pi / 2 + math.pi * i / n
-        pts.append((x0 + width * math.cos(a), y0 + width * math.sin(a)))
+    i = np.arange(n + 1)
+    # half circle around (x1,y1) from theta-pi/2, then around (x0,y0) from theta+pi/2
+    a1 = theta - math.pi / 2 + math.pi * i / n
+    a2 = theta + math.pi / 2 + math.pi * i / n
+    pts = list(zip(x1 + width * np.cos(a1), y1 + width * np.sin(a1)))
+    pts += list(zip(x0 + width * np.cos(a2), y0 + width * np.sin(a2)))
     return Polygon.new(pts)
 
 
@@ -158,6 +155,66 @@ def pillboxes(
         y1 = y0 + max_len * math.sin(ang)
         out.append(capsule(x0, y0, x1, y1, buffer_width, quadsegs))
     return out
+
+
+def pillboxes_table(
+    n: int,
+    seed: int,
+    max_len: float = 40.0,
+    buffer_width: float = 5.0,
+    width: float = 5000.0,
+    height: float = 2000.0,
+    quadsegs: int = 16,
+):
+    """Vectorized twin of ``encode.geoms_to_table(pillboxes(...))`` — same
+    RNG stream, same per-vertex arithmetic, bit-identical Arrow output
+    (asserted by tests), but numpy-built (no per-geometry Python loop).
+    Used by the bench so fixture generation doesn't pollute join timings."""
+    import pyarrow as pa
+
+    rng = np.random.default_rng(seed)
+    draws = rng.random((n, 3))  # same stream order as the scalar loop
+    x0 = draws[:, 0] * width
+    y0 = draws[:, 1] * height
+    ang = draws[:, 2] * 2.0 * math.pi
+    x1 = x0 + max_len * np.cos(ang)
+    y1 = y0 + max_len * np.sin(ang)
+    dx = x1 - x0
+    dy = y1 - y0
+    L = np.sqrt(dx * dx + dy * dy)
+    ux, uy = dx / L, dy / L
+    theta = np.arctan2(uy, ux)
+    m = quadsegs * 2
+    i = np.arange(m + 1)
+    a1 = theta[:, None] - math.pi / 2 + math.pi * i[None, :] / m
+    a2 = theta[:, None] + math.pi / 2 + math.pi * i[None, :] / m
+    px = np.concatenate(
+        [x1[:, None] + buffer_width * np.cos(a1), x0[:, None] + buffer_width * np.cos(a2)],
+        axis=1,
+    )
+    py = np.concatenate(
+        [y1[:, None] + buffer_width * np.sin(a1), y0[:, None] + buffer_width * np.sin(a2)],
+        axis=1,
+    )
+    # close the ring (Polygon.new appends the first vertex)
+    px = np.concatenate([px, px[:, :1]], axis=1)
+    py = np.concatenate([py, py[:, :1]], axis=1)
+    nv = px.shape[1]
+    flat = np.empty((n, nv, 2), dtype=np.float64)
+    flat[:, :, 0] = px
+    flat[:, :, 1] = py
+    values = pa.array(flat.reshape(-1), pa.float64())
+    ring = pa.ListArray.from_arrays(
+        pa.array(np.arange(n + 1, dtype=np.int32) * (nv * 2)), values
+    )
+    coords = pa.ListArray.from_arrays(pa.array(np.arange(n + 1, dtype=np.int32)), ring)
+    return pa.table(
+        {
+            "row_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
+            "geom_type": pa.array(np.full(n, 3, np.int8), pa.int8()),
+            "coords": coords,
+        }
+    )
 
 
 # --- regression corpus (proptest-regressions/*.txt, literal) ---------------

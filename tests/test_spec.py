@@ -217,3 +217,12 @@ def test_envelope():
     pb = pillboxes(1, seed=1)[0]
     x0, y0, x1, y1 = spec.envelope(pb)
     assert x1 - x0 <= 40 + 10 + 1e-9 and y1 - y0 <= 40 + 10 + 1e-9
+
+
+def test_pillboxes_table_fast_path_bit_identical():
+    from rayjoin.fixtures import pillboxes_table
+    from rayjoin.geom import encode
+
+    fast = pillboxes_table(300, seed=42).cast(encode.GEOM_SCHEMA)
+    slow = encode.geoms_to_table(pillboxes(300, seed=42)).cast(encode.GEOM_SCHEMA)
+    assert fast.equals(slow)
