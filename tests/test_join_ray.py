@@ -154,3 +154,21 @@ def test_unit_cases_through_partitioned_path():
             )
             exp = slow_spatial_join(small, big, inter)
         assert got == [tuple(r) for r in exp], name
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_actor_pool_probe_matches_tasks():
+    """use_actors=True (pinned actor pool) produces the same rows as the
+    default stateless-task path."""
+    from rayjoin.join.broadcast import SpatialIndex
+
+    small = mixed_random(20, seed=81)
+    big = mixed_random(25, seed=82)
+    t = encode.geoms_to_table(small)
+    tasks = _sorted_rows(SpatialIndex(t).spatial_join(_ds(big), Interaction.INTERSECTS))
+    actors = _sorted_rows(
+        SpatialIndex(t, use_actors=True, concurrency=2).spatial_join(
+            _ds(big), Interaction.INTERSECTS
+        )
+    )
+    assert actors == tasks
