@@ -172,3 +172,28 @@ def test_actor_pool_probe_matches_tasks():
         )
     )
     assert actors == tasks
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_points_large_vs_numpy():
+    """500x500 point kNN against a direct numpy oracle (bigger than the
+    O(n^2) python oracle can comfortably cover)."""
+    from rayjoin.geom.spec import Point
+    from rayjoin.join.broadcast import SpatialIndex
+
+    rng = np.random.default_rng(9)
+    small = [Point(x, y) for x, y in rng.uniform(-100, 100, (500, 2))]
+    big = [Point(x, y) for x, y in rng.uniform(-100, 100, (500, 2))]
+    k = 7
+    df = SpatialIndex(encode.geoms_to_table(small)).knn_join(_ds(big, 4), k=k).to_pandas()
+    S = np.array([[p.x, p.y] for p in small])
+    B = np.array([[p.x, p.y] for p in big])
+    D = np.sqrt(((B[:, None, :] - S[None, :, :]) ** 2).sum(-1))
+    for b in range(500):
+        order = np.lexsort((np.arange(500), D[b]))[:k]
+        grp = df[df["big_row_id"] == b].sort_values("rank")
+        assert grp["small_row_id"].tolist() == order.tolist(), b
+        # distances bit-identical to sqrt(dx*dx+dy*dy)
+        dx = B[b, 0] - S[order, 0]
+        dy = B[b, 1] - S[order, 1]
+        assert grp["distance"].tolist() == np.sqrt(dx * dx + dy * dy).tolist()
