@@ -52,9 +52,26 @@ class GeomBatch:
             self._edges = _build_edges(self.xy, self.ring_vert_off, self.ring_edge_off)
         return self._edges
 
+    @property
+    def edge_bounds(self) -> np.ndarray:
+        """(E,4) per-edge [minx,miny,maxx,maxy]; computed once, reused by the
+        window-clip passes (recomputing min/max on gathered rows per pair was
+        a hot spot).  Lazy + excluded from pickles like edges."""
+        eb = getattr(self, "_edge_bounds", None)
+        if eb is None:
+            E = self.edges
+            eb = np.empty_like(E)
+            np.minimum(E[:, 0], E[:, 2], out=eb[:, 0])
+            np.minimum(E[:, 1], E[:, 3], out=eb[:, 1])
+            np.maximum(E[:, 0], E[:, 2], out=eb[:, 2])
+            np.maximum(E[:, 1], E[:, 3], out=eb[:, 3])
+            self._edge_bounds = eb
+        return eb
+
     def __getstate__(self):
         d = self.__dict__.copy()
         d["_edges"] = None
+        d.pop("_edge_bounds", None)
         return d
 
     # ---- accessors -------------------------------------------------------

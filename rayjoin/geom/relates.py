@@ -90,18 +90,20 @@ def _window_clip_edges(batch, gids, mode, wmin_x, wmin_y, wmax_x, wmax_y, pad):
     """
     s, c = _edges_sel(batch, gids, mode)
     pid, k = repeat_expand(c)
-    E = batch.edges[s[pid] + k]
+    rows = s[pid] + k
+    EB = batch.edge_bounds[rows]
     p = pad[pid]
     keep = ~(
-        (np.minimum(E[:, 0], E[:, 2]) - p > wmax_x[pid])
-        | (np.maximum(E[:, 0], E[:, 2]) + p < wmin_x[pid])
-        | (np.minimum(E[:, 1], E[:, 3]) - p > wmax_y[pid])
-        | (np.maximum(E[:, 1], E[:, 3]) + p < wmin_y[pid])
+        (EB[:, 0] - p > wmax_x[pid])
+        | (EB[:, 2] + p < wmin_x[pid])
+        | (EB[:, 1] - p > wmax_y[pid])
+        | (EB[:, 3] + p < wmin_y[pid])
     )
     pid = pid[keep]
-    E = E[keep]
+    kept = rows[keep]
+    E = batch.edges[kept]
     counts = np.bincount(pid, minlength=gids.size)
-    return E, pid, counts
+    return E, EB[keep], pid, counts
 
 
 def _any_edge_intersect(A, ia, ma, B, ib, mb) -> np.ndarray:
@@ -130,27 +132,29 @@ def _any_edge_intersect(A, ia, ma, B, ib, mb) -> np.ndarray:
     wmax_x = np.minimum(ba[:, 2], bb[:, 2]) + pad
     wmax_y = np.minimum(ba[:, 3], bb[:, 3]) + pad
     zero = pad * 0.0
-    Ea, pa, cntA = _window_clip_edges(A, ia, ma, wmin_x, wmin_y, wmax_x, wmax_y, zero)
-    Eb, pb, cntB = _window_clip_edges(B, ib, mb, wmin_x, wmin_y, wmax_x, wmax_y, zero)
+    Ea, Ba, pa, cntA = _window_clip_edges(A, ia, ma, wmin_x, wmin_y, wmax_x, wmax_y, zero)
+    Eb, Bb, pb, cntB = _window_clip_edges(B, ib, mb, wmin_x, wmin_y, wmax_x, wmax_y, zero)
     pid, kka, kkb = cross_expand(cntA, cntB)
     if pid.size == 0:
         return np.zeros(P, dtype=bool)
     startsA = np.concatenate([[0], np.cumsum(cntA)[:-1]])
     startsB = np.concatenate([[0], np.cumsum(cntB)[:-1]])
-    ea = Ea[startsA[pid] + kka]
-    eb = Eb[startsB[pid] + kkb]
-    # per-row prefilter (edge-bbox vs edge-bbox, padded)
+    ra = startsA[pid] + kka
+    rb = startsB[pid] + kkb
+    # per-row prefilter on precomputed edge bounds (edge-bbox overlap, padded)
+    ba = Ba[ra]
+    bb2 = Bb[rb]
     p = pad[pid]
     near = ~(
-        (np.minimum(ea[:, 0], ea[:, 2]) - p > np.maximum(eb[:, 0], eb[:, 2]))
-        | (np.maximum(ea[:, 0], ea[:, 2]) + p < np.minimum(eb[:, 0], eb[:, 2]))
-        | (np.minimum(ea[:, 1], ea[:, 3]) - p > np.maximum(eb[:, 1], eb[:, 3]))
-        | (np.maximum(ea[:, 1], ea[:, 3]) + p < np.minimum(eb[:, 1], eb[:, 3]))
+        (ba[:, 0] - p > bb2[:, 2])
+        | (ba[:, 2] + p < bb2[:, 0])
+        | (ba[:, 1] - p > bb2[:, 3])
+        | (ba[:, 3] + p < bb2[:, 1])
     )
     if not near.any():
         return np.zeros(P, dtype=bool)
-    ea = ea[near]
-    eb = eb[near]
+    ea = Ea[ra[near]]
+    eb = Eb[rb[near]]
     m = v_line_intersects_line(
         ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
     )
