@@ -89,3 +89,22 @@ def test_hot_cell_salting_preserves_rows():
     bro = _rows(SpatialIndex(t).spatial_join(ds, Interaction.INTERSECTS))
     assert par == bro
     assert len(par) == len(set(par))  # no duplicates from salt replication
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_equals_broadcast_randomized():
+    """Seeded sweep over geometry mixes, cell counts and interactions: the
+    PBSM path must always produce the broadcast row set."""
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.partitioned import partitioned_spatial_join
+
+    rng = np.random.default_rng(123)
+    for trial in range(5):
+        ns, nb = int(rng.integers(5, 45)), int(rng.integers(5, 45))
+        cells = int(rng.choice([4, 25, 100, 400]))
+        inter = list(Interaction)[trial % 3]
+        small = mixed_random(ns, seed=int(rng.integers(1 << 30)))
+        big = mixed_random(nb, seed=int(rng.integers(1 << 30)))
+        bro = _rows(SpatialIndex(encode.geoms_to_table(small)).spatial_join(_ds(big, 2), inter))
+        par = _rows(partitioned_spatial_join(_ds(big, 2), _ds(small, 2), inter, target_cells=cells))
+        assert par == bro, (trial, ns, nb, cells, inter)
