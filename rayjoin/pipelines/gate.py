@@ -300,6 +300,27 @@ WHERE ((d1 < 0) = (d2 < 0)) AND ((d2 < 0) = (d3 < 0))
 """
 
 
+def q_prox_with_geos(sf_dir: str):
+    """proximity_map_with_geos: geometry payloads cloned into output rows
+    (list-typed columns -> rows-only driver check; payload correctness is
+    pinned by tests/test_api_parity.py)."""
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    idx = SpatialIndex(small, Config(max_distance=3.0))
+    return idx.proximity_map_with_geos(big)
+
+
+def q_vectorize_boundary(sf_dir: str):
+    """rasterize -> vectorize_tiles boundary extraction (iterative per-geom
+    tile-set op -> rows-only check; semantics pinned by test_ops_ray)."""
+    from .raster import rasterize, vectorize_tiles
+
+    tris = _from_arrow(tris_geom_table(sf_dir), 4)
+    return vectorize_tiles(rasterize(tris, resolution=8), resolution=8)
+
+
 def q_tile_assign(sf_dir: str):
     """Geocode documents (key-derived) + quadtree tile ids at resolution 12."""
     import ray.data
@@ -841,6 +862,7 @@ def build_queries():
         "sjoin_point_in_rect_partitioned": q_sjoin_point_in_rect_partitioned,
         "sjoin_rect_rect_intersects": q_sjoin_rect_rect_intersects,
         "prox_points": q_prox_points,
+        "prox_with_geos": q_prox_with_geos,
         "knn_points": q_knn_points,
         "knn_points_capped": q_knn_points_capped,
         "pip_triangle": q_pip_triangle,
@@ -848,6 +870,7 @@ def build_queries():
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
         "rasterize_triangles": q_rasterize_triangles,
+        "vectorize_boundary": q_vectorize_boundary,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
