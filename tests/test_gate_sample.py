@@ -1,0 +1,54 @@
+"""In-pytest slice of the driver's correctness gate: a sample of queries()
+run against their oracle_sql() through DuckDB at sf0.001, values bit-exact.
+(The full battery lives in tools/check_gate.py; this guards regressions in
+the `python -m pytest -x -q` contract itself.)"""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+SAMPLE = ["prox_points", "agg_lineitem", "tile_assign", "pip_triangle", "dedup_exact"]
+
+
+def _canonical(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    out = {}
+    for c in df.columns:
+        s = df[c]
+        if s.dtype.kind == "f":
+            out[c] = s.to_numpy().view(np.int64)
+        elif s.dtype.kind == "M":
+            out[c] = s.astype("datetime64[ns]").astype("int64")
+        elif s.dtype.kind in "iub":
+            out[c] = s.astype("int64").to_numpy()
+        else:
+            out[c] = s.astype(str).to_numpy()
+    cdf = pd.DataFrame(out)
+    return cdf.sort_values(list(cdf.columns)).reset_index(drop=True)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_gate_sample_matches_duckdb():
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo")
+    import __ray_entry__ as entrymod
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    for name in SAMPLE:
+        got = _canonical(qs[name](SF).to_pandas())
+        exp = _canonical(con.sql(oracles[name]).df())
+        assert list(got.columns) == list(exp.columns), name
+        assert len(got) == len(exp), name
+        assert got.equals(exp), name
