@@ -1,0 +1,67 @@
+"""Auto-dispatching join frontend: one call, the engine picks the plan.
+
+- small side under ``broadcast_threshold_rows`` -> broadcast STR index +
+  streaming probe (the reference's only mode, fastest when it fits);
+- otherwise -> the PBSM partitioned plan (replicate + groupby(cell) +
+  reference-point dedup), which never materializes either side in one
+  process.
+
+Both plans produce the identical row set (tested), so the switch is purely
+physical — the 100 TB pipeline calls these entry points and lets the
+engine decide per stage.
+"""
+
+from __future__ import annotations
+
+from ..config import Config, Interaction
+
+DEFAULT_BROADCAST_ROWS = 2_000_000
+
+
+def _rows_of(ds) -> int:
+    import pyarrow as pa
+
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
+    if isinstance(ds, (list, tuple)):
+        return len(ds)
+    return ds.count()
+
+
+def _as_dataset(x):
+    import pyarrow as pa
+    import ray.data
+
+    from .broadcast import _to_table
+
+    if isinstance(x, (list, tuple, pa.Table)):
+        return ray.data.from_arrow(_to_table(x))
+    return x
+
+
+def spatial_join(big, small, interaction: Interaction, config: Config = Config(),
+                 broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+                 target_cells: int = 1024, **kwargs):
+    """Dataset[big_row_id, small_row_id]; plan picked by small-side size."""
+    from .broadcast import SpatialIndex
+    from .partitioned import partitioned_spatial_join
+
+    if _rows_of(small) <= broadcast_threshold_rows:
+        return SpatialIndex(small, config, **kwargs).spatial_join(big, interaction)
+    return partitioned_spatial_join(
+        _as_dataset(big), _as_dataset(small), interaction, config, target_cells
+    )
+
+
+def proximity_map(big, small, config: Config,
+                  broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+                  target_cells: int = 1024, **kwargs):
+    """Dataset[big_row_id, small_row_id, distance]; plan picked by size."""
+    from .broadcast import SpatialIndex
+    from .partitioned import partitioned_proximity_map
+
+    if _rows_of(small) <= broadcast_threshold_rows:
+        return SpatialIndex(small, config, **kwargs).proximity_map(big)
+    return partitioned_proximity_map(
+        _as_dataset(big), _as_dataset(small), config, target_cells
+    )

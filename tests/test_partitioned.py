@@ -108,3 +108,26 @@ def test_partitioned_equals_broadcast_randomized():
         bro = _rows(SpatialIndex(encode.geoms_to_table(small)).spatial_join(_ds(big, 2), inter))
         par = _rows(partitioned_spatial_join(_ds(big, 2), _ds(small, 2), inter, target_cells=cells))
         assert par == bro, (trial, ns, nb, cells, inter)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_dispatch():
+    from rayjoin.join.auto import proximity_map, spatial_join
+
+    small = mixed_random(25, seed=91)
+    big = mixed_random(25, seed=92)
+    from rayjoin.oracle import slow_spatial_join
+
+    exp = [tuple(r) for r in slow_spatial_join(small, big, Interaction.INTERSECTS)]
+    # broadcast route (default threshold)
+    got_b = _rows(spatial_join(_ds(big, 2), _ds(small, 2), Interaction.INTERSECTS))
+    # forced partitioned route (threshold 0)
+    got_p = _rows(
+        spatial_join(_ds(big, 2), _ds(small, 2), Interaction.INTERSECTS,
+                     broadcast_threshold_rows=0, target_cells=25)
+    )
+    assert got_b == exp and got_p == exp
+    exp2 = [tuple(r) for r in slow_prox_map(small, big, 0.5)]
+    got2 = _rows(proximity_map(_ds(big, 2), _ds(small, 2), Config(max_distance=0.5),
+                               broadcast_threshold_rows=0, target_cells=16))
+    assert got2 == exp2
