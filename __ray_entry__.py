@@ -39,16 +39,12 @@ def entry() -> Any:
     geo = tile_assign(geo, resolution=10)
 
     def to_points(t: pa.Table) -> pa.Table:
+        from rayjoin.geom.encode import points_geom
+
         lon = np.asarray(t["lon"].combine_chunks(), dtype=np.float64)
         lat = np.asarray(t["lat"].combine_chunks(), dtype=np.float64)
-        coords = pa.array([[[x, y]] for x, y in zip(lon, lat)], pa.list_(pa.list_(pa.float64())))
-        return pa.table(
-            {
-                "row_id": t["doc_id"].combine_chunks(),
-                "geom_type": pa.array(np.zeros(len(t), np.int8), pa.int8()),
-                "coords": coords,
-            }
-        )
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        return points_geom(ids, lon, lat)
 
     points = geo.map_batches(to_points, batch_format="pyarrow")
     # region layer: supplier rects + part triangles (deterministic);

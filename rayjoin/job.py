@@ -72,15 +72,12 @@ def run_job(sf_dir: str, out_dir: str, resolution: int = 10, shards: int = 8,
         src = _shard_table(sf_dir, shard, shards, synth_rows)
         pages = _pages_batch(src)
         geo = tiler(geocode_from_url(pages))
-        pts = pa.table(
-            {
-                "row_id": geo["doc_id"],
-                "geom_type": pa.array(np.zeros(geo.num_rows, np.int8), pa.int8()),
-                "coords": pa.array(
-                    [[[x, y]] for x, y in zip(geo["lon"].to_pylist(), geo["lat"].to_pylist())],
-                    pa.list_(pa.list_(pa.float64())),
-                ),
-            }
+        from rayjoin.geom.encode import points_geom
+
+        pts = points_geom(
+            np.asarray(geo["doc_id"].combine_chunks(), dtype=np.int64),
+            np.asarray(geo["lon"].combine_chunks(), dtype=np.float64),
+            np.asarray(geo["lat"].combine_chunks(), dtype=np.float64),
         )
         big = ray.data.from_arrow(pts)
         joined = idx.spatial_join(big, Interaction.CONTAINS)

