@@ -286,3 +286,73 @@ def test_hilbert_partitioned_sink(tmp_path):
     back = pq.read_table(out)
     assert back.num_rows == 2000
     assert len(bounds) <= 7
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_jaccard_batch_matches_scalar_spec():
+    """Vectorized shingle-hash Jaccard == the scalar string-set spec."""
+    from rayjoin.functions.dedup import jaccard_batch, jaccard_shingles
+
+    rng = np.random.default_rng(11)
+    words = ["alpha", "beta", "gamma", "delta", "rune", "stone", "x"]
+    docs = [" ".join(rng.choice(words, rng.integers(0, 30))) for _ in range(40)]
+    docs += ["", "abcd", "abcde", "abcdeabcde"]  # shorter-than-k edge cases
+    ta = pa.array(docs)
+    tb = pa.array(docs[1:] + docs[:1])
+    got = jaccard_batch(ta, tb, 5)
+    want = np.array([jaccard_shingles(a, b, 5) for a, b in zip(docs, docs[1:] + docs[:1])])
+    np.testing.assert_allclose(got, want, atol=0)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_pairs_shuffle_equals_broadcast():
+    """The Dataset.join verify path emits the same pairs as the broadcast
+    lookup path (the >threshold fallback is exercised explicitly)."""
+    import ray.data
+
+    from rayjoin.functions.dedup import verify_pairs_jaccard
+
+    base = "the quick brown fox jumps over the lazy dog %d tail"
+    texts = [base % (i % 3) for i in range(20)] + [f"totally unrelated {i}" for i in range(20)]
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(np.arange(40, dtype=np.int64)), "text": pa.array(texts)})
+    )
+    ia, ib = np.triu_indices(12, 1)
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(ia.astype(np.int64)), "id_b": pa.array(ib.astype(np.int64))})
+    )
+
+    def rows(ds):
+        df = ds.to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        return list(map(tuple, df.to_numpy()))
+
+    broad = rows(verify_pairs_jaccard(pairs, corpus, threshold=0.8))
+    shuf = rows(verify_pairs_jaccard(pairs, corpus, threshold=0.8, broadcast_threshold_rows=0))
+    assert broad == shuf
+    assert len(broad) > 0  # identical-template pairs survive
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_dup_clusters_distributed_equals_driver():
+    import ray.data
+
+    from rayjoin.functions.dedup import dup_clusters
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 60, 150).astype(np.int64)
+    b = rng.integers(0, 60, 150).astype(np.int64)
+    m = a != b
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array(np.minimum(a, b)[m]), "id_b": pa.array(np.maximum(a, b)[m])})
+    )
+    d1 = dup_clusters(pairs, method="driver").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    d2 = dup_clusters(pairs, method="distributed").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert d1.equals(d2)
+    # long path (diameter ~ n): pointer doubling must converge fast
+    n = 33
+    chain = pa.table(
+        {"id_a": pa.array(np.arange(n - 1, dtype=np.int64) + 1),
+         "id_b": pa.array(np.arange(n - 1, dtype=np.int64) + 2)}
+    )
+    out = dup_clusters(ray.data.from_arrow(chain), method="driver").to_pandas()
+    assert set(out["cluster_id"]) == {1}
