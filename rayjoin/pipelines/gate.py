@@ -567,12 +567,67 @@ SELECT query_id, vec_id, rn - 1 AS rank FROM r WHERE rn <= 5
 """
 
 
+PLANTED_DUP_OFFSET = 10_000_000
+PLANTED_DUPS = 10
+
+
+def planted_embeddings(sf_dir: str) -> pa.Table:
+    """Deterministic near-duplicate vectors planted next to the corpus: the
+    10 lowest vec_ids get a perturbed copy (cosine ~0.9996 to the original,
+    far above any natural pair — max off-diagonal cosine in the testdata is
+    ~0.6), with new ids offset by PLANTED_DUP_OFFSET.  The fixture the r1
+    verdict asked for: ``embedding_dups`` must recover exactly these pairs."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t["vec_id"], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")[:PLANTED_DUPS]
+    from ..functions.ann import vec_matrix
+
+    base = vec_matrix(t["embedding"].combine_chunks().take(pa.array(order)))
+    base = base / np.linalg.norm(base, axis=1, keepdims=True)
+    rng = np.random.default_rng(123)
+    noise = rng.normal(size=base.shape)
+    noise = noise / np.linalg.norm(noise, axis=1, keepdims=True)
+    perturbed = (base + 0.03 * noise).astype(np.float32)
+    inner = pa.array(perturbed.ravel(), pa.float32())
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, perturbed.size + 1, perturbed.shape[1], dtype=np.int32)),
+        inner,
+    )
+    return pa.table(
+        {
+            "vec_id": pa.array(ids[order] + PLANTED_DUP_OFFSET, pa.int64()),
+            "embedding": emb,
+        }
+    )
+
+
+def q_ann_ivf(sf_dir: str):
+    """IVF-bucketed approximate top-5 for the same 8 query vectors as
+    ann_cosine (approximate -> rows-only driver check; recall vs the
+    SQL-checked brute-force result is pinned in pytest at the fixed seed)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..functions.ann import ann_ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(t["vec_id"], dtype=np.int64))[:8]
+    q = np.array(t["embedding"].take(pa.array(order)).to_pylist(), dtype=np.float64)
+    qids = np.asarray(t["vec_id"], dtype=np.int64)[order]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_ivf_topk(ds, q, qids, k=5, n_lists=8, nprobe=4)
+
+
 def q_embedding_dups(sf_dir: str):
     import ray.data
 
     from ..functions.dedup import embedding_dup_pairs
 
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ds.union(ray.data.from_arrow(planted_embeddings(sf_dir)))
     return embedding_dup_pairs(ds, threshold=0.99).select_columns(["id_a", "id_b"])
 
 
@@ -859,6 +914,7 @@ def build_queries():
         "simhash": q_simhash,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "ann_ivf": q_ann_ivf,
         "embedding_dups": q_embedding_dups,
         "agg_lineitem": q_agg_lineitem,
         "join_orders_customer": q_join_orders_customer,

@@ -120,7 +120,7 @@ def test_dedup_exact_and_minhash():
 def test_ann_topk_vs_numpy():
     import ray.data
 
-    from rayjoin.functions.ann import IVFIndex, ann_cosine_topk
+    from rayjoin.functions.ann import ann_cosine_topk, ann_ivf_topk
 
     rng = np.random.default_rng(11)
     M = rng.standard_normal((300, 16))
@@ -137,12 +137,15 @@ def test_ann_topk_vs_numpy():
         exp = ids[order].tolist()
         grp = got[got["query_id"] == ids[qi]].sort_values("rank")
         assert grp["vec_id"].tolist() == exp
-    # IVF: self is always found at rank 0 with nprobe covering its bucket
-    idx = IVFIndex(M, ids, n_lists=8)
-    hits = idx.search(Q, k=3, nprobe=8)  # probe all -> exact
+    # IVF with nprobe == n_lists probes every bucket -> exact == brute force
+    ivf = ann_ivf_topk(
+        ray.data.from_arrow(t).repartition(4), Q, ids[:5], k=7, n_lists=8, nprobe=8
+    ).to_pandas()
     for qi in range(5):
-        top = [h for h in hits if h[0] == qi and h[3] == 0][0]
-        assert top[1] == ids[qi]
+        sims = Mn @ Mn[qi]
+        order = np.lexsort((ids, -sims))[:7]
+        grp = ivf[ivf["query_id"] == ids[qi]].sort_values("rank")
+        assert grp["vec_id"].tolist() == ids[order].tolist()
 
 
 @pytest.mark.usefixtures("ray_session")
@@ -356,3 +359,60 @@ def test_dup_clusters_distributed_equals_driver():
     )
     out = dup_clusters(ray.data.from_arrow(chain), method="driver").to_pandas()
     assert set(out["cluster_id"]) == {1}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ann_ivf_distributed_recall():
+    """Distributed IVF (sampled centroids, map_batches assignment, masked
+    partial top-k, groupby merge) hits pinned recall vs the SQL-checked
+    brute-force result at the fixed seed; no take_all anywhere."""
+    from rayjoin.pipelines.gate import q_ann_cosine, q_ann_ivf
+
+    sf = "/root/testdata/sf0.001"
+    bf = q_ann_cosine(sf).to_pandas()
+    ivf = q_ann_ivf(sf).to_pandas()
+    assert len(ivf) == len(bf) == 40
+    sb = set(map(tuple, bf[["query_id", "vec_id"]].to_numpy()))
+    si = set(map(tuple, ivf[["query_id", "vec_id"]].to_numpy()))
+    # isotropic random vectors are IVF's worst case (no cluster structure);
+    # probing 4/8 lists recovers 0.625 here, 0.80 at sf0.01 — the bound
+    # pins the seeded result from drifting, not a quality target
+    assert len(si & sb) / len(sb) >= 0.6
+    # deterministic given the seed
+    ivf2 = q_ann_ivf(sf).to_pandas()
+    assert ivf.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
+        ivf2.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dups_bucketed_vs_bruteforce():
+    """LSH-bucketed embedding dedup finds exactly the planted pairs, and
+    agrees with an O(n^2) brute-force oracle over the augmented set."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from rayjoin.functions.ann import vec_matrix
+    from rayjoin.pipelines.gate import (
+        PLANTED_DUP_OFFSET,
+        planted_embeddings,
+        q_embedding_dups,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_embedding_dups(sf).to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+
+    t = pq.read_table(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    aug = pa.concat_tables([t, planted_embeddings(sf)])
+    ids = np.asarray(aug["vec_id"], dtype=np.int64)
+    M = vec_matrix(aug["embedding"].combine_chunks())
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = M @ M.T
+    ii, jj = np.nonzero(np.triu(S >= 0.99, 1))
+    want = sorted(
+        (min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ii, jj)
+    )
+    assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == want
+    assert len(want) == 10  # exactly the planted pairs
+    assert all(b - a == PLANTED_DUP_OFFSET for a, b in want)
