@@ -130,8 +130,11 @@ class GridSpec:
 
 
 def _replicate(ds, grid: GridSpec, side: int, dilate_by: float,
-               salts: Optional[dict] = None):
+               salts: Optional[dict] = None, radius_col: Optional[str] = None):
     """Emit one row per (geometry, overlapped cell).
+
+    ``radius_col`` names a per-row dilation column (the partitioned-kNN
+    phase-B bound) applied instead of the scalar ``dilate_by``.
 
     Hot-cell salting (north_rule): cells listed in ``salts`` (cell -> S) are
     split into S sub-partitions.  Each BIG row lands in exactly one salt
@@ -141,9 +144,18 @@ def _replicate(ds, grid: GridSpec, side: int, dilate_by: float,
     salts = salts or {}
 
     def rep(t: pa.Table) -> pa.Table:
-        g = GeomBatch.from_arrow(t)
+        geo_t = t.drop_columns([radius_col]) if radius_col else t
+        g = GeomBatch.from_arrow(geo_t)
         validate_batch(g)
-        bb = dilate(g.bbox, dilate_by) if dilate_by else g.bbox
+        if radius_col:
+            r = np.asarray(t[radius_col].combine_chunks(), dtype=np.float64)
+            bb = g.bbox.copy()
+            bb[:, 0] -= r
+            bb[:, 1] -= r
+            bb[:, 2] += r
+            bb[:, 3] += r
+        else:
+            bb = dilate(g.bbox, dilate_by) if dilate_by else g.bbox
         ix0, iy0, ix1, iy1 = grid.cell_range(bb)
         nx = ix1 - ix0 + 1
         ny = iy1 - iy0 + 1
@@ -181,11 +193,22 @@ def _replicate(ds, grid: GridSpec, side: int, dilate_by: float,
 
 
 def _cell_join(grid: GridSpec, config: Config, interaction: Optional[Interaction],
-               mode: str):
+               mode: str, with_geos: bool = False):
     """Per-cell build+probe, duplicate-suppressed by the reference-point
     rule.  Pure-Arrow group bodies: pandas conversion of nested coords
     columns is python-object soup and dominated the shuffle wall time."""
     max_d = config.max_distance
+
+    def _geo_fields() -> dict:
+        from ..geom.encode import GEOM_SCHEMA
+
+        empty = GEOM_SCHEMA.empty_table()
+        return {
+            "big_geom_type": empty["geom_type"].combine_chunks(),
+            "big_coords": empty["coords"].combine_chunks(),
+            "small_geom_type": empty["geom_type"].combine_chunks(),
+            "small_coords": empty["coords"].combine_chunks(),
+        }
 
     def _empty() -> pa.Table:
         cols = {
@@ -194,18 +217,29 @@ def _cell_join(grid: GridSpec, config: Config, interaction: Optional[Interaction
         }
         if mode == "prox":
             cols["distance"] = pa.array([], pa.float64())
+        if with_geos:
+            cols.update(_geo_fields())
         return pa.table(cols)
+
+    def _attach(out: pa.Table, big_t: pa.Table, small_t: pa.Table,
+                q: np.ndarray, s: np.ndarray) -> pa.Table:
+        bt = big_t.take(pa.array(q))
+        st = small_t.take(pa.array(s))
+        out = out.append_column("big_geom_type", bt["geom_type"].combine_chunks())
+        out = out.append_column("big_coords", bt["coords"].combine_chunks())
+        out = out.append_column("small_geom_type", st["geom_type"].combine_chunks())
+        return out.append_column("small_coords", st["coords"].combine_chunks())
 
     def join_cell(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return _empty()
         cell = int(t["cell"][0].as_py()) // 1024  # strip salt sub-key
-        small_t = t.filter(pa.compute.equal(t["side"], 0))
-        big_t = t.filter(pa.compute.equal(t["side"], 1))
+        small_t = t.filter(pa.compute.equal(t["side"], 0)).drop_columns(["cell", "side"])
+        big_t = t.filter(pa.compute.equal(t["side"], 1)).drop_columns(["cell", "side"])
         if small_t.num_rows == 0 or big_t.num_rows == 0:
             return _empty()
-        small = GeomBatch.from_arrow(small_t.drop_columns(["cell", "side"]))
-        big = GeomBatch.from_arrow(big_t.drop_columns(["cell", "side"]))
+        small = GeomBatch.from_arrow(small_t)
+        big = GeomBatch.from_arrow(big_t)
         tree = STRtree(dilate(small.bbox, max_d))
         q, s = tree.query(big.bbox)
         # reference-point duplicate suppression: emit only from the cell
@@ -222,41 +256,45 @@ def _cell_join(grid: GridSpec, config: Config, interaction: Optional[Interaction
                 keep = relate("contains", small, s, big, q)
             else:
                 keep = relate("contains", big, q, small, s)
-            return pa.table(
+            out = pa.table(
                 {
                     "big_row_id": pa.array(big.row_id[q[keep]], pa.int64()),
                     "small_row_id": pa.array(small.row_id[s[keep]], pa.int64()),
                 }
             )
+            return _attach(out, big_t, small_t, q[keep], s[keep]) if with_geos else out
         d = relate("distance", small, s, big, q)
         keep = d <= max_d
-        return pa.table(
+        out = pa.table(
             {
                 "big_row_id": pa.array(big.row_id[q[keep]], pa.int64()),
                 "small_row_id": pa.array(small.row_id[s[keep]], pa.int64()),
                 "distance": pa.array(d[keep], pa.float64()),
             }
         )
+        return _attach(out, big_t, small_t, q[keep], s[keep]) if with_geos else out
 
     return join_cell
 
 
 def partitioned_spatial_join(big, small, interaction: Interaction,
                              config: Config = Config(), target_cells: int = 256,
-                             seed: int = 42):
-    """Dataset[big_row_id, small_row_id] — same rows as the broadcast path."""
+                             seed: int = 42, with_geos: bool = False):
+    """Dataset[big_row_id, small_row_id] — same rows as the broadcast path.
+    ``with_geos=True`` clones both geometry payloads into each output row
+    (the partitioned twin of ``spatial_join_with_geos``)."""
     grid = GridSpec.plan(small, big, target_cells, seed=seed, max_distance=config.max_distance)
     rep = _replicate(small, grid, side=0, dilate_by=config.max_distance,
                      salts=grid.salts).union(
         _replicate(big, grid, side=1, dilate_by=0.0, salts=grid.salts)
     )
     return rep.groupby("cell").map_groups(
-        _cell_join(grid, config, interaction, "join"), batch_format="pyarrow"
+        _cell_join(grid, config, interaction, "join", with_geos), batch_format="pyarrow"
     )
 
 
 def partitioned_proximity_map(big, small, config: Config, target_cells: int = 256,
-                              seed: int = 42):
+                              seed: int = 42, with_geos: bool = False):
     """Dataset[big_row_id, small_row_id, distance] — same rows as broadcast."""
     grid = GridSpec.plan(small, big, target_cells, seed=seed, max_distance=config.max_distance)
     rep = _replicate(small, grid, side=0, dilate_by=config.max_distance,
@@ -264,5 +302,193 @@ def partitioned_proximity_map(big, small, config: Config, target_cells: int = 25
         _replicate(big, grid, side=1, dilate_by=0.0, salts=grid.salts)
     )
     return rep.groupby("cell").map_groups(
-        _cell_join(grid, config, None, "prox"), batch_format="pyarrow"
+        _cell_join(grid, config, None, "prox", with_geos), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# partitioned kNN (two-large-sides; VERDICT r1 gap #1)
+# ---------------------------------------------------------------------------
+
+
+def _small_extent(small):
+    """Exact bbox extent of the small side: one streaming min/max aggregate
+    (4 scalars to the driver).  None when empty."""
+    from ray.data.aggregate import Max, Min
+
+    def bb(t: pa.Table) -> pa.Table:
+        g = GeomBatch.from_arrow(t)
+        return pa.table(
+            {
+                "xmin": pa.array(g.bbox[:, 0]),
+                "ymin": pa.array(g.bbox[:, 1]),
+                "xmax": pa.array(g.bbox[:, 2]),
+                "ymax": pa.array(g.bbox[:, 3]),
+            }
+        )
+
+    agg = small.map_batches(bb, batch_format="pyarrow").aggregate(
+        Min("xmin"), Min("ymin"), Max("xmax"), Max("ymax")
+    )
+    if agg is None or agg.get("min(xmin)") is None:
+        return None
+    return (agg["min(xmin)"], agg["min(ymin)"], agg["max(xmax)"], agg["max(ymax)"])
+
+
+def _corner_bound(fv: np.ndarray, ext) -> np.ndarray:
+    """Per-big upper bound on the distance to ANY small: the max distance
+    from the big's first vertex (a point ON the geometry) to the 4 corners
+    of the small side's exact bbox extent.  Always valid: every small lies
+    inside the extent, and d(big, s) <= d(first_vertex, any point of s)."""
+    x0, y0, x1, y1 = ext
+    out = np.zeros(fv.shape[0], np.float64)
+    for cx, cy in ((x0, y0), (x0, y1), (x1, y0), (x1, y1)):
+        np.maximum(out, np.sqrt((fv[:, 0] - cx) ** 2 + (fv[:, 1] - cy) ** 2), out=out)
+    return out
+
+
+def partitioned_knn_join(big, small, *, k: int, max_distance: float = float("inf"),
+                         target_cells: int = 256, seed: int = 42):
+    """Two-large-sides kNN join: Dataset[big_row_id, small_row_id, distance,
+    rank] — bit-exact vs the broadcast ``knn_join`` (same distance kernels,
+    same (distance, small_row_id) tie rule; tested side by side).
+
+    Two-phase plan (no expanding-ring driver loop, two shuffles total):
+
+    A. **Bound**: smalls replicate to grid cells by bbox; each big lands in
+       ONE cell (its bbox min corner).  Per cell, a per-big upper bound on
+       its kth-NN distance: the kth smallest FIRST-VERTEX distance to the
+       in-cell smalls (first vertices lie on the geometries, so pairwise
+       vertex distance >= geometry distance — a cheap vectorized bound with
+       no exact kernels), falling back to the distance to the far corner of
+       the small side's extent when the cell holds < k smalls.
+
+    B. **Resolve**: bigs replicate to every cell their bound-dilated bbox
+       overlaps (per-row radius); smalls by bbox.  Per cell: STR-tree
+       candidates, exact distances, keep d <= bound, duplicate-suppressed by
+       the reference-point rule; a final groupby(big_row_id) merges
+       per-cell results into the global top-k.
+
+    Partitioning assumption: per-cell work is bounded by the equi-depth grid
+    plan; bigs in regions with < k local smalls fall back to wide bounds and
+    replicate broadly (rare under the sampled equi-depth grid).
+    """
+    grid = GridSpec.plan(small, big, target_cells, seed=seed)
+    ext = _small_extent(small)
+
+    def _empty():
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "big_row_id": pa.array([], pa.int64()),
+                    "small_row_id": pa.array([], pa.int64()),
+                    "distance": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    if ext is None or k <= 0:
+        return _empty()
+    cap = max_distance if math.isfinite(max_distance) else np.inf
+
+    # ---- phase A: bound ----
+    small_rep = _replicate(small, grid, side=0, dilate_by=0.0)
+
+    def big_cell(t: pa.Table) -> pa.Table:
+        g = GeomBatch.from_arrow(t)
+        validate_batch(g)
+        cell = grid.cell_of_point(g.bbox[:, 0], g.bbox[:, 1])
+        return t.append_column("cell", pa.array(cell * 1024, pa.int64())).append_column(
+            "side", pa.array(np.ones(g.n, np.int8), pa.int8())
+        )
+
+    rep_a = small_rep.union(big.map_batches(big_cell, batch_format="pyarrow"))
+
+    def bound_cell(t: pa.Table) -> pa.Table:
+        big_t = t.filter(pa.compute.equal(t["side"], 1)).drop_columns(["cell", "side"])
+        if big_t.num_rows == 0:
+            return big_t.append_column("knn_bound", pa.array([], pa.float64()))
+        small_t = t.filter(pa.compute.equal(t["side"], 0)).drop_columns(["cell", "side"])
+        bg = GeomBatch.from_arrow(big_t)
+        fv_b = bg.xy[bg.geom_vert_start(np.arange(bg.n, dtype=np.int64))]
+        bound = _corner_bound(fv_b, ext)
+        if small_t.num_rows >= k:
+            sg = GeomBatch.from_arrow(small_t)
+            fv_s = sg.xy[sg.geom_vert_start(np.arange(sg.n, dtype=np.int64))]
+            dx = fv_b[:, 0][:, None] - fv_s[:, 0][None, :]
+            dy = fv_b[:, 1][:, None] - fv_s[:, 1][None, :]
+            d = np.sqrt(dx * dx + dy * dy)
+            kth = np.partition(d, k - 1, axis=1)[:, k - 1]
+            bound = np.minimum(bound, kth)
+        bound = np.minimum(bound, cap)
+        return big_t.append_column("knn_bound", pa.array(bound, pa.float64()))
+
+    bounded = rep_a.groupby("cell").map_groups(bound_cell, batch_format="pyarrow")
+
+    # ---- phase B: resolve ----
+    rep_b = _replicate(small, grid, side=0, dilate_by=0.0).union(
+        _replicate(bounded, grid, side=1, dilate_by=0.0, radius_col="knn_bound")
+    )
+
+    def knn_cell(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "big_row_id": pa.array([], pa.int64()),
+                "small_row_id": pa.array([], pa.int64()),
+                "distance": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        cell = int(t["cell"][0].as_py()) // 1024
+        small_t = t.filter(pa.compute.equal(t["side"], 0)).drop_columns(
+            ["cell", "side", "knn_bound"]
+        )
+        big_t = t.filter(pa.compute.equal(t["side"], 1))
+        if small_t.num_rows == 0 or big_t.num_rows == 0:
+            return empty
+        bound = np.asarray(big_t["knn_bound"].combine_chunks(), dtype=np.float64)
+        big_g = GeomBatch.from_arrow(big_t.drop_columns(["cell", "side", "knn_bound"]))
+        small_g = GeomBatch.from_arrow(small_t)
+        qb = big_g.bbox.copy()
+        qb[:, 0] -= bound
+        qb[:, 1] -= bound
+        qb[:, 2] += bound
+        qb[:, 3] += bound
+        tree = STRtree(small_g.bbox)
+        q, s = tree.query(qb)
+        d = relate("distance", small_g, s, big_g, q)
+        keep = d <= bound[q]
+        q, s, d = q[keep], s[keep], d[keep]
+        # reference-point dedup against the per-row-dilated big bbox
+        sb = small_g.bbox[s]
+        rx = np.maximum(sb[:, 0], qb[q, 0])
+        ry = np.maximum(sb[:, 1], qb[q, 1])
+        own = grid.cell_of_point(rx, ry) == cell
+        return pa.table(
+            {
+                "big_row_id": pa.array(big_g.row_id[q[own]], pa.int64()),
+                "small_row_id": pa.array(small_g.row_id[s[own]], pa.int64()),
+                "distance": pa.array(d[own], pa.float64()),
+            }
+        )
+
+    cands = rep_b.groupby("cell").map_groups(knn_cell, batch_format="pyarrow")
+
+    def topk(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["distance"].combine_chunks(), dtype=np.float64)
+        sid = np.asarray(t["small_row_id"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((sid, d))[:k]
+        return pa.table(
+            {
+                "big_row_id": t["big_row_id"].combine_chunks().take(pa.array(order)),
+                "small_row_id": pa.array(sid[order], pa.int64()),
+                "distance": pa.array(d[order], pa.float64()),
+                "rank": pa.array(np.arange(order.size, dtype=np.int64), pa.int64()),
+            }
+        )
+
+    return cands.groupby("big_row_id").map_groups(topk, batch_format="pyarrow")

