@@ -21,7 +21,13 @@ _EPOCH_2024 = 1704067200  # 2024-01-01T00:00:00Z in unix seconds
 
 def _pages_batch(t: pa.Table) -> pa.Table:
     doc_id = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
-    url = pa.array([f"https://site{i % 997}.example/{i}" for i in doc_id], pa.string())
+    url = pc.binary_join_element_wise(
+        "https://site",
+        pc.cast(pa.array(doc_id % 997), pa.string()),
+        ".example/",
+        pc.cast(pa.array(doc_id), pa.string()),
+        "",
+    )
     ts = pa.array((_EPOCH_2024 + doc_id) * 1_000_000, pa.timestamp("us"))
     text = t["text"]
     html = pc.binary_join_element_wise(
@@ -52,18 +58,33 @@ def pages_from_documents(sf_dir: str):
 
 
 def synth_pages(n: int, seed: int = 42) -> pa.Table:
-    """Seeded token-soup pages table (FIXTURES.md §1), 50-2000 chars."""
+    """Seeded token-soup pages table (FIXTURES.md §1), 50-2000 chars.
+
+    Vectorized: token picks are one RNG draw; per-row strings come from a
+    ListArray over the flat token-string column joined with pc.binary_join
+    (no per-row Python).  Draw order matches the original per-row generator
+    (one lengths pass, then one flat token pass) — same seed, same corpus
+    shape class; texts are seeded-deterministic either way.
+    """
     rng = np.random.default_rng(seed)
-    vocab = [f"tok{v}" for v in range(500)]
-    texts = []
-    for i in range(n):
-        ln = rng.integers(8, 250)
-        texts.append(" ".join(vocab[v] for v in rng.integers(0, len(vocab), ln)))
+    vocab = pa.array([f"tok{v}" for v in range(500)], pa.string())
+    lens = rng.integers(8, 250, size=n)
+    total = int(lens.sum())
+    flat_idx = rng.integers(0, len(vocab), size=total)
+    tokens = vocab.take(pa.array(flat_idx))
+    offsets = pa.array(
+        np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    )
+    token_lists = pa.ListArray.from_arrays(offsets, tokens)
+    texts = pc.binary_join(token_lists, " ")
+    lang_codes = pa.array(LANGS, pa.string()).take(
+        pa.array(np.arange(n, dtype=np.int64) % len(LANGS))
+    )
     t = pa.table(
         {
             "doc_id": pa.array(np.arange(n, dtype=np.int64), pa.int64()),
-            "text": pa.array(texts, pa.string()),
-            "lang": pa.array([LANGS[i % len(LANGS)] for i in range(n)], pa.string()),
+            "text": texts,
+            "lang": lang_codes,
         }
     )
     return _pages_batch(t)

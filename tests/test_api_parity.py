@@ -88,4 +88,5 @@ def test_job_runs_and_resumes(tmp_path):
     assert all(m[d] == t for d, t in zip(got["doc_id"].to_pylist(), got["text"].to_pylist()))
     # lineage present
     rec = CheckpointManifest(out).completed()["0"]
-    assert rec["input_fingerprint"].endswith("[0/4]") and rec["content_hash"]
+    assert "[0/4]" in rec["input_fingerprint"] and "res=10" in rec["input_fingerprint"]
+    assert rec["content_hash"]

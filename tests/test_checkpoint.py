@@ -80,3 +80,40 @@ def test_manifest_distrusts_missing_dirs(tmp_path):
     log = []
     run_partitioned(out, parts, _compute_factory(log))
     assert log == ["1"]
+
+
+def test_fingerprint_change_triggers_recompute(tmp_path):
+    """A completed partition whose input fingerprint changed is re-run on
+    resume instead of silently returning stale data (ADVICE r1)."""
+    out = str(tmp_path / "job4")
+    parts = ["0", "1"]
+    log1 = []
+    run_partitioned(out, parts, _compute_factory(log1), lambda p: f"v1:{p}")
+    assert log1 == parts
+    # same fingerprint -> no-op
+    log2 = []
+    run_partitioned(out, parts, _compute_factory(log2), lambda p: f"v1:{p}")
+    assert log2 == []
+    # changed fingerprint for one partition -> only that one recomputes
+    log3 = []
+    run_partitioned(out, parts, _compute_factory(log3),
+                    lambda p: f"v2:{p}" if p == "1" else f"v1:{p}")
+    assert log3 == ["1"]
+    done = CheckpointManifest(out).completed()
+    assert done["1"]["input_fingerprint"] == "v2:1"
+    assert done["0"]["input_fingerprint"] == "v1:0"
+
+
+def test_concurrent_run_matches_sequential(tmp_path):
+    out_a = str(tmp_path / "seq")
+    out_b = str(tmp_path / "conc")
+    parts = [str(i) for i in range(8)]
+    run_partitioned(out_a, parts, _compute_factory([]))
+    run_partitioned(out_b, parts, _compute_factory([]), max_concurrency=4)
+    ta, tb = read_output(out_a), read_output(out_b)
+    assert sorted(ta.to_pylist(), key=str) == sorted(tb.to_pylist(), key=str)
+    da = CheckpointManifest(out_a).completed()
+    db = CheckpointManifest(out_b).completed()
+    assert {p: d["content_hash"] for p, d in da.items()} == {
+        p: d["content_hash"] for p, d in db.items()
+    }
