@@ -230,6 +230,20 @@ def _num_join_partitions(cap: int = 64) -> int:
     return max(2, min(cap, cpus))
 
 
+def _mix64(h: np.ndarray) -> np.ndarray:
+    """Murmur3 64-bit finalizer — a BIJECTION on uint64 (preserves set
+    cardinalities and intersections exactly) that avalanches low-bit
+    differences across the whole word."""
+    h = h.copy()
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xFF51AFD7ED558CCD)
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(0xC4CEB9FE1A85EC53)
+        h ^= h >> np.uint64(33)
+    return h
+
+
 def _segment_unique(h: np.ndarray, off: np.ndarray):
     """Per-segment unique values of a ragged array: one lexsort + adjacent
     dedupe (fully vectorized).  Returns (values, segment_of_value,
@@ -287,18 +301,18 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
     """
     import ray
 
-    # distinct candidate doc ids (bounded by the pair graph)
-    flat = pairs_ds.map_batches(
-        lambda t: pa.table(
-            {"cid": pa.concat_arrays(
-                [t["id_a"].combine_chunks(), t["id_b"].combine_chunks()]
-            )}
-        ),
-        batch_format="pyarrow",
-    )
-    cand_ids = np.sort(np.asarray(flat.unique("cid"), dtype=np.int64))
-    if cand_ids.size == 0:
+    # distinct candidate doc ids (bounded by the pair graph).  One pull of
+    # the pair blocks — callers pass a materialized candidate set, so this
+    # does not re-execute the upstream pipeline.
+    ptabs = [t for t in ray.get(pairs_ds.to_arrow_refs()) if t.num_rows]
+    if not ptabs:
         return pairs_ds.limit(0)
+    pt = pa.concat_tables([t.select(["id_a", "id_b"]) for t in ptabs])
+    cand_ids = np.unique(
+        np.concatenate(
+            [np.asarray(pt["id_a"], dtype=np.int64), np.asarray(pt["id_b"], dtype=np.int64)]
+        )
+    )
     ids_ref = ray.put(cand_ids)
 
     def semi(t: pa.Table) -> pa.Table:
@@ -326,6 +340,11 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
         order = np.argsort(tid, kind="stable")
         texts_sorted = tt[text_col].combine_chunks().take(pa.array(order))
         h, off = _shingle_hashes(texts_sorted, k)
+        # avalanche-mix BEFORE uniquing: the rolling polynomial concentrates
+        # shingle differences in the LOW bits, so the verify's truncated-key
+        # sort would systematically collide; the murmur3 finalizer is a
+        # bijection on uint64 (set semantics identical) with random top bits
+        h = _mix64(h)
         uh, us, ucounts = _segment_unique(h, off)
         uoff = np.concatenate([[0], np.cumsum(ucounts)])
         lookup_ref = ray.put((tid[order], uh, uoff))
@@ -340,24 +359,40 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
             pb_pos = np.searchsorted(ids_sorted, b)
             la = uoff_[pa_pos + 1] - uoff_[pa_pos]
             lb = uoff_[pb_pos + 1] - uoff_[pb_pos]
-            # gather each pair's two unique-hash segments into flat arrays
-            ga_pair, ga_k = repeat_expand(la)
-            gb_pair, gb_k = repeat_expand(lb)
-            ha = uh_[uoff_[pa_pos][ga_pair] + ga_k]
-            hb = uh_[uoff_[pb_pos][gb_pair] + gb_k]
-            hh = np.concatenate([ha, hb])
-            ss = np.concatenate([ga_pair, gb_pair])
-            side = np.concatenate(
-                [np.zeros(ha.size, np.int8), np.ones(hb.size, np.int8)]
-            )
-            o = np.lexsort((side, hh, ss))
-            hh, ss = hh[o], ss[o]
-            dup = (hh[1:] == hh[:-1]) & (ss[1:] == ss[:-1]) if hh.size else np.empty(0, bool)
-            inter = np.bincount(ss[1:][dup], minlength=a.size).astype(np.int64)
-            union = la + lb - inter
-            jac = np.ones(a.size, np.float64)
-            nz = union > 0
-            jac[nz] = inter[nz] / union[nz]
+            # EXACT prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|) — pairs
+            # whose unique-shingle counts differ too much cannot reach the
+            # threshold (drops ~60% of LSH candidates here for free)
+            lo = np.minimum(la, lb).astype(np.float64)
+            hi = np.maximum(la, lb).astype(np.float64)
+            maybe = np.ones(a.size, dtype=bool)
+            np.divide(lo, hi, out=lo, where=hi > 0)
+            maybe &= np.where(hi > 0, lo >= threshold, True)
+            jac = np.zeros(a.size, np.float64)
+            jac[(la == 0) & (lb == 0)] = 1.0  # both empty => 1.0
+            m = np.flatnonzero(maybe & (hi > 0))
+            if m.size:
+                pa_m, pb_m = pa_pos[m], pb_pos[m]
+                la_m, lb_m = la[m], lb[m]
+                ga_pair, ga_k = repeat_expand(la_m)
+                gb_pair, gb_k = repeat_expand(lb_m)
+                ha = uh_[uoff_[pa_m][ga_pair] + ga_k]
+                hb = uh_[uoff_[pb_m][gb_pair] + gb_k]
+                # single-key sort: (pair_idx << 45) | (hash >> 20 << 1) | side
+                # — 44 hash bits keep per-pair collision odds ~|A||B|/2^44;
+                # one uint64 sort is ~3x a 3-key lexsort
+                hh = np.concatenate([ha, hb])
+                ss = np.concatenate([ga_pair, gb_pair]).astype(np.uint64)
+                side = np.empty(hh.size, np.uint64)
+                side[: ha.size] = 0
+                side[ha.size :] = 1
+                with np.errstate(over="ignore"):
+                    key = (ss << np.uint64(45)) | ((hh >> np.uint64(20)) << np.uint64(1)) | side
+                key.sort()
+                dup = (key[1:] >> np.uint64(1)) == (key[:-1] >> np.uint64(1))
+                seg = (key[1:] >> np.uint64(45)).astype(np.int64)
+                inter = np.bincount(seg[dup], minlength=m.size).astype(np.int64)
+                union = la_m + lb_m - inter
+                jac[m] = inter / union
             return t.filter(pa.array(jac >= threshold, pa.bool_())).select(["id_a", "id_b"])
 
         return pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=4096)

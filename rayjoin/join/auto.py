@@ -19,12 +19,23 @@ DEFAULT_BROADCAST_ROWS = 2_000_000
 
 
 def _rows_of(ds) -> int:
+    """Row count for plan selection.  For Datasets, prefer the metadata
+    count (free for file-backed inputs); ``count()`` on a lazy transformed
+    pipeline would execute the whole upstream once just to pick a plan and
+    then re-execute it for the join (ADVICE r1) — callers with expensive
+    inputs should pass ``small_rows_hint`` instead."""
     import pyarrow as pa
 
     if isinstance(ds, pa.Table):
         return ds.num_rows
     if isinstance(ds, (list, tuple)):
         return len(ds)
+    try:
+        n = ds._meta_count()
+        if n is not None:
+            return n
+    except Exception:
+        pass
     return ds.count()
 
 
@@ -41,12 +52,14 @@ def _as_dataset(x):
 
 def spatial_join(big, small, interaction: Interaction, config: Config = Config(),
                  broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
-                 target_cells: int = 1024, **kwargs):
+                 target_cells: int = 1024, small_rows_hint: int | None = None,
+                 **kwargs):
     """Dataset[big_row_id, small_row_id]; plan picked by small-side size."""
     from .broadcast import SpatialIndex
     from .partitioned import partitioned_spatial_join
 
-    if _rows_of(small) <= broadcast_threshold_rows:
+    n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
+    if n <= broadcast_threshold_rows:
         return SpatialIndex(small, config, **kwargs).spatial_join(big, interaction)
     return partitioned_spatial_join(
         _as_dataset(big), _as_dataset(small), interaction, config, target_cells
@@ -55,13 +68,33 @@ def spatial_join(big, small, interaction: Interaction, config: Config = Config()
 
 def proximity_map(big, small, config: Config,
                   broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
-                  target_cells: int = 1024, **kwargs):
+                  target_cells: int = 1024, small_rows_hint: int | None = None,
+                  **kwargs):
     """Dataset[big_row_id, small_row_id, distance]; plan picked by size."""
     from .broadcast import SpatialIndex
     from .partitioned import partitioned_proximity_map
 
-    if _rows_of(small) <= broadcast_threshold_rows:
+    n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
+    if n <= broadcast_threshold_rows:
         return SpatialIndex(small, config, **kwargs).proximity_map(big)
     return partitioned_proximity_map(
         _as_dataset(big), _as_dataset(small), config, target_cells
+    )
+
+
+def knn_join(big, small, k: int, max_distance: float = float("inf"),
+             broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+             target_cells: int = 1024, small_rows_hint: int | None = None,
+             **kwargs):
+    """Dataset[big_row_id, small_row_id, distance, rank]; broadcast kNN when
+    the small side fits, the two-phase partitioned plan otherwise."""
+    from .broadcast import SpatialIndex
+    from .partitioned import partitioned_knn_join
+
+    n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
+    if n <= broadcast_threshold_rows:
+        return SpatialIndex(small, **kwargs).knn_join(big, k=k, max_distance=max_distance)
+    return partitioned_knn_join(
+        _as_dataset(big), _as_dataset(small), k=k, max_distance=max_distance,
+        target_cells=target_cells,
     )

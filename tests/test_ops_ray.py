@@ -416,3 +416,25 @@ def test_embedding_dups_bucketed_vs_bruteforce():
     assert list(map(tuple, got[["id_a", "id_b"]].to_numpy())) == want
     assert len(want) == 10  # exactly the planted pairs
     assert all(b - a == PLANTED_DUP_OFFSET for a, b in want)
+
+
+def test_wkb_roundtrip():
+    """WKB parity with the reference datagen (gen_test.py writes .wkb):
+    exact coordinate round-trip; WKT and WKB agree on the decoded shape."""
+    from rayjoin.fixtures import mixed_random
+    from rayjoin.geom import wkb, wkt
+
+    for g in mixed_random(40, seed=17):
+        buf = wkb.to_wkb(g)
+        g2 = wkb.from_wkb(buf)
+        p = spec.Point(0.321, -0.654)
+        assert spec.distance(g, p) == pytest.approx(spec.distance(g2, p), abs=1e-12)
+        assert spec.envelope(g) == pytest.approx(spec.envelope(g2))
+        # wkb and wkt decode to the same geometry (exact coords, no text
+        # round-off: WKB is binary doubles)
+        g3 = wkt.from_wkt(wkt.to_wkt(g))
+        assert spec.envelope(g2) == pytest.approx(spec.envelope(g3))
+    assert wkb.from_wkb(wkb.to_wkb(spec.Point(1.0, 2.0))) == spec.Point(1.0, 2.0)
+    import struct
+    with pytest.raises(ValueError):
+        wkb.from_wkb(struct.pack("<BIdd", 1, 4, 0.0, 0.0))  # MULTIPOINT: unsupported
