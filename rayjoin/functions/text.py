@@ -86,6 +86,100 @@ class LangId:
         return out.append_column("lang_guess", pa.array(guess.tolist(), pa.string()))
 
 
+# BPE-ish pre-tokenizer: word / number / single punctuation runs.  Both
+# Arrow and DuckDB evaluate RE2, so the SQL oracle reproduces the counts
+# exactly (regexp_extract_all twin in pipelines/gate.py).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_stats_regex(batch: pa.Table, *, text_col: str = "text",
+                      pattern: str = BPE_TOKEN_RE) -> pa.Table:
+    """Regex token counting (the driver brief's 'BPE-ish regex' variant):
+    one vectorized RE2 pass per batch via pc.count_substring_regex."""
+    text = batch[text_col]
+    n = pc.count_substring_regex(text, pattern=pattern)
+    out = batch.drop_columns([text_col])
+    return out.append_column("n_regex_tokens", pc.cast(n, pa.int64()))
+
+
+def token_hash_sets(batch: pa.Table, *, text_col: str = "text", n: int = 1):
+    """Per-doc sorted-unique 64-bit hashes of whitespace-token n-grams
+    (n=1: token set; n>1: rolling n-gram combine).  Returns (hashes list
+    column, counts) ready for set-similarity joins."""
+    from ..stages.geocode import fnv1a64
+    from .dedup import _mix64, _segment_unique
+
+    text = batch[text_col].combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    flat = toks.flatten() if hasattr(toks, "flatten") else pc.list_flatten(toks)
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    th = _mix64(fnv1a64(flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat))
+    if n > 1:
+        # rolling combine over token hashes within each doc; n-gram count
+        # per doc = max(len - n + 1, 0)
+        off = np.concatenate([[0], np.cumsum(lens)])
+        counts = np.maximum(lens - n + 1, 0)
+        with np.errstate(over="ignore"):
+            h = np.zeros(max(th.size - n + 1, 0), dtype=np.uint64)
+            for j in range(n):
+                h = h * np.uint64(1099511628211) ^ th[j : th.size - n + 1 + j]
+        from ..geom.primitives import repeat_expand
+
+        gid, k = repeat_expand(counts)
+        th = h[off[:-1][gid] + k] if h.size else np.empty(0, np.uint64)
+        lens = counts
+    doc_off = np.concatenate([[0], np.cumsum(lens)])
+    uh, us, ucounts = _segment_unique(th, doc_off)
+    uoff32 = (np.concatenate([[0], np.cumsum(ucounts)]) * 8).astype(np.int32)
+    # encode each doc's sorted-unique hash set as a BINARY blob: hash-join
+    # carry-through supports binary but not list columns (Acero), and the
+    # decode back to uint64 is a zero-copy frombuffer
+    blobs = pa.Array.from_buffers(
+        pa.binary(), ucounts.size,
+        [None, pa.py_buffer(uoff32.tobytes()), pa.py_buffer(uh.tobytes())],
+    )
+    return blobs, ucounts
+
+
+def _binary_u64(col):
+    """(flat uint64 values, per-row counts) from a binary hash-set column."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    n = len(arr)
+    bufs = arr.buffers()
+    off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1 + arr.offset)[
+        arr.offset : arr.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint64) if bufs[2] is not None else np.empty(0, np.uint64)
+    vals = data[off[0] // 8 : off[-1] // 8]
+    lens = (off[1:] - off[:-1]) // 8
+    return vals, lens
+
+
+def jaccard_hash_lists(col_a, col_b) -> tuple:
+    """(inter, union) int64 arrays for row-aligned binary hash-set columns
+    (from ``token_hash_sets``; each row's set sorted unique).  One merged
+    sort per batch."""
+    va, la = _binary_u64(col_a)
+    vb, lb = _binary_u64(col_b)
+    nrows = la.size
+    seg = np.concatenate(
+        [np.repeat(np.arange(nrows, dtype=np.int64), la),
+         np.repeat(np.arange(nrows, dtype=np.int64), lb)]
+    ).astype(np.uint64)
+    hh = np.concatenate([va, vb])
+    side = np.empty(hh.size, np.uint64)
+    side[: va.size] = 0
+    side[va.size :] = 1
+    with np.errstate(over="ignore"):
+        key = (seg << np.uint64(45)) | ((hh >> np.uint64(20)) << np.uint64(1)) | side
+    key.sort()
+    dup = (key[1:] >> np.uint64(1)) == (key[:-1] >> np.uint64(1))
+    s = (key[1:] >> np.uint64(45)).astype(np.int64)
+    inter = np.bincount(s[dup], minlength=nrows).astype(np.int64)
+    union = la + lb - inter
+    return inter, union
+
+
 def fingerprint(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """64-bit FNV-1a document fingerprint (rolling content hash)."""
     from ..stages.geocode import fnv1a64

@@ -66,6 +66,29 @@ def to_wkb(g) -> bytes:
     raise AssertionError(f"unknown kind {k}")
 
 
+_WKB_GEOMETRYCOLLECTION = 7
+
+
+def collection_from_wkb(buf: bytes) -> List:
+    """Parse a wkbGeometryCollection(7) into the ordered geometry list
+    (the reference's .wkb datagen shape); a bare geometry parses as a
+    1-element collection."""
+    (endian,) = struct.unpack_from("<B", buf, 0)
+    fmt = "<" if endian == 1 else ">"
+    (code,) = struct.unpack_from(fmt + "I", buf, 1)
+    if code != _WKB_GEOMETRYCOLLECTION:
+        return [from_wkb(buf)]
+    (n,) = struct.unpack_from(fmt + "I", buf, 5)
+    off = 9
+    out = []
+    for _ in range(n):
+        g, off = _parse(buf, off)
+        out.append(g)
+    if off != len(buf):
+        raise ValueError(f"trailing bytes after WKB collection: {len(buf) - off}")
+    return out
+
+
 def from_wkb(buf: bytes):
     """WKB bytes -> spec geometry (Point / Line / LineString / Polygon).
     Unsupported geometry types raise ValueError, matching the reference's

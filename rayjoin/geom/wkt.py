@@ -56,6 +56,32 @@ def _parse_pts(body: str) -> List[tuple]:
     return pts
 
 
+def collection_from_wkt(s: str) -> List:
+    """Parse a ``GEOMETRYCOLLECTION (...)`` into the ordered geometry list —
+    the exact shape the reference's datagen writes (one shapely
+    GeometryCollection per .wkt file, /root/reference/src/gen_test.py:25-33);
+    the element POSITION is the reference's row identity.  A bare geometry
+    parses as a 1-element collection."""
+    s = s.strip()
+    m = re.match(r"(?i)^GEOMETRYCOLLECTION\s*\((.*)\)$", s, re.S)
+    if not m:
+        return [from_wkt(s)]
+    body = m.group(1)
+    out, depth, start = [], 0, 0
+    for i, ch in enumerate(body):
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(from_wkt(body[start:i]))
+            start = i + 1
+    tail = body[start:].strip()
+    if tail:
+        out.append(from_wkt(tail))
+    return out
+
+
 def from_wkt(s: str):
     s = s.strip()
     m = re.match(r"(?i)^(POINT|LINESTRING|POLYGON)\s*\((.*)\)$", s, re.S)

@@ -629,6 +629,87 @@ def sql_lang_id() -> str:
     )
 
 
+def q_token_regex(sf_dir: str):
+    """BPE-ish regex token counting (RE2 on both engines -> exact parity)."""
+    import ray.data
+
+    from ..functions.text import token_stats_regex
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return docs.map_batches(token_stats_regex, batch_format="pyarrow")
+
+
+def sql_token_regex() -> str:
+    from ..functions.text import BPE_TOKEN_RE
+
+    # DuckDB standard strings take backslashes literally — escape quotes only
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    return (
+        f"SELECT doc_id, CAST(coalesce(array_length(regexp_extract_all(text, '{pat}')), 0) "
+        f"AS BIGINT) AS n_regex_tokens FROM documents"
+    )
+
+
+def q_ngram_jaccard(sf_dir: str):
+    """Token-set Jaccard of consecutive doc pairs (doc_id, doc_id+1): each
+    doc's distinct whitespace-token set is hashed per batch; the pair
+    co-location is one Dataset.join hash join; inter/union counted with one
+    merged sort per batch (the n-gram Jaccard operator of the training-data
+    battery, n=1 for SQL-checkability; n>1 pinned in pytest)."""
+    import ray.data
+
+    from ..functions.dedup import _num_join_partitions
+    from ..functions.text import jaccard_hash_lists, token_hash_sets
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        lists, _ = token_hash_sets(t)
+        return pa.table({"doc_id": t["doc_id"], "toks": lists})
+
+    sets = docs.map_batches(prep, batch_format="pyarrow")
+    right = sets.map_batches(
+        lambda t: pa.table(
+            {"pair_key": pc.add(t["doc_id"], -1), "toks_b": t["toks"]}
+        ),
+        batch_format="pyarrow",
+    )
+    left = sets.map_batches(
+        lambda t: t.rename_columns(["pair_key", "toks"]), batch_format="pyarrow"
+    )
+    j = left.join(right, "inner", _num_join_partitions(), on=("pair_key",))
+
+    def jac(t: pa.Table) -> pa.Table:
+        inter, union = jaccard_hash_lists(t["toks"], t["toks_b"])
+        doc_a = np.asarray(t["pair_key"].combine_chunks(), dtype=np.int64)
+        return pa.table(
+            {
+                "doc_a": pa.array(doc_a, pa.int64()),
+                "doc_b": pa.array(doc_a + 1, pa.int64()),
+                "inter": pa.array(inter, pa.int64()),
+                "uni": pa.array(union, pa.int64()),
+                "jac_milli": pa.array(
+                    1000 * inter // np.maximum(union, 1), pa.int64()
+                ),
+            }
+        )
+
+    return j.map_batches(jac, batch_format="pyarrow")
+
+
+SQL_NGRAM_JACCARD = """
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(array_length(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+       CAST(array_length(list_distinct(list_concat(a.toks, b.toks))) AS BIGINT) AS uni,
+       CAST(1000 * array_length(list_intersect(a.toks, b.toks))
+            // GREATEST(array_length(list_distinct(list_concat(a.toks, b.toks))), 1)
+            AS BIGINT) AS jac_milli
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     import ray.data
 
@@ -1042,6 +1123,8 @@ def build_queries():
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
+        "token_regex": q_token_regex,
+        "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
         "near_dup_drop_list": q_near_dup_drop_list,
         "simhash": q_simhash,
@@ -1079,6 +1162,8 @@ def build_queries():
         "token_stats": SQL_TOKEN_STATS,
         "quality_score": SQL_QUALITY,
         "lang_id": sql_lang_id(),
+        "token_regex": sql_token_regex(),
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
         "ann_cosine": SQL_ANN,
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_orders_customer": SQL_JOIN_ORDERS,

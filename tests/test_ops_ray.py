@@ -438,3 +438,76 @@ def test_wkb_roundtrip():
     import struct
     with pytest.raises(ValueError):
         wkb.from_wkb(struct.pack("<BIdd", 1, 4, 0.0, 0.0))  # MULTIPOINT: unsupported
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geomfile_sources_roundtrip_and_join(tmp_path):
+    """Reference-datagen-shaped .wkt/.wkb collection files load into the
+    wire format with positional row ids, and a join over them equals the
+    direct-table join."""
+    import ray.data
+
+    from rayjoin.config import Interaction
+    from rayjoin.fixtures import mixed_random
+    from rayjoin.geom import encode, wkb, wkt
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.sources.geomfiles import read_wkb, read_wkt
+
+    geoms = mixed_random(30, seed=21)
+    # one GeometryCollection per file, like gen_test.py
+    (tmp_path / "a.wkt").write_text(
+        "GEOMETRYCOLLECTION (" + ", ".join(wkt.to_wkt(g) for g in geoms) + ")"
+    )
+    import struct
+
+    body = b"".join(wkb.to_wkb(g) for g in geoms)
+    (tmp_path / "a.wkb").write_bytes(struct.pack("<BII", 1, 7, len(geoms)) + body)
+
+    for reader, path in ((read_wkt, "a.wkt"), (read_wkb, "a.wkb")):
+        ds = reader(str(tmp_path / path))
+        t = pa.concat_tables(
+            [b for b in ds.iter_batches(batch_format="pyarrow")]
+        ).sort_by("row_id")
+        assert t["row_id"].to_pylist() == list(range(30))  # positional ids
+        # geometry table drives the same join as the direct encode
+        direct = encode.geoms_to_table(geoms)
+        got = (
+            SpatialIndex(direct).spatial_join(ds, Interaction.INTERSECTS).to_pandas()
+        )
+        want = (
+            SpatialIndex(direct)
+            .spatial_join(ray.data.from_arrow(direct), Interaction.INTERSECTS)
+            .to_pandas()
+        )
+        key = ["big_row_id", "small_row_id"]
+        assert sorted(map(tuple, got[key].to_numpy().tolist())) == sorted(
+            map(tuple, want[key].to_numpy().tolist())
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_ngram_jaccard_vs_scalar():
+    """token_hash_sets + jaccard_hash_lists == scalar token-n-gram Jaccard
+    for n = 1, 2, 3."""
+    from rayjoin.functions.text import jaccard_hash_lists, token_hash_sets
+
+    rng = np.random.default_rng(9)
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    docs = [" ".join(rng.choice(words, rng.integers(1, 25))) for _ in range(30)]
+    t = pa.table({"text": pa.array(docs)})
+    for n in (1, 2, 3):
+        lists, counts = token_hash_sets(t, n=n)
+        tb = pa.table({"x": lists})
+        a = tb["x"].combine_chunks().take(pa.array(np.arange(15)))
+        b = tb["x"].combine_chunks().take(pa.array(np.arange(15, 30)))
+        inter, union = jaccard_hash_lists(a, b)
+
+        def grams(s):
+            toks = s.split(" ")
+            return {tuple(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))}
+
+        for i in range(15):
+            sa, sb = grams(docs[i]), grams(docs[15 + i])
+            assert counts[i] == len(grams(docs[i]))
+            assert inter[i] == len(sa & sb), (n, i)
+            assert union[i] == len(sa | sb), (n, i)
