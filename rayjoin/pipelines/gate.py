@@ -936,6 +936,119 @@ GROUP BY c.c_mktsegment
 """
 
 
+def q_join_orders_customer_shuffle(sf_dir: str):
+    """Same orders-x-customer rollup through the SHUFFLE hash-join path
+    (Dataset.join) instead of the broadcast lookup — the two-large-sides
+    plan for relational joins; same oracle SQL, rows must hash-match."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.dedup import _num_join_partitions
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+    j = orders.join(
+        cust, "inner", _num_join_partitions(), on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"segment": t["c_mktsegment"], "price_cents": cents})
+
+    return (
+        j.map_batches(prep, batch_format="pyarrow")
+        .groupby("segment")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents"))
+    )
+
+
+def q_corpus_clean(sf_dir: str):
+    """End-to-end training-corpus cleaning composite: quality features ->
+    threshold filter -> exact dedup (keep min doc_id per text) -> per-lang
+    survivor counts.  Every stage deterministic and SQL-expressible, so the
+    whole composed pipeline is hash-checked."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..functions.dedup import add_content_hash
+    from ..functions.text import quality_score
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        q = quality_score(t.select(["doc_id", "text"]))
+        t = add_content_hash(t)
+        keep = pc.and_(
+            pc.greater_equal(q["mean_token_len_milli"], 2000),
+            pc.greater_equal(q["n_tokens"], 5),
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "content_hash": t["content_hash"],
+            }
+        ).filter(keep)
+
+    filtered = docs.map_batches(prep, batch_format="pyarrow")
+
+    # exact dedup on the filtered set: min doc_id per content hash, then
+    # count survivors per lang.  Partial min per batch -> small groupby.
+    def partial_min(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas().groupby("content_hash", as_index=False).agg(
+            doc_id=("doc_id", "min"), lang=("lang", "first")
+        )
+        return pa.Table.from_pandas(df[["content_hash", "doc_id", "lang"]],
+                                    preserve_index=False)
+
+    from ray.data.aggregate import Min
+
+    kept = (
+        filtered.map_batches(partial_min, batch_format="pyarrow")
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+    )
+    # re-attach lang by doc_id (broadcast of the filtered lang map is
+    # avoided: lang rides the hash via a second groupby-free pass — join
+    # kept doc ids back to the filtered rows)
+    from ..functions.dedup import _num_join_partitions
+
+    j = kept.join(
+        filtered.map_batches(
+            lambda t: t.select(["doc_id", "lang"]), batch_format="pyarrow"
+        ),
+        "inner",
+        _num_join_partitions(),
+        on=("doc_id",),
+    )
+    return j.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+
+SQL_CORPUS_CLEAN = """
+WITH q AS (
+  SELECT doc_id, text, lang,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents),
+f AS (
+  SELECT doc_id, text, lang FROM q
+  WHERE (1000 * (n_chars - (n_tokens - 1))) // GREATEST(n_tokens, 1) >= 2000
+    AND n_tokens >= 5),
+k AS (SELECT MIN(doc_id) AS doc_id FROM f GROUP BY text)
+SELECT f.lang AS lang, COUNT(*) AS n_docs
+FROM k JOIN f ON k.doc_id = f.doc_id
+GROUP BY f.lang
+"""
+
+
 def q_window_events(sf_dir: str):
     """Tumbling 1-hour event-time windows per event_type."""
     import ray.data
@@ -1134,6 +1247,8 @@ def build_queries():
         "embedding_dups": q_embedding_dups,
         "agg_lineitem": q_agg_lineitem,
         "join_orders_customer": q_join_orders_customer,
+        "join_orders_customer_shuffle": q_join_orders_customer_shuffle,
+        "corpus_clean": q_corpus_clean,
         "window_events": q_window_events,
         "sessionize_events": q_sessionize_events,
         "semi_join_lineitem": q_semi_join_lineitem,
@@ -1167,6 +1282,8 @@ def build_queries():
         "ann_cosine": SQL_ANN,
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_orders_customer": SQL_JOIN_ORDERS,
+        "join_orders_customer_shuffle": SQL_JOIN_ORDERS,
+        "corpus_clean": SQL_CORPUS_CLEAN,
         "window_events": SQL_WINDOW,
         "sessionize_events": SQL_SESSIONIZE,
         "semi_join_lineitem": SQL_SEMI_JOIN,
