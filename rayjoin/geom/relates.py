@@ -44,7 +44,7 @@ from .spec import LINE, LINESTRING, POINT, POLYGON, RECT, TRIANGLE, DIMENSIONS
 OUTSIDE, INSIDE, ON_BOUNDARY = 0, 1, 2
 
 # max expanded rows per evaluation chunk
-_CHUNK_LIMIT = 4_000_000
+_CHUNK_LIMIT = 1_000_000  # smaller temporaries: marginally faster and less THP-compaction exposure
 
 
 # ---------------------------------------------------------------------------

@@ -1079,6 +1079,135 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+def q_sliding_window(sf_dir: str):
+    """Hopping (sliding) event-time windows: 2-hour windows every 1 hour —
+    each event lands in 2 windows via a vectorized flat expansion, then one
+    groupby; the SQL twin cross-joins a 2-row offset table."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    hour_us = 3_600_000_000
+
+    def expand(t: pa.Table) -> pa.Table:
+        hour = pc.cast(pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.timestamp("us")), pa.int64())
+        milli = pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64())
+        h = np.asarray(hour.combine_chunks() if isinstance(hour, pa.ChunkedArray) else hour)
+        m = np.asarray(milli.combine_chunks() if isinstance(milli, pa.ChunkedArray) else milli)
+        et = t["event_type"].combine_chunks()
+        n = len(h)
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), 2))
+        offs = np.tile(np.array([0, hour_us], dtype=np.int64), n)
+        win = np.repeat(h, 2) - offs
+        return pa.table(
+            {
+                "event_type": et.take(idx),
+                "win_start": pa.array(win, pa.int64()).cast(pa.timestamp("us")),
+                "value_milli": pa.array(np.repeat(m, 2), pa.int64()),
+            }
+        )
+
+    return (
+        ev.map_batches(expand, batch_format="pyarrow")
+        .groupby(["event_type", "win_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_milli", alias_name="sum_value_milli"))
+    )
+
+
+SQL_SLIDING = """
+SELECT event_type,
+       date_trunc('hour', ts) - o.k * INTERVAL '1 hour' AS win_start,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_value_milli
+FROM events CROSS JOIN (VALUES (0), (1)) o(k)
+GROUP BY event_type, win_start
+"""
+
+
+def q_topk_per_segment(sf_dir: str):
+    """Per-group top-k: the 3 highest-value orders per customer market
+    segment (ties by o_orderkey) — groupby + per-group vectorized head."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    ck = np.asarray(cust["c_custkey"], np.int64)
+    order = np.argsort(ck, kind="stable")
+    seg_dict = cust["c_mktsegment"].combine_chunks().dictionary_encode()
+    ref = ray.put(
+        (ck[order], np.asarray(seg_dict.indices, np.int32)[order], seg_dict.dictionary)
+    )
+
+    def enrich(t: pa.Table) -> pa.Table:
+        keys_sorted, seg_idx, seg_vals = ray.get(ref)
+        keys = np.asarray(t["o_custkey"].combine_chunks(), dtype=np.int64)
+        pos = np.searchsorted(keys_sorted, keys)
+        seg = pa.DictionaryArray.from_arrays(pa.array(seg_idx[pos]), seg_vals)
+        cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "segment": pc.cast(seg, pa.string()),
+                "o_orderkey": t["o_orderkey"],
+                "price_cents": cents,
+            }
+        )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+    def topk(t: pa.Table) -> pa.Table:
+        cents = np.asarray(t["price_cents"].combine_chunks(), dtype=np.int64)
+        okey = np.asarray(t["o_orderkey"].combine_chunks(), dtype=np.int64)
+        sel = np.lexsort((okey, -cents))[:3]
+        out = t.take(pa.array(sel))
+        return out.append_column("rk", pa.array(np.arange(1, sel.size + 1), pa.int64()))
+
+    return (
+        orders.map_batches(enrich, batch_format="pyarrow")
+        .groupby("segment")
+        .map_groups(topk, batch_format="pyarrow")
+    )
+
+
+SQL_TOPK_SEGMENT = """
+WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100.0) AS BIGINT) AS price_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY segment
+                               ORDER BY price_cents DESC, o_orderkey) AS rk
+  FROM j)
+SELECT segment, o_orderkey, price_cents, rk FROM r WHERE rk <= 3
+"""
+
+
+def q_zonal_stats(sf_dir: str):
+    """Zonal statistics (raster->vector composition): rasterize triangles,
+    then per-geometry tile count + min tile id in one groupby."""
+    from ray.data.aggregate import Count, Min
+
+    from .raster import rasterize
+
+    tris = _from_arrow(tris_geom_table(sf_dir), 4)
+    return rasterize(tris, resolution=8).groupby("geom_row_id").aggregate(
+        Count(alias_name="n_tiles"), Min("tile_id", alias_name="min_tile")
+    )
+
+
+def sql_zonal_stats() -> str:
+    return (
+        "WITH r AS (" + sql_rasterize() + ") "
+        "SELECT geom_row_id, COUNT(*) AS n_tiles, MIN(tile_id) AS min_tile "
+        "FROM r GROUP BY geom_row_id"
+    )
+
+
 def q_sessionize_events(sf_dir: str):
     """Session windows per user (gap > 30 min starts a new session)."""
     import ray.data
@@ -1250,6 +1379,9 @@ def build_queries():
         "join_orders_customer_shuffle": q_join_orders_customer_shuffle,
         "corpus_clean": q_corpus_clean,
         "window_events": q_window_events,
+        "sliding_window": q_sliding_window,
+        "topk_per_segment": q_topk_per_segment,
+        "zonal_stats": q_zonal_stats,
         "sessionize_events": q_sessionize_events,
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
@@ -1285,6 +1417,9 @@ def build_queries():
         "join_orders_customer_shuffle": SQL_JOIN_ORDERS,
         "corpus_clean": SQL_CORPUS_CLEAN,
         "window_events": SQL_WINDOW,
+        "sliding_window": SQL_SLIDING,
+        "topk_per_segment": SQL_TOPK_SEGMENT,
+        "zonal_stats": sql_zonal_stats().format(tri=tri),
         "sessionize_events": SQL_SESSIONIZE,
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
