@@ -70,6 +70,73 @@ class DecodeImage:
         )
 
 
+class ResizeImage:
+    """Actor-pool resize stage (codec-stubbed like DecodeImage): emits the
+    target dimensions plus a payload whose bytes are the deterministic fake
+    'resample' (a strided slice of the source payload) — schema and batch
+    plumbing real, pixel math behind the stub boundary."""
+
+    def __init__(self, *, out_w: int = 64, out_h: int = 64, fake: bool = False):
+        self.out_w = out_w
+        self.out_h = out_h
+        self.pil = _try_import_pil()
+        if self.pil is None and not fake:
+            raise NotImplementedError(
+                "no image codec in this environment; construct with fake=True"
+            )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = len(payloads)
+        target = max(self.out_w * self.out_h // 64, 1)
+        resized = [
+            (p or b"\0")[:: max(len(p or b"\0") // target, 1)] for p in payloads
+        ]
+        out = batch.drop_columns(
+            [c for c in ("payload", "width", "height") if c in batch.column_names]
+        )
+        out = out.append_column("payload", pa.array(resized, pa.binary()))
+        out = out.append_column("width", pa.array(np.full(n, self.out_w, np.int32), pa.int32()))
+        return out.append_column("height", pa.array(np.full(n, self.out_h, np.int32), pa.int32()))
+
+
+class AudioFeatures:
+    """Audio feature extraction: the fake decoder reads the payload bytes as
+    an int8 waveform (the codec boundary); the FEATURES are real vectorized
+    DSP over it — per-window RMS energy and zero-crossing counts."""
+
+    def __init__(self, *, window: int = 64, max_windows: int = 8, fake: bool = True):
+        if not fake:
+            raise NotImplementedError("no audio codec in this environment; fake=True only")
+        self.window = window
+        self.max_windows = max_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["media_id"].combine_chunks(), dtype=np.int64)
+        out_rms, out_zc, out_id, out_win = [], [], [], []
+        for mid, p in zip(ids, batch["payload"].to_pylist()):
+            wave = np.frombuffer(p or b"\0", dtype=np.int8).astype(np.float64)
+            nw = min(max(wave.size // self.window, 1), self.max_windows)
+            w = wave[: nw * self.window]
+            if w.size < nw * self.window:
+                w = np.pad(w, (0, nw * self.window - w.size))
+            W = w.reshape(nw, self.window)
+            out_rms.append(np.sqrt((W * W).mean(axis=1)))
+            out_zc.append((np.diff(np.signbit(W), axis=1) != 0).sum(axis=1))
+            out_id.append(np.full(nw, mid, np.int64))
+            out_win.append(np.arange(nw, dtype=np.int64))
+        return pa.table(
+            {
+                "media_id": pa.array(np.concatenate(out_id) if out_id else np.empty(0, np.int64), pa.int64()),
+                "window_no": pa.array(np.concatenate(out_win) if out_win else np.empty(0, np.int64), pa.int64()),
+                "rms": pa.array(np.concatenate(out_rms) if out_rms else np.empty(0, np.float64), pa.float64()),
+                "zero_crossings": pa.array(
+                    np.concatenate(out_zc).astype(np.int64) if out_zc else np.empty(0, np.int64), pa.int64()
+                ),
+            }
+        )
+
+
 class FrameSample:
     """Video frame-sampling stage stub: emits (media_id, frame_no) rows for a
     deterministic stride — plumbing-real, codec-stubbed."""

@@ -511,3 +511,48 @@ def test_ngram_jaccard_vs_scalar():
             assert counts[i] == len(grams(docs[i]))
             assert inter[i] == len(sa & sb), (n, i)
             assert union[i] == len(sa | sb), (n, i)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_multimodal_resize_and_audio():
+    import ray.data
+
+    from rayjoin.functions.multimodal import AudioFeatures, ResizeImage
+
+    n = 12
+    t = pa.table(
+        {
+            "media_id": pa.array(np.arange(n, dtype=np.int64)),
+            "payload": pa.array(
+                [bytes(range(256)) * (1 + i) for i in range(n)], pa.binary()
+            ),
+            "media_type": pa.array(["image"] * n),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    resized = ds.map_batches(
+        ResizeImage, fn_constructor_kwargs={"fake": True, "out_w": 32, "out_h": 32},
+        batch_format="pyarrow", batch_size=4, concurrency=2, num_cpus=1,
+    ).to_pandas()
+    assert len(resized) == n
+    assert (resized["width"] == 32).all() and (resized["height"] == 32).all()
+    # deterministic: same payload -> same resized bytes
+    r2 = ray.data.from_arrow(t).map_batches(
+        ResizeImage, fn_constructor_kwargs={"fake": True, "out_w": 32, "out_h": 32},
+        batch_format="pyarrow", batch_size=4, concurrency=2, num_cpus=1,
+    ).to_pandas()
+    assert list(resized.sort_values("media_id")["payload"]) == list(
+        r2.sort_values("media_id")["payload"]
+    )
+
+    audio = ds.map_batches(
+        AudioFeatures, fn_constructor_kwargs={"fake": True},
+        batch_format="pyarrow", batch_size=4, concurrency=2, num_cpus=1,
+    ).to_pandas()
+    assert (audio.groupby("media_id").size() <= 8).all()
+    assert (audio["rms"] >= 0).all()
+    # scalar spec check for one media row
+    w0 = np.frombuffer(bytes(range(256)), dtype=np.int8).astype(np.float64)[:64]
+    exp_rms = np.sqrt((w0 * w0).mean())
+    got = audio[(audio["media_id"] == 0) & (audio["window_no"] == 0)]["rms"].iloc[0]
+    assert got == pytest.approx(exp_rms, rel=1e-12)
