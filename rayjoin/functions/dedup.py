@@ -189,21 +189,32 @@ def minhash_dedup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     cands = bands_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
 
     # distinct BEFORE the (more expensive) verify: a pair can fire in several
-    # bands -> different buckets.  The candidate set is bounded by the pair
-    # graph (it survived LSH), so a single-partition dedupe beats a groupby
-    # shuffle; materialize so the two downstream consumers (candidate-id
-    # collection + verify) don't re-execute the signature pipeline, and
-    # re-spread so the verify parallelizes across workers.
-    cands = (
-        cands.repartition(1)
-        .map_batches(
-            lambda df: df.drop_duplicates(ignore_index=True),
-            batch_format="pandas",
-            batch_size=None,
+    # bands -> different buckets.  Materialize first so the count, the
+    # distinct, and the two downstream consumers (candidate-id collection +
+    # verify) never re-execute the signature pipeline.  Small candidate sets
+    # dedupe in one partition; large ones (high-dup corpora) via a
+    # vectorized groupby(id_a, id_b) shuffle instead of one giant block.
+    cands = cands.materialize()
+    if cands.count() <= 5_000_000:
+        cands = (
+            cands.repartition(1)
+            .map_batches(
+                lambda df: df.drop_duplicates(ignore_index=True),
+                batch_format="pandas",
+                batch_size=None,
+            )
+            .repartition(32)
+            .materialize()
         )
-        .repartition(32)
-        .materialize()
-    )
+    else:
+        from ray.data.aggregate import Count
+
+        cands = (
+            cands.groupby(["id_a", "id_b"])
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["id_a", "id_b"])
+            .materialize()
+        )
 
     # verify by joining candidate pairs back to (id, text) — never the
     # r1 driver-side full-corpus dict (VERDICT r1 #1)

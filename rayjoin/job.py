@@ -128,6 +128,7 @@ def run_job(sf_dir: str, out_dir: str, resolution: int = 10, shards: int = 8,
     )
     dt = time.time() - t0
     total_rows = sum(m["rows"] for m in manifest.values())
+    shard_secs = sorted(m["seconds"] for m in manifest.values())
     out = {
         "job": "geotile",
         "sf_dir": sf_dir,
@@ -136,6 +137,13 @@ def run_job(sf_dir: str, out_dir: str, resolution: int = 10, shards: int = 8,
         "rows": total_rows,
         "wall_sec": round(dt, 3),
         "rows_per_sec": round(total_rows / dt) if dt > 0 else None,
+        # per-partition throughput metrics from the manifest (north rule:
+        # every partition emits lineage + metrics)
+        "shard_sec_p50": shard_secs[len(shard_secs) // 2] if shard_secs else None,
+        "shard_sec_max": shard_secs[-1] if shard_secs else None,
+        "shard_rows_per_sec_min": min(
+            (m["rows_per_sec"] for m in manifest.values()), default=None
+        ),
         "complete": len(manifest) == shards,
     }
     print(json.dumps(out))

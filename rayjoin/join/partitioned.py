@@ -418,6 +418,13 @@ def partitioned_knn_join(big, small, *, k: int, max_distance: float = float("inf
         if small_t.num_rows >= k:
             sg = GeomBatch.from_arrow(small_t)
             fv_s = sg.xy[sg.geom_vert_start(np.arange(sg.n, dtype=np.int64))]
+            # cap the bound matrix: the kth distance among ANY >=k-subset of
+            # in-cell smalls is a valid upper bound on the global kth, so a
+            # hot cell costs O(nb * cap) instead of O(nb * ns) — slightly
+            # looser bound, never incorrect
+            cap_cols = max(4 * k, 512)
+            if fv_s.shape[0] > cap_cols:
+                fv_s = fv_s[:cap_cols]
             dx = fv_b[:, 0][:, None] - fv_s[:, 0][None, :]
             dy = fv_b[:, 1][:, None] - fv_s[:, 1][None, :]
             d = np.sqrt(dx * dx + dy * dy)
