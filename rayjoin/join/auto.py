@@ -16,6 +16,28 @@ from __future__ import annotations
 from ..config import Config, Interaction
 
 DEFAULT_BROADCAST_ROWS = 2_000_000
+# object-store guardrail: even under the row threshold, a small side whose
+# serialized bytes exceed this goes to the partitioned plan (a broadcast
+# index must fit every worker's share of the object store)
+DEFAULT_BROADCAST_BYTES = 2 << 30
+
+
+def _bytes_of(ds) -> int | None:
+    """Serialized size estimate.  Exact for in-memory tables; for Datasets,
+    consulted ONLY via input-file metadata (``Dataset.size_bytes`` would
+    execute a lazy pipeline, the very trap _rows_of avoids)."""
+    import pyarrow as pa
+
+    if isinstance(ds, pa.Table):
+        return ds.nbytes
+    if isinstance(ds, (list, tuple)):
+        return None
+    try:
+        if ds.input_files():  # file-backed: size_bytes reads parquet metadata
+            return ds.size_bytes()
+    except Exception:
+        pass
+    return None
 
 
 def _rows_of(ds) -> int:
@@ -59,7 +81,8 @@ def spatial_join(big, small, interaction: Interaction, config: Config = Config()
     from .partitioned import partitioned_spatial_join
 
     n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
-    if n <= broadcast_threshold_rows:
+    nb = _bytes_of(small)
+    if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, config, **kwargs).spatial_join(big, interaction)
     return partitioned_spatial_join(
         _as_dataset(big), _as_dataset(small), interaction, config, target_cells
@@ -75,7 +98,8 @@ def proximity_map(big, small, config: Config,
     from .partitioned import partitioned_proximity_map
 
     n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
-    if n <= broadcast_threshold_rows:
+    nb = _bytes_of(small)
+    if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, config, **kwargs).proximity_map(big)
     return partitioned_proximity_map(
         _as_dataset(big), _as_dataset(small), config, target_cells
@@ -92,7 +116,8 @@ def knn_join(big, small, k: int, max_distance: float = float("inf"),
     from .partitioned import partitioned_knn_join
 
     n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
-    if n <= broadcast_threshold_rows:
+    nb = _bytes_of(small)
+    if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, **kwargs).knn_join(big, k=k, max_distance=max_distance)
     return partitioned_knn_join(
         _as_dataset(big), _as_dataset(small), k=k, max_distance=max_distance,
