@@ -418,12 +418,33 @@ WHERE p.x >= r.cx - r.w/2 AND p.x <= r.cx + r.w/2
 
 
 def q_vectorize_boundary(sf_dir: str):
-    """rasterize -> vectorize_tiles boundary extraction (iterative per-geom
-    tile-set op -> rows-only check; semantics pinned by test_ops_ray)."""
+    """rasterize -> vectorize_tiles boundary extraction, SQL-checked via
+    the 4-neighbor NOT EXISTS oracle; res 10 so interiors exist and the
+    boundary rule is non-vacuous."""
     from .raster import rasterize, vectorize_tiles
 
     tris = _from_arrow(tris_geom_table(sf_dir), 4)
-    return vectorize_tiles(rasterize(tris, resolution=8), resolution=8)
+    return vectorize_tiles(rasterize(tris, resolution=10), resolution=10)
+
+
+def sql_vectorize_boundary(n: int = 1024) -> str:
+    """Boundary tiles: any 4-neighbor off-grid or missing from the
+    geometry's tile set (exactly vectorize_tiles' rule).  Res 10 so the
+    triangle tile sets have real interiors (3,766 interior tiles at sf0.01
+    — the NOT EXISTS arms are genuinely exercised, not vacuous)."""
+    missing = (
+        "NOT EXISTS (SELECT 1 FROM d b WHERE b.geom_row_id = a.geom_row_id "
+        "AND b.tile_id = a.tile_id {op})"
+    )
+    return (
+        "WITH r AS (" + sql_rasterize(n) + "), "
+        "d AS (SELECT DISTINCT geom_row_id, tile_id FROM r) "
+        "SELECT a.geom_row_id, a.tile_id FROM d a "
+        f"WHERE (a.tile_id % {n}) = 0 OR (a.tile_id % {n}) = {n - 1} "
+        f"OR a.tile_id // {n} = 0 OR a.tile_id // {n} = {n - 1} "
+        f"OR {missing.format(op='- 1')} OR {missing.format(op='+ 1')} "
+        f"OR {missing.format(op=f'- {n}')} OR {missing.format(op=f'+ {n}')}"
+    )
 
 
 def q_tile_assign(sf_dir: str):
@@ -519,8 +540,7 @@ def q_rasterize_triangles(sf_dir: str):
     return rasterize(tris, resolution=8)
 
 
-def sql_rasterize() -> str:
-    n = 256
+def sql_rasterize(n: int = 256) -> str:
     center_x = f"(gx.ix + 0.5) / {n}.0 * 360.0 - 180"
     center_y = f"(gy.iy + 0.5) / {n}.0 * 180.0 - 90"
     d1 = _SIGN.format(px=center_x, py=center_y, ax="t.ax", ay="t.ay", bx="t.bx", by="t.by")
@@ -1405,6 +1425,7 @@ def build_queries():
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
+        "vectorize_boundary": sql_vectorize_boundary().format(tri=tri),
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "quality_score": SQL_QUALITY,
