@@ -485,17 +485,40 @@ def partitioned_knn_join(big, small, *, k: int, max_distance: float = float("inf
 
     cands = rep_b.groupby("cell").map_groups(knn_cell, batch_format="pyarrow")
 
-    def topk(t: pa.Table) -> pa.Table:
+    # final top-k merge: a per-big map_groups would make one Python call
+    # PER BIG (measured: 2M bigs -> ~190 s of pure group overhead).  Hash
+    # the bigs into a bounded number of buckets instead; each bucket merges
+    # ALL its bigs with one lexsort + segmented rank.
+    merge_parts = 256
+
+    def add_part(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["big_row_id"].combine_chunks(), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = (b * 2654435761) % merge_parts
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["big_row_id"].combine_chunks(), dtype=np.int64)
         d = np.asarray(t["distance"].combine_chunks(), dtype=np.float64)
         sid = np.asarray(t["small_row_id"].combine_chunks(), dtype=np.int64)
-        order = np.lexsort((sid, d))[:k]
+        order = np.lexsort((sid, d, b))
+        b, d, sid = b[order], d[order], sid[order]
+        change = np.concatenate([[True], b[1:] != b[:-1]]) if b.size else np.empty(0, bool)
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.concatenate([starts, [b.size]]))
+        rank = np.arange(b.size, dtype=np.int64) - np.repeat(starts, counts)
+        keep = rank < k
         return pa.table(
             {
-                "big_row_id": t["big_row_id"].combine_chunks().take(pa.array(order)),
-                "small_row_id": pa.array(sid[order], pa.int64()),
-                "distance": pa.array(d[order], pa.float64()),
-                "rank": pa.array(np.arange(order.size, dtype=np.int64), pa.int64()),
+                "big_row_id": pa.array(b[keep], pa.int64()),
+                "small_row_id": pa.array(sid[keep], pa.int64()),
+                "distance": pa.array(d[keep], pa.float64()),
+                "rank": pa.array(rank[keep], pa.int64()),
             }
         )
 
-    return cands.groupby("big_row_id").map_groups(topk, batch_format="pyarrow")
+    return (
+        cands.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_bucket, batch_format="pyarrow")
+    )
