@@ -13,13 +13,12 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..geom.batch import GeomBatch
 from ..geom.primitives import repeat_expand
 from ..geom.relates import relate
-from ..stages.tiles import latlon_to_xy, tile_neighbors, xy_to_tile
+from ..stages.tiles import latlon_to_xy, xy_to_tile
 
 
 def _point_batch(x: np.ndarray, y: np.ndarray) -> GeomBatch:
@@ -69,23 +68,63 @@ def rasterize(ds, resolution: int = 8, batch_size: int = 2048):
     )
 
 
-def vectorize_tiles(raster_ds, resolution: int = 8):
+def vectorize_tiles(raster_ds, resolution: int = 8, num_buckets: int = 64):
     """Boundary extraction: per geom_row_id, tiles whose 4-neighborhood is
-    not fully inside the tile set (groupby per geometry; the tile sets are
-    per-geometry small)."""
+    not fully inside the geometry's tile set.
 
-    def boundary(df: pd.DataFrame) -> pd.DataFrame:
-        tiles = np.sort(df["tile_id"].unique())
-        tset = set(tiles.tolist())
-        nb = tile_neighbors(tiles, resolution)
-        is_boundary = np.array(
-            [any(x == -1 or x not in tset for x in row) for row in nb]
+    Geometries hash into ``num_buckets`` shuffle buckets; each bucket
+    resolves ALL its geometries at once — membership of the 4 neighbors is
+    one searchsorted over the bucket's sorted (geom, tile) keys (a per-geom
+    map_groups would pay one Python call per geometry; see the
+    partitioned-kNN merge note)."""
+    n = np.int64(1) << resolution
+    assert 2 * resolution <= 42, "packed (geom, tile) key needs tile bits"
+
+    def add_part(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["geom_row_id"].combine_chunks(), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = (g * 2654435761) % num_buckets
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def boundary(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"geom_row_id": pa.array([], pa.int64()), "tile_id": pa.array([], pa.int64())}
         )
-        return pd.DataFrame(
+        if t.num_rows == 0:
+            return empty
+        g = np.asarray(t["geom_row_id"].combine_chunks(), dtype=np.int64)
+        tid = np.asarray(t["tile_id"].combine_chunks(), dtype=np.int64)
+        # packed sort key: tile < 2^(2*res) bits, geom in the high bits
+        keys = np.unique(g * (n * n) + tid)
+        kg = keys // (n * n)
+        kt = keys % (n * n)
+        ix = kt % n
+        iy = kt // n
+        edge = (ix == 0) | (ix == n - 1) | (iy == 0) | (iy == n - 1)
+        is_b = edge.copy()
+        for dk, valid in (
+            (-1, ix > 0),
+            (1, ix < n - 1),
+            (-n, iy > 0),
+            (n, iy < n - 1),
+        ):
+            q = np.flatnonzero(valid & ~is_b)
+            if q.size == 0:
+                continue
+            want = keys[q] + dk
+            pos = np.searchsorted(keys, want)
+            pos[pos >= keys.size] = 0
+            missing = keys[pos] != want
+            is_b[q[missing]] = True
+        return pa.table(
             {
-                "geom_row_id": df["geom_row_id"].iloc[0],
-                "tile_id": tiles[is_boundary],
+                "geom_row_id": pa.array(kg[is_b], pa.int64()),
+                "tile_id": pa.array(kt[is_b], pa.int64()),
             }
         )
 
-    return raster_ds.groupby("geom_row_id").map_groups(boundary, batch_format="pandas")
+    return (
+        raster_ds.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(boundary, batch_format="pyarrow")
+    )
