@@ -73,16 +73,52 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=batch_size)
+    return _bucketed_final_topk(partials, k)
 
-    def final_topk(df):
-        import pandas as pd
 
-        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(len(df), dtype=np.int64)
-        return df[["query_id", "vec_id", "rank"]]
+def _bucketed_final_topk(partials, k: int, num_buckets: int = 64):
+    """Merge per-batch partial top-k into the global per-query top-k.
+    Queries hash into buckets; each bucket resolves ALL its queries with one
+    lexsort + segmented rank (one Python group call per BUCKET, not per
+    query — the per-group-overhead lesson from the partitioned-kNN merge).
+    Tie rule: (-sim, vec_id)."""
 
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    def add_part(t: pa.Table) -> pa.Table:
+        q = np.asarray(t["query_id"].combine_chunks(), dtype=np.int64)
+        with np.errstate(over="ignore"):
+            part = (q * 2654435761) % num_buckets
+        return t.append_column("part", pa.array(part, pa.int64()))
+
+    def topk_bucket(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "rank": pa.array([], pa.int64())}
+        )
+        if t.num_rows == 0:
+            return empty
+        q = np.asarray(t["query_id"].combine_chunks(), dtype=np.int64)
+        v = np.asarray(t["vec_id"].combine_chunks(), dtype=np.int64)
+        s = np.asarray(t["sim"].combine_chunks(), dtype=np.float64)
+        order = np.lexsort((v, -s, q))
+        q, v = q[order], v[order]
+        change = np.concatenate([[True], q[1:] != q[:-1]])
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.concatenate([starts, [q.size]]))
+        rank = np.arange(q.size, dtype=np.int64) - np.repeat(starts, counts)
+        keep = rank < k
+        return pa.table(
+            {
+                "query_id": pa.array(q[keep], pa.int64()),
+                "vec_id": pa.array(v[keep], pa.int64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+    return (
+        partials.map_batches(add_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(topk_bucket, batch_format="pyarrow")
+    )
 
 
 def _farthest_point_centroids(M: np.ndarray, n_lists: int, seed: int) -> np.ndarray:
@@ -160,11 +196,4 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10,
         )
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=batch_size)
-
-    def final_topk(df):
-        df = df.sort_values(["sim", "vec_id"], ascending=[False, True]).head(k)
-        df = df.reset_index(drop=True)
-        df["rank"] = np.arange(len(df), dtype=np.int64)
-        return df[["query_id", "vec_id", "rank"]]
-
-    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+    return _bucketed_final_topk(partials, k)
