@@ -58,8 +58,11 @@ def dedup_exact(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 
 
 def _shingle_hashes(texts: pa.Array, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
-    """Character k-shingle hashes per document (flat hashes + doc offsets).
-    Vectorized: the flat utf-8 buffer is hashed with a rolling polynomial."""
+    """BYTE k-shingle hashes per document (flat hashes + doc offsets),
+    computed over the flat utf-8 buffer with a rolling polynomial.  For
+    ASCII text byte shingles equal character shingles; for multi-byte text
+    the engine's contract is byte shingles END TO END (signatures and
+    verify use the same windows, so the pipeline is self-consistent)."""
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     n = len(arr)
     buf = arr.buffers()

@@ -556,3 +556,110 @@ def test_multimodal_resize_and_audio():
     exp_rms = np.sqrt((w0 * w0).mean())
     got = audio[(audio["media_id"] == 0) & (audio["window_no"] == 0)]["rms"].iloc[0]
     assert got == pytest.approx(exp_rms, rel=1e-12)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_sessionize_bucketed_vs_pandas_oracle():
+    """The bucketed lexsort sessionizer == a straightforward per-user pandas
+    computation on randomized event logs (gap semantics, 1-based ids,
+    start/end/sum aggregates)."""
+    import pandas as pd
+
+    import ray.data
+
+    from rayjoin.functions.stream import sessionize
+
+    rng = np.random.default_rng(42)
+    n = 3000
+    users = rng.integers(0, 40, n)
+    ts = np.datetime64("2024-01-01", "us") + rng.integers(
+        0, 7 * 24 * 3600, n
+    ).astype("timedelta64[s]").astype("timedelta64[us]")
+    vals = rng.random(n) * 10
+    t = pa.table(
+        {
+            "user_id": pa.array(users.astype(np.int64)),
+            "ts": pa.array(ts),
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "value": pa.array(vals, pa.float64()),
+        }
+    )
+    got = (
+        sessionize(ray.data.from_arrow(t).repartition(5), gap_minutes=45)
+        .to_pandas()
+        .sort_values(["user_id", "session_id"])
+        .reset_index(drop=True)
+    )
+
+    df = t.to_pandas().sort_values(["user_id", "ts", "event_id"])
+    rows = []
+    gap = pd.Timedelta(minutes=45)
+    for uid, grp in df.groupby("user_id"):
+        sid, start = 0, None
+        cur = []
+        prev = None
+        for r in grp.itertuples(index=False):
+            if prev is None or r.ts - prev > gap:
+                if cur:
+                    rows.append((uid, sid, cur))
+                sid += 1
+                cur = []
+            cur.append(r)
+            prev = r.ts
+        rows.append((uid, sid, cur))
+    exp = pd.DataFrame(
+        [
+            {
+                "user_id": uid,
+                "session_id": sid,
+                "n_events": len(cur),
+                "session_start": min(r.ts for r in cur),
+                "session_end": max(r.ts for r in cur),
+                "sum_value_milli": sum(int(np.floor(r.value * 1000.0)) for r in cur),
+            }
+            for uid, sid, cur in rows
+        ]
+    ).sort_values(["user_id", "session_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[exp.columns], exp, check_dtype=False)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vectorize_tiles_bucketed_vs_scalar_oracle():
+    """Bucketed boundary extraction == the per-geometry 4-neighbor rule on
+    random tile sets (including grid-edge tiles)."""
+    import ray.data
+
+    from rayjoin.pipelines.raster import vectorize_tiles
+    from rayjoin.stages.tiles import tile_neighbors
+
+    res = 6
+    n = 1 << res
+    rng = np.random.default_rng(7)
+    gs, tiles = [], []
+    for gid in range(25):
+        cx, cy = rng.integers(0, n, 2)
+        for _ in range(rng.integers(1, 60)):
+            ix = int(np.clip(cx + rng.integers(-3, 4), 0, n - 1))
+            iy = int(np.clip(cy + rng.integers(-3, 4), 0, n - 1))
+            gs.append(gid)
+            tiles.append(iy * n + ix)
+    t = pa.table(
+        {"geom_row_id": pa.array(gs, pa.int64()), "tile_id": pa.array(tiles, pa.int64())}
+    )
+    got = (
+        vectorize_tiles(ray.data.from_arrow(t).repartition(3), resolution=res)
+        .to_pandas()
+        .sort_values(["geom_row_id", "tile_id"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    df = t.to_pandas().drop_duplicates()
+    for gid, grp in df.groupby("geom_row_id"):
+        ts = np.sort(grp["tile_id"].unique())
+        tset = set(ts.tolist())
+        nb = tile_neighbors(ts, res)
+        for tile, row in zip(ts, nb):
+            if any(x == -1 or x not in tset for x in row):
+                exp_rows.append((gid, tile))
+    exp = sorted(exp_rows)
+    assert list(map(tuple, got.to_numpy().tolist())) == exp
