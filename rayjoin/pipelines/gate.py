@@ -152,6 +152,18 @@ def q_sjoin_point_in_rect_partitioned(sf_dir: str):
     return partitioned_spatial_join(pts, rects, Interaction.CONTAINS, target_cells=64)
 
 
+def q_sjoin_point_in_rect_hilbert(sf_dir: str):
+    """Same join through the Hilbert-range partitioner (the north-star
+    literal plan: sampled Hilbert ranges drive the groupby-shuffle); same
+    oracle SQL — row sets must agree."""
+    from ..join.hilbert import hilbert_spatial_join
+
+    rects = _from_arrow(rects_geom_table(sf_dir), 2)
+    pts = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    return hilbert_spatial_join(pts, rects, Interaction.CONTAINS, num_ranges=32,
+                                resolution=8)
+
+
 def q_sjoin_rect_rect_intersects(sf_dir: str):
     """Supplier rects vs nation-derived rects, Intersects (inclusive bbox
     overlap)."""
@@ -1366,6 +1378,7 @@ def build_queries():
     queries = {
         "sjoin_point_in_rect": q_sjoin_point_in_rect,
         "sjoin_point_in_rect_partitioned": q_sjoin_point_in_rect_partitioned,
+        "sjoin_point_in_rect_hilbert": q_sjoin_point_in_rect_hilbert,
         "sjoin_rect_rect_intersects": q_sjoin_rect_rect_intersects,
         "sjoin_within": q_sjoin_within,
         "sjoin_with_geos": q_sjoin_with_geos,
@@ -1411,6 +1424,7 @@ def build_queries():
     oracle = {
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_point_in_rect_partitioned": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
+        "sjoin_point_in_rect_hilbert": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_rect_rect_intersects": SQL_RECT_RECT.format(a=rsup, b=rnat),
         "sjoin_within": SQL_WITHIN.format(pts=pts_supp, rects=rnat),
         "sjoin_with_geos": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),

@@ -196,3 +196,26 @@ def test_partitioned_with_geos_matches_broadcast():
                                         Interaction.INTERSECTS, target_cells=25,
                                         with_geos=True))
     assert par == bro and len(par) > 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hilbert_join_matches_broadcast():
+    """The Hilbert-range partitioned join (north-star literal plan) emits
+    the broadcast row set exactly across interactions and range counts."""
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.hilbert import hilbert_spatial_join
+
+    rng = np.random.default_rng(15)
+    for trial in range(4):
+        ns, nb = int(rng.integers(10, 45)), int(rng.integers(10, 45))
+        ranges = int(rng.choice([4, 16, 64]))
+        inter = list(Interaction)[trial % 3]
+        small = mixed_random(ns, seed=int(rng.integers(1 << 30)))
+        big = mixed_random(nb, seed=int(rng.integers(1 << 30)))
+        bro = _rows(SpatialIndex(encode.geoms_to_table(small)).spatial_join(_ds(big, 2), inter))
+        hil = _rows(
+            hilbert_spatial_join(_ds(big, 2), _ds(small, 2), inter,
+                                 num_ranges=ranges, resolution=12)
+        )
+        assert hil == bro, (trial, ns, nb, ranges, inter)
+        assert len(hil) == len(set(hil))  # exactly-once ownership
