@@ -375,9 +375,9 @@ def test_ann_ivf_distributed_recall():
     sb = set(map(tuple, bf[["query_id", "vec_id"]].to_numpy()))
     si = set(map(tuple, ivf[["query_id", "vec_id"]].to_numpy()))
     # isotropic random vectors are IVF's worst case (no cluster structure);
-    # probing 4/8 lists recovers 0.625 here, 0.80 at sf0.01 — the bound
-    # pins the seeded result from drifting, not a quality target
-    assert len(si & sb) / len(sb) >= 0.6
+    # probing 4/8 lists with Lloyd-refined centroids recovers 0.775 here,
+    # 0.85 at sf0.01 — the bound pins the seeded result from drifting
+    assert len(si & sb) / len(sb) >= 0.7
     # deterministic given the seed
     ivf2 = q_ann_ivf(sf).to_pandas()
     assert ivf.sort_values(["query_id", "rank"]).reset_index(drop=True).equals(
