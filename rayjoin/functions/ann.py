@@ -169,11 +169,16 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10,
     total = ds.count()  # parquet metadata count on file-backed inputs
     frac = min(1.0, sample_size / max(total, 1))
     sample = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
-    stabs = [t for t in ray.get(sample.select_columns([vec_col]).to_arrow_refs())
+    stabs = [t for t in ray.get(sample.select_columns([id_col, vec_col]).to_arrow_refs())
              if t.num_rows]
-    S = _normalize(
-        np.vstack([vec_matrix(t[vec_col]) for t in stabs])
-    ) if stabs else np.zeros((0, 0))
+    if stabs:
+        st = pa.concat_tables(stabs)
+        # sort by id: the seeding picks ROW indexes, so the sample order must
+        # be content-determined (block order varies run to run)
+        order = np.argsort(np.asarray(st[id_col], dtype=np.int64), kind="stable")
+        S = _normalize(vec_matrix(st[vec_col].combine_chunks().take(pa.array(order))))
+    else:
+        S = np.zeros((0, 0))
     centroids = _farthest_point_centroids(S, n_lists, seed)
 
     # --- probe mask: which buckets each query searches ---
