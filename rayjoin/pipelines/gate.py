@@ -204,6 +204,16 @@ WHERE sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) <= 3.0
 """
 
 
+def q_prox_points_partitioned(sf_dir: str):
+    """Same proximity map through the PBSM path (dilated small-side
+    replication + reference-point dedup); same oracle SQL as broadcast."""
+    from ..join.partitioned import partitioned_proximity_map
+
+    small = _from_arrow(points_geom_table(sf_dir, "supplier", "s_suppkey"), 2)
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    return partitioned_proximity_map(big, small, Config(max_distance=3.0), target_cells=64)
+
+
 def q_knn_points(sf_dir: str):
     """kNN join: for each customer point the 3 nearest supplier points,
     ties (distance, small_row_id)."""
@@ -1342,6 +1352,40 @@ def q_topk_orders(sf_dir: str):
     return orders.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
 
 
+def q_filtered_read(sf_dir: str):
+    """Predicate pushdown at the read (engine guidance: prune at the read):
+    the row filter is evaluated against parquet row-group statistics and
+    pages before rows reach the pipeline."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_totalprice"],
+        filter=pads.field("o_totalprice") > 400000.0,
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
+        return pa.table({"o_orderstatus": t["o_orderstatus"], "price_cents": cents})
+
+    return (
+        orders.map_batches(prep, batch_format="pyarrow")
+        .groupby("o_orderstatus")
+        .aggregate(Count(alias_name="n_orders"), Sum("price_cents", alias_name="sum_cents"))
+    )
+
+
+SQL_FILTERED_READ = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM orders WHERE o_totalprice > 400000.0
+GROUP BY o_orderstatus
+"""
+
+
 SQL_TOPK = (
     "SELECT o_orderkey, o_totalprice FROM orders "
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -1384,6 +1428,7 @@ def build_queries():
         "sjoin_with_geos": q_sjoin_with_geos,
         "sjoin_with_geos_partitioned": q_sjoin_with_geos_partitioned,
         "prox_points": q_prox_points,
+        "prox_points_partitioned": q_prox_points_partitioned,
         "prox_with_geos": q_prox_with_geos,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -1419,6 +1464,7 @@ def build_queries():
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
+        "filtered_read": q_filtered_read,
         "distinct_flags": q_distinct_flags,
     }
     oracle = {
@@ -1430,6 +1476,7 @@ def build_queries():
         "sjoin_with_geos": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),
         "sjoin_with_geos_partitioned": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),
         "prox_points": SQL_PROX.format(big=pts_cust, small=pts_supp),
+        "prox_points_partitioned": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "prox_with_geos": SQL_PROX_GEOS.format(big=pts_cust, small=pts_supp),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
@@ -1459,6 +1506,7 @@ def build_queries():
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,
+        "filtered_read": SQL_FILTERED_READ,
         "distinct_flags": SQL_DISTINCT,
         # minhash_dedup / simhash / fingerprint / embedding_dups:
         # non-SQL-expressible -> rows-only driver check + pytest oracles
