@@ -73,15 +73,22 @@ _HASH_PRIME = np.uint64(1099511628211)
 _NULL_MARK = np.uint64(0x9E3779B97F4A7C15)
 
 
-def _string_digest(arr: pa.StringArray) -> np.ndarray:
+def _string_digest(arr) -> np.ndarray:
     """Per-row (crc32 | length<<32) over the raw utf-8 bytes.  crc32 is a
     C call on a zero-copy memoryview slice — ~GB/s, unlike a vectorized
-    byte-loop whose round count is the MAX string length."""
+    byte-loop whose round count is the MAX string length.  Offsets are
+    int32 for string/binary and int64 for the large_ variants — reading
+    large offsets as int32 silently mismapped every row."""
     import zlib
 
     n = len(arr)
     bufs = arr.buffers()
-    offsets = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1 + arr.offset)[
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1 + arr.offset)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     data = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")

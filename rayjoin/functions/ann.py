@@ -83,11 +83,11 @@ def _bucketed_final_topk(partials, k: int, num_buckets: int = 64):
     query — the per-group-overhead lesson from the partitioned-kNN merge).
     Tie rule: (-sim, vec_id)."""
 
+    from ..util import knuth_bucket, rank_within_sorted_groups
+
     def add_part(t: pa.Table) -> pa.Table:
         q = np.asarray(t["query_id"].combine_chunks(), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            part = (q * 2654435761) % num_buckets
-        return t.append_column("part", pa.array(part, pa.int64()))
+        return t.append_column("part", pa.array(knuth_bucket(q, num_buckets), pa.int64()))
 
     def topk_bucket(t: pa.Table) -> pa.Table:
         empty = pa.table(
@@ -101,10 +101,7 @@ def _bucketed_final_topk(partials, k: int, num_buckets: int = 64):
         s = np.asarray(t["sim"].combine_chunks(), dtype=np.float64)
         order = np.lexsort((v, -s, q))
         q, v = q[order], v[order]
-        change = np.concatenate([[True], q[1:] != q[:-1]])
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.concatenate([starts, [q.size]]))
-        rank = np.arange(q.size, dtype=np.int64) - np.repeat(starts, counts)
+        rank = rank_within_sorted_groups(q)
         keep = rank < k
         return pa.table(
             {

@@ -367,10 +367,23 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
             from ..geom.primitives import repeat_expand
 
             ids_sorted, uh_, uoff_ = ray.get(lookup_ref)
+            if ids_sorted.size == 0:  # none of the pair ids exist in corpus
+                return t.select(["id_a", "id_b"]).slice(0, 0)
             a = np.asarray(t["id_a"].combine_chunks(), dtype=np.int64)
             b = np.asarray(t["id_b"].combine_chunks(), dtype=np.int64)
             pa_pos = np.searchsorted(ids_sorted, a)
             pb_pos = np.searchsorted(ids_sorted, b)
+            # pairs naming a doc that is NOT in the corpus are dropped —
+            # the same semantics as the shuffle path's inner join (an
+            # unguarded lookup would score against an unrelated doc's
+            # shingles, or index past the offsets)
+            pa_pos = np.minimum(pa_pos, ids_sorted.size - 1)
+            pb_pos = np.minimum(pb_pos, ids_sorted.size - 1)
+            found = (ids_sorted[pa_pos] == a) & (ids_sorted[pb_pos] == b)
+            if not found.all():
+                t = t.filter(pa.array(found, pa.bool_()))
+                a, b = a[found], b[found]
+                pa_pos, pb_pos = pa_pos[found], pb_pos[found]
             la = uoff_[pa_pos + 1] - uoff_[pa_pos]
             lb = uoff_[pb_pos + 1] - uoff_[pb_pos]
             # EXACT prefilter: jaccard <= min(|A|,|B|)/max(|A|,|B|) — pairs
@@ -385,26 +398,15 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
             jac[(la == 0) & (lb == 0)] = 1.0  # both empty => 1.0
             m = np.flatnonzero(maybe & (hi > 0))
             if m.size:
+                from ..util import intersection_counts
+
                 pa_m, pb_m = pa_pos[m], pb_pos[m]
                 la_m, lb_m = la[m], lb[m]
                 ga_pair, ga_k = repeat_expand(la_m)
                 gb_pair, gb_k = repeat_expand(lb_m)
                 ha = uh_[uoff_[pa_m][ga_pair] + ga_k]
                 hb = uh_[uoff_[pb_m][gb_pair] + gb_k]
-                # single-key sort: (pair_idx << 45) | (hash >> 20 << 1) | side
-                # — 44 hash bits keep per-pair collision odds ~|A||B|/2^44;
-                # one uint64 sort is ~3x a 3-key lexsort
-                hh = np.concatenate([ha, hb])
-                ss = np.concatenate([ga_pair, gb_pair]).astype(np.uint64)
-                side = np.empty(hh.size, np.uint64)
-                side[: ha.size] = 0
-                side[ha.size :] = 1
-                with np.errstate(over="ignore"):
-                    key = (ss << np.uint64(45)) | ((hh >> np.uint64(20)) << np.uint64(1)) | side
-                key.sort()
-                dup = (key[1:] >> np.uint64(1)) == (key[:-1] >> np.uint64(1))
-                seg = (key[1:] >> np.uint64(45)).astype(np.int64)
-                inter = np.bincount(seg[dup], minlength=m.size).astype(np.int64)
+                inter = intersection_counts(ha, ga_pair, hb, gb_pair, m.size)
                 union = la_m + lb_m - inter
                 jac[m] = inter / union
             return t.filter(pa.array(jac >= threshold, pa.bool_())).select(["id_a", "id_b"])
@@ -494,6 +496,9 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 50,
     import ray.data
     from ray.data.aggregate import Min
 
+    # one execution of the (possibly lazy) pair pipeline serves the plan
+    # choice AND whichever path consumes it below
+    pairs_ds = pairs_ds.materialize()
     if method == "auto":
         n_pairs = pairs_ds.count()
         method = "driver" if n_pairs <= driver_threshold_pairs else "distributed"
@@ -670,8 +675,24 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
         ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
         M = vec_matrix(t[vec_col])
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
-        sims = M @ M.T
-        ii, jj = np.nonzero(np.triu(sims >= threshold, 1))
+        n = M.shape[0]
+        # chunk the matmul over row blocks so a hot bucket (e.g. many
+        # coincident vectors in one LSH code) costs O(chunk x n) memory,
+        # not O(n^2) — ~256 MB of sims per chunk
+        rows_per_chunk = max(1, (1 << 25) // max(n, 1))
+        out_i, out_j, out_s = [], [], []
+        for r0 in range(0, n, rows_per_chunk):
+            r1 = min(r0 + rows_per_chunk, n)
+            sims = M[r0:r1] @ M.T
+            li, jj = np.nonzero(sims >= threshold)
+            gi = li + r0
+            upper = jj > gi  # strict upper triangle in global coordinates
+            out_i.append(gi[upper])
+            out_j.append(jj[upper])
+            out_s.append(sims[li[upper], jj[upper]])
+        ii = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+        jj = np.concatenate(out_j) if out_j else np.empty(0, np.int64)
+        ss = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
         if ii.size == 0:
             return empty
         a, b = ids[ii], ids[jj]
@@ -683,7 +704,7 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
             {
                 "id_a": pa.array(a2[keep], pa.int64()),
                 "id_b": pa.array(b2[keep], pa.int64()),
-                "cosine": pa.array(sims[ii, jj][keep], pa.float64()),
+                "cosine": pa.array(ss[keep], pa.float64()),
             }
         )
 

@@ -30,10 +30,11 @@ def sessionize(ds, *, gap_minutes: int = 30, key_col: str = "user_id",
     gap_us = np.int64(gap_minutes) * 60 * 1_000_000
 
     def prep(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
         vm = pc.cast(pc.floor(pc.multiply(t[value_col], 1000.0)), pa.int64())
         key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            part = (key * 2654435761) % num_buckets
+        part = knuth_bucket(key, num_buckets)
         return pa.table(
             {
                 key_col: t[key_col],

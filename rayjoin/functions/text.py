@@ -158,24 +158,16 @@ def _binary_u64(col):
 def jaccard_hash_lists(col_a, col_b) -> tuple:
     """(inter, union) int64 arrays for row-aligned binary hash-set columns
     (from ``token_hash_sets``; each row's set sorted unique).  One merged
-    sort per batch."""
+    sort per batch (``rayjoin.util.intersection_counts``)."""
+    from ..util import intersection_counts
+
     va, la = _binary_u64(col_a)
     vb, lb = _binary_u64(col_b)
     nrows = la.size
-    seg = np.concatenate(
-        [np.repeat(np.arange(nrows, dtype=np.int64), la),
-         np.repeat(np.arange(nrows, dtype=np.int64), lb)]
-    ).astype(np.uint64)
-    hh = np.concatenate([va, vb])
-    side = np.empty(hh.size, np.uint64)
-    side[: va.size] = 0
-    side[va.size :] = 1
-    with np.errstate(over="ignore"):
-        key = (seg << np.uint64(45)) | ((hh >> np.uint64(20)) << np.uint64(1)) | side
-    key.sort()
-    dup = (key[1:] >> np.uint64(1)) == (key[:-1] >> np.uint64(1))
-    s = (key[1:] >> np.uint64(45)).astype(np.int64)
-    inter = np.bincount(s[dup], minlength=nrows).astype(np.int64)
+    inter = intersection_counts(
+        va, np.repeat(np.arange(nrows, dtype=np.int64), la),
+        vb, np.repeat(np.arange(nrows, dtype=np.int64), lb), nrows,
+    )
     union = la + lb - inter
     return inter, union
 

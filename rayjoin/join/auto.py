@@ -23,20 +23,16 @@ DEFAULT_BROADCAST_BYTES = 2 << 30
 
 
 def _bytes_of(ds) -> int | None:
-    """Serialized size estimate.  Exact for in-memory tables; for Datasets,
-    consulted ONLY via input-file metadata (``Dataset.size_bytes`` would
-    execute a lazy pipeline, the very trap _rows_of avoids)."""
+    """Serialized size estimate — exact for in-memory tables, None
+    otherwise.  Datasets are deliberately NOT consulted:
+    ``Dataset.size_bytes`` falls back to executing the plan when metadata
+    can't answer (verified in Ray 2.49 source), which is the very
+    double-execution trap ``_rows_of`` avoids; their broadcast decision is
+    governed by the row count / ``small_rows_hint``."""
     import pyarrow as pa
 
     if isinstance(ds, pa.Table):
         return ds.nbytes
-    if isinstance(ds, (list, tuple)):
-        return None
-    try:
-        if ds.input_files():  # file-backed: size_bytes reads parquet metadata
-            return ds.size_bytes()
-    except Exception:
-        pass
     return None
 
 
@@ -81,7 +77,7 @@ def spatial_join(big, small, interaction: Interaction, config: Config = Config()
     from .partitioned import partitioned_spatial_join
 
     n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
-    nb = _bytes_of(small)
+    nb = None if small_rows_hint is not None else _bytes_of(small)
     if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, config, **kwargs).spatial_join(big, interaction)
     return partitioned_spatial_join(
@@ -98,7 +94,7 @@ def proximity_map(big, small, config: Config,
     from .partitioned import partitioned_proximity_map
 
     n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
-    nb = _bytes_of(small)
+    nb = None if small_rows_hint is not None else _bytes_of(small)
     if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, config, **kwargs).proximity_map(big)
     return partitioned_proximity_map(
@@ -116,7 +112,7 @@ def knn_join(big, small, k: int, max_distance: float = float("inf"),
     from .partitioned import partitioned_knn_join
 
     n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
-    nb = _bytes_of(small)
+    nb = None if small_rows_hint is not None else _bytes_of(small)
     if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, **kwargs).knn_join(big, k=k, max_distance=max_distance)
     return partitioned_knn_join(

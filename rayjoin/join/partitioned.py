@@ -490,12 +490,11 @@ def partitioned_knn_join(big, small, *, k: int, max_distance: float = float("inf
     # the bigs into a bounded number of buckets instead; each bucket merges
     # ALL its bigs with one lexsort + segmented rank.
     merge_parts = 256
+    from ..util import knuth_bucket, rank_within_sorted_groups
 
     def add_part(t: pa.Table) -> pa.Table:
         b = np.asarray(t["big_row_id"].combine_chunks(), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            part = (b * 2654435761) % merge_parts
-        return t.append_column("part", pa.array(part, pa.int64()))
+        return t.append_column("part", pa.array(knuth_bucket(b, merge_parts), pa.int64()))
 
     def topk_bucket(t: pa.Table) -> pa.Table:
         b = np.asarray(t["big_row_id"].combine_chunks(), dtype=np.int64)
@@ -503,10 +502,7 @@ def partitioned_knn_join(big, small, *, k: int, max_distance: float = float("inf
         sid = np.asarray(t["small_row_id"].combine_chunks(), dtype=np.int64)
         order = np.lexsort((sid, d, b))
         b, d, sid = b[order], d[order], sid[order]
-        change = np.concatenate([[True], b[1:] != b[:-1]]) if b.size else np.empty(0, bool)
-        starts = np.flatnonzero(change)
-        counts = np.diff(np.concatenate([starts, [b.size]]))
-        rank = np.arange(b.size, dtype=np.int64) - np.repeat(starts, counts)
+        rank = rank_within_sorted_groups(b)
         keep = rank < k
         return pa.table(
             {

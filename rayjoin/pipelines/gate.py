@@ -930,34 +930,46 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
 
 
-def q_join_orders_customer(sf_dir: str):
-    """Broadcast hash join: orders enriched with customer market segment,
-    aggregated per segment."""
-    import ray
-    import ray.data
-    from ray.data.aggregate import Count, Sum
-
+def _mktsegment_lookup_ref(sf_dir: str):
+    """Broadcast (sorted custkeys, dictionary-encoded segments): per-batch
+    lookup = one vectorized searchsorted + a dictionary take — no per-row
+    Python (VERDICT r1 #8).  Shared by the orders-rollup and per-segment
+    top-k queries."""
     import pyarrow.parquet as pq
+
+    import ray
 
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     ck = np.asarray(cust["c_custkey"], np.int64)
     order = np.argsort(ck, kind="stable")
-    # broadcast (sorted keys, dictionary-encoded segments): the per-batch
-    # lookup is one vectorized searchsorted + a dictionary take — no per-row
-    # Python (VERDICT r1 #8)
     seg_dict = cust["c_mktsegment"].combine_chunks().dictionary_encode()
-    ref = ray.put(
+    return ray.put(
         (ck[order], np.asarray(seg_dict.indices, np.int32)[order], seg_dict.dictionary)
     )
 
+
+def _segment_of(ref, keys: np.ndarray) -> pa.Array:
+    import ray
+
+    keys_sorted, seg_idx, seg_vals = ray.get(ref)
+    pos = np.searchsorted(keys_sorted, keys)
+    seg = pa.DictionaryArray.from_arrays(pa.array(seg_idx[pos]), seg_vals)
+    return pc.cast(seg, pa.string())
+
+
+def q_join_orders_customer(sf_dir: str):
+    """Broadcast hash join: orders enriched with customer market segment,
+    aggregated per segment."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ref = _mktsegment_lookup_ref(sf_dir)
+
     def enrich(t: pa.Table) -> pa.Table:
-        keys_sorted, seg_idx, seg_vals = ray.get(ref)
         keys = np.asarray(t["o_custkey"].combine_chunks(), dtype=np.int64)
-        pos = np.searchsorted(keys_sorted, keys)
-        seg = pa.DictionaryArray.from_arrays(pa.array(seg_idx[pos]), seg_vals)
         cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
         return pa.table(
-            {"segment": pc.cast(seg, pa.string()), "price_cents": cents}
+            {"segment": _segment_of(ref, keys), "price_cents": cents}
         )
 
     orders = ray.data.read_parquet(
@@ -1171,28 +1183,16 @@ GROUP BY event_type, win_start
 def q_topk_per_segment(sf_dir: str):
     """Per-group top-k: the 3 highest-value orders per customer market
     segment (ties by o_orderkey) — groupby + per-group vectorized head."""
-    import pyarrow.parquet as pq
-
-    import ray
     import ray.data
 
-    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
-    ck = np.asarray(cust["c_custkey"], np.int64)
-    order = np.argsort(ck, kind="stable")
-    seg_dict = cust["c_mktsegment"].combine_chunks().dictionary_encode()
-    ref = ray.put(
-        (ck[order], np.asarray(seg_dict.indices, np.int32)[order], seg_dict.dictionary)
-    )
+    ref = _mktsegment_lookup_ref(sf_dir)
 
     def enrich(t: pa.Table) -> pa.Table:
-        keys_sorted, seg_idx, seg_vals = ray.get(ref)
         keys = np.asarray(t["o_custkey"].combine_chunks(), dtype=np.int64)
-        pos = np.searchsorted(keys_sorted, keys)
-        seg = pa.DictionaryArray.from_arrays(pa.array(seg_idx[pos]), seg_vals)
         cents = pc.cast(pc.floor(pc.multiply(t["o_totalprice"], 100.0)), pa.int64())
         return pa.table(
             {
-                "segment": pc.cast(seg, pa.string()),
+                "segment": _segment_of(ref, keys),
                 "o_orderkey": t["o_orderkey"],
                 "price_cents": cents,
             }

@@ -81,10 +81,10 @@ def vectorize_tiles(raster_ds, resolution: int = 8, num_buckets: int = 64):
     assert 2 * resolution <= 42, "packed (geom, tile) key needs tile bits"
 
     def add_part(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
         g = np.asarray(t["geom_row_id"].combine_chunks(), dtype=np.int64)
-        with np.errstate(over="ignore"):
-            part = (g * 2654435761) % num_buckets
-        return t.append_column("part", pa.array(part, pa.int64()))
+        return t.append_column("part", pa.array(knuth_bucket(g, num_buckets), pa.int64()))
 
     def boundary(t: pa.Table) -> pa.Table:
         empty = pa.table(

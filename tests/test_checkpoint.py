@@ -117,3 +117,18 @@ def test_concurrent_run_matches_sequential(tmp_path):
     assert {p: d["content_hash"] for p, d in da.items()} == {
         p: d["content_hash"] for p, d in db.items()
     }
+
+
+def test_table_hash_large_string_matches_string():
+    """large_string offsets are int64 — reading them as int32 silently
+    corrupted every row digest (round-2 review finding)."""
+    import pyarrow as pa
+
+    from rayjoin.checkpoint import _table_hash
+
+    rows = {"k": [1, 2, 3], "s": ["hello", "world", ""]}
+    t1 = pa.table({"k": pa.array(rows["k"]), "s": pa.array(rows["s"])})
+    t2 = pa.table({"k": pa.array(rows["k"]), "s": pa.array(rows["s"], pa.large_string())})
+    assert _table_hash(t1) == _table_hash(t2)
+    t3 = pa.table({"k": pa.array(rows["k"]), "s": pa.array(["hello", "worlx", ""], pa.large_string())})
+    assert _table_hash(t1) != _table_hash(t3)

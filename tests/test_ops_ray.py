@@ -663,3 +663,26 @@ def test_vectorize_tiles_bucketed_vs_scalar_oracle():
                 exp_rows.append((gid, tile))
     exp = sorted(exp_rows)
     assert list(map(tuple, got.to_numpy().tolist())) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_verify_pairs_drops_missing_ids():
+    """Pairs naming a doc absent from the corpus are DROPPED by both verify
+    paths (inner-join semantics), never scored against the wrong doc."""
+    import ray.data
+
+    from rayjoin.functions.dedup import verify_pairs_jaccard
+
+    corpus = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2], pa.int64()),
+                  "text": pa.array(["the quick brown fox jumps high"] * 2)})
+    )
+    pairs = ray.data.from_arrow(
+        pa.table({"id_a": pa.array([1, 1, 99], pa.int64()),
+                  "id_b": pa.array([2, 98, 100], pa.int64())})
+    )
+    broad = verify_pairs_jaccard(pairs, corpus, threshold=0.5).to_pandas()
+    shuf = verify_pairs_jaccard(pairs, corpus, threshold=0.5,
+                                broadcast_threshold_rows=0).to_pandas()
+    assert list(map(tuple, broad.to_numpy())) == [(1, 2)]
+    assert list(map(tuple, shuf.to_numpy())) == [(1, 2)]
