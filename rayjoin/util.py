@@ -39,12 +39,24 @@ def intersection_counts(va: np.ndarray, sa: np.ndarray, vb: np.ndarray,
 
     One packed-uint64 sort per call: key = (segment << 45) | (hash top 44
     bits << 1) | side — ~3x faster than a 3-key lexsort.  Constraints this
-    packing imposes (single home for the policy): segment ids < 2^19, and
-    values must be avalanche-mixed (e.g. ``_mix64``) so truncating to 44
-    bits keeps collision odds ~|A||B|/2^44 — raw rolling-polynomial hashes
-    keep their differences in the LOW bits and collide systematically.
+    packing imposes (single home for the policy): segment ids < 2^19 per
+    sort (larger inputs are chunked over segment ranges — requires sa/sb
+    ascending, which segmented construction guarantees), and values must be
+    avalanche-mixed (e.g. ``_mix64``) so truncating to 44 bits keeps
+    collision odds ~|A||B|/2^44 — raw rolling-polynomial hashes keep their
+    differences in the LOW bits and collide systematically.
     """
-    assert n < (1 << 19), "packed key holds segment ids < 2^19"
+    cap = 1 << 19  # a chunk of exactly cap segments uses ids 0..cap-1 < 2^19
+    if n > cap:
+        out = np.empty(n, np.int64)
+        for s0 in range(0, n, cap):
+            s1 = min(s0 + cap, n)
+            a0, a1 = np.searchsorted(sa, [s0, s1])
+            b0, b1 = np.searchsorted(sb, [s0, s1])
+            out[s0:s1] = intersection_counts(
+                va[a0:a1], sa[a0:a1] - s0, vb[b0:b1], sb[b0:b1] - s0, s1 - s0
+            )
+        return out
     hh = np.concatenate([va, vb])
     ss = np.concatenate([sa, sb]).astype(np.uint64)
     side = np.empty(hh.size, np.uint64)
