@@ -90,3 +90,34 @@ def test_job_runs_and_resumes(tmp_path):
     rec = CheckpointManifest(out).completed()["0"]
     assert "[0/4]" in rec["input_fingerprint"] and "res=10" in rec["input_fingerprint"]
     assert rec["content_hash"]
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_pipeline_end_to_end(tmp_path):
+    """The composed corpus pipeline: filter -> near-dup drop -> Hilbert
+    partitioned write; counts consistent, text byte-identical per doc, and
+    the near-dup drop list actually excluded."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from rayjoin.pipelines.corpus import build_corpus
+
+    out = str(tmp_path / "corpus")
+    m = build_corpus("/root/testdata/sf0.001", out, num_partitions=8)
+    assert m["rows_written"] == m["rows_filtered"] - m["rows_dropped_dups"]
+    assert len(glob.glob(f"{out}/part_key=*")) >= 4
+
+    got = pq.read_table(out, columns=["doc_id", "text"])
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+    src_map = dict(zip(src["doc_id"].to_pylist(), src["text"].to_pylist()))
+    for d, t in zip(got["doc_id"].to_pylist(), got["text"].to_pylist()):
+        assert src_map[d] == t  # byte identity through the whole pipeline
+
+    from rayjoin.functions.dedup import near_dup_drop_list
+    import ray.data
+
+    docs = ray.data.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                                 columns=["doc_id", "text"])
+    dropped = {r["doc_id"] for r in near_dup_drop_list(docs).take_all()}
+    written = set(got["doc_id"].to_pylist())
+    assert dropped.isdisjoint(written)
