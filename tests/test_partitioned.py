@@ -219,3 +219,23 @@ def test_hilbert_join_matches_broadcast():
         )
         assert hil == bro, (trial, ns, nb, ranges, inter)
         assert len(hil) == len(set(hil))  # exactly-once ownership
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hilbert_join_degenerate_out_of_domain():
+    """Geometries outside the lat/lon domain clamp to edge tiles — the
+    Hilbert plan degrades to fewer effective ranges but the row set stays
+    exact (the documented behavior; the grid PBSM is the recommended plan
+    for non-geographic planes)."""
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.hilbert import hilbert_spatial_join
+
+    pb = pillboxes(150, seed=3, width=800.0, height=400.0)  # far outside +-180
+    t = encode.geoms_to_table(pb)
+    bro = _rows(SpatialIndex(t).spatial_join(_ds(pb, 3), Interaction.INTERSECTS))
+    hil = _rows(
+        hilbert_spatial_join(_ds(pb, 3), _ds(pb, 3), Interaction.INTERSECTS,
+                             num_ranges=16, resolution=8)
+    )
+    assert hil == bro
+    assert len(hil) == len(set(hil))
