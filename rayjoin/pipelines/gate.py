@@ -287,6 +287,20 @@ SELECT big_row_id, small_row_id, distance, rn - 1 AS knn_rank FROM r WHERE rn <=
 """
 
 
+def q_knn_points_capped_partitioned(sf_dir: str):
+    """The radius-capped kNN through the partitioned plan (cap feeds the
+    phase-A bound directly); same oracle SQL as the broadcast variant."""
+    from ..join.partitioned import partitioned_knn_join
+
+    small = _from_arrow(points_geom_table(sf_dir, "supplier", "s_suppkey"), 2)
+    big = _from_arrow(points_geom_table(sf_dir, "events", "event_id"))
+    ds = partitioned_knn_join(big, small, k=5, max_distance=20.0, target_cells=64)
+    return ds.map_batches(
+        lambda t: t.rename_columns(["big_row_id", "small_row_id", "distance", "knn_rank"]),
+        batch_format="pyarrow",
+    )
+
+
 def q_pip_triangle(sf_dir: str):
     """Point-in-triangle containment join: event points in part-derived
     triangles (the geo sign-test semantics, boundary-exclusive)."""
@@ -1433,6 +1447,7 @@ def build_queries():
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
         "knn_points_capped": q_knn_points_capped,
+        "knn_points_capped_partitioned": q_knn_points_capped_partitioned,
         "pip_triangle": q_pip_triangle,
         "tile_assign": q_tile_assign,
         "tile_stats": q_tile_stats,
@@ -1481,6 +1496,7 @@ def build_queries():
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_capped": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
+        "knn_points_capped_partitioned": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
         "tile_assign": sql_tile_assign(),
         "tile_stats": sql_tile_stats(),
