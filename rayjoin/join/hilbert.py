@@ -46,6 +46,7 @@ class HilbertSpec:
     def __init__(self, boundaries: np.ndarray, resolution: int):
         self.b = np.asarray(boundaries, dtype=np.int64)
         self.resolution = resolution
+        self.salts: dict = {}  # hot range -> sub-partition count
 
     def range_of_hid(self, h: np.ndarray) -> np.ndarray:
         return np.searchsorted(self.b, h, side="right")
@@ -68,7 +69,20 @@ class HilbertSpec:
         h = hilbert_xy2d(ix, iy, resolution)
         qs = np.linspace(0.0, 1.0, num_ranges + 1)[1:-1]
         bounds = np.unique(np.quantile(h, qs).astype(np.int64)) if h.size else np.empty(0, np.int64)
-        return HilbertSpec(bounds, resolution)
+        spec = HilbertSpec(bounds, resolution)
+        # hot-range salting (north_star: "hot cells salted and split"):
+        # coincident centers collapse quantile boundaries — exactly where
+        # boundary splitting stops working and sub-partitioning takes over
+        if h.size:
+            import math
+
+            counts = np.bincount(spec.range_of_hid(h), minlength=bounds.size + 1)
+            target = max(h.size / max(num_ranges, 1), 1.0)
+            for r in np.flatnonzero(counts > 4 * target):
+                s = int(min(8, math.ceil(counts[r] / (2 * target))))
+                if s > 1:
+                    spec.salts[int(r)] = s
+        return spec
 
 
 def _replicate_ranges(ds, spec: HilbertSpec, side: int, dilate_by: float):
@@ -92,8 +106,30 @@ def _replicate_ranges(ds, spec: HilbertSpec, side: int, dilate_by: float):
         key = np.unique(gid * np.int64(nrange) + r)
         ugid = key // nrange
         ur = key % nrange
+        # hot-range salting: big rows take one deterministic salt, small
+        # rows replicate to every salt (same scheme as the grid PBSM)
+        salt = np.zeros(ugid.size, dtype=np.int64)
+        if spec.salts:
+            row_ids = g.row_id[ugid]
+            for hot, s in spec.salts.items():
+                m = ur == hot
+                if not m.any():
+                    continue
+                if side == 1:
+                    with np.errstate(over="ignore"):
+                        salt[m] = (row_ids[m] * 2654435761) % s
+                else:
+                    idx = np.flatnonzero(m)
+                    extra_gid = np.repeat(ugid[idx], s - 1)
+                    extra_r = np.repeat(ur[idx], s - 1)
+                    extra_salt = np.tile(np.arange(1, s, dtype=np.int64), idx.size)
+                    ugid = np.concatenate([ugid, extra_gid])
+                    ur = np.concatenate([ur, extra_r])
+                    salt = np.concatenate([salt, extra_salt])
         taken = t.take(pa.array(ugid))
-        return taken.append_column("hrange", pa.array(ur, pa.int64())).append_column(
+        return taken.append_column(
+            "hrange", pa.array(ur * 1024 + salt, pa.int64())
+        ).append_column(
             "side", pa.array(np.full(ugid.size, side, np.int8), pa.int8())
         )
 
@@ -117,7 +153,7 @@ def hilbert_spatial_join(big, small, interaction: Interaction,
         )
         if t.num_rows == 0:
             return empty
-        rng_id = int(t["hrange"][0].as_py())
+        rng_id = int(t["hrange"][0].as_py()) // 1024  # strip salt sub-key
         small_t = t.filter(pa.compute.equal(t["side"], 0)).drop_columns(["hrange", "side"])
         big_t = t.filter(pa.compute.equal(t["side"], 1)).drop_columns(["hrange", "side"])
         if small_t.num_rows == 0 or big_t.num_rows == 0:

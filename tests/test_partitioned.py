@@ -239,3 +239,32 @@ def test_hilbert_join_degenerate_out_of_domain():
     )
     assert hil == bro
     assert len(hil) == len(set(hil))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_hilbert_hot_range_salting():
+    """Coincident-center skew (quantile boundaries cannot split one Hilbert
+    id) triggers range salting; the salted row set equals broadcast exactly
+    with no duplicates."""
+    from rayjoin.geom.spec import Rect
+    from rayjoin.join.broadcast import SpatialIndex
+    from rayjoin.join.hilbert import HilbertSpec, hilbert_spatial_join
+
+    rng = np.random.default_rng(8)
+    geoms = []
+    for i in range(300):
+        if i % 10 == 0:
+            cx, cy = rng.uniform(-5, 5, 2)
+        else:
+            cx, cy = 1.0, 1.0  # unsplittable hot spot
+        w, h = rng.uniform(0.05, 0.3, 2)
+        geoms.append(Rect(cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2))
+    t = encode.geoms_to_table(geoms)
+    ds = _ds(geoms, 4)
+    spec = HilbertSpec.plan(ds, ds, num_ranges=16, resolution=12)
+    assert spec.salts, "skewed sample should salt at least one range"
+    hil = _rows(hilbert_spatial_join(ds, ds, Interaction.INTERSECTS,
+                                     num_ranges=16, resolution=12))
+    bro = _rows(SpatialIndex(t).spatial_join(ds, Interaction.INTERSECTS))
+    assert hil == bro
+    assert len(hil) == len(set(hil))
