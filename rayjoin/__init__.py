@@ -24,10 +24,19 @@ def __getattr__(name):
         from .join.broadcast import SpatialIndex
 
         return SpatialIndex
-    if name in ("partitioned_spatial_join", "partitioned_proximity_map"):
+    if name in ("partitioned_spatial_join", "partitioned_proximity_map",
+                "partitioned_knn_join"):
         from .join import partitioned
 
         return getattr(partitioned, name)
+    if name == "hilbert_spatial_join":
+        from .join.hilbert import hilbert_spatial_join
+
+        return hilbert_spatial_join
+    if name in ("spatial_join", "proximity_map", "knn_join"):
+        from .join import auto
+
+        return getattr(auto, name)
     raise AttributeError(name)
 
 
@@ -36,6 +45,13 @@ __all__ = [
     "Interaction",
     "SpatialJoinError",
     "SpatialIndex",
+    # auto-dispatching frontends (plan picked by small-side size)
+    "spatial_join",
+    "proximity_map",
+    "knn_join",
+    # explicit physical plans
     "partitioned_spatial_join",
     "partitioned_proximity_map",
+    "partitioned_knn_join",
+    "hilbert_spatial_join",
 ]

@@ -1,0 +1,150 @@
+"""Reproduce the BASELINE.md stress numbers (two-large-sides joins, dedup).
+
+    python tools/stress.py pbsm       # 2M pts x 200k rects partitioned join
+    python tools/stress.py knn        # 2M x 200k partitioned kNN (k=2)
+    python tools/stress.py embedding  # 501k vectors, 1000 planted near-dups
+    python tools/stress.py minhash    # 102k docs, 2000 planted near-dups
+    python tools/stress.py all
+
+Every corpus is synthesized deterministically in-process (seeded); planted
+duplicates give exact expected outputs, so each stress is a correctness
+check at scale as well as a throughput measurement.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+
+
+def _points_and_rects():
+    from rayjoin.geom.encode import points_geom, rects_geom
+    from rayjoin.stages.geocode import key_to_latlon
+
+    import ray.data
+
+    kp = np.arange(2_000_000, dtype=np.int64)
+    lat, lon = key_to_latlon(kp)
+    pts = points_geom(kp, lon, lat)
+    kr = np.arange(200_000, dtype=np.int64) + 5_000_000
+    rlat, rlon = key_to_latlon(kr)
+    w = 0.5 + (kr % 7) * 0.05
+    h = 0.5 + (kr % 5) * 0.05
+    rects = rects_geom(kr, rlon - w / 2, rlat - h / 2, rlon + w / 2, rlat + h / 2)
+    P = ray.data.from_arrow(pts).repartition(64).materialize()
+    R = ray.data.from_arrow(rects).repartition(16).materialize()
+    return P, R
+
+
+def stress_pbsm() -> dict:
+    from rayjoin.config import Interaction
+    from rayjoin.join.partitioned import partitioned_spatial_join
+
+    P, R = _points_and_rects()
+    t0 = time.time()
+    n = partitioned_spatial_join(P, R, Interaction.CONTAINS, target_cells=1024).count()
+    dt = time.time() - t0
+    return {"stress": "pbsm", "joined_rows": n, "sec": round(dt, 1),
+            "joined_rows_per_sec": round(n / dt), "probe_rows_per_sec": round(2_000_000 / dt)}
+
+
+def stress_knn() -> dict:
+    from rayjoin.join.partitioned import partitioned_knn_join
+
+    P, R = _points_and_rects()
+    t0 = time.time()
+    n = partitioned_knn_join(P, R, k=2, target_cells=1024).count()
+    dt = time.time() - t0
+    return {"stress": "knn", "rows": n, "expected": 4_000_000, "sec": round(dt, 1),
+            "bigs_per_sec": round(2_000_000 / dt)}
+
+
+def stress_embedding() -> dict:
+    import ray
+    import ray.data
+
+    from rayjoin.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(1)
+    n, dim, planted = 500_000, 64, 1000
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    base = M[:planted] / np.linalg.norm(M[:planted], axis=1, keepdims=True)
+    noise = rng.standard_normal((planted, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    dup = (base + 0.03 * noise).astype(np.float32)
+    ids = np.concatenate([np.arange(n), np.arange(planted) + 10_000_000]).astype(np.int64)
+    V = np.vstack([M, dup])
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, V.size + 1, dim, dtype=np.int32)),
+        pa.array(V.ravel(), pa.float32()),
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids), "embedding": emb})
+    ).repartition(64).materialize()
+    t0 = time.time()
+    pt = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    dt = time.time() - t0
+    rec = int(((pt["id_b"] - pt["id_a"]) == 10_000_000).sum())
+    return {"stress": "embedding", "pairs": len(pt), "planted_recovered": rec,
+            "planted": planted, "sec": round(dt, 1), "vecs_per_sec": round((n + planted) / dt)}
+
+
+def stress_minhash() -> dict:
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from rayjoin.functions.dedup import minhash_dedup_pairs
+
+    rng = np.random.default_rng(3)
+    n = 100_000
+    lens = rng.integers(40, 200, size=n)
+    toks = pc.binary_join_element_wise(
+        "w", pc.cast(pa.array(rng.integers(0, 100_000, int(lens.sum()))), pa.string()), ""
+    )
+    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+    texts = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": texts})
+    base_ids = np.arange(2000, dtype=np.int64)
+    tweaked = pc.binary_join_element_wise(texts.take(pa.array(base_ids)), " zzz", "")
+    planted = pa.table({"doc_id": pa.array(base_ids + 10_000_000), "text": tweaked})
+    ds = ray.data.from_arrow(pa.concat_tables([t, planted])).repartition(64).materialize()
+    t0 = time.time()
+    pairs = minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
+    dt = time.time() - t0
+    rec = int(((pairs["id_b"] - pairs["id_a"]) == 10_000_000).sum())
+    return {"stress": "minhash", "pairs": len(pairs), "planted_recovered": rec,
+            "planted": 2000, "sec": round(dt, 1), "docs_per_sec": round(102_000 / dt)}
+
+
+STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
+            "embedding": stress_embedding, "minhash": stress_minhash}
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=list(STRESSES) + ["all"])
+    ap.add_argument("--num-cpus", type=int, default=32)
+    args = ap.parse_args(argv)
+
+    import ray
+
+    ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, ".")
+    names = list(STRESSES) if args.which == "all" else [args.which]
+    for name in names:
+        print(json.dumps(STRESSES[name]()))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
