@@ -36,25 +36,27 @@ def _bytes_of(ds) -> int | None:
     return None
 
 
-def _rows_of(ds) -> int:
+def _rows_of(ds, threshold: int = DEFAULT_BROADCAST_ROWS) -> int:
     """Row count for plan selection.  For Datasets, prefer the metadata
-    count (free for file-backed inputs); ``count()`` on a lazy transformed
-    pipeline would execute the whole upstream once just to pick a plan and
-    then re-execute it for the join (ADVICE r1) — callers with expensive
-    inputs should pass ``small_rows_hint`` instead."""
+    count (free for file-backed inputs, guarded against the private API
+    disappearing — ADVICE r2); when metadata can't answer, we only need to
+    know which SIDE of ``threshold`` the count falls on, so probe with
+    ``limit(threshold + 1).count()`` — streaming execution stops after
+    threshold+1 rows instead of executing (and later re-executing for the
+    join itself) the whole upstream pipeline.  Callers with expensive
+    inputs should still pass ``small_rows_hint``."""
     import pyarrow as pa
+
+    from ..util import meta_row_count
 
     if isinstance(ds, pa.Table):
         return ds.num_rows
     if isinstance(ds, (list, tuple)):
         return len(ds)
-    try:
-        n = ds._meta_count()
-        if n is not None:
-            return n
-    except Exception:
-        pass
-    return ds.count()
+    n = meta_row_count(ds)
+    if n is not None:
+        return n
+    return ds.limit(threshold + 1).count()
 
 
 def _as_dataset(x):
@@ -76,7 +78,7 @@ def spatial_join(big, small, interaction: Interaction, config: Config = Config()
     from .broadcast import SpatialIndex
     from .partitioned import partitioned_spatial_join
 
-    n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
+    n = small_rows_hint if small_rows_hint is not None else _rows_of(small, broadcast_threshold_rows)
     nb = None if small_rows_hint is not None else _bytes_of(small)
     if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, config, **kwargs).spatial_join(big, interaction)
@@ -93,7 +95,7 @@ def proximity_map(big, small, config: Config,
     from .broadcast import SpatialIndex
     from .partitioned import partitioned_proximity_map
 
-    n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
+    n = small_rows_hint if small_rows_hint is not None else _rows_of(small, broadcast_threshold_rows)
     nb = None if small_rows_hint is not None else _bytes_of(small)
     if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, config, **kwargs).proximity_map(big)
@@ -111,7 +113,7 @@ def knn_join(big, small, k: int, max_distance: float = float("inf"),
     from .broadcast import SpatialIndex
     from .partitioned import partitioned_knn_join
 
-    n = small_rows_hint if small_rows_hint is not None else _rows_of(small)
+    n = small_rows_hint if small_rows_hint is not None else _rows_of(small, broadcast_threshold_rows)
     nb = None if small_rows_hint is not None else _bytes_of(small)
     if n <= broadcast_threshold_rows and (nb is None or nb <= DEFAULT_BROADCAST_BYTES):
         return SpatialIndex(small, **kwargs).knn_join(big, k=k, max_distance=max_distance)

