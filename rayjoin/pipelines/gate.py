@@ -775,6 +775,54 @@ def q_minhash_dedup(sf_dir: str):
     return minhash_dedup_pairs(docs, threshold=0.8)
 
 
+# Exact oracle for the MinHash pipeline output: its verify stage keeps only
+# candidate pairs whose TRUE 5-byte-shingle Jaccard >= threshold, and the
+# LSH banding (64 perms / 16 bands) has per-pair miss < 3e-4 at j=0.8, so
+# on the deterministic gate corpus the output equals the full all-pairs
+# truth — which DuckDB computes directly (substring shingles; char ==
+# byte shingles on this ASCII corpus).  The size-ratio prefilter mirrors
+# the engine's: jaccard <= min(|A|,|B|)/max(|A|,|B|).
+SQL_MINHASH_SHINGLES = """
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, GREATEST(length(text) - 4, 0)),
+                                      i -> substring(text, i, 5))) AS s
+  FROM documents"""
+
+SQL_MINHASH_PAIRS_BODY = f"""
+sh AS ({SQL_MINHASH_SHINGLES}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb,
+         array_length(a.s) AS la, array_length(b.s) AS lb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE (LEAST(array_length(a.s), array_length(b.s)) * 1.0
+         / GREATEST(array_length(a.s), array_length(b.s), 1)) >= 0.8
+     OR (array_length(a.s) = 0 AND array_length(b.s) = 0)),
+p AS (
+  SELECT id_a, id_b,
+         CAST(array_length(list_intersect(sa, sb)) AS DOUBLE) AS inter,
+         CAST(la + lb AS DOUBLE) AS tot
+  FROM cand),
+good AS (
+  SELECT id_a, id_b FROM p
+  WHERE CASE WHEN tot - inter <= 0 THEN 1.0 ELSE inter / (tot - inter) END >= 0.8)"""
+
+SQL_MINHASH_PAIRS = f"WITH {SQL_MINHASH_PAIRS_BODY}\nSELECT id_a, id_b FROM good"
+
+# drop list = non-min members of each connected component of the true
+# near-dup pair graph (recursive transitive closure; components are tiny)
+SQL_NEAR_DUP_DROP = f"""
+WITH RECURSIVE {SQL_MINHASH_PAIRS_BODY},
+edges AS (SELECT id_a AS u, id_b AS v FROM good
+          UNION ALL SELECT id_b, id_a FROM good),
+reach(id, r) AS (
+  SELECT u, u FROM edges
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v)
+SELECT id AS doc_id FROM (SELECT id, MIN(r) AS label FROM reach GROUP BY id)
+WHERE id <> label
+"""
+
+
 def q_near_dup_drop_list(sf_dir: str):
     """MinHash pairs -> connected components -> drop list (keep one doc per
     near-dup cluster).  Iterative -> rows-only driver check; pytest covers
@@ -803,6 +851,53 @@ def q_fingerprint(sf_dir: str):
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return docs.map_batches(fingerprint, batch_format="pyarrow")
+
+
+# FNV-1a 64 transcribed into DuckDB HUGEINT arithmetic (list_reduce over
+# codepoints == bytes on this ASCII corpus; h*prime < 2^104 fits int128,
+# reduced mod 2^64 each round; final value mapped to the engine's signed
+# int64 view).  Verified bit-exact against rayjoin.stages.geocode.fnv1a64.
+def _sql_fnv(var: str) -> str:
+    return (
+        "list_reduce(list_concat([14695981039346656037::HUGEINT], "
+        f"list_transform(generate_series(1, length({var})), "
+        f"i -> ord(substring({var}, i, 1))::HUGEINT)), "
+        "(h, b) -> (xor(h, b) * 1099511628211::HUGEINT) "
+        "% 18446744073709551616::HUGEINT)"
+    )
+
+
+_SQL_U64_TO_I64 = (
+    "CAST(CASE WHEN {v} >= 9223372036854775808::HUGEINT "
+    "THEN {v} - 18446744073709551616::HUGEINT ELSE {v} END AS BIGINT)"
+)
+
+
+def sql_fingerprint() -> str:
+    return (
+        f"SELECT doc_id, {_SQL_U64_TO_I64.format(v='v')} AS fingerprint "
+        f"FROM (SELECT doc_id, {_sql_fnv('text')} AS v FROM documents)"
+    )
+
+
+def sql_simhash() -> str:
+    """Whitespace tokens -> per-token FNV-1a -> 64 bit votes -> sign bits;
+    the exact simhash64 algorithm in SQL (verified bit-exact)."""
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+th AS (SELECT doc_id, {_sql_fnv('w')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) % 2 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN tally > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY doc_id)
+SELECT doc_id, {_SQL_U64_TO_I64.format(v='v')} AS simhash FROM sh
+"""
 
 
 def q_ann_cosine(sf_dir: str):
@@ -885,6 +980,52 @@ def q_ann_ivf(sf_dir: str):
     qids = np.asarray(t["vec_id"], dtype=np.int64)[order]
     ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ann_ivf_topk(ds, q, qids, k=5, n_lists=8, nprobe=4)
+
+
+def q_ann_ivf_exhaustive(sf_dir: str):
+    """IVF with nprobe == n_lists scans every list — algebraically equal to
+    the brute-force top-k, so the brute-force SQL oracle hash-checks the
+    whole IVF machinery (assignment, probe mask, bucketed merge); the
+    approximate nprobe<n_lists path stays rows-only in ``ann_ivf``
+    (VERDICT r2 #4b)."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+
+    from ..functions.ann import ann_ivf_topk
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    order = np.argsort(np.asarray(t["vec_id"], dtype=np.int64))[:8]
+    q = np.array(t["embedding"].take(pa.array(order)).to_pylist(), dtype=np.float64)
+    qids = np.asarray(t["vec_id"], dtype=np.int64)[order]
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ann_ivf_topk(ds, q, qids, k=5, n_lists=8, nprobe=8)
+
+
+def q_embedding_dups_exhaustive(sf_dir: str):
+    """Embedding dedup with bits=0: every vector lands in ONE bucket, so
+    the in-bucket pass is exact all-pairs and the output is exactly {pairs
+    with cosine >= 0.5} — SQL-checkable via list_cosine_similarity, hash-
+    checking the whole pipeline (code stage, bucket shuffle, chunked
+    matmul, pair dedup) with zero LSH recall uncertainty.  The approximate
+    planted-dup variant stays rows-only in ``embedding_dups``
+    (VERDICT r2 #4)."""
+    import ray.data
+
+    from ..functions.dedup import embedding_dup_pairs
+
+    ds = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return embedding_dup_pairs(ds, threshold=0.5, n_tables=1, bits=0).select_columns(
+        ["id_a", "id_b"]
+    )
+
+
+SQL_EMB_DUPS_EXH = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                             CAST(b.embedding AS DOUBLE[])) >= 0.5
+"""
 
 
 def q_embedding_dups(sf_dir: str):
@@ -1472,6 +1613,8 @@ def build_queries():
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
+        "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
         "embedding_dups": q_embedding_dups,
         "agg_lineitem": q_agg_lineitem,
         "join_orders_customer": q_join_orders_customer,
@@ -1515,7 +1658,13 @@ def build_queries():
         "lang_id": sql_lang_id(),
         "token_regex": sql_token_regex(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "minhash_dedup": SQL_MINHASH_PAIRS,
+        "near_dup_drop_list": SQL_NEAR_DUP_DROP,
+        "simhash": sql_simhash(),
+        "fingerprint": sql_fingerprint(),
         "ann_cosine": SQL_ANN,
+        "ann_ivf_exhaustive": SQL_ANN,
+        "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_orders_customer": SQL_JOIN_ORDERS,
         "join_orders_customer_shuffle": SQL_JOIN_ORDERS,
@@ -1530,7 +1679,8 @@ def build_queries():
         "topk_orders": SQL_TOPK,
         "filtered_read": SQL_FILTERED_READ,
         "distinct_flags": SQL_DISTINCT,
-        # minhash_dedup / simhash / fingerprint / embedding_dups:
-        # non-SQL-expressible -> rows-only driver check + pytest oracles
+        # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,
+        # LSH recall<1) -> rows-only driver check + pytest planted-truth
+        # oracles; their exhaustive twins above are hash-checked
     }
     return queries, oracle
