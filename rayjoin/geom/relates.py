@@ -80,6 +80,29 @@ def _verts_sel(batch: GeomBatch, gids: np.ndarray, mode: str = "ext") -> Tuple[n
 # composite segmented kernels
 # ---------------------------------------------------------------------------
 
+# Cache tile size for the quadratic edge-pair expansions (VERDICT r2 #5):
+# the segment kernels allocate ~30 full-length float64 temporaries, so one
+# monolithic expansion streams every intermediate through DRAM — the reason
+# the dense polygon-pair kernels flat-lined beyond ~8 cores.  Processing
+# PAIR blocks whose expanded row count stays near this target keeps the
+# temporaries L2/L3-resident across kernel steps.  Results are identical:
+# blocks are exact per-pair segments.
+EDGE_PAIR_CHUNK_ROWS = 1 << 17
+
+
+def _pair_ranges(rows_per_pair: np.ndarray, target: int = EDGE_PAIR_CHUNK_ROWS):
+    """(i0, i1) pair-index ranges with ~target expanded rows each (a single
+    pair larger than target gets its own range)."""
+    cum = np.concatenate([[0], np.cumsum(rows_per_pair)])
+    n = rows_per_pair.size
+    i0 = 0
+    while i0 < n:
+        i1 = int(np.searchsorted(cum, cum[i0] + target, side="right")) - 1
+        i1 = max(i1, i0 + 1)
+        i1 = min(i1, n)
+        yield i0, i1
+        i0 = i1
+
 
 def _window_clip_edges(batch, gids, mode, wmin_x, wmin_y, wmax_x, wmax_y, pad):
     """Per-pair edge selection: keep only edges whose (padded) bbox overlaps
@@ -134,51 +157,71 @@ def _any_edge_intersect(A, ia, ma, B, ib, mb) -> np.ndarray:
     zero = pad * 0.0
     Ea, Ba, pa, cntA = _window_clip_edges(A, ia, ma, wmin_x, wmin_y, wmax_x, wmax_y, zero)
     Eb, Bb, pb, cntB = _window_clip_edges(B, ib, mb, wmin_x, wmin_y, wmax_x, wmax_y, zero)
-    pid, kka, kkb = cross_expand(cntA, cntB)
-    if pid.size == 0:
+    rows = cntA * cntB
+    if int(rows.sum()) == 0:
         return np.zeros(P, dtype=bool)
     startsA = np.concatenate([[0], np.cumsum(cntA)[:-1]])
     startsB = np.concatenate([[0], np.cumsum(cntB)[:-1]])
-    ra = startsA[pid] + kka
-    rb = startsB[pid] + kkb
-    # per-row prefilter on precomputed edge bounds (edge-bbox overlap, padded)
-    ba = Ba[ra]
-    bb2 = Bb[rb]
-    p = pad[pid]
-    near = ~(
-        (ba[:, 0] - p > bb2[:, 2])
-        | (ba[:, 2] + p < bb2[:, 0])
-        | (ba[:, 1] - p > bb2[:, 3])
-        | (ba[:, 3] + p < bb2[:, 1])
-    )
-    if not near.any():
-        return np.zeros(P, dtype=bool)
-    ea = Ea[ra[near]]
-    eb = Eb[rb[near]]
-    m = v_line_intersects_line(
-        ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
-    )
-    return seg_any(m, pid[near], P)
+    res = np.zeros(P, dtype=bool)
+    # cache-tiled over pair blocks (EDGE_PAIR_CHUNK_ROWS): identical output,
+    # temporaries stay cache-resident instead of streaming through DRAM
+    for i0, i1 in _pair_ranges(rows):
+        pid, kka, kkb = cross_expand(cntA[i0:i1], cntB[i0:i1])
+        if pid.size == 0:
+            continue
+        ra = startsA[i0:i1][pid] + kka
+        rb = startsB[i0:i1][pid] + kkb
+        # per-row prefilter on precomputed edge bounds (edge-bbox overlap,
+        # padded)
+        ba = Ba[ra]
+        bb2 = Bb[rb]
+        p = pad[i0 + pid]
+        near = ~(
+            (ba[:, 0] - p > bb2[:, 2])
+            | (ba[:, 2] + p < bb2[:, 0])
+            | (ba[:, 1] - p > bb2[:, 3])
+            | (ba[:, 3] + p < bb2[:, 1])
+        )
+        if not near.any():
+            continue
+        ea = Ea[ra[near]]
+        eb = Eb[rb[near]]
+        m = v_line_intersects_line(
+            ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
+        )
+        res[i0:i1] = seg_any(m, pid[near], i1 - i0)
+    return res
 
 
 def _min_edge_dist(A, ia, ma, B, ib, mb) -> np.ndarray:
     sa, ca = _edges_sel(A, ia, ma)
     sb, cb = _edges_sel(B, ib, mb)
-    pid, ka, kb = cross_expand(ca, cb)
-    ea = A.edges[sa[pid] + ka]
-    eb = B.edges[sb[pid] + kb]
-    d = v_seg_seg_distance(
-        ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
-    )
-    return seg_min(d, ca * cb)
+    rows = ca * cb
+    out = np.empty(ia.size, dtype=np.float64)
+    # cache-tiled like _any_edge_intersect: exact per-pair blocks
+    for i0, i1 in _pair_ranges(rows):
+        pid, ka, kb = cross_expand(ca[i0:i1], cb[i0:i1])
+        ea = A.edges[sa[i0:i1][pid] + ka]
+        eb = B.edges[sb[i0:i1][pid] + kb]
+        d = v_seg_seg_distance(
+            ea[:, 0], ea[:, 1], ea[:, 2], ea[:, 3], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
+        )
+        out[i0:i1] = seg_min(d, rows[i0:i1])
+    return out
 
 
 def _point_min_edge_dist(px, py, B, ib, mb) -> np.ndarray:
     sb, cb = _edges_sel(B, ib, mb)
-    pid, k = repeat_expand(cb)
-    eb = B.edges[sb[pid] + k]
-    d = v_point_seg_distance(px[pid], py[pid], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3])
-    return seg_min(d, cb)
+    out = np.empty(px.size, dtype=np.float64)
+    # cache-tiled like _min_edge_dist
+    for i0, i1 in _pair_ranges(cb):
+        pid, k = repeat_expand(cb[i0:i1])
+        eb = B.edges[sb[i0:i1][pid] + k]
+        d = v_point_seg_distance(
+            px[i0:i1][pid], py[i0:i1][pid], eb[:, 0], eb[:, 1], eb[:, 2], eb[:, 3]
+        )
+        out[i0:i1] = seg_min(d, cb[i0:i1])
+    return out
 
 
 def _ring_position(batch: GeomBatch, ring_ids, px, py) -> np.ndarray:

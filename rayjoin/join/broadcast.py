@@ -160,6 +160,14 @@ def _probe_knn(index: BroadcastIndex, big: GeomBatch, k: int, max_distance: floa
     r = min(r, max_distance) if math.isfinite(max_distance) else r
     pending = np.arange(nb, dtype=np.int64)
     out_b, out_s, out_d = [], [], []
+    # pending-distance cache (VERDICT r2 #7): each doubling round re-queries
+    # the tree, and the new candidate set is a SUPERSET of the last round's
+    # for every still-pending big — so distances already computed are looked
+    # up by packed (big, small) key instead of re-running the (possibly
+    # polygon-pair-expensive) distance kernel.  Keys are kept sorted; the
+    # cache holds only candidates of still-pending bigs.
+    cache_key = np.empty(0, np.int64)
+    cache_d = np.empty(0, np.float64)
     while pending.size:
         qb = big.bbox[pending].copy()
         qb[:, 0] -= r
@@ -167,7 +175,18 @@ def _probe_knn(index: BroadcastIndex, big: GeomBatch, k: int, max_distance: floa
         qb[:, 2] += r
         qb[:, 3] += r
         q, s = index.tree.query(qb)
-        d = relate("distance", index.batch, s, big, pending[q])
+        bglob = pending[q]
+        key = bglob * np.int64(ns) + s
+        d = np.empty(key.size, np.float64)
+        if cache_key.size:
+            pos = np.minimum(np.searchsorted(cache_key, key), cache_key.size - 1)
+            hit = cache_key[pos] == key
+            d[hit] = cache_d[pos[hit]]
+        else:
+            hit = np.zeros(key.size, dtype=bool)
+        miss = ~hit
+        if miss.any():
+            d[miss] = relate("distance", index.batch, s[miss], big, bglob[miss])
         # a big geometry is exhausted when its dilated query box covers the
         # whole small-side extent (every small was a candidate) or the
         # radius reached the distance cap; for those, only the cap filters
@@ -192,6 +211,14 @@ def _probe_knn(index: BroadcastIndex, big: GeomBatch, k: int, max_distance: floa
             out_b.append(b_sorted[keep])
             out_s.append(ss[m][order][keep])
             out_d.append(dd[m][order][keep])
+        nd = ~done[q]
+        if nd.any() and not done.all():
+            ck, cd = key[nd], d[nd]
+            o = np.argsort(ck, kind="stable")
+            cache_key, cache_d = ck[o], cd[o]
+        else:
+            cache_key = np.empty(0, np.int64)
+            cache_d = np.empty(0, np.float64)
         pending = pending[~done]
         r *= 2.0
     b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)

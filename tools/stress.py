@@ -172,9 +172,32 @@ def stress_corpus(n: int = 1_000_000) -> dict:
             "docs_per_sec": round(n / dt), "driver_peak_rss_gib": round(rss_gib, 2)}
 
 
+def stress_pillbox(n: int = 120_000) -> dict:
+    """Dense polygon-polygon self-join (the DRAM-bound kernel workload of
+    BASELINE.md): n pill-boxes in the reference's 5000x2000 plane,
+    broadcast STR index + Intersects probe."""
+    import ray.data
+
+    from rayjoin.config import Interaction
+    from rayjoin.fixtures import pillboxes_table
+    from rayjoin.join.broadcast import SpatialIndex
+
+    pb = pillboxes_table(n, seed=42)
+    idx = SpatialIndex(pb, batch_size=1024)
+    big = ray.data.from_arrow(pb).repartition(64).materialize()
+    best, rows = float("inf"), 0
+    for _ in range(2):
+        t0 = time.time()
+        rows = idx.spatial_join(big, Interaction.INTERSECTS).count()
+        best = min(best, time.time() - t0)
+    return {"stress": "pillbox", "n": n, "joined_rows": rows,
+            "sec": round(best, 1), "joined_rows_per_sec": round(rows / best),
+            "polys_per_sec": round(n / best)}
+
+
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "embedding": stress_embedding, "minhash": stress_minhash,
-            "corpus": stress_corpus}
+            "corpus": stress_corpus, "pillbox": stress_pillbox}
 
 
 def main(argv=None):
@@ -196,7 +219,7 @@ def main(argv=None):
     names = list(STRESSES) if args.which == "all" else [args.which]
     for name in names:
         fn = STRESSES[name]
-        kwargs = {"n": args.n} if args.n and name in ("embedding", "corpus") else {}
+        kwargs = {"n": args.n} if args.n and name in ("embedding", "corpus", "pillbox") else {}
         print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
