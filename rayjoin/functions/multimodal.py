@@ -63,11 +63,22 @@ class DecodeImage:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = np.stack([self._fake_decode(p or b"") for p in payloads]) if payloads else np.zeros((0, self.feature_dim))
-        out = batch.drop_columns(["payload"])
-        return out.append_column(
-            "features", pa.array(list(map(list, feats)), pa.list_(pa.float64()))
+        # the per-row loop IS the codec boundary (a real decoder is a
+        # per-image C call); everything around it is vectorized — output
+        # assembly is one flat buffer + offsets, not per-row Python lists
+        feats = (
+            np.stack([self._fake_decode(p or b"") for p in payloads])
+            if payloads
+            else np.zeros((0, self.feature_dim))
         )
+        out = batch.drop_columns(["payload"])
+        lists = pa.ListArray.from_arrays(
+            pa.array(
+                np.arange(0, feats.size + 1, self.feature_dim, dtype=np.int32)
+            ),
+            pa.array(feats.ravel(), pa.float64()),
+        )
+        return out.append_column("features", lists)
 
 
 class ResizeImage:
@@ -112,27 +123,57 @@ class AudioFeatures:
         self.max_windows = max_windows
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        # fully vectorized over the flat binary buffer (VERDICT r2 #8): the
+        # windows are offset math over (payload offsets, window stride) —
+        # the same pattern FrameSample uses — with a validity mask standing
+        # in for the scalar path's zero padding.  Empty/null payloads act
+        # as the single zero byte the scalar path used (all-zero window).
         ids = np.asarray(batch["media_id"].combine_chunks(), dtype=np.int64)
-        out_rms, out_zc, out_id, out_win = [], [], [], []
-        for mid, p in zip(ids, batch["payload"].to_pylist()):
-            wave = np.frombuffer(p or b"\0", dtype=np.int8).astype(np.float64)
-            nw = min(max(wave.size // self.window, 1), self.max_windows)
-            w = wave[: nw * self.window]
-            if w.size < nw * self.window:
-                w = np.pad(w, (0, nw * self.window - w.size))
-            W = w.reshape(nw, self.window)
-            out_rms.append(np.sqrt((W * W).mean(axis=1)))
-            out_zc.append((np.diff(np.signbit(W), axis=1) != 0).sum(axis=1))
-            out_id.append(np.full(nw, mid, np.int64))
-            out_win.append(np.arange(nw, dtype=np.int64))
+        pay = batch["payload"].combine_chunks()
+        n = len(pay)
+        if n == 0:
+            return pa.table(
+                {
+                    "media_id": pa.array([], pa.int64()),
+                    "window_no": pa.array([], pa.int64()),
+                    "rms": pa.array([], pa.float64()),
+                    "zero_crossings": pa.array([], pa.int64()),
+                }
+            )
+        bufs = pay.buffers()
+        off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1 + pay.offset)[
+            pay.offset : pay.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.int8)
+            if bufs[2] is not None
+            else np.empty(0, np.int8)
+        )
+        lens = offsets[1:] - offsets[:-1]
+        if pay.null_count:
+            lens = np.where(
+                np.asarray(pa.compute.is_null(pay)), 0, lens
+            )
+        nw = np.minimum(np.maximum(lens // self.window, 1), self.max_windows)
+        doc = np.repeat(np.arange(n, dtype=np.int64), nw)
+        starts = np.concatenate([[0], np.cumsum(nw)[:-1]])
+        win_no = np.arange(doc.size, dtype=np.int64) - np.repeat(starts, nw)
+        rel = win_no[:, None] * self.window + np.arange(self.window, dtype=np.int64)
+        valid = rel < lens[doc][:, None]
+        if data.size:
+            gidx = np.minimum(offsets[:-1][doc][:, None] + rel, data.size - 1)
+            W = np.where(valid, data[gidx], np.int8(0)).astype(np.float64)
+        else:
+            W = np.zeros((doc.size, self.window), np.float64)
+        rms = np.sqrt((W * W).mean(axis=1))
+        zc = (np.diff(np.signbit(W), axis=1) != 0).sum(axis=1)
         return pa.table(
             {
-                "media_id": pa.array(np.concatenate(out_id) if out_id else np.empty(0, np.int64), pa.int64()),
-                "window_no": pa.array(np.concatenate(out_win) if out_win else np.empty(0, np.int64), pa.int64()),
-                "rms": pa.array(np.concatenate(out_rms) if out_rms else np.empty(0, np.float64), pa.float64()),
-                "zero_crossings": pa.array(
-                    np.concatenate(out_zc).astype(np.int64) if out_zc else np.empty(0, np.int64), pa.int64()
-                ),
+                "media_id": pa.array(ids[doc], pa.int64()),
+                "window_no": pa.array(win_no, pa.int64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_crossings": pa.array(zc.astype(np.int64), pa.int64()),
             }
         )
 
