@@ -88,9 +88,13 @@ def _shingle_hashes(texts: pa.Array, k: int = 5) -> Tuple[np.ndarray, np.ndarray
     # windows fully inside doc i: start in [offsets[i], offsets[i+1]-k]
     counts = np.maximum(lens - k + 1, 0)
     doc_off = np.concatenate([[0], np.cumsum(counts)])
-    idx = np.concatenate(
-        [np.arange(offsets[i], offsets[i] + counts[i]) for i in range(n)]
-    ) if counts.sum() else np.empty(0, np.int64)
+    if counts.sum():
+        from ..geom.primitives import repeat_expand
+
+        pid, kk = repeat_expand(counts)
+        idx = offsets[:-1][pid] + kk
+    else:
+        idx = np.empty(0, np.int64)
     return h[idx], doc_off
 
 
@@ -310,11 +314,14 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
     Scale plan (VERDICT r1 fix): the corpus is first semi-filtered
     (streaming ``map_batches``) to the docs named in some candidate pair —
     a set bounded by the pair graph, NOT the corpus.  That bounded side is
-    then broadcast (sorted ids + texts, one ``ray.put``) for a vectorized
-    searchsorted lookup per batch; if it exceeds
-    ``broadcast_threshold_rows`` the texts are attached with two
-    ``Dataset.join`` hash joins instead — the corpus itself is never
-    materialized in one process either way.
+    shingle-hashed DISTRIBUTED (map_batches -> per-doc unique hash lists),
+    and only the compact hash lists are broadcast (sorted ids + flat
+    hashes, one ``ray.put``) for a vectorized searchsorted lookup per
+    batch; if they exceed ``broadcast_threshold_rows`` or the byte cap the
+    texts are attached with two ``Dataset.join`` hash joins instead — the
+    corpus is never materialized in one process, no driver-side hashing
+    happens on either path (the old driver prep was a single-core
+    ~10-minute stall at 650k candidate docs on the dup-heavy stress).
     """
     import ray
 
@@ -344,35 +351,59 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
         semi, batch_format="pyarrow"
     )
 
+    def prehash(t: pa.Table) -> pa.Table:
+        """DISTRIBUTED per-doc unique shingle hashes (a doc appears in many
+        pairs, so per-pair re-hashing would redo the work ~avg-degree
+        times; and hashing on the driver was a single-core ~10-minute
+        stall at 650k candidate docs on the dup-heavy corpus stress).
+        Avalanche-mix BEFORE uniquing: the rolling polynomial concentrates
+        shingle differences in the LOW bits, so the verify's truncated-key
+        sort would systematically collide; the murmur3 finalizer is a
+        bijection on uint64 (set semantics identical) with random top
+        bits."""
+        h, off = _shingle_hashes(t[text_col], k)
+        h = _mix64(h)
+        uh, _, ucounts = _segment_unique(h, off)
+        lists = pa.ListArray.from_arrays(
+            pa.array(np.concatenate([[0], np.cumsum(ucounts)]), pa.int64()),
+            pa.array(uh, pa.uint64()),
+        )
+        return pa.table({id_col: t[id_col], "shash": lists})
+
+    hashed_small = texts_small.map_batches(prehash, batch_format="pyarrow")
+
     tabs = None
     if cand_ids.size <= broadcast_threshold_rows:
         # bounded side -> broadcast lookup (same pattern as the broadcast
-        # spatial index: one ray.put, read per task).  Shingle-hash each doc
-        # ONCE here (unique + sorted per doc) — a doc appears in many pairs,
-        # so per-pair re-hashing would redo the work ~avg-degree times.
-        # The row threshold bounds rows, not bytes (ADVICE r2): huge docs
-        # can OOM the driver under the row cap, so byte-count the pulled
-        # blocks (zero-copy from the object store) and fall through to the
-        # shuffle path when they exceed the byte cap.
-        tabs = [t for t in ray.get(texts_small.to_arrow_refs()) if t.num_rows]
+        # spatial index: one ray.put, read per task).  Only the COMPACT
+        # hash lists reach the driver — never the texts.  The row
+        # threshold bounds rows, not bytes (ADVICE r2), so byte-count the
+        # pulled blocks (zero-copy from the object store) and fall through
+        # to the shuffle path when they exceed the byte cap.
+        tabs = [t for t in ray.get(hashed_small.to_arrow_refs()) if t.num_rows]
         if sum(t.nbytes for t in tabs) > broadcast_threshold_bytes:
             tabs = None
     if tabs is not None:
-        tt = pa.concat_tables(tabs) if tabs else pa.table(
-            {id_col: pa.array([], pa.int64()), text_col: pa.array([], pa.string())}
-        )
-        tid = np.asarray(tt[id_col], dtype=np.int64)
-        order = np.argsort(tid, kind="stable")
-        texts_sorted = tt[text_col].combine_chunks().take(pa.array(order))
-        h, off = _shingle_hashes(texts_sorted, k)
-        # avalanche-mix BEFORE uniquing: the rolling polynomial concentrates
-        # shingle differences in the LOW bits, so the verify's truncated-key
-        # sort would systematically collide; the murmur3 finalizer is a
-        # bijection on uint64 (set semantics identical) with random top bits
-        h = _mix64(h)
-        uh, us, ucounts = _segment_unique(h, off)
-        uoff = np.concatenate([[0], np.cumsum(ucounts)])
-        lookup_ref = ray.put((tid[order], uh, uoff))
+        if tabs:
+            tt = pa.concat_tables(tabs)
+            tid = np.asarray(tt[id_col], dtype=np.int64)
+            order = np.argsort(tid, kind="stable")
+            lists = tt["shash"].combine_chunks()
+            flat = np.asarray(lists.values, dtype=np.uint64)
+            loff = np.asarray(lists.offsets, dtype=np.int64)
+            counts = loff[1:] - loff[:-1]
+            # reorder the ragged hash lists into sorted-id order (one gather)
+            from ..geom.primitives import repeat_expand
+
+            pid, kk = repeat_expand(counts[order])
+            uh = flat[loff[:-1][order][pid] + kk]
+            uoff = np.concatenate([[0], np.cumsum(counts[order])])
+            tid = tid[order]
+        else:
+            tid = np.empty(0, np.int64)
+            uh = np.empty(0, np.uint64)
+            uoff = np.zeros(1, np.int64)
+        lookup_ref = ray.put((tid, uh, uoff))
 
         def verify(t: pa.Table) -> pa.Table:
             from ..geom.primitives import repeat_expand
