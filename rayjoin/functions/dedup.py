@@ -68,7 +68,15 @@ def _shingle_hashes(texts: pa.Array, k: int = 5) -> Tuple[np.ndarray, np.ndarray
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     n = len(arr)
     buf = arr.buffers()
-    offsets = np.frombuffer(buf[1], dtype=np.int32, count=n + 1 + arr.offset)[
+    # large_string/large_binary carry int64 offsets — reading them as int32
+    # silently misparses every row (the same bug class the checkpoint
+    # digest fix pinned; review r3)
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offsets = np.frombuffer(buf[1], dtype=off_dtype, count=n + 1 + arr.offset)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     data = (
@@ -364,39 +372,48 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
         h, off = _shingle_hashes(t[text_col], k)
         h = _mix64(h)
         uh, _, ucounts = _segment_unique(h, off)
-        lists = pa.ListArray.from_arrays(
-            pa.array(np.concatenate([[0], np.cumsum(ucounts)]), pa.int64()),
-            pa.array(uh, pa.uint64()),
+        # BINARY blob per doc, not list<uint64>: Acero hash join carries
+        # binary but not list payload columns (same encoding as
+        # text.token_hash_sets; decode is a zero-copy frombuffer)
+        uoff32 = (np.concatenate([[0], np.cumsum(ucounts)]) * 8).astype(np.int32)
+        blobs = pa.Array.from_buffers(
+            pa.binary(), ucounts.size,
+            [None, pa.py_buffer(uoff32.tobytes()), pa.py_buffer(uh.tobytes())],
         )
-        return pa.table({id_col: t[id_col], "shash": lists})
+        return pa.table({id_col: t[id_col], "shash": blobs})
 
-    hashed_small = texts_small.map_batches(prehash, batch_format="pyarrow")
-
-    tabs = None
-    if cand_ids.size <= broadcast_threshold_rows:
+    # materialize ONCE: both paths consume the hash lists, and the
+    # broadcast/shuffle decision reads size_bytes() from the materialized
+    # metadata BEFORE any blocks move to the driver (review r3: checking
+    # bytes after ray.get() pulls the whole side first, then throws the
+    # work away on fallback)
+    hashed_small = texts_small.map_batches(
+        prehash, batch_format="pyarrow"
+    ).materialize()
+    try:
+        hashed_bytes = hashed_small.size_bytes()
+    except Exception:
+        hashed_bytes = None
+    use_broadcast = cand_ids.size <= broadcast_threshold_rows and (
+        hashed_bytes is None or hashed_bytes <= broadcast_threshold_bytes
+    )
+    if use_broadcast:
         # bounded side -> broadcast lookup (same pattern as the broadcast
         # spatial index: one ray.put, read per task).  Only the COMPACT
-        # hash lists reach the driver — never the texts.  The row
-        # threshold bounds rows, not bytes (ADVICE r2), so byte-count the
-        # pulled blocks (zero-copy from the object store) and fall through
-        # to the shuffle path when they exceed the byte cap.
+        # hash lists reach the driver — never the texts.
         tabs = [t for t in ray.get(hashed_small.to_arrow_refs()) if t.num_rows]
-        if sum(t.nbytes for t in tabs) > broadcast_threshold_bytes:
-            tabs = None
-    if tabs is not None:
         if tabs:
+            from ..functions.text import _binary_u64
+            from ..geom.primitives import repeat_expand
+
             tt = pa.concat_tables(tabs)
             tid = np.asarray(tt[id_col], dtype=np.int64)
             order = np.argsort(tid, kind="stable")
-            lists = tt["shash"].combine_chunks()
-            flat = np.asarray(lists.values, dtype=np.uint64)
-            loff = np.asarray(lists.offsets, dtype=np.int64)
-            counts = loff[1:] - loff[:-1]
-            # reorder the ragged hash lists into sorted-id order (one gather)
-            from ..geom.primitives import repeat_expand
-
+            flat, counts = _binary_u64(tt["shash"])
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            # reorder the ragged hash sets into sorted-id order (one gather)
             pid, kk = repeat_expand(counts[order])
-            uh = flat[loff[:-1][order][pid] + kk]
+            uh = flat[starts[order][pid] + kk]
             uoff = np.concatenate([[0], np.cumsum(counts[order])])
             tid = tid[order]
         else:
@@ -455,21 +472,32 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
 
         return pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
-    # shuffle path: two hash joins attach text_a / text_b
+    # shuffle path: two hash joins attach the PRECOMPUTED unique-hash lists
+    # (review r3: joining texts re-hashed every doc once per pair; the
+    # distributed prehash is reused on both paths now)
     num_partitions = num_partitions or _num_join_partitions()
-    t_a = texts_small.map_batches(
-        lambda t: t.rename_columns(["id_a", "text_a"]), batch_format="pyarrow"
+    t_a = hashed_small.map_batches(
+        lambda t: t.rename_columns(["id_a", "hash_a"]), batch_format="pyarrow"
     )
-    t_b = texts_small.map_batches(
-        lambda t: t.rename_columns(["id_b", "text_b"]), batch_format="pyarrow"
+    t_b = hashed_small.map_batches(
+        lambda t: t.rename_columns(["id_b", "hash_b"]), batch_format="pyarrow"
     )
     j = pairs_ds.join(t_a, "inner", num_partitions, on=("id_a",))
     j = j.join(t_b, "inner", num_partitions, on=("id_b",))
 
     def verify_joined(t: pa.Table) -> pa.Table:
-        jac = jaccard_batch(
-            t["text_a"].combine_chunks(), t["text_b"].combine_chunks(), k
-        )
+        from ..functions.text import _binary_u64
+        from ..util import intersection_counts
+
+        n = t.num_rows
+        va, ca = _binary_u64(t["hash_a"])
+        vb, cb = _binary_u64(t["hash_b"])
+        seg = np.arange(n, dtype=np.int64)
+        inter = intersection_counts(va, np.repeat(seg, ca), vb, np.repeat(seg, cb), n)
+        union = ca + cb - inter
+        jac = np.ones(n, np.float64)  # both-empty => 1.0 (jaccard_batch parity)
+        nz = union > 0
+        jac[nz] = inter[nz] / union[nz]
         return t.filter(pa.array(jac >= threshold, pa.bool_())).select(["id_a", "id_b"])
 
     return j.map_batches(verify_joined, batch_format="pyarrow")
@@ -682,10 +710,18 @@ def lsh_geometry(n_rows, threshold: float, *, target_bucket_rows: int = 1024,
                        if n > target_bucket_rows else 4, 4, max_bits))
     p_bit = 1.0 - math.acos(float(np.clip(threshold, -1.0, 1.0))) / math.pi
     p_table = max(p_bit ** bits, 1e-12)
-    n_tables = int(np.clip(
-        math.ceil(math.log(target_miss) / math.log(max(1.0 - p_table, 1e-12))),
-        1, max_tables,
-    ))
+    need = math.ceil(math.log(target_miss) / math.log(max(1.0 - p_table, 1e-12)))
+    n_tables = int(np.clip(need, 1, max_tables))
+    if need > max_tables:
+        import warnings
+
+        miss = (1.0 - p_table) ** n_tables
+        warnings.warn(
+            f"lsh_geometry: {need} tables needed for miss<={target_miss} at "
+            f"threshold={threshold} with bits={bits}, capped at {max_tables} "
+            f"(actual per-pair miss ~{miss:.3f}); raise max_tables or lower "
+            "the threshold"
+        )
     return n_tables, bits
 
 
@@ -731,14 +767,30 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
         )
     dim = len(first[0][vec_col])
     if n_tables is None or bits is None:
-        auto_tables, auto_bits = lsh_geometry(meta_row_count(ds), threshold)
+        # geometry needs the true corpus size: metadata when free, else one
+        # count() (callers pass materialized/file-backed inputs; the review
+        # found that silently treating unknown as tiny gives bits=4 — 16
+        # buckets — and an unbounded per-bucket heap at 10M+ vectors)
+        n_rows = meta_row_count(ds)
+        if n_rows is None:
+            n_rows = ds.count()
+        auto_tables, auto_bits = lsh_geometry(n_rows, threshold)
         n_tables = auto_tables if n_tables is None else n_tables
         bits = auto_bits if bits is None else bits
+    if bits == 0:
+        # exhaustive mode (the SQL-checked gate twin): one bucket, exact
+        # all-pairs — sub-splitting would silently make it approximate
+        split_rows = float("inf")
     rng = np.random.default_rng(seed)
     H = rng.normal(size=(n_tables * bits, dim))
-    # extra hyperplanes for in-worker hot-bucket splitting (seeded, shared)
+    # extra hyperplanes for in-worker hot-bucket splitting: PER TABLE
+    # (review finding: a shared set makes sub-split misses perfectly
+    # correlated across tables, voiding the per-pair miss bound exactly in
+    # the skewed regions that trigger splitting)
     MAX_SPLIT_BITS = 20
-    S = np.random.default_rng(seed + 7919).normal(size=(MAX_SPLIT_BITS, dim))
+    S = np.random.default_rng(seed + 7919).normal(
+        size=(max(n_tables, 1), MAX_SPLIT_BITS, dim)
+    )
     import ray
 
     h_ref = ray.put(H)
@@ -799,8 +851,10 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
             # hot bucket (skew): sub-split with extra deterministic
             # hyperplanes so expected sub-bucket size <= split_rows and
             # all-pairs work stays bounded — same recall model as having
-            # used more bits for this bucket (VERDICT r2 #3)
-            S_ = ray.get(s_ref)
+            # used more, INDEPENDENT bits for this table's bucket
+            # (VERDICT r2 #3; per-table planes so misses decorrelate)
+            tbl = int(t["lsh_table"][0].as_py())
+            S_ = ray.get(s_ref)[tbl]
             eb = int(np.clip(np.ceil(np.log2(n / split_rows)), 1, S_.shape[0]))
             w = (1 << np.arange(eb, dtype=np.int64))
             sub = ((M @ S_[:eb].T) >= 0.0) @ w

@@ -146,7 +146,8 @@ def _binary_u64(col):
     arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
     n = len(arr)
     bufs = arr.buffers()
-    off = np.frombuffer(bufs[1], dtype=np.int32, count=n + 1 + arr.offset)[
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    off = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1 + arr.offset)[
         arr.offset : arr.offset + n + 1
     ].astype(np.int64)
     data = np.frombuffer(bufs[2], dtype=np.uint64) if bufs[2] is not None else np.empty(0, np.uint64)

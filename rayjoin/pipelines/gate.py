@@ -1112,7 +1112,12 @@ def _segment_of(ref, keys: np.ndarray) -> pa.Array:
     import ray
 
     keys_sorted, seg_idx, seg_vals = ray.get(ref)
-    pos = np.minimum(np.searchsorted(keys_sorted, keys), keys_sorted.size - 1)
+    if keys.size == 0:
+        return pc.cast(
+            pa.DictionaryArray.from_arrays(pa.array([], pa.int64()), seg_vals),
+            pa.string(),
+        )
+    pos = np.minimum(np.searchsorted(keys_sorted, keys), max(keys_sorted.size - 1, 0))
     if keys_sorted.size == 0 or not np.array_equal(keys_sorted[pos], keys):
         missing = keys[keys_sorted[pos] != keys][:3] if keys_sorted.size else keys[:3]
         raise KeyError(f"_segment_of: keys not present in lookup: {missing}")

@@ -57,7 +57,14 @@ def fnv1a64(strings: pa.Array) -> np.ndarray:
         return np.empty(0, np.uint64)
     # flatten to bytes + offsets
     buf = arr.buffers()
-    offsets = np.frombuffer(buf[1], dtype=np.int32, count=len(arr) + 1 + arr.offset)[
+    # large_string/large_binary offsets are int64 (same bug class as the
+    # checkpoint digest fix)
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offsets = np.frombuffer(buf[1], dtype=off_dtype, count=len(arr) + 1 + arr.offset)[
         arr.offset : arr.offset + len(arr) + 1
     ].astype(np.int64)
     data = np.frombuffer(buf[2], dtype=np.uint8) if buf[2] is not None else np.empty(0, np.uint8)

@@ -686,3 +686,27 @@ def test_verify_pairs_drops_missing_ids():
                                 broadcast_threshold_rows=0).to_pandas()
     assert list(map(tuple, broad.to_numpy())) == [(1, 2)]
     assert list(map(tuple, shuf.to_numpy())) == [(1, 2)]
+
+
+def test_large_string_offset_parity():
+    """large_string/large_binary carry int64 offsets; every flat-buffer
+    reader must branch on the type (review r3 — the checkpoint digest bug
+    class).  Hashes and shingles must be identical across representations,
+    including for a sliced array (nonzero arr.offset)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from rayjoin.functions.dedup import _shingle_hashes
+    from rayjoin.stages.geocode import fnv1a64
+
+    texts = ["hello world", "", "abcdefghij", "xy", "the quick brown fox"]
+    small = pa.array(texts, pa.string())
+    large = pa.array(texts, pa.large_string())
+    assert np.array_equal(fnv1a64(small), fnv1a64(large))
+    hs, offs = _shingle_hashes(small)
+    hl, offl = _shingle_hashes(large)
+    assert np.array_equal(hs, hl) and np.array_equal(offs, offl)
+    # sliced views exercise arr.offset handling
+    hs2, offs2 = _shingle_hashes(small.slice(1, 3))
+    hl2, offl2 = _shingle_hashes(large.slice(1, 3))
+    assert np.array_equal(hs2, hl2) and np.array_equal(offs2, offl2)

@@ -77,7 +77,8 @@ def stress_embedding(n: int = 500_000) -> dict:
     noise = rng.standard_normal((planted, dim))
     noise /= np.linalg.norm(noise, axis=1, keepdims=True)
     dup = (base + 0.03 * noise).astype(np.float32)
-    ids = np.concatenate([np.arange(n), np.arange(planted) + 10_000_000]).astype(np.int64)
+    off = max(10_000_000, 2 * n)  # planted ids must never collide with base ids at any --n
+    ids = np.concatenate([np.arange(n), np.arange(planted) + off]).astype(np.int64)
     V = np.vstack([M, dup])
     emb = pa.ListArray.from_arrays(
         pa.array(np.arange(0, V.size + 1, dim, dtype=np.int32)),
@@ -89,7 +90,7 @@ def stress_embedding(n: int = 500_000) -> dict:
     t0 = time.time()
     pt = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
     dt = time.time() - t0
-    rec = int(((pt["id_b"] - pt["id_a"]) == 10_000_000).sum())
+    rec = int(((pt["id_b"] >= off) & (pt["id_a"] == pt["id_b"] - off)).sum())
     return {"stress": "embedding", "pairs": len(pt), "planted_recovered": rec,
             "planted": planted, "sec": round(dt, 1), "vecs_per_sec": round((n + planted) / dt)}
 
@@ -107,8 +108,8 @@ def stress_minhash() -> dict:
     toks = pc.binary_join_element_wise(
         "w", pc.cast(pa.array(rng.integers(0, 100_000, int(lens.sum()))), pa.string()), ""
     )
-    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
-    texts = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
+    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int64))
+    texts = pc.binary_join(pa.LargeListArray.from_arrays(offsets, toks), " ")
     t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": texts})
     base_ids = np.arange(2000, dtype=np.int64)
     tweaked = pc.binary_join_element_wise(texts.take(pa.array(base_ids)), " zzz", "")
@@ -143,15 +144,15 @@ def stress_corpus(n: int = 1_000_000) -> dict:
     toks = pc.binary_join_element_wise(
         "w", pc.cast(pa.array(rng.integers(0, 200_000, int(lens.sum()))), pa.string()), ""
     )
-    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int32))
-    texts = pc.binary_join(pa.ListArray.from_arrays(offsets, toks), " ")
+    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int64))
+    texts = pc.binary_join(pa.LargeListArray.from_arrays(offsets, toks), " ")
     langs = pa.array(np.array(["en", "de", "fr", "es", "pt", "zh"])[
         rng.integers(0, 6, n_base)])
     base = pa.table({"doc_id": pa.array(np.arange(n_base, dtype=np.int64)),
                      "text": texts, "lang": langs})
     dup_src = rng.integers(0, n_base, n_dup)
     dups = pa.table({
-        "doc_id": pa.array(np.arange(n_dup, dtype=np.int64) + 10_000_000),
+        "doc_id": pa.array(np.arange(n_dup, dtype=np.int64) + max(10_000_000, 2 * n)),
         "text": pc.binary_join_element_wise(
             texts.take(pa.array(dup_src)), " zzz", ""),
         "lang": langs.take(pa.array(dup_src)),
