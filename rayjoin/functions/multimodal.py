@@ -97,16 +97,50 @@ class ResizeImage:
             )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        n = len(payloads)
+        # vectorized strided 'resample' over the flat binary buffer (same
+        # offsets pattern as AudioFeatures); empty/null payloads behave as
+        # the single zero byte the scalar path used
+        pay = batch["payload"].combine_chunks()
+        n = len(pay)
         target = max(self.out_w * self.out_h // 64, 1)
-        resized = [
-            (p or b"\0")[:: max(len(p or b"\0") // target, 1)] for p in payloads
-        ]
+        bufs = pay.buffers()
+        off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+        offsets = (
+            np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1 + pay.offset)[
+                pay.offset : pay.offset + n + 1
+            ].astype(np.int64)
+            if n
+            else np.zeros(1, np.int64)
+        )
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if n and bufs[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        lens = offsets[1:] - offsets[:-1]
+        if n and pay.null_count:
+            lens = np.where(np.asarray(pa.compute.is_null(pay)), 0, lens)
+        lens_eff = np.maximum(lens, 1)  # empty -> the b"\0" scalar semantics
+        stride = np.maximum(lens_eff // target, 1)
+        n_out = (lens_eff + stride - 1) // stride
+        from ..geom.primitives import repeat_expand
+
+        pid, k = repeat_expand(n_out)
+        src = offsets[:-1][pid] + k * stride[pid]
+        valid = (lens[pid] > 0)
+        if data.size:
+            out_bytes = np.where(valid, data[np.minimum(src, data.size - 1)], np.uint8(0))
+        else:
+            out_bytes = np.zeros(pid.size, np.uint8)
+        out_off = np.concatenate([[0], np.cumsum(n_out)]).astype(np.int32)
+        resized = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_bytes.tobytes())],
+        )
         out = batch.drop_columns(
             [c for c in ("payload", "width", "height") if c in batch.column_names]
         )
-        out = out.append_column("payload", pa.array(resized, pa.binary()))
+        out = out.append_column("payload", resized)
         out = out.append_column("width", pa.array(np.full(n, self.out_w, np.int32), pa.int32()))
         return out.append_column("height", pa.array(np.full(n, self.out_h, np.int32), pa.int32()))
 
