@@ -33,6 +33,10 @@ def __getattr__(name):
         from .join.hilbert import hilbert_spatial_join
 
         return hilbert_spatial_join
+    if name in ("asof_join", "band_join"):
+        from .functions import temporal
+
+        return getattr(temporal, name)
     if name in ("spatial_join", "proximity_map", "knn_join"):
         from .join import auto
 
@@ -54,4 +58,7 @@ __all__ = [
     "partitioned_proximity_map",
     "partitioned_knn_join",
     "hilbert_spatial_join",
+    # temporal joins (Ray Data has no native as-of / range join)
+    "asof_join",
+    "band_join",
 ]

@@ -1572,6 +1572,111 @@ SQL_DISTINCT = (
 )
 
 
+def q_asof_last_purchase(sf_dir: str):
+    """As-of join: every click event attaches the same user's most recent
+    strictly-earlier purchase (ties on ts broken by greatest event_id);
+    unmatched clicks survive with null purchase columns.  DuckDB's native
+    ASOF JOIN leaves equal-timestamp ties unspecified, so the oracle spells
+    the identical semantics with an explicit window function."""
+    import pyarrow.dataset as pads
+
+    import ray.data
+
+    from ..functions.temporal import asof_join
+
+    cols = ["event_id", "user_id", "ts", "value"]
+    clicks = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pads.field("event_type") == "click",
+    )
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=pads.field("event_type") == "purchase",
+    )
+    joined = asof_join(
+        clicks, purchases, key_col="user_id",
+        left_cols={"event_id": "event_id", "ts": "ts"},
+        right_cols={"event_id": "purchase_id", "value": "purchase_value",
+                    "ts": "purchase_ts"},
+        right_tiebreak_col="event_id", strict=True,
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        gap = pc.subtract(
+            pc.cast(t["ts"].combine_chunks(), pa.int64()),
+            pc.cast(t["purchase_ts"].combine_chunks(), pa.int64()),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "purchase_id": t["purchase_id"],
+                "purchase_value": t["purchase_value"],
+                "gap_us": gap,
+            }
+        )
+
+    return joined.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_ASOF = """
+SELECT a.user_id, a.event_id, a.ts,
+       b.event_id AS purchase_id, b.value AS purchase_value,
+       epoch_us(a.ts) - epoch_us(b.ts) AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'click') a
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+  ON a.user_id = b.user_id AND b.ts < a.ts
+QUALIFY row_number() OVER (
+  PARTITION BY a.event_id ORDER BY b.ts DESC, b.event_id DESC) = 1
+"""
+
+
+def q_band_pairs_events(sf_dir: str):
+    """Band (range) join: all same-user event pairs with the second event in
+    [0, 60) minutes after the first, self-pairs excluded.  One shuffle on
+    hash(user, time-bin); each right row replicated to <= 2 bins."""
+    import ray.data
+
+    from ..functions.temporal import band_join
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+    pairs = band_join(
+        ev, ev, key_col="user_id",
+        lower_us=0, upper_us=60 * 60 * 1_000_000,
+        left_cols={"event_id": "a_event_id", "ts": "a_ts"},
+        right_cols={"event_id": "b_event_id", "ts": "b_ts"},
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["a_event_id"], t["b_event_id"]))
+        gap = pc.subtract(
+            pc.cast(t["b_ts"].combine_chunks(), pa.int64()),
+            pc.cast(t["a_ts"].combine_chunks(), pa.int64()),
+        )
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "a_event_id": t["a_event_id"],
+                "b_event_id": t["b_event_id"],
+                "gap_us": gap,
+            }
+        )
+
+    return pairs.map_batches(finish, batch_format="pyarrow")
+
+
+SQL_BAND = """
+SELECT a.user_id, a.event_id AS a_event_id, b.event_id AS b_event_id,
+       epoch_us(b.ts) - epoch_us(a.ts) AS gap_us
+FROM events a JOIN events b
+  ON a.user_id = b.user_id AND b.ts >= a.ts
+ AND b.ts < a.ts + INTERVAL '60 minutes' AND a.event_id <> b.event_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1635,6 +1740,8 @@ def build_queries():
         "topk_orders": q_topk_orders,
         "filtered_read": q_filtered_read,
         "distinct_flags": q_distinct_flags,
+        "asof_last_purchase": q_asof_last_purchase,
+        "band_pairs_events": q_band_pairs_events,
     }
     oracle = {
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
@@ -1684,6 +1791,8 @@ def build_queries():
         "topk_orders": SQL_TOPK,
         "filtered_read": SQL_FILTERED_READ,
         "distinct_flags": SQL_DISTINCT,
+        "asof_last_purchase": SQL_ASOF,
+        "band_pairs_events": SQL_BAND,
         # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,
         # LSH recall<1) -> rows-only driver check + pytest planted-truth
         # oracles; their exhaustive twins above are hash-checked
