@@ -18,6 +18,7 @@ from typing import Tuple
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.geocode import fnv1a64
 
@@ -728,7 +729,8 @@ def lsh_geometry(n_rows, threshold: float, *, target_bucket_rows: int = 1024,
 def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding",
                         threshold: float = 0.95, n_tables: int | None = None,
                         bits: int | None = None, seed: int = 5,
-                        batch_size: int = 4096, split_rows: int = 32768):
+                        batch_size: int = 4096, split_rows: int = 32768,
+                        presalt_sample_rows: int = 1_000_000):
     """Near-duplicate vector pairs by cosine >= threshold — bucketed, never
     all-pairs (VERDICT r1 fix: the LSH bucket id IS the shuffle key).
 
@@ -748,7 +750,20 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
     equivalent to having used more bits for that bucket — so per-bucket
     all-pairs work is bounded; only truly coincident-vector clusters stay
     quadratic, and their PAIR OUTPUT is inherently quadratic anyway.
-    Exactly reproducible given the seed.  Emits (id_a < id_b, cosine).
+
+    Hot buckets are additionally detected BEFORE the shuffle (round-3
+    roadmap: in-worker splitting bounds compute but still materializes the
+    whole bucket as one ``map_groups`` group in one worker's heap): a
+    content-keyed sample of ~``presalt_sample_rows`` rows (deterministic
+    under any block layout — membership hashes the id, never the block
+    position) estimates per-bucket occupancy, and rows of estimated-hot
+    buckets carry their sub-split code in the shuffle key itself, so the
+    group arriving at a worker is already the bounded sub-bucket.  The
+    in-worker split remains as the fallback for buckets the sample missed
+    (those are barely above ``split_rows``, so their group heap is bounded
+    too) and continues with the planes AFTER the pre-salt's, never reusing
+    them.  Exactly reproducible given the seed.  Emits (id_a < id_b,
+    cosine).
     """
     from ray.data.aggregate import Max
 
@@ -766,14 +781,14 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
             batch_format="pyarrow",
         )
     dim = len(first[0][vec_col])
+    # geometry and presalt both need the true corpus size: metadata when
+    # free, else one count() (callers pass materialized/file-backed inputs;
+    # the review found that silently treating unknown as tiny gives bits=4 —
+    # 16 buckets — and an unbounded per-bucket heap at 10M+ vectors)
+    n_rows = meta_row_count(ds)
+    if n_rows is None:
+        n_rows = ds.count()
     if n_tables is None or bits is None:
-        # geometry needs the true corpus size: metadata when free, else one
-        # count() (callers pass materialized/file-backed inputs; the review
-        # found that silently treating unknown as tiny gives bits=4 — 16
-        # buckets — and an unbounded per-bucket heap at 10M+ vectors)
-        n_rows = meta_row_count(ds)
-        if n_rows is None:
-            n_rows = ds.count()
         auto_tables, auto_bits = lsh_geometry(n_rows, threshold)
         n_tables = auto_tables if n_tables is None else n_tables
         bits = auto_bits if bits is None else bits
@@ -797,6 +812,62 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
     s_ref = ray.put(S)
     weights = (1 << np.arange(bits, dtype=np.int64))
 
+    # --- pre-shuffle hot-bucket detection (bounds the GROUP, not just the
+    # compute): estimate occupancy from a content-keyed sample and salt hot
+    # buckets' shuffle keys with their sub-split code so each map_groups
+    # group is already the bounded sub-bucket.  Packing (table, code) into
+    # one int64 needs code < 2^40, so explicit bits >= 40 skips presalt
+    # (the in-worker fallback still bounds compute).
+    hot_ref = None
+    if np.isfinite(split_rows) and n_rows > split_rows and bits < 40:
+        from ray.data.aggregate import Count
+
+        mod = max(1, int(round(n_rows / presalt_sample_rows)))
+        hot_min = max(2, int(split_rows // mod))
+
+        def sample_codes(t: pa.Table) -> pa.Table:
+            empty = pa.table({"lsh_table": pa.array([], pa.int64()),
+                              "lsh_code": pa.array([], pa.int64())})
+            ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+            if mod > 1:
+                keep = np.flatnonzero(_mix64(ids) % mod == 0)
+                if keep.size == 0:
+                    return empty
+                vecs = t[vec_col].combine_chunks().take(pa.array(keep, pa.int64()))
+            else:
+                vecs = t[vec_col].combine_chunks()
+            M = vec_matrix(vecs)
+            # signs are scale-invariant: skip the normalization
+            signs = (M @ ray.get(h_ref).T) >= 0.0
+            n = M.shape[0]
+            codes = signs.reshape(n, n_tables, bits) @ weights
+            return pa.table(
+                {"lsh_table": pa.array(
+                    np.tile(np.arange(n_tables, dtype=np.int64), n), pa.int64()),
+                 "lsh_code": pa.array(codes.ravel(), pa.int64())}
+            )
+
+        cnt = (
+            ds.map_batches(sample_codes, batch_format="pyarrow",
+                           batch_size=batch_size)
+            .groupby(["lsh_table", "lsh_code"])
+            .aggregate(Count(alias_name="n_sample"))
+        )
+        hot = cnt.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["n_sample"], hot_min)),
+            batch_format="pyarrow",
+        ).to_pandas()
+        # bounded driver pull: <= sample_total/hot_min ~ 2n/split_rows rows
+        if len(hot):
+            est = hot["n_sample"].to_numpy(dtype=np.int64) * mod
+            ebs = np.clip(
+                np.ceil(np.log2(est / split_rows)), 1, MAX_SPLIT_BITS
+            ).astype(np.int64)
+            packed = (hot["lsh_table"].to_numpy(dtype=np.int64) << 40) | \
+                hot["lsh_code"].to_numpy(dtype=np.int64)
+            o = np.argsort(packed)
+            hot_ref = ray.put((packed[o], ebs[o]))
+
     def code_stage(t: pa.Table) -> pa.Table:
         H_ = ray.get(h_ref)
         M = vec_matrix(t[vec_col])
@@ -805,11 +876,31 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
         n = M.shape[0]
         codes = signs.reshape(n, n_tables, bits) @ weights  # (n, tables)
         tbl = np.tile(np.arange(n_tables, dtype=np.int64), n)
+        salt = np.zeros(n * n_tables, np.int64)
+        if hot_ref is not None:
+            hk, he = ray.get(hot_ref)
+            flat_codes = codes.ravel()
+            pk = (tbl << 40) | flat_codes
+            pos = np.minimum(np.searchsorted(hk, pk), hk.size - 1)
+            ishot = hk[pos] == pk
+            hit = np.flatnonzero(ishot)
+            if hit.size:
+                S_ = ray.get(s_ref)
+                w20 = 1 << np.arange(MAX_SPLIT_BITS, dtype=np.int64)
+                rows_h = hit // n_tables
+                tbls_h = hit % n_tables
+                ebh = he[pos[hit]]
+                for t_i in np.unique(tbls_h):
+                    m = tbls_h == t_i
+                    sub = ((M[rows_h[m]] @ S_[t_i].T) >= 0.0) @ w20
+                    salt[hit[m]] = sub & ((np.int64(1) << ebh[m]) - 1)
         base = t.select([id_col, vec_col]).take(
             pa.array(np.repeat(np.arange(n, dtype=np.int64), n_tables))
         )
-        return base.append_column("lsh_table", pa.array(tbl, pa.int64())).append_column(
-            "lsh_code", pa.array(codes.ravel(), pa.int64())
+        return (
+            base.append_column("lsh_table", pa.array(tbl, pa.int64()))
+            .append_column("lsh_code", pa.array(codes.ravel(), pa.int64()))
+            .append_column("salt", pa.array(salt, pa.int64()))
         )
 
     coded = ds.map_batches(code_stage, batch_format="pyarrow", batch_size=batch_size)
@@ -848,34 +939,51 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
         if n <= split_rows:
             ii, jj, ss = _block_pairs(ids, M)
         else:
-            # hot bucket (skew): sub-split with extra deterministic
+            # hot bucket the presalt sample missed (or a sub-bucket still
+            # above split_rows): sub-split with extra deterministic
             # hyperplanes so expected sub-bucket size <= split_rows and
             # all-pairs work stays bounded — same recall model as having
             # used more, INDEPENDENT bits for this table's bucket
-            # (VERDICT r2 #3; per-table planes so misses decorrelate)
+            # (VERDICT r2 #3; per-table planes so misses decorrelate).
+            # Start AFTER any planes the presalt already consumed: reusing
+            # them would assign every row here the same sub-code (they
+            # agree on those planes by construction) and split nothing.
             tbl = int(t["lsh_table"][0].as_py())
+            eb0 = 0
+            if hot_ref is not None:
+                hk, he = ray.get(hot_ref)
+                pk = (np.int64(tbl) << 40) | np.int64(t["lsh_code"][0].as_py())
+                p = int(np.searchsorted(hk, pk))
+                if p < hk.size and hk[p] == pk:
+                    eb0 = int(he[p])
             S_ = ray.get(s_ref)[tbl]
-            eb = int(np.clip(np.ceil(np.log2(n / split_rows)), 1, S_.shape[0]))
-            w = (1 << np.arange(eb, dtype=np.int64))
-            sub = ((M @ S_[:eb].T) >= 0.0) @ w
-            order = np.argsort(sub, kind="stable")
-            sorted_sub = sub[order]
-            starts = np.flatnonzero(
-                np.concatenate([[True], sorted_sub[1:] != sorted_sub[:-1]])
-            )
-            ends = np.concatenate([starts[1:], [n]])
-            acc_i, acc_j, acc_s = [], [], []
-            for s0, s1 in zip(starts, ends):
-                if s1 - s0 < 2:
-                    continue
-                sel = order[s0:s1]
-                bi, bj, bs = _block_pairs(ids[sel], M[sel])
-                acc_i.append(bi)
-                acc_j.append(bj)
-                acc_s.append(bs)
-            ii = np.concatenate(acc_i) if acc_i else np.empty(0, np.int64)
-            jj = np.concatenate(acc_j) if acc_j else np.empty(0, np.int64)
-            ss = np.concatenate(acc_s) if acc_s else np.empty(0, np.float64)
+            avail = S_.shape[0] - eb0
+            if avail < 1:
+                # plane budget exhausted: coincident-vector cluster, its
+                # pair output is quadratic anyway
+                ii, jj, ss = _block_pairs(ids, M)
+            else:
+                eb = int(np.clip(np.ceil(np.log2(n / split_rows)), 1, avail))
+                w = (1 << np.arange(eb, dtype=np.int64))
+                sub = ((M @ S_[eb0:eb0 + eb].T) >= 0.0) @ w
+                order = np.argsort(sub, kind="stable")
+                sorted_sub = sub[order]
+                starts = np.flatnonzero(
+                    np.concatenate([[True], sorted_sub[1:] != sorted_sub[:-1]])
+                )
+                ends = np.concatenate([starts[1:], [n]])
+                acc_i, acc_j, acc_s = [], [], []
+                for s0, s1 in zip(starts, ends):
+                    if s1 - s0 < 2:
+                        continue
+                    sel = order[s0:s1]
+                    bi, bj, bs = _block_pairs(ids[sel], M[sel])
+                    acc_i.append(bi)
+                    acc_j.append(bj)
+                    acc_s.append(bs)
+                ii = np.concatenate(acc_i) if acc_i else np.empty(0, np.int64)
+                jj = np.concatenate(acc_j) if acc_j else np.empty(0, np.int64)
+                ss = np.concatenate(acc_s) if acc_s else np.empty(0, np.float64)
         if ii.size == 0:
             return empty
         swap = ii > jj
@@ -890,7 +998,7 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
             }
         )
 
-    pairs = coded.groupby(["lsh_table", "lsh_code"]).map_groups(
+    pairs = coded.groupby(["lsh_table", "lsh_code", "salt"]).map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
     # a pair can be found by several tables: dedupe on (id_a, id_b)

@@ -418,6 +418,49 @@ def test_embedding_dups_bucketed_vs_bruteforce():
     assert all(b - a == PLANTED_DUP_OFFSET for a, b in want)
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dups_presalt_path():
+    """Pre-shuffle hot-bucket salting (split_rows forced tiny so every
+    bucket is 'hot'): planted near-identical pairs survive the salted
+    shuffle, no spurious pairs appear, and two runs are bit-identical."""
+    import ray.data
+
+    from rayjoin.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(42)
+    n, dim, planted = 3000, 16, 40
+    M = rng.standard_normal((n, dim)).astype(np.float32)
+    base = M[:planted] / np.linalg.norm(M[:planted], axis=1, keepdims=True)
+    dup = (base + 0.001 * rng.standard_normal((planted, dim))).astype(np.float32)
+    V = np.vstack([M, dup])
+    ids = np.concatenate([np.arange(n), np.arange(planted) + 100_000]).astype(np.int64)
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, V.size + 1, dim, dtype=np.int32)),
+        pa.array(V.ravel(), pa.float32()),
+    )
+    ds = ray.data.from_arrow(pa.table({"vec_id": pa.array(ids), "embedding": emb}))
+
+    def run():
+        return (
+            embedding_dup_pairs(ds, threshold=0.999, split_rows=64,
+                                presalt_sample_rows=10_000)
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        )
+
+    got = run()
+    # true pairs by brute force
+    Mn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    ii, jj = np.nonzero(np.triu(S >= 0.999, 1))
+    true = {(min(ids[i], ids[j]), max(ids[i], ids[j])) for i, j in zip(ii, jj)}
+    found = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    assert found <= true, "presalt introduced spurious pairs"
+    planted_true = {(a, a + 100_000) for a in range(planted)} & true
+    rec = len(found & planted_true)
+    assert rec >= 0.9 * len(planted_true), (rec, len(planted_true))
+    assert got.equals(run()), "presalted run not deterministic"
+
+
 def test_wkb_roundtrip():
     """WKB parity with the reference datagen (gen_test.py writes .wkb):
     exact coordinate round-trip; WKT and WKB agree on the decoded shape."""
