@@ -102,6 +102,69 @@ def token_stats_regex(batch: pa.Table, *, text_col: str = "text",
     return out.append_column("n_regex_tokens", pc.cast(n, pa.int64()))
 
 
+def repetition_stats(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Repetition-ratio quality signal: per doc, n_tokens, n_distinct
+    (EXACT — dictionary codes, not hashes, so the DuckDB
+    ``list_distinct(string_split(...))`` oracle matches bit-for-bit) and
+    rep_milli = 1000*(n_tokens - n_distinct) // n_tokens.  One dictionary
+    encode + one lexsort per batch, no per-row Python."""
+    text = batch[text_col].combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = toks.flatten()
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    doc = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+    order = np.lexsort((codes, doc))
+    d_s, c_s = doc[order], codes[order]
+    new = np.concatenate(
+        [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    ) if d_s.size else np.empty(0, bool)
+    n_distinct = np.bincount(d_s[new], minlength=lens.size) if d_s.size else \
+        np.zeros(lens.size, np.int64)
+    rep = 1000 * (lens - n_distinct) // np.maximum(lens, 1)
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_tokens", pa.array(lens, pa.int64()))
+    out = out.append_column("n_distinct", pa.array(n_distinct, pa.int64()))
+    return out.append_column("rep_milli", pa.array(rep, pa.int64()))
+
+
+def vocab_partial_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Per-batch partial token counts (the combiner half of the corpus
+    vocabulary groupby: pre-aggregate inside map_batches so the shuffle
+    moves one row per DISTINCT token per batch, not one per token)."""
+    text = batch[text_col].combine_chunks()
+    flat = pc.split_pattern(text, pattern=" ").flatten()
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    counts = np.bincount(codes, minlength=len(enc.dictionary))
+    return pa.table(
+        {"token": enc.dictionary,
+         "n_partial": pa.array(counts, pa.int64())}
+    )
+
+
+def vocab_topk(ds, *, k: int = 50, text_col: str = "text"):
+    """Corpus-wide top-k tokens by frequency, ties broken by token text
+    ascending (deterministic).  Partial counts per batch -> one groupby
+    sum over distinct tokens -> bounded sort+limit."""
+    from ray.data.aggregate import Sum
+
+    counts = (
+        ds.map_batches(
+            lambda t: vocab_partial_counts(t, text_col=text_col),
+            batch_format="pyarrow",
+        )
+        .groupby("token")
+        .aggregate(Sum("n_partial", alias_name="n"))
+    )
+    return counts.sort(["n", "token"], descending=[True, False]).limit(k)
+
+
 def token_hash_sets(batch: pa.Table, *, text_col: str = "text", n: int = 1):
     """Per-doc sorted-unique 64-bit hashes of whitespace-token n-grams
     (n=1: token set; n>1: rolling n-gram combine).  Returns (hashes list

@@ -1677,6 +1677,48 @@ FROM events a JOIN events b
 """
 
 
+def q_repetition_ratio(sf_dir: str):
+    """Repetition-ratio quality signal: exact distinct-token counts per doc
+    (dictionary codes, so the list_distinct SQL oracle matches exactly)."""
+    import ray.data
+
+    from ..functions.text import repetition_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+
+SQL_REPETITION = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct,
+       (1000 * (len(string_split(text, ' '))
+                - len(list_distinct(string_split(text, ' ')))))
+         // len(string_split(text, ' ')) AS rep_milli
+FROM documents
+"""
+
+
+def q_vocab_topk(sf_dir: str):
+    """Corpus vocabulary: top-50 tokens by frequency (partial counts inside
+    map_batches -> one distinct-token groupby -> bounded sort)."""
+    import ray.data
+
+    from ..functions.text import vocab_topk
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return vocab_topk(docs, k=50)
+
+
+SQL_VOCAB = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token ORDER BY n DESC, token LIMIT 50
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1742,6 +1784,8 @@ def build_queries():
         "distinct_flags": q_distinct_flags,
         "asof_last_purchase": q_asof_last_purchase,
         "band_pairs_events": q_band_pairs_events,
+        "repetition_ratio": q_repetition_ratio,
+        "vocab_topk": q_vocab_topk,
     }
     oracle = {
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
@@ -1793,6 +1837,8 @@ def build_queries():
         "distinct_flags": SQL_DISTINCT,
         "asof_last_purchase": SQL_ASOF,
         "band_pairs_events": SQL_BAND,
+        "repetition_ratio": SQL_REPETITION,
+        "vocab_topk": SQL_VOCAB,
         # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,
         # LSH recall<1) -> rows-only driver check + pytest planted-truth
         # oracles; their exhaustive twins above are hash-checked

@@ -461,6 +461,29 @@ def test_embedding_dups_presalt_path():
     assert got.equals(run()), "presalted run not deterministic"
 
 
+def test_repetition_stats_edges():
+    from rayjoin.functions.text import repetition_stats
+
+    t = pa.table({"doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                  "text": ["a a a a", "a b c d", "", "x y x y z"]})
+    out = repetition_stats(t)
+    assert out["n_tokens"].to_pylist() == [4, 4, 1, 5]  # "" splits to [""]
+    assert out["n_distinct"].to_pylist() == [1, 4, 1, 3]
+    assert out["rep_milli"].to_pylist() == [750, 0, 0, 400]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_vocab_topk_ties_deterministic():
+    import ray.data
+
+    from rayjoin.functions.text import vocab_topk
+
+    docs = pa.table({"text": ["b a", "a c b", "d"]})
+    got = vocab_topk(ray.data.from_arrow(docs), k=3).to_pandas()
+    assert list(got["token"]) == ["a", "b", "c"]  # ties c/d -> token asc
+    assert list(got["n"]) == [2, 2, 1]
+
+
 def test_wkb_roundtrip():
     """WKB parity with the reference datagen (gen_test.py writes .wkb):
     exact coordinate round-trip; WKT and WKB agree on the decoded shape."""

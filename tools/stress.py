@@ -123,46 +123,91 @@ def stress_minhash() -> dict:
             "planted": 2000, "sec": round(dt, 1), "docs_per_sec": round(102_000 / dt)}
 
 
+_LANGS = np.array(["en", "de", "fr", "es", "pt", "zh"])
+
+
+def _corpus_texts(ids: np.ndarray):
+    """Token-soup text per doc id, a PURE FUNCTION of the id (hash-derived
+    lengths and tokens), so any shard — including a duplicate referencing a
+    base doc — regenerates its text without seeing any other shard."""
+    import pyarrow.compute as pc
+
+    from rayjoin.functions.dedup import _mix64
+
+    u = ids.astype(np.uint64)
+    lens = (20 + (_mix64(u) % np.uint64(40))).astype(np.int64)
+    rep = np.repeat(u, lens)
+    starts = np.concatenate([[0], np.cumsum(lens)])
+    k = (np.arange(rep.size, dtype=np.int64)
+         - np.repeat(starts[:-1], lens)).astype(np.uint64)
+    tok = (_mix64(rep * np.uint64(1000003) + k) % np.uint64(200000)).astype(np.int64)
+    toks = pc.binary_join_element_wise(
+        "w", pc.cast(pa.array(tok), pa.string()), "")
+    return pc.binary_join(
+        pa.LargeListArray.from_arrays(pa.array(starts, pa.int64()), toks), " ")
+
+
+def _corpus_shard(ids: np.ndarray, is_dup: bool, n_base: int, off: int) -> pa.Table:
+    import pyarrow.compute as pc
+
+    from rayjoin.functions.dedup import _mix64
+
+    if is_dup:
+        src = (_mix64(ids.astype(np.uint64) + np.uint64(12345))
+               % np.uint64(n_base)).astype(np.int64)
+        texts = pc.binary_join_element_wise(_corpus_texts(src), " zzz", "")
+        lang_of, doc_ids = src, ids + off
+    else:
+        texts = _corpus_texts(ids)
+        lang_of, doc_ids = ids, ids
+    lang_idx = (_mix64(lang_of.astype(np.uint64) * np.uint64(7) + np.uint64(3))
+                % np.uint64(6)).astype(np.int64)
+    langs = pa.array(_LANGS[lang_idx], pa.string())
+    return pa.table({"doc_id": pa.array(doc_ids, pa.int64()),
+                     "text": texts, "lang": langs})
+
+
 def stress_corpus(n: int = 1_000_000) -> dict:
     """Dup-heavy end-to-end corpus build (VERDICT r2 #2 done-criterion):
     ~35% near-dup rate at >= 1M docs, forced through the distributed
     anti-join drop path (broadcast_drop_rows=0), reporting peak driver RSS
-    to show the drop list never materializes on the driver."""
+    to show the drop list never materializes on the driver.  The synthetic
+    corpus itself is generated BY RAY TASKS writing per-shard parquet
+    (round-3 roadmap: a driver-side datagen dominated the reported RSS and
+    hid the engine's footprint)."""
     import os
     import resource
     import shutil
 
-    import pyarrow.compute as pc
-    import pyarrow.parquet as pq
+    import ray
 
     from rayjoin.pipelines.corpus import build_corpus
 
-    rng = np.random.default_rng(7)
     n_base = int(n * 0.65)
     n_dup = n - n_base
-    lens = rng.integers(20, 60, size=n_base)
-    toks = pc.binary_join_element_wise(
-        "w", pc.cast(pa.array(rng.integers(0, 200_000, int(lens.sum()))), pa.string()), ""
-    )
-    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int64))
-    texts = pc.binary_join(pa.LargeListArray.from_arrays(offsets, toks), " ")
-    langs = pa.array(np.array(["en", "de", "fr", "es", "pt", "zh"])[
-        rng.integers(0, 6, n_base)])
-    base = pa.table({"doc_id": pa.array(np.arange(n_base, dtype=np.int64)),
-                     "text": texts, "lang": langs})
-    dup_src = rng.integers(0, n_base, n_dup)
-    dups = pa.table({
-        "doc_id": pa.array(np.arange(n_dup, dtype=np.int64) + max(10_000_000, 2 * n)),
-        "text": pc.binary_join_element_wise(
-            texts.take(pa.array(dup_src)), " zzz", ""),
-        "lang": langs.take(pa.array(dup_src)),
-    })
     sf_dir, out_dir = "/tmp/stress_corpus_in", "/tmp/stress_corpus_out"
     for d in (sf_dir, out_dir):
         shutil.rmtree(d, ignore_errors=True)
-    os.makedirs(sf_dir)
-    pq.write_table(pa.concat_tables([base, dups]),
-                   f"{sf_dir}/documents.parquet", row_group_size=65536)
+    doc_dir = f"{sf_dir}/documents.parquet"
+    os.makedirs(doc_dir)
+
+    @ray.remote
+    def gen(path, lo, hi, is_dup, off):
+        import pyarrow.parquet as pq
+
+        t = _corpus_shard(np.arange(lo, hi, dtype=np.int64), is_dup, n_base, off)
+        pq.write_table(t, path, row_group_size=65536)
+        return t.num_rows
+
+    shard = 131_072
+    off = max(10_000_000, 2 * n)
+    refs = [gen.remote(f"{doc_dir}/base-{i:04d}.parquet", lo,
+                       min(lo + shard, n_base), False, 0)
+            for i, lo in enumerate(range(0, n_base, shard))]
+    refs += [gen.remote(f"{doc_dir}/dup-{i:04d}.parquet", lo,
+                        min(lo + shard, n_dup), True, off)
+             for i, lo in enumerate(range(0, n_dup, shard))]
+    assert sum(ray.get(refs)) == n
     t0 = time.time()
     m = build_corpus(sf_dir, out_dir, broadcast_drop_rows=0)
     dt = time.time() - t0
