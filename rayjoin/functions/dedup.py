@@ -400,13 +400,22 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
     )
     if use_broadcast:
         # bounded side -> broadcast lookup (same pattern as the broadcast
-        # spatial index: one ray.put, read per task).  Only the COMPACT
-        # hash lists reach the driver — never the texts.
-        tabs = [t for t in ray.get(hashed_small.to_arrow_refs()) if t.num_rows]
-        if tabs:
+        # spatial index: one object, read per task).  The sort/gather/package
+        # prep runs in a RAY TASK, not the driver: at the byte cap the prep
+        # holds ~3 transient copies of the hash data, which measured as an
+        # ~11 GiB driver private-RSS peak on the 1M-doc corpus stress
+        # (round-3 finding); off-driver, only the ObjectRef and the
+        # zero-copy plasma mapping ever touch the driver.
+
+        @ray.remote
+        def _prep_lookup(*tabs):
             from ..functions.text import _binary_u64
             from ..geom.primitives import repeat_expand
 
+            tabs = [t for t in tabs if t.num_rows]
+            if not tabs:
+                return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                        np.zeros(1, np.int64))
             tt = pa.concat_tables(tabs)
             tid = np.asarray(tt[id_col], dtype=np.int64)
             order = np.argsort(tid, kind="stable")
@@ -416,12 +425,9 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
             pid, kk = repeat_expand(counts[order])
             uh = flat[starts[order][pid] + kk]
             uoff = np.concatenate([[0], np.cumsum(counts[order])])
-            tid = tid[order]
-        else:
-            tid = np.empty(0, np.int64)
-            uh = np.empty(0, np.uint64)
-            uoff = np.zeros(1, np.int64)
-        lookup_ref = ray.put((tid, uh, uoff))
+            return (tid[order], uh, uoff)
+
+        lookup_ref = _prep_lookup.remote(*hashed_small.to_arrow_refs())
 
         def verify(t: pa.Table) -> pa.Table:
             from ..geom.primitives import repeat_expand

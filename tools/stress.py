@@ -22,6 +22,51 @@ import numpy as np
 import pyarrow as pa
 
 
+class _MemSampler:
+    """Background sampler of /proc/self/smaps_rollup separating the driver's
+    PRIVATE pages (its actual heap) from SHARED ones (plasma /dev/shm blocks
+    mapped in for zero-copy reads).  ``ru_maxrss`` lumps both together, so a
+    driver that merely *maps* large object-store blocks looks like it holds
+    them; the private peak is the honest 'driver holds data' number."""
+
+    def __init__(self, interval: float = 0.25):
+        import threading
+
+        self.interval = interval
+        self.peak_rss = 0
+        self.peak_private = 0
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+
+    def _read(self):
+        rss = priv = 0
+        with open("/proc/self/smaps_rollup") as f:
+            for line in f:
+                if line.startswith("Rss:"):
+                    rss = int(line.split()[1]) << 10
+                elif line.startswith(("Private_Clean:", "Private_Dirty:")):
+                    priv += int(line.split()[1]) << 10
+        return rss, priv
+
+    def _run(self):
+        while not self._stop.is_set():
+            try:
+                rss, priv = self._read()
+                self.peak_rss = max(self.peak_rss, rss)
+                self.peak_private = max(self.peak_private, priv)
+            except OSError:
+                pass
+            self._stop.wait(self.interval)
+
+    def __enter__(self):
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._thread.join(timeout=2)
+
+
 def _points_and_rects():
     from rayjoin.geom.encode import points_geom, rects_geom
     from rayjoin.stages.geocode import key_to_latlon
@@ -209,13 +254,154 @@ def stress_corpus(n: int = 1_000_000) -> dict:
              for i, lo in enumerate(range(0, n_dup, shard))]
     assert sum(ray.get(refs)) == n
     t0 = time.time()
-    m = build_corpus(sf_dir, out_dir, broadcast_drop_rows=0)
+    with _MemSampler() as mem:
+        m = build_corpus(sf_dir, out_dir, broadcast_drop_rows=0)
     dt = time.time() - t0
     rss_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1 << 20)
     return {"stress": "corpus", "docs": n, "planted_dups": n_dup,
             "rows_dropped_dups": m["rows_dropped_dups"],
             "rows_written": m["rows_written"], "sec": round(dt, 1),
-            "docs_per_sec": round(n / dt), "driver_peak_rss_gib": round(rss_gib, 2)}
+            "docs_per_sec": round(n / dt),
+            "driver_peak_rss_gib": round(rss_gib, 2),
+            "driver_peak_private_gib": round(mem.peak_private / (1 << 30), 2),
+            "driver_peak_mapped_gib": round(mem.peak_rss / (1 << 30), 2)}
+
+
+def stress_temporal(n: int = 5_000_000) -> dict:
+    """Two-large-sides temporal joins at scale with an EXACT oracle: a
+    synthetic event log (generated by Ray tasks, pure function of event id)
+    is band-self-joined and as-of-joined by the engine, then DuckDB runs the
+    equivalent SQL on the same parquet; counts and int checksums must match
+    exactly.  Band join replicates each right row to <= 2 time bins; as-of
+    resolves all keys per hash bucket in one scan."""
+    import os
+    import shutil
+
+    import duckdb
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from rayjoin.functions.temporal import asof_join, band_join
+
+    n_users = max(1, n // 50)
+    span_us = 30 * 86_400 * 1_000_000  # 30 days
+    base_us = 1_700_000_000_000_000
+    ev_dir = "/tmp/stress_temporal_in"
+    shutil.rmtree(ev_dir, ignore_errors=True)
+    os.makedirs(ev_dir)
+
+    @ray.remote
+    def gen(path, lo, hi):
+        import pyarrow.parquet as pq
+
+        from rayjoin.functions.dedup import _mix64
+
+        ids = np.arange(lo, hi, dtype=np.int64)
+        u = ids.astype(np.uint64)
+        users = (_mix64(u) % np.uint64(n_users)).astype(np.int64)
+        ts = (base_us + (_mix64(u * np.uint64(31) + np.uint64(5))
+                         % np.uint64(span_us)).astype(np.int64))
+        t = pa.table({
+            "event_id": pa.array(ids),
+            "user_id": pa.array(users),
+            "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        })
+        pq.write_table(t, path, row_group_size=262_144)
+        return t.num_rows
+
+    shard = 1_048_576
+    assert sum(ray.get([
+        gen.remote(f"{ev_dir}/part-{i:04d}.parquet", lo, min(lo + shard, n))
+        for i, lo in enumerate(range(0, n, shard))
+    ])) == n
+
+    results = {"stress": "temporal", "events": n, "users": n_users}
+    hour_us = 3_600_000_000
+
+    # --- band self-join: same user, second event within [0, 1h) ---
+    ev = ray.data.read_parquet(ev_dir)
+    t0 = time.time()
+    pairs = band_join(
+        ev, ev, key_col="user_id", lower_us=0, upper_us=hour_us,
+        left_cols={"event_id": "a_id", "ts": "a_ts"},
+        right_cols={"event_id": "b_id", "ts": "b_ts"},
+    ).map_batches(
+        lambda t: t.filter(pc.not_equal(t["a_id"], t["b_id"])),
+        batch_format="pyarrow",
+    )
+    agg = pairs.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "ck": pa.array([int(
+                (np.asarray(t["a_id"].combine_chunks(), dtype=np.int64) * 3
+                 + np.asarray(t["b_id"].combine_chunks(), dtype=np.int64))
+                .sum() % (1 << 61))], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    band_n, band_ck = int(agg["n"].sum()), int(agg["ck"].sum() % (1 << 61))
+    results["band_sec"] = round(time.time() - t0, 1)
+    results["band_pairs"] = band_n
+
+    # --- as-of: even events attach latest strictly-earlier odd event ---
+    left = ray.data.read_parquet(ev_dir).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)),
+        batch_format="pyarrow")
+    right = ray.data.read_parquet(ev_dir).map_batches(
+        lambda t: t.filter(pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)),
+        batch_format="pyarrow")
+    t0 = time.time()
+    aj = asof_join(
+        left, right, key_col="user_id",
+        left_cols={"event_id": "event_id"},
+        right_cols={"event_id": "match_id"},
+        right_tiebreak_col="event_id", strict=True,
+    )
+    agg2 = aj.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "m": pa.array([int(t["match_id"].null_count)], pa.int64()),
+            "ck": pa.array([int(
+                np.asarray(t["match_id"].combine_chunks().fill_null(-1),
+                           dtype=np.int64).sum() % (1 << 61))], pa.int64()),
+        }),
+        batch_format="pyarrow",
+    ).to_pandas()
+    asof_n = int(agg2["n"].sum())
+    asof_null = int(agg2["m"].sum())
+    asof_ck = int(agg2["ck"].sum() % (1 << 61))
+    results["asof_sec"] = round(time.time() - t0, 1)
+    results["asof_rows"] = asof_n
+
+    # --- DuckDB exact oracle on the same parquet ---
+    t0 = time.time()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW ev AS SELECT * FROM '{ev_dir}/*.parquet'")
+    dn, dck = con.execute(
+        "SELECT COUNT(*), COALESCE(SUM((a.event_id*3 + b.event_id) % (1::BIGINT<<61)), 0) "
+        "FROM ev a JOIN ev b ON a.user_id=b.user_id AND b.ts >= a.ts "
+        "AND b.ts < a.ts + INTERVAL '60 minutes' AND a.event_id <> b.event_id"
+    ).fetchone()
+    an, anull, ack = con.execute("""
+        SELECT COUNT(*), COUNT(*) - COUNT(m_id),
+               COALESCE(SUM(COALESCE(m_id, -1) % (1::BIGINT<<61)), 0)
+        FROM (
+          SELECT a.event_id, b.event_id AS m_id
+          FROM (SELECT * FROM ev WHERE event_id % 2 = 0) a
+          LEFT JOIN (SELECT * FROM ev WHERE event_id % 2 = 1) b
+            ON a.user_id = b.user_id AND b.ts < a.ts
+          QUALIFY row_number() OVER (
+            PARTITION BY a.event_id ORDER BY b.ts DESC, b.event_id DESC) = 1
+        )""").fetchone()
+    con.close()
+    results["oracle_sec"] = round(time.time() - t0, 1)
+    results["band_match"] = bool(band_n == dn and band_ck == int(dck) % (1 << 61))
+    results["asof_match"] = bool(
+        asof_n == an and asof_null == anull and asof_ck == int(ack) % (1 << 61)
+    )
+    results["events_per_sec"] = round(n / (results["band_sec"] + results["asof_sec"]))
+    return results
 
 
 def stress_pillbox(n: int = 120_000) -> dict:
@@ -243,7 +429,8 @@ def stress_pillbox(n: int = 120_000) -> dict:
 
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "embedding": stress_embedding, "minhash": stress_minhash,
-            "corpus": stress_corpus, "pillbox": stress_pillbox}
+            "corpus": stress_corpus, "pillbox": stress_pillbox,
+            "temporal": stress_temporal}
 
 
 def main(argv=None):
@@ -265,7 +452,8 @@ def main(argv=None):
     names = list(STRESSES) if args.which == "all" else [args.which]
     for name in names:
         fn = STRESSES[name]
-        kwargs = {"n": args.n} if args.n and name in ("embedding", "corpus", "pillbox") else {}
+        kwargs = {"n": args.n} if args.n and name in (
+            "embedding", "corpus", "pillbox", "temporal") else {}
         print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
