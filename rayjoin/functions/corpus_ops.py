@@ -1,0 +1,262 @@
+"""Corpus curation operators for large-scale training-data pipelines:
+deterministic stratified sampling, per-key document caps, benchmark
+decontamination, and token-budget sequence packing.
+
+All four are streaming ``map_batches`` compositions with at most one wide
+operation each; every wide step's partitioning assumption is documented on
+the operator.  SQL oracles live in ``rayjoin.pipelines.gate``.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def stratified_sample(ds, rates: dict, *, mod: int = 1000,
+                      id_col: str = "doc_id", strat_col: str = "lang",
+                      default_rate: int = 0):
+    """Deterministic hash-based stratified sampling: keep a row iff
+    ``fnv1a64(str(id)) % mod < rates[stratum]``.
+
+    The keep decision is a pure function of the row (no RNG state, no
+    shuffle, no pass over the data to size strata), so the sample is
+    reproducible under any partitioning / retry order and the stage is
+    embarrassingly parallel — the right shape for downsampling a 100 TB
+    corpus where per-stratum rates come from a policy table, not from
+    counting.  Rates are per-``mod`` integers (e.g. 500/1000 = 50%).
+    Output: the input rows plus ``samp_hash`` (the bucket the row hashed
+    to, for auditability).
+    """
+    from ..stages.geocode import fnv1a64
+
+    strata = sorted(rates)
+    rate_np = np.array([rates[s] for s in strata] + [default_rate], np.int64)
+    value_set = pa.array(strata, pa.string())
+
+    def keep(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t[id_col].combine_chunks(), pa.string()))
+        bucket = (h % np.uint64(mod)).astype(np.int64)
+        idx = pc.index_in(t[strat_col].combine_chunks(), value_set=value_set)
+        idx = np.asarray(idx.fill_null(len(strata)), dtype=np.int64)
+        m = bucket < rate_np[idx]
+        return t.append_column("samp_hash", pa.array(bucket, pa.int64())).filter(
+            pa.array(m, pa.bool_())
+        )
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def extract_domain(url_col) -> pa.Array:
+    """Vectorized host extraction from a URL column (scheme://host/...)."""
+    arr = url_col.combine_chunks() if isinstance(url_col, pa.ChunkedArray) else url_col
+    s = pc.extract_regex(arr, pattern=r"^[a-z][a-z0-9+.-]*://(?P<host>[^/]+)")
+    return pc.struct_field(s, "host")
+
+
+def cap_per_key(ds, *, key_col: str, cap: int, order_col: str, id_col: str,
+                num_buckets: int = 256):
+    """Keep the top-``cap`` rows per key, ordered by (``order_col`` DESC,
+    ``id_col`` ASC); output gains ``rk`` (1-based rank within key).
+
+    Scale plan: each batch first keeps its LOCAL top-cap per key (the
+    global top-cap is a subset of the union of per-batch top-caps), so the
+    shuffle moves <= cap rows per (key, batch) instead of every row of hot
+    keys.  The wide step is ONE groupby on a hashed key bucket (bounded
+    fan-in: ~``num_buckets`` groups regardless of key cardinality — a
+    per-key ``map_groups`` would pay ~100us of Python per distinct key),
+    with an Arrow multi-column sort + vectorized rank inside each bucket.
+    """
+    from ..functions.dedup import _mix64
+    from ..stages.geocode import fnv1a64
+
+    def rank_within(t: pa.Table) -> tuple:
+        """Sort by (key, -order, id); return (sorted table, rank array)."""
+        idx = pc.sort_indices(
+            t,
+            sort_keys=[(key_col, "ascending"), (order_col, "descending"),
+                       (id_col, "ascending")],
+        )
+        t = t.take(idx)
+        enc = t[key_col].combine_chunks().dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        new = np.concatenate([[True], codes[1:] != codes[:-1]]) if codes.size else \
+            np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        rk = np.arange(codes.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.concatenate([starts, [codes.size]]))
+        ) + 1
+        return t, rk
+
+    def local_cap(t: pa.Table) -> pa.Table:
+        t, rk = rank_within(t)
+        t = t.filter(pa.array(rk <= cap, pa.bool_()))
+        h = _mix64(fnv1a64(t[key_col].combine_chunks()))
+        return t.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int64), pa.int64())
+        )
+
+    def bucket_cap(t: pa.Table) -> pa.Table:
+        t, rk = rank_within(t.drop_columns(["_bucket"]))
+        t = t.append_column("rk", pa.array(rk, pa.int64()))
+        return t.filter(pa.array(rk <= cap, pa.bool_()))
+
+    return (
+        ds.map_batches(local_cap, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(bucket_cap, batch_format="pyarrow")
+    )
+
+
+def domain_cap(pages_ds, *, cap: int = 3, url_col: str = "url",
+               text_col: str = "text", id_col: str = "doc_id"):
+    """Per-domain document cap (the Common-Crawl "no domain dominates"
+    rule): keep at most ``cap`` pages per URL host, preferring longer
+    text (ties by id).  Output: id, domain, tlen, rk."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "domain": extract_domain(t[url_col]),
+                "tlen": pc.cast(pc.utf8_length(t[text_col].combine_chunks()), pa.int64()),
+            }
+        )
+
+    return cap_per_key(
+        pages_ds.map_batches(prep, batch_format="pyarrow"),
+        key_col="domain", cap=cap, order_col="tlen", id_col=id_col,
+    )
+
+
+def benchmark_ngram_ref(benchmark_ds, *, n: int = 8, text_col: str = "text",
+                        max_bytes: int = 2 << 30):
+    """Collect the DISTINCT token-``n``-gram hashes of a benchmark corpus
+    into one sorted uint64 array in the object store; returns the ObjectRef.
+
+    The benchmark side of decontamination is small BY NATURE (eval sets,
+    not the corpus), so a broadcast set is the right physical plan — the
+    corpus side then never shuffles at all.  Per-batch distinct hashes are
+    computed DISTRIBUTED (map_batches); the final unique+sort of the
+    (already-deduplicated) partials runs in a RAY TASK, not the driver,
+    and only the ObjectRef comes back.  ``max_bytes`` guards against a
+    'benchmark' that is actually corpus-sized."""
+    import ray
+
+    from .text import _binary_u64, token_hash_sets
+
+    def partial(t: pa.Table) -> pa.Table:
+        blobs, _ = token_hash_sets(t, text_col=text_col, n=n)
+        vals, _ = _binary_u64(blobs)
+        u = np.unique(vals)
+        return pa.table({"h": pa.array(u.view(np.int64), pa.int64())})
+
+    parts = benchmark_ds.map_batches(partial, batch_format="pyarrow").materialize()
+    try:
+        nbytes = parts.size_bytes()
+    except Exception:
+        nbytes = None
+    if nbytes is not None and nbytes > max_bytes:
+        raise ValueError(
+            f"benchmark n-gram set is {nbytes >> 20} MiB (> {max_bytes >> 20} MiB); "
+            "a corpus-sized 'benchmark' needs the join-based plan, not broadcast"
+        )
+
+    @ray.remote
+    def merge(*tabs):
+        tabs = [t for t in tabs if t.num_rows]
+        if not tabs:
+            return np.empty(0, np.uint64)
+        allv = pa.concat_tables(tabs)["h"].combine_chunks()
+        return np.unique(np.asarray(allv, dtype=np.int64).view(np.uint64))
+
+    return merge.remote(*parts.to_arrow_refs())
+
+
+def decontaminate(docs_ds, bench_ref, *, n: int = 8, id_col: str = "doc_id",
+                  text_col: str = "text", keep_clean: bool = False):
+    """Flag (or drop) corpus docs sharing any token ``n``-gram with the
+    benchmark set referenced by ``bench_ref`` (from ``benchmark_ngram_ref``).
+
+    Default output: the CONTAMINATED docs as (id, n_hits) where n_hits =
+    number of DISTINCT contaminated n-grams in the doc; ``keep_clean=True``
+    instead returns the clean rows of the input (the filter you compose
+    into a pipeline).  Pure streaming: one broadcast array, one searchsorted
+    membership test per batch, no shuffle."""
+    import ray
+
+    from .text import _binary_u64, token_hash_sets
+
+    def score(t: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        blobs, counts = token_hash_sets(t, text_col=text_col, n=n)
+        vals, lens = _binary_u64(blobs)
+        if bench.size:
+            pos = np.searchsorted(bench, vals)
+            pos[pos >= bench.size] = 0
+            hit = bench[pos] == vals
+        else:
+            hit = np.zeros(vals.size, bool)
+        doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        n_hits = np.bincount(doc_of[hit], minlength=lens.size).astype(np.int64)
+        if keep_clean:
+            return t.filter(pa.array(n_hits == 0, pa.bool_()))
+        out = pa.table(
+            {id_col: t[id_col], "n_hits": pa.array(n_hits, pa.int64())}
+        )
+        return out.filter(pa.array(n_hits > 0, pa.bool_()))
+
+    return docs_ds.map_batches(score, batch_format="pyarrow")
+
+
+def pack_sequences(docs_ds, *, budget: int = 512, shard_rows: int = 65536,
+                   id_col: str = "doc_id", group_col: str = "lang",
+                   text_col: str = "text"):
+    """Next-fit sequence packing: within each (group, shard) — shard =
+    id // shard_rows — docs are taken in id order and appended to the
+    current bin until adding one would exceed ``budget`` tokens (a doc
+    longer than the budget gets a bin of its own).  Output: id, group,
+    shard, n_tokens, bin_id (0-based within its (group, shard)).
+
+    Partitioning assumption (by design): bins NEVER span shards, which is
+    what makes packing embarrassingly parallel — each (group, shard) packs
+    independently and a global pass ordering 10^11 docs is never needed.
+    ``shard_rows`` trades tail waste (one under-full bin per shard) for
+    parallelism; at 100 TB with shard_rows=65536 the waste is <0.002%.
+    The wide step is one groupby((group, shard)); per-group Python cost is
+    one searchsorted per BIN, not per doc."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t[text_col].combine_chunks(), pattern=" ")
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                group_col: t[group_col],
+                "shard": pa.array(ids // shard_rows, pa.int64()),
+                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+            }
+        )
+
+    def pack_group(t: pa.Table) -> pa.Table:
+        order = pc.sort_indices(t, sort_keys=[(id_col, "ascending")])
+        t = t.take(order)
+        ntok = np.asarray(t["n_tokens"].combine_chunks(), dtype=np.int64)
+        cum = np.cumsum(ntok)
+        starts = []
+        s = 0
+        while s < ntok.size:
+            starts.append(s)
+            base = cum[s - 1] if s else 0
+            e = int(np.searchsorted(cum, base + budget, side="right"))
+            s = max(e, s + 1)
+        starts = np.asarray(starts, np.int64)
+        bin_id = np.searchsorted(starts, np.arange(ntok.size), side="right") - 1
+        return t.append_column("bin_id", pa.array(bin_id, pa.int64()))
+
+    return (
+        docs_ds.map_batches(prep, batch_format="pyarrow")
+        .groupby([group_col, "shard"])
+        .map_groups(pack_group, batch_format="pyarrow")
+    )

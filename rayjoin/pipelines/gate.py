@@ -1719,6 +1719,151 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+_SAMPLE_RATES = {"en": 500, "de": 300, "fr": 300, "es": 200, "pt": 200, "zh": 100}
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language downsampling: keep doc iff
+    fnv1a64(str(doc_id)) % 1000 < rate[lang] — reproducible under any
+    partitioning, no counting pass, no shuffle."""
+    import ray.data
+
+    from ..functions.corpus_ops import stratified_sample
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+    return stratified_sample(docs, _SAMPLE_RATES, mod=1000)
+
+
+def sql_stratified_sample() -> str:
+    cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(_SAMPLE_RATES.items())
+    )
+    fnv = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    return (
+        "SELECT doc_id, lang, samp_hash FROM ("
+        f"SELECT doc_id, lang, CAST({fnv} % 1000 AS BIGINT) AS samp_hash "
+        "FROM documents) "
+        f"WHERE samp_hash < CASE lang {cases} ELSE 0 END"
+    )
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-domain page cap over the pages table (Common-Crawl "no domain
+    dominates"): host extracted from the URL, top-3 pages per host by text
+    length (ties by doc_id); per-batch local cap -> one bucketed groupby."""
+    from ..functions.corpus_ops import domain_cap
+    from ..sources.pages import pages_from_documents
+
+    return domain_cap(pages_from_documents(sf_dir), cap=3)
+
+
+SQL_DOMAIN_CAP = """
+WITH p AS (
+  SELECT doc_id,
+         'site' || CAST(doc_id % 997 AS VARCHAR) || '.example' AS domain,
+         length(text) AS tlen
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY domain
+                               ORDER BY tlen DESC, doc_id) AS rk
+  FROM p)
+SELECT doc_id, domain, tlen, rk FROM r WHERE rk <= 3
+"""
+
+
+def q_decontaminate(sf_dir: str):
+    """Benchmark decontamination: docs sharing any distinct token 8-gram
+    with the benchmark subset (doc_id % 7 == 0); broadcast n-gram hash
+    set, corpus side streams with zero shuffle."""
+    import ray.data
+
+    from ..functions.corpus_ops import benchmark_ngram_ref, decontaminate
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def mod7(want_bench: bool):
+        def f(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+            m = (ids % 7 == 0) if want_bench else (ids % 7 != 0)
+            return t.filter(pa.array(m, pa.bool_()))
+
+        return f
+
+    bench = docs.map_batches(mod7(True), batch_format="pyarrow")
+    corpus = docs.map_batches(mod7(False), batch_format="pyarrow")
+    ref = benchmark_ngram_ref(bench, n=8)
+    return decontaminate(corpus, ref, n=8)
+
+
+SQL_DECONTAMINATE = """
+WITH ng AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+    generate_series(1, greatest(len(string_split(text, ' ')) - 7, 0)),
+    i -> array_to_string(string_split(text, ' ')[i:i+7], ' ')))) AS gram
+  FROM documents)
+SELECT c.doc_id, count(DISTINCT c.gram) AS n_hits
+FROM (SELECT * FROM ng WHERE doc_id % 7 <> 0) c
+JOIN (SELECT DISTINCT gram FROM ng WHERE doc_id % 7 = 0) b USING (gram)
+GROUP BY c.doc_id
+"""
+
+
+def q_pack_sequences(sf_dir: str):
+    """Token-budget next-fit sequence packing per (lang, id-shard): bins
+    never span shards by design (embarrassingly parallel packing)."""
+    import ray.data
+
+    from ..functions.corpus_ops import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return pack_sequences(docs, budget=512, shard_rows=256)
+
+
+SQL_PACK_SEQUENCES = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, doc_id // 256 AS shard,
+         len(string_split(text, ' ')) AS n_tokens,
+         row_number() OVER (PARTITION BY lang, doc_id // 256
+                            ORDER BY doc_id) AS rn
+  FROM documents),
+c AS (
+  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, shard ORDER BY rn) AS cum
+  FROM d),
+mx AS (SELECT lang, shard, max(rn) AS mrn FROM c GROUP BY 1, 2),
+bins(lang, shard, bin_id, start_rn, base) AS (
+  SELECT lang, shard, 0::BIGINT, 1::BIGINT, 0::BIGINT FROM mx
+  UNION ALL
+  SELECT b.lang, b.shard, b.bin_id + 1,
+         greatest(b.start_rn + 1,
+           (SELECT min(rn) FROM c WHERE c.lang = b.lang AND c.shard = b.shard
+              AND c.cum > b.base + 512)),
+         (SELECT cum FROM c WHERE c.lang = b.lang AND c.shard = b.shard
+            AND c.rn = greatest(b.start_rn + 1,
+              (SELECT min(rn) FROM c c2 WHERE c2.lang = b.lang
+                 AND c2.shard = b.shard AND c2.cum > b.base + 512)) - 1)
+  FROM bins b JOIN mx ON mx.lang = b.lang AND mx.shard = b.shard
+  -- stop when every remaining doc fits the current bin (min(rn) IS NULL):
+  -- DuckDB's greatest() IGNORES nulls, so without the IS NOT NULL guard the
+  -- tail would degenerate into one bin per doc
+  WHERE (SELECT min(rn) FROM c WHERE c.lang = b.lang AND c.shard = b.shard
+           AND c.cum > b.base + 512) IS NOT NULL
+    AND greatest(b.start_rn + 1,
+          (SELECT min(rn) FROM c WHERE c.lang = b.lang AND c.shard = b.shard
+             AND c.cum > b.base + 512)) <= mx.mrn)
+SELECT c.doc_id, c.lang, c.shard, c.n_tokens,
+       (SELECT max(bin_id) FROM bins b
+         WHERE b.lang = c.lang AND b.shard = c.shard
+           AND b.start_rn <= c.rn) AS bin_id
+FROM c
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1786,6 +1931,10 @@ def build_queries():
         "band_pairs_events": q_band_pairs_events,
         "repetition_ratio": q_repetition_ratio,
         "vocab_topk": q_vocab_topk,
+        "stratified_sample": q_stratified_sample,
+        "domain_cap": q_domain_cap,
+        "decontaminate": q_decontaminate,
+        "pack_sequences": q_pack_sequences,
     }
     oracle = {
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
@@ -1839,6 +1988,10 @@ def build_queries():
         "band_pairs_events": SQL_BAND,
         "repetition_ratio": SQL_REPETITION,
         "vocab_topk": SQL_VOCAB,
+        "stratified_sample": sql_stratified_sample(),
+        "domain_cap": SQL_DOMAIN_CAP,
+        "decontaminate": SQL_DECONTAMINATE,
+        "pack_sequences": SQL_PACK_SEQUENCES,
         # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,
         # LSH recall<1) -> rows-only driver check + pytest planted-truth
         # oracles; their exhaustive twins above are hash-checked

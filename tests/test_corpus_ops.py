@@ -1,0 +1,158 @@
+"""Planted-truth tests for the corpus curation operators (stratified
+sampling, per-key caps, decontamination, sequence packing)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayjoin.functions.corpus_ops import (
+    benchmark_ngram_ref,
+    cap_per_key,
+    decontaminate,
+    domain_cap,
+    extract_domain,
+    pack_sequences,
+    stratified_sample,
+)
+
+
+def _ds(tbl, blocks=4):
+    import ray.data
+
+    return ray.data.from_arrow(tbl).repartition(blocks)
+
+
+def test_stratified_sample_deterministic_and_rated(ray_session):
+    from rayjoin.stages.geocode import fnv1a64
+
+    n = 4000
+    langs = np.array(["en", "de", "zh", "xx"])[np.arange(n) % 4]
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(langs, pa.string())})
+    rates = {"en": 600, "de": 250, "zh": 0}
+    got = stratified_sample(_ds(t), rates, mod=1000).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+
+    # exact per-row oracle: same fnv on the id string
+    h = fnv1a64(pa.array([str(i) for i in range(n)], pa.string()))
+    bucket = (h % np.uint64(1000)).astype(np.int64)
+    rate = np.array([rates.get(l, 0) for l in langs])
+    want = np.flatnonzero(bucket < rate)
+    assert got["doc_id"].to_numpy().tolist() == want.tolist()
+    assert (got["samp_hash"].to_numpy() == bucket[want]).all()
+    # zh rate 0 and unknown 'xx' stratum are fully dropped
+    assert not set(got["lang"]) & {"zh", "xx"}
+    # repartitioning does not change the sample (pure function of the row)
+    again = stratified_sample(_ds(t, blocks=13), rates, mod=1000).to_pandas()
+    assert sorted(again["doc_id"]) == sorted(got["doc_id"])
+
+
+def test_cap_per_key_planted_hot_key(ray_session):
+    # one hot key with 500 rows, many singleton keys: cap must keep the 3
+    # longest rows of the hot key and every singleton
+    n_hot, n_single = 500, 40
+    key = np.array(["hot"] * n_hot + [f"k{i}" for i in range(n_single)])
+    order = np.concatenate([np.arange(n_hot, dtype=np.int64) * 7 % 501,
+                            np.full(n_single, 5, np.int64)])
+    ids = np.arange(key.size, dtype=np.int64)
+    t = pa.table({"k": pa.array(key, pa.string()),
+                  "w": pa.array(order, pa.int64()),
+                  "i": pa.array(ids, pa.int64())})
+    got = cap_per_key(_ds(t, blocks=8), key_col="k", cap=3, order_col="w",
+                      id_col="i").to_pandas()
+    assert len(got) == 3 + n_single
+    hot = got[got["k"] == "hot"].sort_values("rk")
+    top3 = np.lexsort((ids[:n_hot], -order[:n_hot]))[:3]
+    assert hot["i"].tolist() == ids[top3].tolist()
+    assert hot["rk"].tolist() == [1, 2, 3]
+    assert (got[got["k"] != "hot"]["rk"] == 1).all()
+
+
+def test_extract_domain():
+    urls = pa.array([
+        "https://a.example.com/x/y", "http://b.io/", "ftp://c.net/f",
+        "https://d.org/p?q=1",
+    ])
+    assert extract_domain(urls).to_pylist() == [
+        "a.example.com", "b.io", "c.net", "d.org"]
+
+
+def test_domain_cap_caps_hot_domain(ray_session):
+    # 20 pages on one domain, 5 on another, 2 singletons (text length
+    # increases with id, so the kept pages are the highest ids per domain)
+    n = 27
+    dom = np.array(["big.example"] * 20 + ["mid.example"] * 5
+                   + ["s1.example", "s2.example"])
+    urls = pa.array([f"https://{d}/{i}" for i, d in enumerate(dom)])
+    texts = pa.array(["x" * (10 + 3 * i) for i in range(n)])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "url": urls, "text": texts})
+    got = domain_cap(_ds(t), cap=3).to_pandas()
+    assert sorted(got[got["domain"] == "big.example"]["doc_id"]) == [17, 18, 19]
+    assert sorted(got[got["domain"] == "mid.example"]["doc_id"]) == [22, 23, 24]
+    assert len(got) == 3 + 3 + 2
+
+
+def test_decontaminate_planted_overlap(ray_session):
+    # bench doc contributes one 3-gram; doc 10 contains it twice (distinct
+    # count = 1), doc 11 shares nothing, doc 12 shares two distinct 3-grams
+    bench = pa.table({"doc_id": pa.array([0], pa.int64()),
+                      "text": pa.array(["a b c d e"])})
+    corpus = pa.table({
+        "doc_id": pa.array([10, 11, 12], pa.int64()),
+        "text": pa.array([
+            "a b c z a b c",          # 'a b c' twice -> 1 distinct hit
+            "q w e r t y",            # clean
+            "a b c d x c d e",        # 'a b c', 'b c d', 'c d e' -> 3 hits
+        ]),
+    })
+    ref = benchmark_ngram_ref(_ds(bench, blocks=1), n=3)
+    got = decontaminate(_ds(corpus, blocks=2), ref, n=3).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == [10, 12]
+    assert got["n_hits"].tolist() == [1, 3]
+    # keep_clean returns the complementary input rows
+    clean = decontaminate(_ds(corpus, blocks=2), ref, n=3,
+                          keep_clean=True).to_pandas()
+    assert clean["doc_id"].tolist() == [11]
+
+
+def test_benchmark_ngram_ref_byte_guard(ray_session):
+    big = pa.table({"doc_id": pa.array(np.arange(200, dtype=np.int64)),
+                    "text": pa.array([f"t{i} u{i} v{i} w{i}" for i in range(200)])})
+    with pytest.raises(ValueError, match="benchmark"):
+        benchmark_ngram_ref(_ds(big), n=2, max_bytes=64)
+
+
+def _pack_brute(ntok, budget):
+    bins, s, cur = [], 0, 0
+    for t in ntok:
+        if cur and cur + t > budget:
+            s += 1
+            cur = 0
+        bins.append(s)
+        cur += t
+    return bins
+
+
+@pytest.mark.parametrize("budget", [8, 50])
+def test_pack_sequences_next_fit(ray_session, budget):
+    # includes an oversized doc (n_tokens > budget) which must get its own
+    # bin, and a shard boundary at id 16
+    rng = np.random.default_rng(3)
+    n = 40
+    lens = rng.integers(1, 12, n)
+    lens[7] = budget + 5
+    texts = pa.array([" ".join(["w"] * int(k)) for k in lens])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(["en"] * (n // 2) + ["de"] * (n - n // 2)),
+                  "text": texts})
+    got = pack_sequences(_ds(t, blocks=5), budget=budget, shard_rows=16)
+    got = got.to_pandas().sort_values(["lang", "shard", "doc_id"])
+    for (lang, shard), g in got.groupby(["lang", "shard"]):
+        want = _pack_brute(g["n_tokens"].to_numpy(), budget)
+        assert g["bin_id"].tolist() == want, (lang, shard)
+        # every bin fits the budget unless it is a single oversized doc
+        sums = g.groupby("bin_id")["n_tokens"].agg(["sum", "count"])
+        bad = sums[(sums["sum"] > budget) & (sums["count"] > 1)]
+        assert bad.empty
