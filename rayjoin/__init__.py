@@ -37,6 +37,11 @@ def __getattr__(name):
         from .functions import temporal
 
         return getattr(temporal, name)
+    if name in ("stratified_sample", "cap_per_key", "domain_cap",
+                "decontaminate", "benchmark_ngram_ref", "pack_sequences"):
+        from .functions import corpus_ops
+
+        return getattr(corpus_ops, name)
     if name in ("spatial_join", "proximity_map", "knn_join"):
         from .join import auto
 
@@ -61,4 +66,11 @@ __all__ = [
     # temporal joins (Ray Data has no native as-of / range join)
     "asof_join",
     "band_join",
+    # corpus curation (training-data pipeline scope)
+    "stratified_sample",
+    "cap_per_key",
+    "domain_cap",
+    "decontaminate",
+    "benchmark_ngram_ref",
+    "pack_sequences",
 ]
