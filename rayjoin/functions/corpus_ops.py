@@ -70,9 +70,14 @@ def cap_per_key(ds, *, key_col: str, cap: int, order_col: str, id_col: str,
     """
     from ..functions.dedup import _mix64
     from ..stages.geocode import fnv1a64
+    from ..util import rank_within_sorted_groups
 
     def rank_within(t: pa.Table) -> tuple:
-        """Sort by (key, -order, id); return (sorted table, rank array)."""
+        """Sort by (key, -order, id); return (sorted table, rank array).
+        NULL keys (e.g. an unparseable URL upstream) each rank as their own
+        singleton (rk=1, never capped): a per-key cap cannot apply without
+        a key, and collapsing nulls into one pseudo-key would silently
+        drop all but ``cap`` of them (/code-review r3)."""
         idx = pc.sort_indices(
             t,
             sort_keys=[(key_col, "ascending"), (order_col, "descending"),
@@ -80,13 +85,13 @@ def cap_per_key(ds, *, key_col: str, cap: int, order_col: str, id_col: str,
         )
         t = t.take(idx)
         enc = t[key_col].combine_chunks().dictionary_encode()
-        codes = np.asarray(enc.indices, dtype=np.int64)
-        new = np.concatenate([[True], codes[1:] != codes[:-1]]) if codes.size else \
-            np.empty(0, bool)
-        starts = np.flatnonzero(new)
-        rk = np.arange(codes.size, dtype=np.int64) - np.repeat(
-            starts, np.diff(np.concatenate([starts, [codes.size]]))
-        ) + 1
+        codes = np.asarray(enc.indices.fill_null(-1), dtype=np.int64)
+        null = codes < 0
+        if null.any():
+            # unique negative code per null row -> every null is a singleton
+            codes = codes.copy()
+            codes[null] = -1 - np.arange(np.count_nonzero(null), dtype=np.int64)
+        rk = rank_within_sorted_groups(codes) + 1
         return t, rk
 
     def local_cap(t: pa.Table) -> pa.Table:
@@ -228,14 +233,18 @@ def pack_sequences(docs_ds, *, budget: int = 512, shard_rows: int = 65536,
     one searchsorted per BIN, not per doc."""
 
     def prep(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t[text_col].combine_chunks(), pattern=" ")
+        text = t[text_col].combine_chunks()
         ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        # token count == separator count + 1 (identical to len(split),
+        # including empty strings and runs of spaces) WITHOUT materializing
+        # the token lists — this stage only needs the lengths
+        ntok = pc.add(pc.count_substring(text, pattern=" "), 1)
         return pa.table(
             {
                 id_col: t[id_col],
                 group_col: t[group_col],
                 "shard": pa.array(ids // shard_rows, pa.int64()),
-                "n_tokens": pc.cast(pc.list_value_length(toks), pa.int64()),
+                "n_tokens": pc.cast(ntok, pa.int64()),
             }
         )
 

@@ -836,7 +836,11 @@ def embedding_dup_pairs(ds, *, id_col: str = "vec_id", vec_col: str = "embedding
                               "lsh_code": pa.array([], pa.int64())})
             ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
             if mod > 1:
-                keep = np.flatnonzero(_mix64(ids) % mod == 0)
+                # _mix64 is uint64-only: int64 input promotes the in-place
+                # multiply to float64 and raises on numpy 1.26
+                keep = np.flatnonzero(
+                    _mix64(ids.astype(np.uint64)) % np.uint64(mod) == 0
+                )
                 if keep.size == 0:
                     return empty
                 vecs = t[vec_col].combine_chunks().take(pa.array(keep, pa.int64()))

@@ -132,7 +132,16 @@ class ResizeImage:
             out_bytes = np.where(valid, data[np.minimum(src, data.size - 1)], np.uint8(0))
         else:
             out_bytes = np.zeros(pid.size, np.uint8)
-        out_off = np.concatenate([[0], np.cumsum(n_out)]).astype(np.int32)
+        out_off = np.concatenate([[0], np.cumsum(n_out)])
+        if out_off[-1] > np.iinfo(np.int32).max:
+            # int32 binary offsets would silently wrap (the scalar path
+            # raised ArrowCapacityError here); fail loud — callers shrink
+            # batch_size for large outputs
+            raise pa.ArrowCapacityError(
+                f"ResizeImage batch output is {int(out_off[-1])} bytes "
+                "(> 2 GiB binary-offset limit); reduce batch_size"
+            )
+        out_off = out_off.astype(np.int32)
         resized = pa.Array.from_buffers(
             pa.binary(), n,
             [None, pa.py_buffer(out_off.tobytes()), pa.py_buffer(out_bytes.tobytes())],

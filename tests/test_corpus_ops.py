@@ -68,6 +68,22 @@ def test_cap_per_key_planted_hot_key(ray_session):
     assert (got[got["k"] != "hot"]["rk"] == 1).all()
 
 
+def test_cap_per_key_null_keys_never_capped(ray_session):
+    # 6 rows with a null key (e.g. unparseable URLs upstream) plus a hot
+    # key: nulls must ALL survive as rk=1 singletons, not collapse into
+    # one pseudo-key that keeps only `cap` of them
+    key = pa.array(["hot"] * 10 + [None] * 6, pa.string())
+    t = pa.table({"k": key,
+                  "w": pa.array(np.arange(16, dtype=np.int64)),
+                  "i": pa.array(np.arange(16, dtype=np.int64))})
+    got = cap_per_key(_ds(t, blocks=3), key_col="k", cap=2, order_col="w",
+                      id_col="i").to_pandas()
+    nulls = got[got["k"].isna()]
+    assert sorted(nulls["i"]) == list(range(10, 16))
+    assert (nulls["rk"] == 1).all()
+    assert sorted(got[got["k"] == "hot"]["i"]) == [8, 9]
+
+
 def test_extract_domain():
     urls = pa.array([
         "https://a.example.com/x/y", "http://b.io/", "ftp://c.net/f",

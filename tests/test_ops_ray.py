@@ -441,9 +441,12 @@ def test_embedding_dups_presalt_path():
     ds = ray.data.from_arrow(pa.table({"vec_id": pa.array(ids), "embedding": emb}))
 
     def run():
+        # presalt_sample_rows < n forces mod > 1, exercising the SAMPLED
+        # occupancy-estimate branch (an int64 _mix64 call crashed here —
+        # /code-review r3)
         return (
             embedding_dup_pairs(ds, threshold=0.999, split_rows=64,
-                                presalt_sample_rows=10_000)
+                                presalt_sample_rows=1_500)
             .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
         )
 
