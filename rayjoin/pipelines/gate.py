@@ -1749,6 +1749,47 @@ def sql_stratified_sample() -> str:
     )
 
 
+def q_sample_exact_k(sf_dir: str):
+    """Exactly-k-per-stratum sampling: the k docs with the LOWEST sampling
+    hash per language (deterministic, shuffle-bounded) — `cap_per_key`
+    composed with the stratified-sampling hash as the order key."""
+    import ray.data
+
+    from ..functions.corpus_ops import cap_per_key
+    from ..stages.geocode import fnv1a64
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
+    )
+
+    def hashed(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["doc_id"].combine_chunks(), pa.string()))
+        # cap_per_key orders DESC; negate so the k LOWEST hashes win
+        return t.append_column(
+            "neg_hash", pa.array(-(h % np.uint64(1 << 62)).astype(np.int64), pa.int64())
+        )
+
+    return cap_per_key(
+        docs.map_batches(hashed, batch_format="pyarrow"),
+        key_col="lang", cap=20, order_col="neg_hash", id_col="doc_id",
+    )
+
+
+def sql_sample_exact_k() -> str:
+    fnv = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         -CAST({fnv} % 4611686018427387904::HUGEINT AS BIGINT) AS neg_hash
+  FROM documents),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+                               ORDER BY neg_hash DESC, doc_id) AS rk
+  FROM h)
+SELECT doc_id, lang, neg_hash, rk FROM r WHERE rk <= 20
+"""
+
+
 def q_domain_cap(sf_dir: str):
     """Per-domain page cap over the pages table (Common-Crawl "no domain
     dominates"): host extracted from the URL, top-3 pages per host by text
@@ -1932,6 +1973,7 @@ def build_queries():
         "repetition_ratio": q_repetition_ratio,
         "vocab_topk": q_vocab_topk,
         "stratified_sample": q_stratified_sample,
+        "sample_exact_k": q_sample_exact_k,
         "domain_cap": q_domain_cap,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
@@ -1989,6 +2031,7 @@ def build_queries():
         "repetition_ratio": SQL_REPETITION,
         "vocab_topk": SQL_VOCAB,
         "stratified_sample": sql_stratified_sample(),
+        "sample_exact_k": sql_sample_exact_k(),
         "domain_cap": SQL_DOMAIN_CAP,
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
