@@ -217,12 +217,24 @@ def decontaminate(docs_ds, bench_ref, *, n: int = 8, id_col: str = "doc_id",
 
 def pack_sequences(docs_ds, *, budget: int = 512, shard_rows: int = 65536,
                    id_col: str = "doc_id", group_col: str = "lang",
-                   text_col: str = "text"):
-    """Next-fit sequence packing: within each (group, shard) — shard =
-    id // shard_rows — docs are taken in id order and appended to the
-    current bin until adding one would exceed ``budget`` tokens (a doc
-    longer than the budget gets a bin of its own).  Output: id, group,
-    shard, n_tokens, bin_id (0-based within its (group, shard)).
+                   text_col: str = "text", strategy: str = "next_fit"):
+    """Token-budget sequence packing: within each (group, shard) — shard =
+    id // shard_rows — docs are assigned to bins whose token totals never
+    exceed ``budget`` (a doc longer than the budget gets a bin of its
+    own).  Output: id, group, shard, n_tokens, bin_id (0-based within its
+    (group, shard)).
+
+    ``strategy``:
+    - ``"next_fit"`` (default): docs in id order, appended to the current
+      bin until one would overflow it.  Preserves document adjacency
+      (neighbouring ids land in the same bin) — the right choice when the
+      corpus is ordered (e.g. chunks of the same source document).
+    - ``"fold"``: sorted big-small folding, the first-fit-decreasing-class
+      heuristic — docs sorted by n_tokens descending; each bin takes the
+      largest remaining doc then the longest run of smallest remaining
+      docs that still fits.  Higher bin utilization when sizes vary (the
+      per-bin waste is ~half the SMALLEST doc instead of ~half the mean);
+      gives up adjacency.
 
     Partitioning assumption (by design): bins NEVER span shards, which is
     what makes packing embarrassingly parallel — each (group, shard) packs
@@ -230,7 +242,9 @@ def pack_sequences(docs_ds, *, budget: int = 512, shard_rows: int = 65536,
     ``shard_rows`` trades tail waste (one under-full bin per shard) for
     parallelism; at 100 TB with shard_rows=65536 the waste is <0.002%.
     The wide step is one groupby((group, shard)); per-group Python cost is
-    one searchsorted per BIN, not per doc."""
+    one searchsorted per BIN, not per doc (both strategies)."""
+    if strategy not in ("next_fit", "fold"):
+        raise ValueError(f"unknown packing strategy: {strategy!r}")
 
     def prep(t: pa.Table) -> pa.Table:
         text = t[text_col].combine_chunks()
@@ -264,8 +278,41 @@ def pack_sequences(docs_ds, *, budget: int = 512, shard_rows: int = 65536,
         bin_id = np.searchsorted(starts, np.arange(ntok.size), side="right") - 1
         return t.append_column("bin_id", pa.array(bin_id, pa.int64()))
 
+    def pack_group_fold(t: pa.Table) -> pa.Table:
+        # Descending by n_tokens, id ascending as the deterministic
+        # tie-break (groupby delivers rows in arbitrary block order).
+        order = pc.sort_indices(
+            t, sort_keys=[("n_tokens", "descending"), (id_col, "ascending")]
+        )
+        t = t.take(order)
+        ntok = np.asarray(t["n_tokens"].combine_chunks(), dtype=np.int64)
+        n = ntok.size
+        # asc[j] = j-th SMALLEST size; desc position b corresponds to asc
+        # position n-1-b.  asc_cum makes "longest run of smalls fitting in
+        # the residual capacity" one searchsorted.
+        asc_cum = np.cumsum(ntok[::-1])
+        bin_of_desc = np.empty(n, np.int64)
+        b = 0  # next big (desc index)
+        c = 0  # smalls consumed (asc index)
+        nbins = 0
+        while b + c < n:
+            cap = budget - int(ntok[b])
+            avail = n - 1 - b - c  # smalls left strictly after taking big b
+            base = asc_cum[c - 1] if c else 0
+            d = int(np.searchsorted(asc_cum, base + cap, side="right")) - c
+            d = min(max(d, 0), avail)
+            bin_of_desc[b] = nbins
+            if d:
+                # asc positions [c, c+d) are desc positions [n-c-d, n-c)
+                bin_of_desc[n - c - d: n - c] = nbins
+            c += d
+            b += 1
+            nbins += 1
+        return t.append_column("bin_id", pa.array(bin_of_desc, pa.int64()))
+
+    packer = pack_group if strategy == "next_fit" else pack_group_fold
     return (
         docs_ds.map_batches(prep, batch_format="pyarrow")
         .groupby([group_col, "shard"])
-        .map_groups(pack_group, batch_format="pyarrow")
+        .map_groups(packer, batch_format="pyarrow")
     )

@@ -1905,6 +1905,70 @@ FROM c
 """
 
 
+def q_pack_sequences_fold(sf_dir: str):
+    """Sorted big-small folding (the FFD-class packing strategy): per
+    (lang, id-shard), docs sorted by token count descending; each bin takes
+    the largest remaining doc plus the longest run of smallest remaining
+    docs that fits.  Near-optimal utilization vs next-fit's ~75-80%."""
+    import ray.data
+
+    from ..functions.corpus_ops import pack_sequences
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"]
+    )
+    return pack_sequences(docs, budget=512, shard_rows=256, strategy="fold")
+
+
+SQL_PACK_SEQUENCES_FOLD = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, lang, doc_id // 256 AS shard,
+         len(string_split(text, ' ')) AS n_tokens,
+         -- desc rank, doc_id ascending tie-break == the kernel's lexsort
+         row_number() OVER (PARTITION BY lang, doc_id // 256
+                            ORDER BY len(string_split(text, ' ')) DESC,
+                                     doc_id) AS rn
+  FROM documents),
+mx AS (SELECT lang, shard, max(rn) AS mrn FROM d GROUP BY 1, 2),
+a AS (
+  -- ascending rank ar (1 = smallest) and prefix sums of the ar smallest
+  SELECT d.lang, d.shard, (mx.mrn - d.rn + 1) AS ar,
+         SUM(d.n_tokens) OVER (PARTITION BY d.lang, d.shard
+                               ORDER BY (mx.mrn - d.rn + 1)) AS acum
+  FROM d JOIN mx ON mx.lang = d.lang AND mx.shard = d.shard),
+-- state AFTER forming bin bin_id: b bigs (desc ranks 1..b) and c smalls
+-- (asc ranks 1..c) consumed; seed is the pre-first-bin state
+bins(lang, shard, bin_id, b, c) AS (
+  SELECT lang, shard, -1::BIGINT, 0::BIGINT, 0::BIGINT FROM mx
+  UNION ALL
+  SELECT bi.lang, bi.shard, bi.bin_id + 1, bi.b + 1,
+         COALESCE(
+           (SELECT max(a.ar) FROM a
+             WHERE a.lang = bi.lang AND a.shard = bi.shard
+               AND a.ar > bi.c AND a.ar <= mx.mrn - (bi.b + 1)
+               AND a.acum - COALESCE((SELECT a2.acum FROM a a2
+                      WHERE a2.lang = bi.lang AND a2.shard = bi.shard
+                        AND a2.ar = bi.c), 0)
+                   <= 512 - (SELECT d2.n_tokens FROM d d2
+                              WHERE d2.lang = bi.lang AND d2.shard = bi.shard
+                                AND d2.rn = bi.b + 1)),
+           bi.c)
+  FROM bins bi JOIN mx ON mx.lang = bi.lang AND mx.shard = bi.shard
+  WHERE bi.b + bi.c < mx.mrn)
+SELECT d.doc_id, d.lang, d.shard, d.n_tokens,
+       CASE WHEN d.rn <= (SELECT max(bb.b) FROM bins bb
+                           WHERE bb.lang = d.lang AND bb.shard = d.shard)
+            -- bigs are taken in desc-rank order, one per bin
+            THEN d.rn - 1
+            -- smalls: the first bin whose consumed-small count covers ar
+            ELSE (SELECT min(bb.bin_id) FROM bins bb
+                   WHERE bb.lang = d.lang AND bb.shard = d.shard
+                     AND bb.c >= mx.mrn - d.rn + 1)
+       END AS bin_id
+FROM d JOIN mx ON mx.lang = d.lang AND mx.shard = d.shard
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1977,6 +2041,7 @@ def build_queries():
         "domain_cap": q_domain_cap,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
+        "pack_sequences_fold": q_pack_sequences_fold,
     }
     oracle = {
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
@@ -2035,6 +2100,7 @@ def build_queries():
         "domain_cap": SQL_DOMAIN_CAP,
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
+        "pack_sequences_fold": SQL_PACK_SEQUENCES_FOLD,
         # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,
         # LSH recall<1) -> rows-only driver check + pytest planted-truth
         # oracles; their exhaustive twins above are hash-checked

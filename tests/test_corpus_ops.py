@@ -172,3 +172,74 @@ def test_pack_sequences_next_fit(ray_session, budget):
         sums = g.groupby("bin_id")["n_tokens"].agg(["sum", "count"])
         bad = sums[(sums["sum"] > budget) & (sums["count"] > 1)]
         assert bad.empty
+
+
+def _fold_brute(ntok_by_id, budget):
+    """Reference fold: repeatedly take the largest remaining doc (id
+    ascending tie-break), then greedily add smallest remaining docs while
+    they fit.  Returns bin_id per input position."""
+    order = sorted(range(len(ntok_by_id)), key=lambda i: (-ntok_by_id[i], i))
+    out = [None] * len(ntok_by_id)
+    bin_id = 0
+    while order:
+        big = order.pop(0)
+        out[big] = bin_id
+        tot = ntok_by_id[big]
+        while order and tot + ntok_by_id[order[-1]] <= budget:
+            small = order.pop()
+            out[small] = bin_id
+            tot += ntok_by_id[small]
+        bin_id += 1
+    return out
+
+
+@pytest.mark.parametrize("budget", [8, 50])
+def test_pack_sequences_fold(ray_session, budget):
+    rng = np.random.default_rng(5)
+    n = 40
+    lens = rng.integers(1, 12, n)
+    lens[7] = budget + 5  # oversized -> singleton bin
+    texts = pa.array([" ".join(["w"] * int(k)) for k in lens])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(["en"] * (n // 2) + ["de"] * (n - n // 2)),
+                  "text": texts})
+    got = pack_sequences(_ds(t, blocks=5), budget=budget, shard_rows=16,
+                         strategy="fold")
+    got = got.to_pandas().sort_values(["lang", "shard", "doc_id"])
+    for (lang, shard), g in got.groupby(["lang", "shard"]):
+        want = _fold_brute(g["n_tokens"].tolist(), budget)
+        assert g["bin_id"].tolist() == want, (lang, shard)
+        sums = g.groupby("bin_id")["n_tokens"].agg(["sum", "count"])
+        bad = sums[(sums["sum"] > budget) & (sums["count"] > 1)]
+        assert bad.empty
+
+
+def test_pack_fold_beats_next_fit_utilization(ray_session):
+    # the point of the strategy: on variable-length docs fold needs fewer
+    # bins than next-fit and sits near the ceil(total/budget) lower bound
+    rng = np.random.default_rng(11)
+    n, budget = 512, 64
+    lens = rng.integers(1, 48, n)
+    texts = pa.array([" ".join(["w"] * int(k)) for k in lens])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "lang": pa.array(["en"] * n), "text": texts})
+    nf = pack_sequences(_ds(t, blocks=4), budget=budget,
+                        shard_rows=n).to_pandas()
+    fd = pack_sequences(_ds(t, blocks=4), budget=budget, shard_rows=n,
+                        strategy="fold").to_pandas()
+    nf_bins = nf["bin_id"].nunique()
+    fd_bins = fd["bin_id"].nunique()
+    lower = int(np.ceil(lens.sum() / budget))
+    assert fd_bins < nf_bins
+    # items up to 0.75*budget pair imperfectly in the mid-size tail: fold
+    # lands within ~15% of the lower bound here (0.996 of it when sizes
+    # span the full budget); next-fit needs ~15% more bins than fold
+    assert fd_bins <= int(lower * 1.15) + 1
+    assert nf_bins >= int(fd_bins * 1.1)
+
+
+def test_pack_fold_rejects_unknown_strategy(ray_session):
+    t = pa.table({"doc_id": pa.array([0], pa.int64()),
+                  "lang": pa.array(["en"]), "text": pa.array(["a b"])})
+    with pytest.raises(ValueError, match="strategy"):
+        pack_sequences(_ds(t), strategy="best_fit")

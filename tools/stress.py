@@ -441,6 +441,20 @@ def main(argv=None):
                     help="row-count override for embedding/corpus stresses")
     args = ap.parse_args(argv)
 
+    if args.which == "all":
+        # One fresh subprocess (and Ray session) per stress: the smaps_rollup
+        # private-RSS peaks would otherwise be contaminated by heap pages
+        # retained from earlier stresses in the same driver process.
+        import subprocess
+
+        for name in STRESSES:
+            cmd = [sys.executable, __file__, name,
+                   "--num-cpus", str(args.num_cpus)]
+            if args.n:
+                cmd += ["--n", str(args.n)]
+            subprocess.run(cmd, check=False)
+        return
+
     import ray
 
     ray.init(address="local", num_cpus=args.num_cpus, include_dashboard=False,
@@ -449,12 +463,10 @@ def main(argv=None):
 
     ray.data.DataContext.get_current().enable_progress_bars = False
     sys.path.insert(0, ".")
-    names = list(STRESSES) if args.which == "all" else [args.which]
-    for name in names:
-        fn = STRESSES[name]
-        kwargs = {"n": args.n} if args.n and name in (
-            "embedding", "corpus", "pillbox", "temporal") else {}
-        print(json.dumps(fn(**kwargs)))
+    fn = STRESSES[args.which]
+    kwargs = {"n": args.n} if args.n and args.which in (
+        "embedding", "corpus", "pillbox", "temporal") else {}
+    print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
 
