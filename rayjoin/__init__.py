@@ -46,6 +46,10 @@ def __getattr__(name):
         from .join import auto
 
         return getattr(auto, name)
+    if name == "grouped_quantiles":
+        from .functions.stats import grouped_quantiles
+
+        return grouped_quantiles
     raise AttributeError(name)
 
 
@@ -73,4 +77,6 @@ __all__ = [
     "decontaminate",
     "benchmark_ngram_ref",
     "pack_sequences",
+    # distributed exact statistics
+    "grouped_quantiles",
 ]

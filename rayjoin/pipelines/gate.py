@@ -1969,6 +1969,38 @@ FROM d JOIN mx ON mx.lang = d.lang AND mx.shard = d.shard
 """
 
 
+def q_user_quantiles(sf_dir: str):
+    """Exact per-user value quantiles (p25/p50/p90) over the events log —
+    bucketed merge: one lexsort per shuffle bucket, zero Python per key;
+    the only wide step is the pruned 2-column (user_id, value) shuffle."""
+    import ray.data
+
+    from ..functions.stats import grouped_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"],
+             "value_milli": pc.cast(
+                 pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles(
+        ev, key_col="user_id", val_col="value_milli", qs=(0.25, 0.5, 0.9)
+    )
+
+
+SQL_USER_QUANTILES = """
+SELECT user_id, count(*) AS n,
+       quantile_disc(CAST(floor(value * 1000) AS BIGINT), 0.25) AS q25,
+       quantile_disc(CAST(floor(value * 1000) AS BIGINT), 0.5)  AS q50,
+       quantile_disc(CAST(floor(value * 1000) AS BIGINT), 0.9)  AS q90
+FROM events GROUP BY user_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -2042,6 +2074,7 @@ def build_queries():
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_fold": q_pack_sequences_fold,
+        "user_quantiles": q_user_quantiles,
     }
     oracle = {
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
@@ -2101,6 +2134,7 @@ def build_queries():
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_sequences_fold": SQL_PACK_SEQUENCES_FOLD,
+        "user_quantiles": SQL_USER_QUANTILES,
         # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,
         # LSH recall<1) -> rows-only driver check + pytest planted-truth
         # oracles; their exhaustive twins above are hash-checked

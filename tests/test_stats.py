@@ -1,0 +1,60 @@
+"""grouped_quantiles: exact per-key quantile_disc semantics, bucketed merge."""
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayjoin.functions.stats import grouped_quantiles
+
+
+def _ds(t, blocks=4):
+    import ray.data
+
+    return ray.data.from_arrow(t).repartition(blocks)
+
+
+def _disc(vals, q):
+    s = np.sort(vals)
+    return s[max(int(np.ceil(q * s.size)) - 1, 0)]
+
+
+def test_grouped_quantiles_matches_reference(ray_session):
+    rng = np.random.default_rng(7)
+    n = 5000
+    key = rng.integers(0, 37, n).astype(np.int64)
+    val = rng.integers(-1000, 1000, n).astype(np.int64)
+    t = pa.table({"k": pa.array(key), "v": pa.array(val)})
+    qs = (0.1, 0.5, 0.99)
+    got = (
+        grouped_quantiles(_ds(t), key_col="k", val_col="v", qs=qs,
+                          num_buckets=8)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got["k"].tolist() == sorted(set(key.tolist()))
+    for _, row in got.iterrows():
+        g = val[key == row["k"]]
+        assert row["n"] == g.size
+        for q, lab in zip(qs, ("q10", "q50", "q99")):
+            assert row[lab] == _disc(g, q), (row["k"], q)
+
+
+def test_grouped_quantiles_single_and_tiny_groups(ray_session):
+    # 1-element groups: every quantile is the element; q=0 clamps to index 0
+    t = pa.table({"k": pa.array([1, 2, 2], pa.int64()),
+                  "v": pa.array([42, -5, 7], pa.int64())})
+    got = (
+        grouped_quantiles(_ds(t, blocks=2), key_col="k", val_col="v",
+                          qs=(0.0, 1.0), num_buckets=4)
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert got.loc[0, ["q0", "q100"]].tolist() == [42, 42]
+    assert got.loc[1, ["q0", "q100"]].tolist() == [-5, 7]
+
+
+def test_grouped_quantiles_bad_args(ray_session):
+    t = pa.table({"k": pa.array([1], pa.int64()),
+                  "v": pa.array([1], pa.int64())})
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_quantiles(_ds(t), key_col="k", val_col="v", qs=())
+    with pytest.raises(ValueError, match="collide"):
+        grouped_quantiles(_ds(t), key_col="k", val_col="v",
+                          qs=(0.501, 0.502))
