@@ -1992,6 +1992,30 @@ def q_user_quantiles(sf_dir: str):
     )
 
 
+def q_user_quantiles_preagg(sf_dir: str):
+    """Pre-aggregated twin of user_quantiles: (key, value, count) partials
+    combined per batch BEFORE the shuffle, weighted quantiles from count
+    cumsums — byte-identical result, shuffle volume O(distinct pairs)."""
+    import ray.data
+
+    from ..functions.stats import grouped_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "value"]
+    ).map_batches(
+        lambda t: pa.table(
+            {"user_id": t["user_id"],
+             "value_milli": pc.cast(
+                 pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
+    return grouped_quantiles(
+        ev, key_col="user_id", val_col="value_milli", qs=(0.25, 0.5, 0.9),
+        pre_aggregate=True,
+    )
+
+
 SQL_USER_QUANTILES = """
 SELECT user_id, count(*) AS n,
        quantile_disc(CAST(floor(value * 1000) AS BIGINT), 0.25) AS q25,
@@ -2075,6 +2099,7 @@ def build_queries():
         "pack_sequences": q_pack_sequences,
         "pack_sequences_fold": q_pack_sequences_fold,
         "user_quantiles": q_user_quantiles,
+        "user_quantiles_preagg": q_user_quantiles_preagg,
     }
     oracle = {
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
@@ -2135,6 +2160,7 @@ def build_queries():
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_sequences_fold": SQL_PACK_SEQUENCES_FOLD,
         "user_quantiles": SQL_USER_QUANTILES,
+        "user_quantiles_preagg": SQL_USER_QUANTILES,
         # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,
         # LSH recall<1) -> rows-only driver check + pytest planted-truth
         # oracles; their exhaustive twins above are hash-checked

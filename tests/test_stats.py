@@ -58,3 +58,22 @@ def test_grouped_quantiles_bad_args(ray_session):
     with pytest.raises(ValueError, match="collide"):
         grouped_quantiles(_ds(t), key_col="k", val_col="v",
                           qs=(0.501, 0.502))
+
+
+def test_grouped_quantiles_preagg_parity(ray_session):
+    # pre_aggregate=True must be byte-identical to the row-level path,
+    # including on skewed repeats and single-element groups
+    rng = np.random.default_rng(13)
+    n = 4000
+    key = rng.integers(0, 25, n).astype(np.int64)
+    val = rng.integers(-5, 5, n).astype(np.int64)  # heavy repeats
+    key[0], val[0] = 999, 123  # singleton group
+    t = pa.table({"k": pa.array(key), "v": pa.array(val)})
+    qs = (0.0, 0.25, 0.5, 0.9, 1.0)
+    a = (grouped_quantiles(_ds(t), key_col="k", val_col="v", qs=qs,
+                           num_buckets=8)
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    b = (grouped_quantiles(_ds(t), key_col="k", val_col="v", qs=qs,
+                           num_buckets=8, pre_aggregate=True)
+         .to_pandas().sort_values("k").reset_index(drop=True))
+    assert a.equals(b)
