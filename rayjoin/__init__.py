@@ -50,6 +50,10 @@ def __getattr__(name):
         from .functions.stats import grouped_quantiles
 
         return grouped_quantiles
+    if name == "knn_join_embeddings":
+        from .functions.ann import knn_join_embeddings
+
+        return knn_join_embeddings
     raise AttributeError(name)
 
 
@@ -79,4 +83,6 @@ __all__ = [
     "pack_sequences",
     # distributed exact statistics
     "grouped_quantiles",
+    # two-sided embedding k-NN join (both sides large, IVF-bucketed)
+    "knn_join_embeddings",
 ]

@@ -211,3 +211,137 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10,
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", batch_size=batch_size)
     return _bucketed_final_topk(partials, k)
+
+
+def _centroids_from_sample(ds, *, id_col: str, vec_col: str, n_lists: int,
+                           sample_size: int, seed: int) -> np.ndarray:
+    """Seeded bounded-sample centroids (the ann_ivf_topk pattern: driver
+    pull capped at sample_size rows, sample sorted by id so farthest-point
+    seeding is content-determined under any block order)."""
+    import ray
+
+    total = ds.count()
+    frac = min(1.0, sample_size / max(total, 1))
+    sample = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
+    stabs = [t for t in
+             ray.get(sample.select_columns([id_col, vec_col]).to_arrow_refs())
+             if t.num_rows]
+    if not stabs:
+        return np.zeros((0, 0))
+    st = pa.concat_tables(stabs)
+    order = np.argsort(np.asarray(st[id_col], dtype=np.int64), kind="stable")
+    S = _normalize(vec_matrix(st[vec_col].combine_chunks().take(pa.array(order))))
+    return _farthest_point_centroids(S, n_lists, seed)
+
+
+def knn_join_embeddings(left_ds, right_ds, *, k: int = 10, n_lists: int = 16,
+                        nprobe: int = 4, id_col: str = "vec_id",
+                        vec_col: str = "embedding", batch_size: int = 4096,
+                        sample_size: int = 4096, seed: int = 7,
+                        left_chunk: int = 1024):
+    """Two-sided embedding k-NN join: for EVERY left vector, the top-k
+    right vectors by cosine.  Unlike ``ann_cosine_topk`` / ``ann_ivf_topk``
+    (query matrix broadcast from the driver), BOTH sides are Datasets and
+    neither is broadcast — this is the corpus-vs-corpus case (cross-corpus
+    dedup, retrieval-set construction) where the query side is itself huge.
+
+    Plan: IVF centroids from a seeded bounded sample of the RIGHT side
+    (broadcast once — n_lists x dim floats); each right vector is assigned
+    to its nearest list, each left vector is replicated to its ``nprobe``
+    nearest lists; one ``groupby(list)`` co-locates them and a per-list
+    chunked matmul emits per-left partial top-k; the bucketed final merge
+    resolves the global top-k (<= nprobe*k candidates per left vector).
+
+    ``nprobe == n_lists`` is algebraically exact brute force (every pair is
+    scored exactly once, since a right vector lives in ONE list) — the
+    SQL-oracle twin.  Approximation for nprobe < n_lists is the standard
+    IVF trade-off.  Scale note: per-list work is O(|left_probes| *
+    |right_list| * dim) with left rows chunked (``left_chunk``) so the sim
+    matrix stays small; ``n_lists`` must scale with corpus size to bound
+    |right_list| (same knob as ann_ivf_topk / lsh_geometry).
+    """
+    import ray
+
+    centroids = _centroids_from_sample(
+        right_ds, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
+        sample_size=sample_size, seed=seed,
+    )
+    nprobe = min(nprobe, max(centroids.shape[0], 1))
+    cent_ref = ray.put(centroids)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        M = _normalize(vec_matrix(t[vec_col]))
+        assign = (np.argmax(cent @ M.T, axis=0) if cent.size
+                  else np.zeros(ids.size, np.int64))
+        return pa.table(
+            {
+                "list": pa.array(assign, pa.int64()),
+                "side": pa.array(np.ones(ids.size, np.int8), pa.int8()),
+                "rid": pa.array(ids, pa.int64()),
+                vec_col: t[vec_col],
+            }
+        )
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        M = _normalize(vec_matrix(t[vec_col]))
+        if cent.size:
+            sims = M @ cent.T  # (n, lists)
+            probe = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        else:
+            probe = np.zeros((ids.size, 1), np.int64)
+        reps = probe.shape[1]
+        rep_idx = np.repeat(np.arange(ids.size, dtype=np.int64), reps)
+        emb = t[vec_col].combine_chunks().take(pa.array(rep_idx))
+        return pa.table(
+            {
+                "list": pa.array(probe.ravel(), pa.int64()),
+                "side": pa.array(np.zeros(rep_idx.size, np.int8), pa.int8()),
+                "rid": pa.array(ids[rep_idx], pa.int64()),
+                vec_col: emb,
+            }
+        )
+
+    def per_list(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"query_id": pa.array([], pa.int64()),
+             "vec_id": pa.array([], pa.int64()),
+             "sim": pa.array([], pa.float64())}
+        )
+        side = np.asarray(t["side"].combine_chunks(), dtype=np.int8)
+        if not (side == 0).any() or not (side == 1).any():
+            return empty
+        ids = np.asarray(t["rid"].combine_chunks(), dtype=np.int64)
+        M = _normalize(vec_matrix(t[vec_col]))
+        lmask = side == 0
+        L, lids = M[lmask], ids[lmask]
+        R, rids = M[~lmask], ids[~lmask]
+        kk = min(k, rids.size)
+        outs = []
+        for lo in range(0, lids.size, left_chunk):
+            hi = min(lo + left_chunk, lids.size)
+            sims = L[lo:hi] @ R.T  # (chunk, |right_list|)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            qq = np.repeat(np.arange(hi - lo), kk)
+            vv = part.ravel()
+            outs.append(pa.table(
+                {
+                    "query_id": pa.array(lids[lo + qq], pa.int64()),
+                    "vec_id": pa.array(rids[vv], pa.int64()),
+                    "sim": pa.array(sims[qq, vv], pa.float64()),
+                }
+            ))
+        return pa.concat_tables(outs)
+
+    tagged = left_ds.map_batches(
+        prep_left, batch_format="pyarrow", batch_size=batch_size
+    ).union(right_ds.map_batches(
+        prep_right, batch_format="pyarrow", batch_size=batch_size
+    ))
+    partials = tagged.groupby("list").map_groups(
+        per_list, batch_format="pyarrow"
+    )
+    return _bucketed_final_topk(partials, k)

@@ -1002,6 +1002,48 @@ def q_ann_ivf_exhaustive(sf_dir: str):
     return ann_ivf_topk(ds, q, qids, k=5, n_lists=8, nprobe=8)
 
 
+def q_emb_knn_join_exhaustive(sf_dir: str):
+    """Two-sided embedding k-NN join (even-id vectors vs odd-id vectors),
+    nprobe == n_lists: every (left, right) pair is scored exactly once
+    (each right vector lives in ONE IVF list), so the output is exactly
+    brute-force top-3 and the SQL cross-join oracle hash-checks the whole
+    plan — centroid sampling, two-sided prep, list shuffle, per-list
+    chunked matmul, bucketed merge.  The approximate nprobe < n_lists mode
+    is pinned by pytest recall instead (tests/test_ann.py)."""
+    import ray.data
+
+    from ..functions.ann import knn_join_embeddings
+
+    def parity(want: int):
+        def f(t: pa.Table) -> pa.Table:
+            ids = t["vec_id"]
+            return t.filter(pc.equal(pc.bit_wise_and(ids, 1), want))
+        return f
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    left = ds.map_batches(parity(0), batch_format="pyarrow")
+    right = ds.map_batches(parity(1), batch_format="pyarrow")
+    return knn_join_embeddings(
+        left, right, k=3, n_lists=8, nprobe=8, sample_size=256, seed=11
+    )
+
+
+SQL_EMB_KNN_JOIN = """
+WITH l AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+r AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+d AS (
+  SELECT l.vec_id AS query_id, r.vec_id AS vec_id,
+         list_cosine_similarity(CAST(l.embedding AS DOUBLE[]),
+                                CAST(r.embedding AS DOUBLE[])) AS sim
+  FROM l, r),
+rk AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id) AS rn FROM d)
+SELECT query_id, vec_id, rn - 1 AS rank FROM rk WHERE rn <= 3
+"""
+
+
 def q_embedding_dups_exhaustive(sf_dir: str):
     """Embedding dedup with bits=0: every vector lands in ONE bucket, so
     the in-bucket pass is exact all-pairs and the output is exactly {pairs
@@ -2073,6 +2115,7 @@ def build_queries():
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
+        "emb_knn_join_exhaustive": q_emb_knn_join_exhaustive,
         "embedding_dups": q_embedding_dups,
         "agg_lineitem": q_agg_lineitem,
         "join_orders_customer": q_join_orders_customer,
@@ -2135,6 +2178,7 @@ def build_queries():
         "ann_cosine": SQL_ANN,
         "ann_ivf_exhaustive": SQL_ANN,
         "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
+        "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_orders_customer": SQL_JOIN_ORDERS,
         "join_orders_customer_shuffle": SQL_JOIN_ORDERS,

@@ -779,3 +779,71 @@ def test_large_string_offset_parity():
     hs2, offs2 = _shingle_hashes(small.slice(1, 3))
     hl2, offl2 = _shingle_hashes(large.slice(1, 3))
     assert np.array_equal(hs2, hl2) and np.array_equal(offs2, offl2)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_join_embeddings_exact_and_recall():
+    import ray.data
+
+    from rayjoin.functions.ann import knn_join_embeddings
+
+    rng = np.random.default_rng(17)
+    L = rng.standard_normal((120, 16))
+    R = rng.standard_normal((250, 16))
+    lids = np.arange(120, dtype=np.int64) * 3 + 1
+    rids = np.arange(250, dtype=np.int64) * 2  # disjoint id spaces
+    def tab(M, ids):
+        return pa.table({"vec_id": pa.array(ids),
+                         "embedding": pa.array(
+                             [list(map(float, r)) for r in M],
+                             pa.list_(pa.float32()))})
+    lds = ray.data.from_arrow(tab(L, lids)).repartition(3)
+    rds = ray.data.from_arrow(tab(R, rids)).repartition(4)
+    Ln = L / np.linalg.norm(L, axis=1, keepdims=True)
+    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    # float32 storage: compare against the same rounding the engine sees
+    Ln = Ln.astype(np.float32).astype(np.float64)
+    Rn = Rn.astype(np.float32).astype(np.float64)
+    Ln /= np.linalg.norm(Ln, axis=1, keepdims=True)
+    Rn /= np.linalg.norm(Rn, axis=1, keepdims=True)
+    sims = Ln @ Rn.T
+
+    # nprobe == n_lists: exact brute force, every left gets exactly k rows
+    got = knn_join_embeddings(lds, rds, k=4, n_lists=6, nprobe=6,
+                              sample_size=64, seed=3).to_pandas()
+    assert len(got) == 120 * 4
+    for qi in (0, 17, 119):
+        order = np.lexsort((rids, -sims[qi]))[:4]
+        grp = got[got["query_id"] == lids[qi]].sort_values("rank")
+        assert grp["vec_id"].tolist() == rids[order].tolist()
+
+    # approximate: recall vs brute force at nprobe=2/6 stays useful and
+    # the result is deterministic across runs
+    ap1 = knn_join_embeddings(lds, rds, k=4, n_lists=6, nprobe=2,
+                              sample_size=64, seed=3).to_pandas()
+    ap2 = knn_join_embeddings(lds, rds, k=4, n_lists=6, nprobe=2,
+                              sample_size=64, seed=3).to_pandas()
+    key = lambda df: sorted(map(tuple, df[["query_id", "vec_id", "rank"]].values))
+    assert key(ap1) == key(ap2)
+    hits = tot = 0
+    for qi in range(120):
+        want = set(rids[np.lexsort((rids, -sims[qi]))[:4]])
+        have = set(ap1[ap1["query_id"] == lids[qi]]["vec_id"])
+        hits += len(want & have); tot += 4
+    assert hits / tot >= 0.5, hits / tot
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_join_embeddings_empty_side():
+    import ray.data
+
+    from rayjoin.functions.ann import knn_join_embeddings
+
+    t = pa.table({"vec_id": pa.array([1, 2], pa.int64()),
+                  "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]],
+                                        pa.list_(pa.float32()))})
+    empty = pa.table({"vec_id": pa.array([], pa.int64()),
+                      "embedding": pa.array([], pa.list_(pa.float32()))})
+    out = knn_join_embeddings(ray.data.from_arrow(t),
+                              ray.data.from_arrow(empty), k=2).to_pandas()
+    assert len(out) == 0
