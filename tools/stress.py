@@ -267,6 +267,48 @@ def stress_corpus(n: int = 1_000_000) -> dict:
             "driver_peak_mapped_gib": round(mem.peak_rss / (1 << 30), 2)}
 
 
+def stress_knnjoin(n: int = 250_000) -> dict:
+    """Two-sided embedding k-NN join at volume with planted ground truth:
+    right = n random unit vectors; left = a permuted noisy copy (left i's
+    true nearest right is perm[i] by construction, cosine ~0.9996 vs a
+    ~0.35 max natural cosine at dim=64).  Measures planted top-1 recovery
+    at nprobe=8/64 (the approximate regime) plus throughput."""
+    import ray
+    import ray.data
+
+    from rayjoin.functions.ann import knn_join_embeddings
+
+    rng = np.random.default_rng(2)
+    dim = 64
+    R = rng.standard_normal((n, dim)).astype(np.float32)
+    Rn = R / np.linalg.norm(R, axis=1, keepdims=True)
+    perm = rng.permutation(n)
+    noise = rng.standard_normal((n, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    L = (Rn[perm] + 0.03 * noise).astype(np.float32)
+
+    def tab(M, id_off):
+        e = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, M.size + 1, dim, dtype=np.int32)),
+            pa.array(M.ravel(), pa.float32()),
+        )
+        return pa.table({"vec_id": pa.array(
+            np.arange(M.shape[0], dtype=np.int64) + id_off), "embedding": e})
+
+    lds = ray.data.from_arrow(tab(L, 10_000_000)).repartition(64).materialize()
+    rds = ray.data.from_arrow(tab(R, 0)).repartition(64).materialize()
+    t0 = time.time()
+    out = knn_join_embeddings(
+        lds, rds, k=2, n_lists=64, nprobe=8, sample_size=8192
+    ).to_pandas()
+    dt = time.time() - t0
+    top1 = out[out["rank"] == 0].sort_values("query_id")
+    rec = int((top1["vec_id"].to_numpy() == perm).sum())
+    return {"stress": "knnjoin", "left": n, "right": n, "rows": len(out),
+            "planted_top1_recovered": rec, "planted": n, "sec": round(dt, 1),
+            "left_vecs_per_sec": round(n / dt)}
+
+
 def stress_temporal(n: int = 5_000_000) -> dict:
     """Two-large-sides temporal joins at scale with an EXACT oracle: a
     synthetic event log (generated by Ray tasks, pure function of event id)
@@ -430,7 +472,7 @@ def stress_pillbox(n: int = 120_000) -> dict:
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "embedding": stress_embedding, "minhash": stress_minhash,
             "corpus": stress_corpus, "pillbox": stress_pillbox,
-            "temporal": stress_temporal}
+            "temporal": stress_temporal, "knnjoin": stress_knnjoin}
 
 
 def main(argv=None):
@@ -465,7 +507,7 @@ def main(argv=None):
     sys.path.insert(0, ".")
     fn = STRESSES[args.which]
     kwargs = {"n": args.n} if args.n and args.which in (
-        "embedding", "corpus", "pillbox", "temporal") else {}
+        "embedding", "corpus", "pillbox", "temporal", "knnjoin") else {}
     print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
