@@ -38,6 +38,25 @@ def vec_matrix(col) -> np.ndarray:
     return flat[start : start + len(arr) * dim].reshape(len(arr), dim)
 
 
+def _topk_indices_with_ties(sims: np.ndarray, kk: int):
+    """(row, col) indices of each row's top-``kk`` values, INCLUSIVE of
+    boundary ties: every candidate whose sim equals the kk-th largest is
+    emitted, so the final (-sim, vec_id) merge — not an arbitrary
+    argpartition subset — decides which tied candidate survives.  Without
+    this, exact-duplicate vectors tying at the boundary make the partial
+    top-k depend on within-batch row order (nondeterministic under Ray
+    block splitting) and break the nprobe==n_lists exactness claim.
+    -inf entries (unprobed-bucket placeholders) are never emitted."""
+    n = sims.shape[1]
+    if kk >= n:
+        mask = np.isfinite(sims)
+    else:
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+        thr = np.take_along_axis(sims, part, axis=1).min(axis=1)
+        mask = (sims >= thr[:, None]) & np.isfinite(sims)
+    return np.nonzero(mask)
+
+
 def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     batch_size: int = 4096):
@@ -60,10 +79,9 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 
         M = _normalize(vec_matrix(t[vec_col]))
         sims = Q_ @ M.T  # (q, n)
         kk = min(k, ids.size)
-        # per query: partial top-k within this batch
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        qq = np.repeat(np.arange(Q_.shape[0]), kk)
-        vv = part.ravel()
+        # per query: partial top-k within this batch (ties at the boundary
+        # included so the final merge's (-sim, vec_id) rule is exact)
+        qq, vv = _topk_indices_with_ties(sims, kk)
         return pa.table(
             {
                 "query_id": pa.array(qids_[qq], pa.int64()),
@@ -163,20 +181,10 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10,
     import ray
 
     # --- centroids from a seeded bounded sample ---
-    total = ds.count()  # parquet metadata count on file-backed inputs
-    frac = min(1.0, sample_size / max(total, 1))
-    sample = ds if frac >= 1.0 else ds.random_sample(frac, seed=seed)
-    stabs = [t for t in ray.get(sample.select_columns([id_col, vec_col]).to_arrow_refs())
-             if t.num_rows]
-    if stabs:
-        st = pa.concat_tables(stabs)
-        # sort by id: the seeding picks ROW indexes, so the sample order must
-        # be content-determined (block order varies run to run)
-        order = np.argsort(np.asarray(st[id_col], dtype=np.int64), kind="stable")
-        S = _normalize(vec_matrix(st[vec_col].combine_chunks().take(pa.array(order))))
-    else:
-        S = np.zeros((0, 0))
-    centroids = _farthest_point_centroids(S, n_lists, seed)
+    centroids = _centroids_from_sample(
+        ds, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
+        sample_size=sample_size, seed=seed,
+    )
 
     # --- probe mask: which buckets each query searches ---
     Q = _normalize(np.asarray(queries, dtype=np.float64))
@@ -196,16 +204,13 @@ def ann_ivf_topk(ds, queries: np.ndarray, query_ids: np.ndarray, *, k: int = 10,
         sims = Q_ @ M.T  # (q, n)
         sims = np.where(P_[:, assign], sims, -np.inf)
         kk = min(k, ids.size)
-        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-        qq = np.repeat(np.arange(Q_.shape[0]), kk)
-        vv = part.ravel()
-        svals = sims[qq, vv]
-        keep = np.isfinite(svals)  # drop unprobed-bucket placeholders
+        # tie-inclusive; -inf unprobed-bucket placeholders never emitted
+        qq, vv = _topk_indices_with_ties(sims, kk)
         return pa.table(
             {
-                "query_id": pa.array(qids_[qq[keep]], pa.int64()),
-                "vec_id": pa.array(ids[vv[keep]], pa.int64()),
-                "sim": pa.array(svals[keep], pa.float64()),
+                "query_id": pa.array(qids_[qq], pa.int64()),
+                "vec_id": pa.array(ids[vv], pa.int64()),
+                "sim": pa.array(sims[qq, vv], pa.float64()),
             }
         )
 
@@ -238,7 +243,7 @@ def knn_join_embeddings(left_ds, right_ds, *, k: int = 10, n_lists: int = 16,
                         nprobe: int = 4, id_col: str = "vec_id",
                         vec_col: str = "embedding", batch_size: int = 4096,
                         sample_size: int = 4096, seed: int = 7,
-                        left_chunk: int = 1024):
+                        left_chunk: int = 1024, materialize_right: bool = False):
     """Two-sided embedding k-NN join: for EVERY left vector, the top-k
     right vectors by cosine.  Unlike ``ann_cosine_topk`` / ``ann_ivf_topk``
     (query matrix broadcast from the driver), BOTH sides are Datasets and
@@ -259,8 +264,25 @@ def knn_join_embeddings(left_ds, right_ds, *, k: int = 10, n_lists: int = 16,
     |right_list| * dim) with left rows chunked (``left_chunk``) so the sim
     matrix stays small; ``n_lists`` must scale with corpus size to bound
     |right_list| (same knob as ann_ivf_topk / lsh_geometry).
+
+    Execution contract: ``right_ds`` is consumed three times (a metadata
+    ``count()``, the bounded centroid-sample pull, and the shuffle pass).
+    On file-backed inputs all three are cheap re-reads; if the right side
+    has an expensive upstream (parse/embed map_batches), pass
+    ``materialize_right=True`` to pin it once in the object store instead
+    of recomputing — off by default because at full scale the extra
+    materialized copy costs more than re-reading parquet.
     """
     import ray
+
+    internal = {"list", "side", "rid"}
+    if id_col in internal or vec_col in internal or id_col == vec_col:
+        raise ValueError(
+            f"id_col/vec_col ({id_col!r}, {vec_col!r}) collide with "
+            f"internal shuffle columns {sorted(internal)}"
+        )
+    if materialize_right:
+        right_ds = right_ds.select_columns([id_col, vec_col]).materialize()
 
     centroids = _centroids_from_sample(
         right_ds, id_col=id_col, vec_col=vec_col, n_lists=n_lists,
@@ -324,9 +346,7 @@ def knn_join_embeddings(left_ds, right_ds, *, k: int = 10, n_lists: int = 16,
         for lo in range(0, lids.size, left_chunk):
             hi = min(lo + left_chunk, lids.size)
             sims = L[lo:hi] @ R.T  # (chunk, |right_list|)
-            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
-            qq = np.repeat(np.arange(hi - lo), kk)
-            vv = part.ravel()
+            qq, vv = _topk_indices_with_ties(sims, kk)
             outs.append(pa.table(
                 {
                     "query_id": pa.array(lids[lo + qq], pa.int64()),

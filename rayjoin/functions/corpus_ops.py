@@ -14,6 +14,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def id_sample_hash(id_col) -> np.ndarray:
+    """The sampling hash (uint64): fnv1a64 of the id rendered as a string.
+    ONE definition shared by ``stratified_sample`` and the exact-k sampler
+    (pipelines/gate.py q_sample_exact_k) so the engine and its SQL twin
+    (``_sql_fnv("CAST(id AS VARCHAR)")``) cannot drift apart."""
+    from ..stages.geocode import fnv1a64
+
+    arr = (id_col.combine_chunks()
+           if isinstance(id_col, pa.ChunkedArray) else id_col)
+    return fnv1a64(pc.cast(arr, pa.string()))
+
+
 def stratified_sample(ds, rates: dict, *, mod: int = 1000,
                       id_col: str = "doc_id", strat_col: str = "lang",
                       default_rate: int = 0):
@@ -29,14 +41,12 @@ def stratified_sample(ds, rates: dict, *, mod: int = 1000,
     Output: the input rows plus ``samp_hash`` (the bucket the row hashed
     to, for auditability).
     """
-    from ..stages.geocode import fnv1a64
-
     strata = sorted(rates)
     rate_np = np.array([rates[s] for s in strata] + [default_rate], np.int64)
     value_set = pa.array(strata, pa.string())
 
     def keep(t: pa.Table) -> pa.Table:
-        h = fnv1a64(pc.cast(t[id_col].combine_chunks(), pa.string()))
+        h = id_sample_hash(t[id_col])
         bucket = (h % np.uint64(mod)).astype(np.int64)
         idx = pc.index_in(t[strat_col].combine_chunks(), value_set=value_set)
         idx = np.asarray(idx.fill_null(len(strata)), dtype=np.int64)

@@ -43,9 +43,14 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str,
     """
     if not qs:
         raise ValueError("qs must be non-empty")
+    if any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantile fractions must be in [0, 1]: {qs}")
     labels = [f"q{round(q * 100)}" for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError(f"quantile labels collide after rounding: {labels}")
+    reserved = {"val", "cnt", "part", "n", *labels}
+    if key_col in reserved:
+        raise ValueError(f"key_col {key_col!r} collides with an internal column")
 
     def prep(t: pa.Table) -> pa.Table:
         from ..util import knuth_bucket
@@ -55,6 +60,9 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str,
         )
         if pre_aggregate:
             t = t.group_by([key_col, "val"]).aggregate([([], "count_all")])
+            # select by NAME (key/aggregate column order is a pyarrow
+            # implementation detail) before the positional rename
+            t = t.select([key_col, "val", "count_all"])
             t = t.rename_columns([key_col, "val", "cnt"])
         key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
         part = knuth_bucket(key, num_buckets)

@@ -1792,20 +1792,21 @@ def sql_stratified_sample() -> str:
 
 
 def q_sample_exact_k(sf_dir: str):
-    """Exactly-k-per-stratum sampling: the k docs with the LOWEST sampling
-    hash per language (deterministic, shuffle-bounded) — `cap_per_key`
-    composed with the stratified-sampling hash as the order key."""
+    """Exactly-k-per-stratum sampling: per language, the k docs with the
+    LOWEST value of the shared sampling hash (corpus_ops.id_sample_hash)
+    reduced mod 2^62 — the top 2 bits are discarded so the negated order
+    key fits int64; ties by doc_id.  Deterministic and shuffle-bounded:
+    `cap_per_key` composed with the sampling hash as the order key."""
     import ray.data
 
-    from ..functions.corpus_ops import cap_per_key
-    from ..stages.geocode import fnv1a64
+    from ..functions.corpus_ops import cap_per_key, id_sample_hash
 
     docs = ray.data.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]
     )
 
     def hashed(t: pa.Table) -> pa.Table:
-        h = fnv1a64(pc.cast(t["doc_id"].combine_chunks(), pa.string()))
+        h = id_sample_hash(t["doc_id"])
         # cap_per_key orders DESC; negate so the k LOWEST hashes win
         return t.append_column(
             "neg_hash", pa.array(-(h % np.uint64(1 << 62)).astype(np.int64), pa.int64())
@@ -1825,8 +1826,11 @@ WITH h AS (
          -CAST({fnv} % 4611686018427387904::HUGEINT AS BIGINT) AS neg_hash
   FROM documents),
 r AS (
-  SELECT *, row_number() OVER (PARTITION BY lang
-                               ORDER BY neg_hash DESC, doc_id) AS rk
+  -- the extra CASE partition term mirrors cap_per_key's null-singleton
+  -- rule (every NULL-key row survives as its own rk=1 group)
+  SELECT *, row_number() OVER (
+      PARTITION BY lang, CASE WHEN lang IS NULL THEN doc_id END
+      ORDER BY neg_hash DESC, doc_id) AS rk
   FROM h)
 SELECT doc_id, lang, neg_hash, rk FROM r WHERE rk <= 20
 """
@@ -1849,8 +1853,10 @@ WITH p AS (
          length(text) AS tlen
   FROM documents),
 r AS (
-  SELECT *, row_number() OVER (PARTITION BY domain
-                               ORDER BY tlen DESC, doc_id) AS rk
+  -- CASE term = cap_per_key's null-singleton rule (see sql_sample_exact_k)
+  SELECT *, row_number() OVER (
+      PARTITION BY domain, CASE WHEN domain IS NULL THEN doc_id END
+      ORDER BY tlen DESC, doc_id) AS rk
   FROM p)
 SELECT doc_id, domain, tlen, rk FROM r WHERE rk <= 3
 """

@@ -847,3 +847,47 @@ def test_knn_join_embeddings_empty_side():
     out = knn_join_embeddings(ray.data.from_arrow(t),
                               ray.data.from_arrow(empty), k=2).to_pandas()
     assert len(out) == 0
+
+
+def test_topk_indices_with_ties_boundary():
+    """Boundary ties must be emitted INCLUSIVELY (review finding: a bare
+    argpartition keeps an arbitrary tied subset, so duplicate right vectors
+    tying at the k-th place made the partial top-k row-order-dependent)."""
+    from rayjoin.functions.ann import _topk_indices_with_ties
+
+    # row 0: values 5,3,3,3,1 with kk=2 -> threshold is 3, ALL three 3s emit
+    sims = np.array([[5.0, 3.0, 3.0, 3.0, 1.0],
+                     [9.0, 8.0, 7.0, 6.0, 5.0]])
+    qq, vv = _topk_indices_with_ties(sims, 2)
+    got = {(int(q), int(v)) for q, v in zip(qq, vv)}
+    assert got == {(0, 0), (0, 1), (0, 2), (0, 3), (1, 0), (1, 1)}
+    # -inf placeholders never emitted, even when kk >= row length
+    sims = np.array([[2.0, -np.inf, 1.0]])
+    qq, vv = _topk_indices_with_ties(sims, 3)
+    assert set(vv) == {0, 2}
+    # kk=1 with an all-ties row keeps every candidate for the final merge
+    qq, vv = _topk_indices_with_ties(np.array([[4.0, 4.0, 4.0]]), 1)
+    assert set(vv) == {0, 1, 2}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_join_embeddings_duplicate_vector_ties():
+    """Exact duplicates of the boundary vector: exhaustive mode must keep
+    the LOWEST vec_id (the (-sim, vec_id) rule), run-deterministically."""
+    import ray.data
+
+    from rayjoin.functions.ann import knn_join_embeddings
+
+    rng = np.random.default_rng(11)
+    dup = rng.normal(size=3)
+    rvecs = np.vstack([dup, rng.normal(size=(4, 3)), dup, dup])  # ids 0..6
+    rids = np.arange(7, dtype=np.int64)
+    lt = pa.table({"vec_id": pa.array([100], pa.int64()),
+                   "embedding": pa.array([dup.tolist()], pa.list_(pa.float32()))})
+    rt = pa.table({"vec_id": pa.array(rids, pa.int64()),
+                   "embedding": pa.array(rvecs.tolist(), pa.list_(pa.float32()))})
+    out = knn_join_embeddings(ray.data.from_arrow(lt), ray.data.from_arrow(rt),
+                              k=2, n_lists=3, nprobe=3, seed=5).to_pandas()
+    out = out.sort_values("rank")
+    # the query IS dup; rights 0, 5, 6 all tie at sim=1 -> ids 0 and 5 win
+    assert list(out["vec_id"]) == [0, 5]

@@ -489,12 +489,18 @@ def main(argv=None):
         # retained from earlier stresses in the same driver process.
         import subprocess
 
+        failed = []
         for name in STRESSES:
             cmd = [sys.executable, __file__, name,
                    "--num-cpus", str(args.num_cpus)]
             if args.n:
                 cmd += ["--n", str(args.n)]
-            subprocess.run(cmd, check=False)
+            rc = subprocess.run(cmd, check=False).returncode
+            if rc != 0:
+                failed.append(name)
+                print(f'{{"stress": "{name}", "failed": true, "rc": {rc}}}')
+        if failed:
+            sys.exit(f"stress failures: {failed}")
         return
 
     import ray
