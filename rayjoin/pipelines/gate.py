@@ -1862,6 +1862,28 @@ SELECT doc_id, domain, tlen, rk FROM r WHERE rk <= 3
 """
 
 
+def q_extract_text(sf_dir: str):
+    """The north rule's per-row invariant, driver-checked end-to-end:
+    re-derive each page's text FROM ITS HTML BYTES (stages/extract.py —
+    body isolation, tag strip, entity decode) and hash-match it against
+    the source documents.text column per url.  A single flipped byte in
+    any page's extraction fails the gate."""
+    from ..sources.pages import pages_from_documents
+    from ..stages.extract import extract_text
+
+    pages = pages_from_documents(sf_dir).drop_columns(["text", "lang", "warc_ts"])
+    return extract_text(pages, html_col="html", out_col="text").drop_columns(["html"])
+
+
+SQL_EXTRACT_TEXT = """
+SELECT doc_id,
+       'https://site' || CAST(doc_id % 997 AS VARCHAR) || '.example/'
+           || CAST(doc_id AS VARCHAR) AS url,
+       text
+FROM documents
+"""
+
+
 def q_decontaminate(sf_dir: str):
     """Benchmark decontamination: docs sharing any distinct token 8-gram
     with the benchmark subset (doc_id % 7 == 0); broadcast n-gram hash
@@ -2144,6 +2166,7 @@ def build_queries():
         "stratified_sample": q_stratified_sample,
         "sample_exact_k": q_sample_exact_k,
         "domain_cap": q_domain_cap,
+        "extract_text": q_extract_text,
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_fold": q_pack_sequences_fold,
@@ -2206,6 +2229,7 @@ def build_queries():
         "stratified_sample": sql_stratified_sample(),
         "sample_exact_k": sql_sample_exact_k(),
         "domain_cap": SQL_DOMAIN_CAP,
+        "extract_text": SQL_EXTRACT_TEXT,
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_sequences_fold": SQL_PACK_SEQUENCES_FOLD,

@@ -30,12 +30,21 @@ def _pages_batch(t: pa.Table) -> pa.Table:
     )
     ts = pa.array((_EPOCH_2024 + doc_id) * 1_000_000, pa.timestamp("us"))
     text = t["text"]
-    html = pc.binary_join_element_wise(
-        pa.scalar(b"<html><body>"),
-        pc.cast(text.combine_chunks(), pa.binary()),
-        pa.scalar(b"</body></html>"),
-        b"",
+    # Non-trivial page shape: head/title outside the body, attributes on
+    # the body tag, entity-escaped text inside a <p> — so the byte-identity
+    # invariant exercises a REAL extraction (stages/extract.py round-trip),
+    # not a substring slice.
+    from ..stages.extract import html_escape_column
+
+    html_str = pc.binary_join_element_wise(
+        "<html><head><title>doc ",
+        pc.cast(pa.array(doc_id), pa.string()),
+        '</title></head><body class="page"><p>',
+        html_escape_column(text),
+        "</p></body></html>",
+        "",
     )
+    html = pc.cast(html_str, pa.binary())
     return pa.table(
         {
             "doc_id": pa.array(doc_id, pa.int64()),

@@ -200,10 +200,15 @@ def test_pages_byte_identity():
         resolution=10,
     ).to_pandas()
     # the invariant: text rides through every stage byte-identical per url/doc
+    from rayjoin.stages.extract import extract_text_batch
+
     assert len(out) == len(src_text)
     for _, row in out.iterrows():
         assert row["text"] == src_text[row["doc_id"]]
-        assert row["html"] == b"<html><body>" + row["text"].encode() + b"</body></html>"
+    # and text re-derived FROM THE HTML BYTES is byte-identical too
+    html = pa.array(list(out["html"]), pa.binary())
+    rederived = extract_text_batch(html).to_pylist()
+    assert rederived == list(out["text"])
 
 
 def test_text_ops_reference():
@@ -891,3 +896,34 @@ def test_knn_join_embeddings_duplicate_vector_ties():
     out = out.sort_values("rank")
     # the query IS dup; rights 0, 5, 6 all tie at sim=1 -> ids 0 and 5 win
     assert list(out["vec_id"]) == [0, 5]
+
+
+def test_extract_text_round_trip_adversarial():
+    """extract_text_batch(page(text)) == text byte-for-byte, including
+    entity-shaped text, tag-shaped text, and unicode; no-body pages -> null."""
+    from rayjoin.stages.extract import extract_text_batch, html_escape_column
+
+    texts = [
+        "plain tokens here",
+        "a < b && b > c",
+        "&amp;lt; already-escaped-looking &gt;&amp;",
+        "<script>alert('x')</script>",
+        "unicode é中文 mixed",
+        "",
+        "trailing space ",
+        "&", "<", ">", "&&&<<<>>>",
+    ]
+    esc = html_escape_column(pa.array(texts, pa.string()))
+    pages = [
+        f'<html><head><title>t &amp; x</title></head>'
+        f'<body class="page" data-n="{i}"><p>{e}</p></body></html>'
+        for i, e in enumerate(esc.to_pylist())
+    ]
+    got = extract_text_batch(pa.array([p.encode() for p in pages], pa.binary()))
+    assert got.to_pylist() == texts
+    # malformed page: no body element -> null, not a crash or empty string
+    bad = extract_text_batch(pa.array([b"<html><head>x</head></html>"], pa.binary()))
+    assert bad.to_pylist() == [None]
+    # nested/multiple tags inside body are stripped, entities decoded after
+    deep = b'<body><div><span>a &lt;tag&gt; b</span><br/>c</div></body>'
+    assert extract_text_batch(pa.array([deep], pa.binary())).to_pylist() == ["a <tag> bc"]
