@@ -54,6 +54,15 @@ def __getattr__(name):
         from .functions.ann import knn_join_embeddings
 
         return knn_join_embeddings
+    if name in ("latlon_to_s2", "s2_assign", "s2_parent", "s2_children",
+                "s2_edge_neighbors", "s2_cell_center"):
+        from .stages import s2cell
+
+        return getattr(s2cell, name)
+    if name in ("extract_text", "extract_text_batch", "html_escape_column"):
+        from .stages import extract
+
+        return getattr(extract, name)
     raise AttributeError(name)
 
 
@@ -85,4 +94,15 @@ __all__ = [
     "grouped_quantiles",
     # two-sided embedding k-NN join (both sides large, IVF-bucketed)
     "knn_join_embeddings",
+    # cube-face (S2-style) cells — skew-bounded global tiling
+    "latlon_to_s2",
+    "s2_assign",
+    "s2_parent",
+    "s2_children",
+    "s2_edge_neighbors",
+    "s2_cell_center",
+    # html -> text extraction (the byte-identity invariant)
+    "extract_text",
+    "extract_text_batch",
+    "html_escape_column",
 ]

@@ -496,6 +496,68 @@ def q_tile_assign(sf_dir: str):
     return ds.select_columns(["doc_id", "lat", "lon", "tile_id"])
 
 
+def q_s2_assign(sf_dir: str):
+    """Cube-face (S2-style) cell assignment at level 12 over key-geocoded
+    documents — the skew-bounded global tiling key (stages/s2cell.py).
+    Oracle reproduces the full chain (unit vector -> face CASE -> quadratic
+    s-t -> Morton bit spreads) bit-exactly in DuckDB."""
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.s2cell import s2_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"),
+                          batch_format="pyarrow")
+    return s2_assign(ds, level=12).select_columns(["doc_id", "s2_cell"])
+
+
+def _sql_spread_bits(col: str) -> str:
+    """Morton bit-spread of a 16-bit value as nested SQL (mirrors
+    s2cell._spread_bits mask-shift ladder)."""
+    e = f"({col} & 65535)"
+    for shift, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F),
+                        (2, 0x33333333), (1, 0x55555555)):
+        e = f"(({e} | ({e} << {shift})) & {mask})"
+    return e
+
+
+def sql_s2_assign(level: int = 12) -> str:
+    lon, lat = _latlon_sql("doc_id")
+    n = 1 << level
+    return f"""
+WITH g AS (SELECT doc_id, {lat} AS lat, {lon} AS lon FROM documents),
+xyz AS (SELECT doc_id,
+        cos(radians(lat)) * cos(radians(lon)) AS x,
+        cos(radians(lat)) * sin(radians(lon)) AS y,
+        sin(radians(lat)) AS z FROM g),
+fuv AS (SELECT doc_id,
+        CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z)
+             THEN CASE WHEN x >= 0 THEN 0 ELSE 3 END
+             WHEN abs(y) >= abs(z)
+             THEN CASE WHEN y >= 0 THEN 1 ELSE 4 END
+             ELSE CASE WHEN z >= 0 THEN 2 ELSE 5 END END AS face,
+        CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN y / x
+             WHEN abs(y) >= abs(z) THEN x / y ELSE x / z END AS u,
+        CASE WHEN abs(x) >= abs(y) AND abs(x) >= abs(z) THEN z / x
+             WHEN abs(y) >= abs(z) THEN z / y ELSE y / z END AS v
+        FROM xyz),
+st AS (SELECT doc_id, face,
+       CASE WHEN u >= 0 THEN 0.5 * sqrt(1 + 3 * u)
+            ELSE 1 - 0.5 * sqrt(1 - 3 * u) END AS s,
+       CASE WHEN v >= 0 THEN 0.5 * sqrt(1 + 3 * v)
+            ELSE 1 - 0.5 * sqrt(1 - 3 * v) END AS t FROM fuv),
+ij AS (SELECT doc_id, face,
+       GREATEST(LEAST(CAST(FLOOR(s * {n}) AS BIGINT), {n - 1}), 0) AS i,
+       GREATEST(LEAST(CAST(FLOOR(t * {n}) AS BIGINT), {n - 1}), 0) AS j
+       FROM st)
+SELECT doc_id,
+       face * {1 << (2 * level)}
+         + ({_sql_spread_bits("i")} | ({_sql_spread_bits("j")} << 1)) AS s2_cell
+FROM ij
+"""
+
+
 def _tile_sql(lon: str, lat: str, r: int) -> str:
     n = 1 << r
     ix = f"GREATEST(LEAST(CAST(FLOOR(({lon} + 180.0) / 360.0 * {n}) AS BIGINT), {n - 1}), 0)"
@@ -2125,6 +2187,7 @@ def build_queries():
         "knn_points_capped_partitioned": q_knn_points_capped_partitioned,
         "pip_triangle": q_pip_triangle,
         "tile_assign": q_tile_assign,
+        "s2_assign": q_s2_assign,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
         "rasterize_triangles": q_rasterize_triangles,
@@ -2190,6 +2253,7 @@ def build_queries():
         "knn_points_capped_partitioned": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
         "tile_assign": sql_tile_assign(),
+        "s2_assign": sql_s2_assign(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
