@@ -63,6 +63,10 @@ def __getattr__(name):
         from .stages import extract
 
         return getattr(extract, name)
+    if name in ("geom_measures", "measures_batch"):
+        from .geom import measures
+
+        return getattr(measures, name)
     raise AttributeError(name)
 
 
@@ -105,4 +109,7 @@ __all__ = [
     "extract_text",
     "extract_text_batch",
     "html_escape_column",
+    # geometry measures (area / length / centroid)
+    "geom_measures",
+    "measures_batch",
 ]

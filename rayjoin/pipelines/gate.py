@@ -43,7 +43,11 @@ def _latlon_sql(key: str):
 
 
 def _off_sql(key: str, mult: int):
-    return f"(({key}*{mult})%4000000)/1000000.0 - 2"
+    # outer parens matter: callers write "{lon} + {_off_sql(...)}" and the
+    # engine computes lon + ((q/1e6) - 2) — without them SQL associates
+    # ((lon + q/1e6) - 2), a 1-ulp drift that breaks bit-exact coordinate
+    # parity (caught by the tri_measures gate row)
+    return f"((({key}*{mult})%4000000)/1000000.0 - 2)"
 
 
 def _off_np(key: np.ndarray, mult: int):
@@ -494,6 +498,39 @@ def q_tile_assign(sf_dir: str):
     ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"), batch_format="pyarrow")
     ds = tile_assign(ds, resolution=12, with_hilbert=False)
     return ds.select_columns(["doc_id", "lat", "lon", "tile_id"])
+
+
+def q_tri_measures(sf_dir: str):
+    """Vectorized geometry measures (shoelace area, perimeter, centroid)
+    over the part-derived triangles; the oracle mirrors the kernel's exact
+    float-op order (crosses summed in edge order, abs(sum)*0.5,
+    nx/(3*sum)) so the hash match is bit-exact."""
+    from ..geom.measures import geom_measures
+
+    return geom_measures(_from_arrow(tris_geom_table(sf_dir)))
+
+
+def sql_tri_measures() -> str:
+    tri = tris_sql("part", "p_partkey")
+    return f"""
+WITH t AS ({tri}),
+e AS (SELECT row_id,
+      ax*by - bx*ay AS e0, bx*cy - cx*by AS e1, cx*ay - ax*cy AS e2,
+      sqrt((bx-ax)*(bx-ax) + (by-ay)*(by-ay)) AS l0,
+      sqrt((cx-bx)*(cx-bx) + (cy-by)*(cy-by)) AS l1,
+      sqrt((ax-cx)*(ax-cx) + (ay-cy)*(ay-cy)) AS l2,
+      ax, ay, bx, by, cx, cy FROM t)
+SELECT row_id,
+       abs(e0 + e1 + e2) * 0.5 AS area,
+       l0 + l1 + l2 AS length,
+       CASE WHEN e0 + e1 + e2 = 0 THEN (ax + bx + cx) / 3.0
+            ELSE ((ax+bx)*e0 + (bx+cx)*e1 + (cx+ax)*e2)
+                 / (3.0 * (e0 + e1 + e2)) END AS centroid_x,
+       CASE WHEN e0 + e1 + e2 = 0 THEN (ay + by + cy) / 3.0
+            ELSE ((ay+by)*e0 + (by+cy)*e1 + (cy+ay)*e2)
+                 / (3.0 * (e0 + e1 + e2)) END AS centroid_y
+FROM e
+"""
 
 
 def q_s2_assign(sf_dir: str):
@@ -2188,6 +2225,7 @@ def build_queries():
         "pip_triangle": q_pip_triangle,
         "tile_assign": q_tile_assign,
         "s2_assign": q_s2_assign,
+        "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
         "rasterize_triangles": q_rasterize_triangles,
@@ -2254,6 +2292,7 @@ def build_queries():
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
         "tile_assign": sql_tile_assign(),
         "s2_assign": sql_s2_assign(),
+        "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
