@@ -38,7 +38,8 @@ def __getattr__(name):
 
         return getattr(temporal, name)
     if name in ("stratified_sample", "cap_per_key", "domain_cap",
-                "decontaminate", "benchmark_ngram_ref", "pack_sequences"):
+                "decontaminate", "benchmark_ngram_ref", "pack_sequences",
+                "redact_text"):
         from .functions import corpus_ops
 
         return getattr(corpus_ops, name)
@@ -94,6 +95,7 @@ __all__ = [
     "decontaminate",
     "benchmark_ngram_ref",
     "pack_sequences",
+    "redact_text",
     # distributed exact statistics
     "grouped_quantiles",
     # two-sided embedding k-NN join (both sides large, IVF-bucketed)

@@ -326,3 +326,40 @@ def pack_sequences(docs_ds, *, budget: int = 512, shard_rows: int = 65536,
         .groupby([group_col, "shard"])
         .map_groups(packer, batch_format="pyarrow")
     )
+
+
+# --- PII-style redaction -----------------------------------------------------
+
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9][0-9\- ]{7,}[0-9]"
+DEFAULT_REDACTIONS = ((EMAIL_RE, "[EMAIL]"), (PHONE_RE, "[PHONE]"))
+
+
+def redact_text(ds, *, text_col: str = "text",
+                rules: tuple = DEFAULT_REDACTIONS,
+                count_col: str = "n_redacted"):
+    """PII-style pattern redaction: each (regex, replacement) rule is one
+    vectorized RE2 pass over the batch (``pc.replace_substring_regex``
+    replaces ALL occurrences; DuckDB twin is ``regexp_replace(..., 'g')`` —
+    both engines are RE2, so replacements agree byte-for-byte).  Rules
+    apply in order, so later patterns see earlier replacements (document
+    rule order when patterns can overlap).  Appends ``count_col`` = total
+    matches redacted per row.  Embarrassingly parallel — the right shape
+    for scrubbing a 100 TB corpus where per-doc Python would be the
+    bottleneck."""
+
+    def run(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks() if isinstance(
+            t[text_col], pa.ChunkedArray) else t[text_col]
+        total = np.zeros(len(text), np.int64)
+        for pattern, repl in rules:
+            total += np.asarray(
+                pc.count_substring_regex(text, pattern=pattern), dtype=np.int64
+            )
+            text = pc.replace_substring_regex(text, pattern=pattern,
+                                              replacement=repl)
+        t = t.drop_columns([text_col])
+        t = t.append_column(text_col, text)
+        return t.append_column(count_col, pa.array(total, pa.int64()))
+
+    return ds.map_batches(run, batch_format="pyarrow")

@@ -500,6 +500,119 @@ def q_tile_assign(sf_dir: str):
     return ds.select_columns(["doc_id", "lat", "lon", "tile_id"])
 
 
+def q_pages_e2e(sf_dir: str):
+    """The whole web-page chain in one oracle-checked pipeline: pages ->
+    text re-derived FROM THE HTML BYTES (stages/extract.py) -> url
+    geocoding (FNV) -> cube-face s2 cells at level 8 -> per-cell corpus
+    stats.  One groupby shuffle; everything upstream embarrassingly
+    parallel.  The SQL twin rebuilds every step (FNV url hash, s2 chain,
+    string_split token counts) from the documents table."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..functions.text import token_stats
+    from ..sources.pages import pages_from_documents
+    from ..stages.extract import extract_text
+    from ..stages.geocode import geocode_from_url
+    from ..stages.s2cell import s2_assign
+
+    pages = pages_from_documents(sf_dir).drop_columns(["text", "lang", "warc_ts"])
+    pages = extract_text(pages, html_col="html", out_col="text").drop_columns(["html"])
+    geo = pages.map_batches(geocode_from_url, batch_format="pyarrow")
+    cells = s2_assign(geo, level=8)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = token_stats(t.select(["doc_id", "text"]))
+        return pa.table({
+            "s2_cell": t["s2_cell"],
+            "doc_id": t["doc_id"],
+            "n_tokens": ts["n_tokens"],
+        })
+
+    return cells.map_batches(prep, batch_format="pyarrow").groupby(
+        "s2_cell"
+    ).aggregate(Count(alias_name="n_pages"),
+                Sum("n_tokens", alias_name="total_tokens"),
+                Min("doc_id", alias_name="min_doc"))
+
+
+def sql_pages_e2e(level: int = 8) -> str:
+    url = ("'https://site' || CAST(doc_id % 997 AS VARCHAR) || '.example/'"
+           " || CAST(doc_id AS VARCHAR)")
+    # geocode_from_url: lat from the low hash bits, lon from bits >> 32
+    src = f"""
+SELECT doc_id,
+       CAST(hv % {LAT_MOD} AS BIGINT) / 1000000.0 - 90 AS lat,
+       CAST((hv // 4294967296) % {LON_MOD} AS BIGINT) / 1000000.0 - 180 AS lon
+FROM (SELECT doc_id, {_sql_fnv(url)} AS hv FROM documents)
+"""
+    cells = _sql_s2_chain(src, level)
+    return f"""
+WITH cells AS ({cells}),
+tok AS (SELECT doc_id,
+        CAST(array_length(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents)
+SELECT cells.s2_cell AS s2_cell, COUNT(*) AS n_pages,
+       CAST(SUM(tok.n_tokens) AS BIGINT) AS total_tokens,
+       MIN(cells.doc_id) AS min_doc
+FROM cells JOIN tok ON cells.doc_id = tok.doc_id
+GROUP BY 1
+"""
+
+
+def q_redact_pii(sf_dir: str):
+    """PII-style redaction with deterministically INJECTED pii (the token
+    soup has none): each doc gains ' contact userN@mail.example or
+    +1 555-M now'; redact_text then replaces emails/phones with [EMAIL]/
+    [PHONE] (vectorized RE2, all-occurrence).  The oracle re-runs the same
+    injection + regexp_replace(..., 'g') — RE2 on both sides, so the
+    redacted TEXT hash-matches byte-for-byte, not just the counts.  Short
+    doc_ids make the phone regex legitimately miss (< 9 chars), so
+    n_redacted varies 1..2 per row — a real decision, not a constant."""
+    import ray.data
+
+    from ..functions.corpus_ops import redact_text
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def inject(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+        txt = pc.binary_join_element_wise(
+            t["text"].combine_chunks(),
+            " contact user",
+            pc.cast(did, pa.string()),
+            "@mail.example or +1 555-",
+            pc.cast(pc.subtract(did, pc.multiply(
+                pc.divide(did, 10000), 10000)), pa.string()),
+            " now",
+            "",
+        )
+        return pa.table({"doc_id": t["doc_id"], "text": txt})
+
+    return redact_text(docs.map_batches(inject, batch_format="pyarrow"))
+
+
+def sql_redact_pii() -> str:
+    from ..functions.corpus_ops import EMAIL_RE, PHONE_RE
+
+    inject = ("text || ' contact user' || CAST(doc_id AS VARCHAR)"
+              " || '@mail.example or +1 555-'"
+              " || CAST(doc_id % 10000 AS VARCHAR) || ' now'")
+    return f"""
+WITH i AS (SELECT doc_id, {inject} AS text FROM documents),
+r1 AS (SELECT doc_id,
+       regexp_replace(text, '{EMAIL_RE}', '[EMAIL]', 'g') AS text,
+       CAST(coalesce(array_length(regexp_extract_all(text, '{EMAIL_RE}')), 0)
+            AS BIGINT) AS c1 FROM i)
+SELECT doc_id,
+       regexp_replace(text, '{PHONE_RE}', '[PHONE]', 'g') AS text,
+       c1 + CAST(coalesce(array_length(regexp_extract_all(text, '{PHONE_RE}')), 0)
+                 AS BIGINT) AS n_redacted
+FROM r1
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -549,6 +662,46 @@ def q_s2_assign(sf_dir: str):
     return s2_assign(ds, level=12).select_columns(["doc_id", "s2_cell"])
 
 
+def q_s2_rollup(sf_dir: str):
+    """Hierarchical rollup over the s2 key: level-12 cells -> level-6
+    parents (2 Morton bits dropped per level, face preserved) -> per-parent
+    count + min doc.  One groupby shuffle over the coarse key."""
+    from ray.data.aggregate import Count, Min
+
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.s2cell import s2_assign, s2_parent
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"),
+                          batch_format="pyarrow")
+    ds = s2_assign(ds, level=12)
+
+    def parent(t: pa.Table) -> pa.Table:
+        cells = np.asarray(t["s2_cell"].combine_chunks(), np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "parent_cell": pa.array(s2_parent(cells, 12, 6), pa.int64()),
+        })
+
+    return ds.map_batches(parent, batch_format="pyarrow").groupby(
+        "parent_cell"
+    ).aggregate(Count(alias_name="n_docs"), Min("doc_id", alias_name="min_doc"))
+
+
+def sql_s2_rollup() -> str:
+    # parent = face * 4^6 + morton // 4^(12-6): pure integer arithmetic on
+    # the level-12 id from sql_s2_assign
+    return f"""
+WITH c AS ({sql_s2_assign()})
+SELECT (s2_cell // {4 ** 12}) * {4 ** 6} + (s2_cell % {4 ** 12}) // {4 ** 6}
+           AS parent_cell,
+       COUNT(*) AS n_docs, MIN(doc_id) AS min_doc
+FROM c GROUP BY 1
+"""
+
+
 def _sql_spread_bits(col: str) -> str:
     """Morton bit-spread of a 16-bit value as nested SQL (mirrors
     s2cell._spread_bits mask-shift ladder)."""
@@ -561,9 +714,17 @@ def _sql_spread_bits(col: str) -> str:
 
 def sql_s2_assign(level: int = 12) -> str:
     lon, lat = _latlon_sql("doc_id")
+    return _sql_s2_chain(
+        f"SELECT doc_id, {lat} AS lat, {lon} AS lon FROM documents", level
+    )
+
+
+def _sql_s2_chain(src_sql: str, level: int) -> str:
+    """Cell-id SQL over any (doc_id, lat, lon) source subquery — mirrors
+    stages/s2cell.py op-for-op (see q_s2_assign)."""
     n = 1 << level
     return f"""
-WITH g AS (SELECT doc_id, {lat} AS lat, {lon} AS lon FROM documents),
+WITH g AS ({src_sql}),
 xyz AS (SELECT doc_id,
         cos(radians(lat)) * cos(radians(lon)) AS x,
         cos(radians(lat)) * sin(radians(lon)) AS y,
@@ -2225,6 +2386,9 @@ def build_queries():
         "pip_triangle": q_pip_triangle,
         "tile_assign": q_tile_assign,
         "s2_assign": q_s2_assign,
+        "s2_rollup": q_s2_rollup,
+        "pages_e2e": q_pages_e2e,
+        "redact_pii": q_redact_pii,
         "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
@@ -2292,6 +2456,9 @@ def build_queries():
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
         "tile_assign": sql_tile_assign(),
         "s2_assign": sql_s2_assign(),
+        "s2_rollup": sql_s2_rollup(),
+        "pages_e2e": sql_pages_e2e(),
+        "redact_pii": sql_redact_pii(),
         "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),

@@ -243,3 +243,26 @@ def test_pack_fold_rejects_unknown_strategy(ray_session):
                   "lang": pa.array(["en"]), "text": pa.array(["a b"])})
     with pytest.raises(ValueError, match="strategy"):
         pack_sequences(_ds(t), strategy="best_fit")
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_redact_text_rules():
+    import ray.data
+
+    from rayjoin.functions.corpus_ops import redact_text
+
+    texts = [
+        "email me at alice.smith+x@sub.example.org today",
+        "call +1 555-123-4567 or 020 7946 0958 now",
+        "no pii here at all",
+        "two mails a@b.io c@d.co and a phone 555-000-1111",
+        "",
+    ]
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    out = redact_text(ray.data.from_arrow(t)).to_pandas().sort_values("doc_id")
+    assert list(out["n_redacted"]) == [1, 2, 0, 3, 0]
+    assert out.iloc[0]["text"] == "email me at [EMAIL] today"
+    assert out.iloc[1]["text"] == "call [PHONE] or [PHONE] now"
+    assert out.iloc[3]["text"] == "two mails [EMAIL] [EMAIL] and a phone [PHONE]"
+    assert out.iloc[2]["text"] == texts[2] and out.iloc[4]["text"] == ""
