@@ -108,3 +108,66 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str,
         .groupby("part")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+# --- HyperLogLog distinct sketch ---------------------------------------------
+
+
+def hll_registers(ds, *, value_col: str, p: int = 14):
+    """HyperLogLog register table over a column: Dataset[reg, max_rho]
+    (only touched registers appear).
+
+    The hash is the shared sampling hash (fnv1a64 of the value as string,
+    corpus_ops.id_sample_hash) so the registers are a DETERMINISTIC pure
+    function of the value set — bit-exactly reproducible in SQL (the
+    ``hll_user_registers`` gate row): register = top ``p`` hash bits, rho =
+    leading-zero count of the remaining ``64-p`` bits + 1.  rho's bit length
+    comes from ``np.frexp`` (exact for < 2^53; ``log2``+floor misrounds just
+    below powers of two).
+
+    Scale shape: each batch reduces to <= 2^p (reg, rho) partials via one
+    ``np.maximum.at`` scatter (no sort), and the only wide step is a
+    ``groupby(reg).max`` over at most 2^p groups — a ~100 TB scan shuffles
+    kilobytes.  Registers merge by max, so shards/retries compose exactly
+    (the HLL union property, pytest-pinned along with the estimate error)."""
+    from ray.data.aggregate import Max
+
+    from .corpus_ops import id_sample_hash
+
+    if not 4 <= p <= 16:
+        raise ValueError("p must be in [4, 16]")
+    w = 64 - p
+
+    def partial(t: pa.Table) -> pa.Table:
+        h = id_sample_hash(t[value_col])
+        reg = (h >> np.uint64(w)).astype(np.int64)
+        low = (h & np.uint64((1 << w) - 1)).astype(np.int64)
+        _, exp = np.frexp(low.astype(np.float64))  # exact: low < 2^50 <= 2^53
+        rho = w - exp + 1  # low == 0 -> exp 0 -> rho w+1
+        arr = np.zeros(1 << p, np.int64)
+        np.maximum.at(arr, reg, rho)
+        touched = np.flatnonzero(arr)
+        return pa.table({"reg": pa.array(touched, pa.int64()),
+                         "max_rho": pa.array(arr[touched], pa.int64())})
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("max_rho", alias_name="max_rho"))
+    )
+
+
+def hll_estimate(registers: pa.Table, *, p: int = 14) -> float:
+    """Standard bias-corrected HLL estimate from a register table (small —
+    <= 2^p rows — so this is a driver-side reduction).  Linear counting
+    below the 2.5m threshold, raw estimate above."""
+    m = 1 << p
+    reg = np.asarray(registers["reg"], dtype=np.int64)
+    rho = np.asarray(registers["max_rho"], dtype=np.int64)
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    denom = (m - reg.size) + np.sum(np.exp2(-rho.astype(np.float64)))
+    raw = alpha * m * m / denom
+    zeros = m - reg.size
+    if raw <= 2.5 * m and zeros > 0:
+        return m * np.log(m / zeros)
+    return float(raw)

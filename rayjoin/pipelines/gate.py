@@ -613,6 +613,53 @@ FROM r1
 """
 
 
+def q_hll_user_registers(sf_dir: str):
+    """HyperLogLog registers over events.user_id (p=14): the sketch STATE
+    is a deterministic pure function of the value set, so the oracle
+    rebuilds every register bit-exactly in SQL (FNV hash, top-14-bit
+    register, leading-zero rho via an integer bit-length CASE ladder) —
+    an approx-distinct operator gate-checked exactly, not approximately."""
+    import ray.data
+
+    from ..functions.stats import hll_registers
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return hll_registers(ev, value_col="user_id", p=14)
+
+
+def sql_hll_user_registers(p: int = 14) -> str:
+    w = 64 - p
+    fnv = _sql_fnv("CAST(user_id AS VARCHAR)")
+    # bit_length of x < 2^w via a shift-accumulate CASE ladder: at step i,
+    # if the remainder >= 2^sh, shift it down and bank sh bits
+    ladder = []
+    prev_cte, prev_x = "b", "x"
+    carried = []
+    for i, sh in enumerate((32, 16, 8, 4, 2, 1)):
+        carry = (", " + ", ".join(carried)) if carried else ""
+        ladder.append(
+            f"l{i} AS (SELECT reg{carry}, "
+            f"CASE WHEN {prev_x} >= {1 << sh}::HUGEINT THEN {prev_x} // {1 << sh} "
+            f"ELSE {prev_x} END AS x{i}, "
+            f"CASE WHEN {prev_x} >= {1 << sh}::HUGEINT THEN {sh} ELSE 0 END AS b{i} "
+            f"FROM {prev_cte})"
+        )
+        carried.append(f"b{i}")
+        prev_cte, prev_x = f"l{i}", f"x{i}"
+    bits = " + ".join(f"b{i}" for i in range(6))
+    joined = ",\n".join(ladder)
+    return f"""
+WITH h AS (SELECT {fnv} AS hv FROM events),
+b AS (SELECT CAST(hv // {1 << w}::HUGEINT AS BIGINT) AS reg,
+             hv % {1 << w}::HUGEINT AS x FROM h),
+{joined},
+r AS (SELECT reg,
+      {w} - ({bits} + CASE WHEN x5 >= 1 THEN 1 ELSE 0 END) + 1 AS rho
+      FROM l5)
+SELECT reg, CAST(MAX(rho) AS BIGINT) AS max_rho FROM r GROUP BY 1
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -2389,6 +2436,7 @@ def build_queries():
         "s2_rollup": q_s2_rollup,
         "pages_e2e": q_pages_e2e,
         "redact_pii": q_redact_pii,
+        "hll_user_registers": q_hll_user_registers,
         "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
@@ -2459,6 +2507,7 @@ def build_queries():
         "s2_rollup": sql_s2_rollup(),
         "pages_e2e": sql_pages_e2e(),
         "redact_pii": sql_redact_pii(),
+        "hll_user_registers": sql_hll_user_registers(),
         "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
