@@ -660,6 +660,105 @@ SELECT reg, CAST(MAX(rho) AS BIGINT) AS max_rho FROM r GROUP BY 1
 """
 
 
+def _sql_double_hash(expr: str, i: str, mod: int) -> str:
+    """(h1 + i*h2) % 2^64 % mod with h1/h2 the FNV double-hash pair —
+    mirrors functions/sketch._double_hashes bit-for-bit."""
+    return (
+        f"CAST(((h1 + {i}::HUGEINT * h2) % 18446744073709551616::HUGEINT) "
+        f"% {mod}::HUGEINT AS BIGINT)"
+    )
+
+
+def _sql_hash_pair(expr: str, table: str, extra: str = "") -> str:
+    salted = "(" + expr + " || '#')"
+    return (
+        f"SELECT {extra}{_sql_fnv(expr)} AS h1, "
+        f"{_sql_fnv(salted)} AS h2 FROM {table}"
+    )
+
+
+def q_cms_user_events(sf_dir: str):
+    """Count-min sketch counters over events.user_id (d=4, w=1021; prime — see sketch.py): like
+    the HLL row, the sketch state is a pure function of the input multiset,
+    so every counter is rebuilt bit-exactly in SQL (FNV double hashing +
+    integer GROUP BY sums)."""
+    import ray.data
+
+    from ..functions.sketch import cms_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return cms_counts(ev, value_col="user_id", d=4, w=1021)
+
+
+def sql_cms_user_events(d: int = 4, w: int = 1021) -> str:
+    pair = _sql_hash_pair("CAST(user_id AS VARCHAR)", "events")
+    return f"""
+WITH h AS ({pair}),
+e AS (SELECT g.i AS "row", {_sql_double_hash('', 'g.i', w)} AS col
+      FROM h CROSS JOIN generate_series(0, {d - 1}) AS g(i))
+SELECT "row", col, COUNT(*) AS count FROM e GROUP BY 1, 2
+"""
+
+
+def q_bloom_user_bits(sf_dir: str):
+    """The set-bit table of a Bloom filter over events.user_id
+    (m=1021, k=5) — the filter STATE, checked exactly."""
+    import ray.data
+
+    from ..functions.sketch import bloom_bits
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    return bloom_bits(ev, value_col="user_id", m=1021, k=5)
+
+
+def sql_bloom_user_bits(m: int = 1021, k: int = 5) -> str:
+    pair = _sql_hash_pair("CAST(user_id AS VARCHAR)", "events")
+    return f"""
+WITH h AS ({pair})
+SELECT DISTINCT {_sql_double_hash('', 'g.i', m)} AS bit
+FROM h CROSS JOIN generate_series(0, {k - 1}) AS g(i)
+"""
+
+
+def q_bloom_member_custkeys(sf_dir: str):
+    """End-to-end Bloom membership: build the filter over events.user_id,
+    pack it to a blob, ``ray.put`` once, probe every customer key in a
+    broadcast map_batches stage.  1350 of 1500 keys are true negatives at
+    sf0.01, so the row pins the REAL false-positive behavior (every fp the
+    engine produces the SQL twin must reproduce, bit for bit)."""
+    import ray
+    import ray.data
+
+    from ..functions.sketch import bloom_bits, bloom_blob, bloom_member
+
+    m, k = 1021, 5
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    bits = pa.concat_tables(
+        ray.get(bloom_bits(ev, value_col="user_id", m=m, k=k).to_arrow_refs())
+    )  # bounded: <= m rows
+    ref = ray.put(bloom_blob(bits, m=m))
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    return bloom_member(cust, value_col="c_custkey", blob_ref=ref, m=m, k=k)
+
+
+def sql_bloom_member_custkeys(m: int = 1021, k: int = 5) -> str:
+    epair = _sql_hash_pair("CAST(user_id AS VARCHAR)", "events")
+    cpair = _sql_hash_pair("CAST(c_custkey AS VARCHAR)", "customer",
+                           extra="c_custkey, ")
+    return f"""
+WITH eh AS ({epair}),
+bits AS (SELECT DISTINCT {_sql_double_hash('', 'g.i', m)} AS bit
+         FROM eh CROSS JOIN generate_series(0, {k - 1}) AS g(i)),
+ch AS ({cpair}),
+probe AS (SELECT c_custkey, {_sql_double_hash('', 'g.i', m)} AS bit
+          FROM ch CROSS JOIN generate_series(0, {k - 1}) AS g(i)),
+hits AS (SELECT c_custkey, COUNT(*) AS nset
+         FROM probe JOIN bits USING (bit) GROUP BY 1)
+SELECT c.c_custkey, COALESCE(h.nset, 0) = {k} AS maybe_member
+FROM customer c LEFT JOIN hits h ON c.c_custkey = h.c_custkey
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -2437,6 +2536,9 @@ def build_queries():
         "pages_e2e": q_pages_e2e,
         "redact_pii": q_redact_pii,
         "hll_user_registers": q_hll_user_registers,
+        "cms_user_events": q_cms_user_events,
+        "bloom_user_bits": q_bloom_user_bits,
+        "bloom_member_custkeys": q_bloom_member_custkeys,
         "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
@@ -2508,6 +2610,9 @@ def build_queries():
         "pages_e2e": sql_pages_e2e(),
         "redact_pii": sql_redact_pii(),
         "hll_user_registers": sql_hll_user_registers(),
+        "cms_user_events": sql_cms_user_events(),
+        "bloom_user_bits": sql_bloom_user_bits(),
+        "bloom_member_custkeys": sql_bloom_member_custkeys(),
         "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
