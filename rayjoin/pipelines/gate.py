@@ -759,6 +759,47 @@ FROM customer c LEFT JOIN hits h ON c.c_custkey = h.c_custkey
 """
 
 
+def q_pagerank_docs(sf_dir: str):
+    """3 iterations of fixed-point integer PageRank over the deterministic
+    doc->doc link graph (functions/graph.py).  Integer floor division +
+    commutative sums mean the iterative graph job gate-checks BIT-EXACTLY
+    against a chained-CTE SQL twin.  Edges are materialized once (they
+    feed every iteration's join — at real scale you'd checkpoint them
+    partitioned by src for the same reason)."""
+    from ..functions.graph import pagerank_int, synth_link_graph
+
+    edges, n = synth_link_graph(sf_dir)
+    return pagerank_int(edges.materialize(), n_nodes=n, iters=3)
+
+
+def sql_pagerank_docs(iters: int = 3, r0: int = 10**9) -> str:
+    tele = (r0 * 15) // 100
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    its = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        its.append(
+            f'i{i} AS (SELECT node, CAST(SUM(part) AS BIGINT) AS "rank" FROM (\n'
+            f'  SELECT e.dst AS node, (r."rank" * 85) // (100 * e.outdeg) AS part\n'
+            f"  FROM edges e JOIN {prev} r ON e.src = r.node\n"
+            f"  UNION ALL SELECT node, {tele} FROM {prev}) GROUP BY 1)"
+        )
+        prev = f"i{i}"
+    joined = ",\n".join(its)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % 3::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src, outdeg,
+          CAST({fnv_tgt} % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, 2) AS g(j) WHERE g.j < outdeg),
+r0 AS (SELECT doc_id AS node, {r0}::BIGINT AS "rank" FROM documents),
+{joined}
+SELECT node, "rank" FROM {prev}
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -2539,6 +2580,7 @@ def build_queries():
         "cms_user_events": q_cms_user_events,
         "bloom_user_bits": q_bloom_user_bits,
         "bloom_member_custkeys": q_bloom_member_custkeys,
+        "pagerank_docs": q_pagerank_docs,
         "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
@@ -2613,6 +2655,7 @@ def build_queries():
         "cms_user_events": sql_cms_user_events(),
         "bloom_user_bits": sql_bloom_user_bits(),
         "bloom_member_custkeys": sql_bloom_member_custkeys(),
+        "pagerank_docs": sql_pagerank_docs(),
         "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
