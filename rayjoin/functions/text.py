@@ -265,3 +265,98 @@ def simhash64(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
         sim |= (tally > 0).astype(np.uint64) << np.uint64(bit)
     out = batch.drop_columns([text_col])
     return out.append_column("simhash", pa.array(sim.astype(np.int64), pa.int64()))
+
+
+def inverted_index(ds, *, text_col: str = "text", id_col: str = "doc_id"):
+    """Postings: Dataset[doc_id, token, tf] over whitespace tokens.
+
+    Embarrassingly parallel — every document lives wholly inside one batch,
+    so per-doc term frequencies need NO shuffle: one Arrow split +
+    dictionary encode + one np.unique over packed (row, code) keys per
+    batch.  (Corpus-wide stats like df are a downstream groupby over the
+    postings, which are already one row per DISTINCT (doc, token).)"""
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(toks)
+        flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        row_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        enc = flat.dictionary_encode()
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        nd = len(enc.dictionary)
+        key = row_of * nd + codes
+        uniq, tf = np.unique(key, return_counts=True)
+        return pa.table({
+            id_col: pa.array(ids[uniq // nd], pa.int64()),
+            "token": enc.dictionary.take(pa.array(uniq % nd)),
+            "tf": pa.array(tf.astype(np.int64), pa.int64()),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def tfidf(ds, *, n_docs: int, text_col: str = "text", id_col: str = "doc_id",
+          broadcast_vocab_rows: int = 1_000_000):
+    """TF-IDF scores per (doc, token): tf * ln(n_docs / df).
+
+    df comes from ONE groupby over the postings (already distinct
+    (doc, token) pairs).  When the vocabulary fits (<= broadcast_vocab_rows)
+    the df table is ray.put once and joined by sorted-array lookup inside
+    map_batches; a web-scale vocabulary falls back to a hash join.
+
+    ln comes from CPython ``math.log`` (direct libm) over the DISTINCT df
+    values only — numpy's vectorized log is 1 ulp off glibc/DuckDB on ~28%
+    of inputs (measured), math.log is bit-identical.  The rest of the chain
+    ((double)n / (int->double)df, int*double product) is exactly-rounded
+    IEEE, so the SQL twin hash-matches bit-for-bit on a shared-libm box
+    (same caveat as the s2 trig oracle)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Count
+
+    from .dedup import _num_join_partitions
+
+    post = inverted_index(ds, text_col=text_col, id_col=id_col)
+    df = post.groupby("token").aggregate(Count(alias_name="df"))
+
+    def _idf_of(d: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(d, return_inverse=True)
+        lut = np.array([math.log(n_docs / x) for x in uniq], np.float64)
+        return lut[inv]
+
+    df_mat = df.materialize()
+    if df_mat.count() <= broadcast_vocab_rows:
+        tbl = pa.concat_tables(ray.get(df_mat.to_arrow_refs()))
+        toks = tbl["token"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        order = np.argsort(toks)
+        dfs = np.asarray(tbl["df"], dtype=np.int64)[order]
+        ref = ray.put((toks[order], dfs, _idf_of(dfs)))
+
+        def probe(t: pa.Table) -> pa.Table:
+            tok_sorted, df_sorted, idf_sorted = ray.get(ref)
+            tok = t["token"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+            pos = np.clip(np.searchsorted(tok_sorted, tok), 0, tok_sorted.size - 1)
+            if not (tok_sorted[pos] == tok).all():
+                raise KeyError("tfidf: token missing from df table")
+            tf_ = np.asarray(t["tf"], dtype=np.int64)
+            return t.append_column(
+                "df", pa.array(df_sorted[pos], pa.int64())
+            ).append_column(
+                "tfidf", pa.array(tf_ * idf_sorted[pos], pa.float64()))
+
+        return post.map_batches(probe, batch_format="pyarrow")
+
+    j = post.join(df_mat, "inner", _num_join_partitions(), on=("token",))
+
+    def score_joined(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["df"], dtype=np.int64)
+        tf_ = np.asarray(t["tf"], dtype=np.int64)
+        return t.append_column(
+            "tfidf", pa.array(tf_ * _idf_of(d), pa.float64()))
+
+    return j.map_batches(score_joined, batch_format="pyarrow")

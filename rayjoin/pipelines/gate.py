@@ -800,6 +800,54 @@ SELECT node, "rank" FROM {prev}
 """
 
 
+def q_inverted_index(sf_dir: str):
+    """Postings (doc_id, token, tf): per-doc term frequencies need NO
+    shuffle (each doc lives in one batch) — one split + dictionary encode
+    + packed-key unique per batch."""
+    import ray.data
+
+    from ..functions.text import inverted_index
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return inverted_index(docs)
+
+
+SQL_INVERTED_INDEX = """
+SELECT doc_id, token, COUNT(*) AS tf
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY 1, 2
+"""
+
+
+def q_tfidf_docs(sf_dir: str):
+    """TF-IDF per (doc, token): postings -> one df groupby -> broadcast
+    sorted-vocab lookup (hash join beyond 1M vocab).  Float chain is
+    exactly-rounded IEEE around one libm ln, so the oracle hash-matches
+    bit-for-bit (shared-libm box; same caveat as the s2 trig row)."""
+    import ray.data
+
+    from ..functions.text import tfidf
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    n = docs.count()
+    return tfidf(docs, n_docs=n)
+
+
+SQL_TFIDF_DOCS = """
+WITH post AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+  GROUP BY 1, 2),
+d AS (SELECT token, COUNT(*) AS df FROM post GROUP BY 1),
+nn AS (SELECT COUNT(*) AS n FROM documents)
+SELECT p.doc_id, p.token, p.tf, d.df,
+       p.tf * ln(CAST((SELECT n FROM nn) AS DOUBLE) / d.df) AS tfidf
+FROM post p JOIN d USING (token)
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -2581,6 +2629,8 @@ def build_queries():
         "bloom_user_bits": q_bloom_user_bits,
         "bloom_member_custkeys": q_bloom_member_custkeys,
         "pagerank_docs": q_pagerank_docs,
+        "inverted_index": q_inverted_index,
+        "tfidf_docs": q_tfidf_docs,
         "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
@@ -2656,6 +2706,8 @@ def build_queries():
         "bloom_user_bits": sql_bloom_user_bits(),
         "bloom_member_custkeys": sql_bloom_member_custkeys(),
         "pagerank_docs": sql_pagerank_docs(),
+        "inverted_index": SQL_INVERTED_INDEX,
+        "tfidf_docs": SQL_TFIDF_DOCS,
         "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
