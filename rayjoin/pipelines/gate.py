@@ -848,6 +848,83 @@ FROM post p JOIN d USING (token)
 """
 
 
+def _messy_urls_batch(t: pa.Table) -> pa.Table:
+    """Deterministic MESSY urls from doc_id — mixed-case scheme/host,
+    default and non-default ports, empty paths, unsorted query params,
+    fragments — exercising every normalize_urls rule.  The SQL twin
+    rebuilds the same strings with CASE chains."""
+    did = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+
+    def b(m):
+        return pa.array(m)
+
+    def s(a):
+        return pc.cast(pa.array(a), pa.string())
+
+    scheme = pc.if_else(b(did % 2 == 0), "HTTPS", "Http")
+    tld = pc.if_else(b(did % 2 == 0), ".Com", ".net")
+    host = pc.binary_join_element_wise("Site", s(did % 97), ".EXample", tld, "")
+    port = pc.if_else(b(did % 3 == 0), ":443",
+                      pc.if_else(b(did % 3 == 1), ":8080", ""))
+    path = pc.if_else(b(did % 5 == 0), "",
+                      pc.binary_join_element_wise("/A/b", s(did % 7), ""))
+    noq = b(did % 6 == 0)
+    query = pc.if_else(noq, "", pc.binary_join_element_wise(
+        "?z=1&y=", s(did % 3), "&x=2", ""))
+    frag = pc.if_else(b(did % 4 == 3), "",
+                      pc.binary_join_element_wise("#Sec", s(did % 4), ""))
+    url = pc.binary_join_element_wise(
+        scheme, "://", host, port, path, query, frag, "")
+    return pa.table({"doc_id": t["doc_id"].combine_chunks(), "url": url})
+
+
+def q_url_normalize(sf_dir: str):
+    """URL canonicalization (functions/urls.py): lowercase scheme/host,
+    fragment strip, default-port drop, empty-path -> '/', bytewise query
+    param sort, registrable-domain extraction — every rule reproduced in
+    SQL over the same deterministically-messy urls."""
+    import ray.data
+
+    from ..functions.urls import normalize_urls
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return docs.map_batches(_messy_urls_batch, batch_format="pyarrow").map_batches(
+        normalize_urls, batch_format="pyarrow")
+
+
+_SQL_MESSY_URL = """
+CASE WHEN doc_id % 2 = 0 THEN 'HTTPS' ELSE 'Http' END || '://' ||
+'Site' || CAST(doc_id % 97 AS VARCHAR) || '.EXample' ||
+CASE WHEN doc_id % 2 = 0 THEN '.Com' ELSE '.net' END ||
+CASE WHEN doc_id % 3 = 0 THEN ':443' WHEN doc_id % 3 = 1 THEN ':8080' ELSE '' END ||
+CASE WHEN doc_id % 5 = 0 THEN '' ELSE '/A/b' || CAST(doc_id % 7 AS VARCHAR) END ||
+CASE WHEN doc_id % 6 = 0 THEN '' ELSE '?z=1&y=' || CAST(doc_id % 3 AS VARCHAR) || '&x=2' END ||
+CASE WHEN doc_id % 4 = 3 THEN '' ELSE '#Sec' || CAST(doc_id % 4 AS VARCHAR) END
+"""
+
+SQL_URL_NORMALIZE = f"""
+WITH m AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
+p AS (SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+  lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1)) AS host,
+  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/:?#]*:([0-9]+)', 1) AS port,
+  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+  regexp_extract(url, '\\?([^#]*)', 1) AS query FROM m)
+SELECT doc_id, url,
+  scheme || '://' || host ||
+  CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+         OR (scheme = 'https' AND port = '443') THEN '' ELSE ':' || port END ||
+  CASE WHEN path = '' THEN '/' ELSE path END ||
+  CASE WHEN query = '' THEN ''
+       ELSE '?' || array_to_string(list_sort(string_split(query, '&')), '&') END
+    AS url_norm,
+  CASE WHEN regexp_extract(host, '([^.]+\\.[^.]+)$', 1) = '' THEN host
+       ELSE regexp_extract(host, '([^.]+\\.[^.]+)$', 1) END AS domain
+FROM p
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -2631,6 +2708,7 @@ def build_queries():
         "pagerank_docs": q_pagerank_docs,
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
+        "url_normalize": q_url_normalize,
         "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
@@ -2708,6 +2786,7 @@ def build_queries():
         "pagerank_docs": sql_pagerank_docs(),
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
+        "url_normalize": SQL_URL_NORMALIZE,
         "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
