@@ -636,20 +636,29 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 50,
     prev_sum = labels.sum("label")
     num_partitions = _num_join_partitions()
 
+    # empty shuffle partitions can surface null-typed columns; every join
+    # output is re-pinned to the int64 (node, label) schema before the union
+    # so the downstream groupby never sees mixed block schemas
+    _pin = lambda t: pa.table(
+        {"node": t["node"].cast(pa.int64()), "label": t["label"].cast(pa.int64())}
+    )
     converged = False
     for _ in range(max_rounds):
         # neighbor labels: hash join labels onto edges on peer
         peer_lab = edges.join(
             labels, "inner", num_partitions, on=("peer",), right_on=("node",),
             right_suffix="_r",
-        ).select_columns(["node", "label"])
+        ).select_columns(["node", "label"]).map_batches(_pin, batch_format="pyarrow")
         # pointer doubling: label-of-label
         # result columns: node, label_l (own), label_r (label's label)
         lab_lab = labels.join(
             labels, "inner", num_partitions, on=("label",), right_on=("node",),
             left_suffix="_l", right_suffix="_r",
         ).map_batches(
-            lambda t: pa.table({"node": t["node"], "label": t["label_r"]}),
+            lambda t: pa.table(
+                {"node": t["node"].cast(pa.int64()),
+                 "label": t["label_r"].cast(pa.int64())}
+            ),
             batch_format="pyarrow",
         )
         labels = (
@@ -690,6 +699,138 @@ def near_dup_drop_list(ds, *, id_col: str = "doc_id", text_col: str = "text",
         ).select(["doc_id"]),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# simhash hamming near-dup (Manku et al., WWW'07 band partitioning)
+# ---------------------------------------------------------------------------
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized SWAR popcount over uint64 (no per-element Python)."""
+    x = x.copy()
+    with np.errstate(over="ignore"):
+        x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+        x = (x & np.uint64(0x3333333333333333)) + (
+            (x >> np.uint64(2)) & np.uint64(0x3333333333333333)
+        )
+        x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x *= np.uint64(0x0101010101010101)
+    return (x >> np.uint64(56)).astype(np.int64)
+
+
+def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      max_hamming: int = 3, n_bands: int | None = None,
+                      coarse_buckets: int = 127):
+    """ALL pairs of docs whose 64-bit simhash fingerprints differ in at most
+    ``max_hamming`` bits — EXACT, not approximate, via the pigeonhole band
+    partitioning of Manku/Jain/Sarma (WWW'07 "Detecting Near-Duplicates for
+    Web Crawling"): with ``n_bands = max_hamming + 1`` contiguous bit bands,
+    a pair with <= max_hamming differing bits must agree exactly on >= 1
+    band, so band-equality buckets cover every true pair; an inline popcount
+    verify drops the false candidates.  Output: Dataset[id_a, id_b, hamming]
+    with id_a < id_b, distinct.
+
+    Scale shape (mirrors ``minhash_dedup_pairs``): one map_batches computes
+    fingerprints and explodes n_bands rows per doc with a bounded coarse
+    bucket key, ONE groupby shuffle co-locates band-equal docs, and each
+    bucket resolves with a single lexsort + triu expansion — per-bucket work
+    is quadratic only in band-collision occupancy (16-bit bands at the
+    default k=3), never in corpus size.  The final distinct is a groupby on
+    the pair key, pre-shrunk because the verify already ran inline.
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from .text import simhash64
+
+    if n_bands is None:
+        n_bands = max_hamming + 1
+    if n_bands <= max_hamming:
+        raise ValueError(
+            f"n_bands={n_bands} must exceed max_hamming={max_hamming} "
+            "for the pigeonhole cover to be exact"
+        )
+    if n_bands > 64:
+        raise ValueError("n_bands must be <= 64")
+    # contiguous band widths: first (64 % n_bands) bands get an extra bit
+    base = 64 // n_bands
+    widths = np.full(n_bands, base, np.uint64)
+    widths[: 64 % n_bands] += np.uint64(1)
+    shifts = np.concatenate([[0], np.cumsum(widths)[:-1]]).astype(np.uint64)
+    masks = np.where(
+        widths == 64, np.uint64(0xFFFFFFFFFFFFFFFF), (np.uint64(1) << widths) - np.uint64(1)
+    )
+
+    def to_bands(t: pa.Table) -> pa.Table:
+        st = simhash64(t.select([id_col, text_col]), text_col=text_col)
+        sim = np.asarray(st["simhash"].combine_chunks(), dtype=np.int64).view(np.uint64)
+        ids = np.asarray(st[id_col].combine_chunks(), dtype=np.int64)
+        n = sim.size
+        band_ids = np.repeat(np.arange(n_bands, dtype=np.int64), n)
+        bits = np.empty(n_bands * n, dtype=np.int64)
+        for b in range(n_bands):
+            bits[b * n : (b + 1) * n] = ((sim >> shifts[b]) & masks[b]).astype(np.int64)
+        bucket = (bits % coarse_buckets + coarse_buckets) % coarse_buckets
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int64()),
+                "band_bits": pa.array(bits, pa.int64()),
+                id_col: pa.array(np.tile(ids, n_bands), pa.int64()),
+                "sim": pa.array(np.tile(sim.view(np.int64), n_bands), pa.int64()),
+                "bucket": pa.array(bucket, pa.int64()),
+            }
+        )
+
+    bands_ds = ds.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        band = np.asarray(t["band"].combine_chunks(), dtype=np.int64)
+        bits = np.asarray(t["band_bits"].combine_chunks(), dtype=np.int64)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        sim = np.asarray(t["sim"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ids, bits, band))
+        band, bits, ids, sim = band[order], bits[order], ids[order], sim[order]
+        if band.size:
+            keep = np.concatenate(
+                [[True],
+                 (band[1:] != band[:-1]) | (bits[1:] != bits[:-1]) | (ids[1:] != ids[:-1])]
+            )
+            band, bits, ids, sim = band[keep], bits[keep], ids[keep], sim[keep]
+        new_grp = (
+            np.concatenate([[True], (band[1:] != band[:-1]) | (bits[1:] != bits[:-1])])
+            if band.size
+            else np.empty(0, bool)
+        )
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.concatenate([starts, [band.size]]))
+        out_a, out_b, out_h = [], [], []
+        for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            ia, ib = np.triu_indices(m, 1)
+            sa, sb = sim[st + ia], sim[st + ib]
+            ham = _popcount64(np.bitwise_xor(sa, sb).view(np.uint64))
+            ok = ham <= max_hamming
+            out_a.append(ids[st + ia][ok])  # ids ascend within the group
+            out_b.append(ids[st + ib][ok])
+            out_h.append(ham[ok])
+        a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
+        b = np.concatenate(out_b) if out_b else np.empty(0, np.int64)
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.int64)
+        pairs = pa.table(
+            {
+                "id_a": pa.array(a, pa.int64()),
+                "id_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(h, pa.int64()),
+            }
+        )
+        # local dedup first (a pair found by several bands in one bucket)
+        g = pairs.group_by(["id_a", "id_b"]).aggregate([("hamming", "min")])
+        return g.rename_columns(["id_a", "id_b", "hamming"])
+
+    cands = bands_ds.groupby("bucket").map_groups(bucket_pairs, batch_format="pyarrow")
+    # cross-bucket distinct (the same pair can fire in different bands ->
+    # different coarse buckets); hamming identical for all copies
+    return cands.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 # ---------------------------------------------------------------------------

@@ -1472,6 +1472,71 @@ SELECT doc_id, {_SQL_U64_TO_I64.format(v='v')} AS simhash FROM sh
 """
 
 
+def q_simhash_dup_pairs(sf_dir: str):
+    """EXACT Hamming<=3 simhash near-dup pairs (Manku WWW'07 band cover,
+    functions/dedup.py:simhash_dup_pairs) over documents augmented with
+    planted twins — exact copies (doc_id%20==0 -> id+1e6) and one-token
+    appends (doc_id%20==10 -> id+2e6).  The SQL twin recomputes every
+    fingerprint from text and filters ALL pairs by bit_count(xor): the band
+    cover + inline popcount verify must reproduce brute force bit-exactly."""
+    import ray.data
+
+    from ..functions.dedup import simhash_dup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_twins(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        text = t["text"].combine_chunks()
+        m0, m1 = ids % 20 == 0, ids % 20 == 10
+        near = pc.binary_join_element_wise(text.filter(pa.array(m1)), " extra0", "")
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    np.concatenate([ids, ids[m0] + 1_000_000, ids[m1] + 2_000_000]),
+                    pa.int64(),
+                ),
+                "text": pa.concat_arrays(
+                    [text, text.filter(pa.array(m0)), near.combine_chunks() if isinstance(near, pa.ChunkedArray) else near]
+                ),
+            }
+        )
+
+    corpus = docs.map_batches(with_twins, batch_format="pyarrow")
+    return simhash_dup_pairs(corpus, max_hamming=3)
+
+
+def sql_simhash_dup_pairs(max_hamming: int = 3) -> str:
+    """Brute-force oracle: per-doc simhash rebuilt from text (same FNV/vote
+    chain as sql_simhash) over the twin-augmented corpus, then ALL pairs
+    filtered by bit_count(xor) <= k."""
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' extra0' FROM documents WHERE doc_id % 20 = 10),
+tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM corpus),
+th AS (SELECT doc_id, {_sql_fnv('w')} AS h FROM tok),
+bits AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) % 2 = 1 THEN 1 ELSE -1 END) AS tally
+  FROM th, (SELECT unnest(generate_series(0, 63)) AS bit) b
+  GROUP BY doc_id, b.bit),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN tally > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS v
+  FROM bits GROUP BY doc_id),
+sv AS (SELECT doc_id, {_SQL_U64_TO_I64.format(v='v')} AS sim FROM sh)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sim, b.sim)) AS BIGINT) AS hamming
+FROM sv a JOIN sv b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+"""
+
+
 def q_ann_cosine(sf_dir: str):
     """Brute-force cosine top-5 for the 8 lowest-id query vectors."""
     import pyarrow.parquet as pq
@@ -2723,6 +2788,7 @@ def build_queries():
         "minhash_dedup": q_minhash_dedup,
         "near_dup_drop_list": q_near_dup_drop_list,
         "simhash": q_simhash,
+        "simhash_dup_pairs": q_simhash_dup_pairs,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -2801,6 +2867,7 @@ def build_queries():
         "minhash_dedup": SQL_MINHASH_PAIRS,
         "near_dup_drop_list": SQL_NEAR_DUP_DROP,
         "simhash": sql_simhash(),
+        "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "fingerprint": sql_fingerprint(),
         "ann_cosine": SQL_ANN,
         "ann_ivf_exhaustive": SQL_ANN,

@@ -927,3 +927,46 @@ def test_extract_text_round_trip_adversarial():
     # nested/multiple tags inside body are stripped, entities decoded after
     deep = b'<body><div><span>a &lt;tag&gt; b</span><br/>c</div></body>'
     assert extract_text_batch(pa.array([deep], pa.binary())).to_pylist() == ["a <tag> bc"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_simhash_dup_pairs_exact_vs_bruteforce():
+    """The Manku band cover is EXACT: simhash_dup_pairs returns precisely
+    the brute-force all-pairs popcount(xor) <= k set, with the same hamming
+    values, across multiple blocks."""
+    import ray.data
+
+    from rayjoin.functions.dedup import _popcount64, simhash_dup_pairs
+    from rayjoin.functions.text import simhash64
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    texts = [" ".join(rng.choice(words, rng.integers(20, 60))) for _ in range(150)]
+    ids = list(range(150))
+    for i in range(10):          # exact copies -> hamming 0
+        texts.append(texts[i]); ids.append(1000 + i)
+    for i in range(10, 25):      # one-token appends -> small hamming
+        texts.append(texts[i] + " extra"); ids.append(2000 + i)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    sim = np.asarray(simhash64(t)["simhash"]).astype(np.int64)
+    iid = np.asarray(t["doc_id"])
+    ia, ib = np.triu_indices(len(iid), 1)
+    ham = _popcount64(np.bitwise_xor(sim[ia], sim[ib]).view(np.uint64))
+    ok = ham <= 3
+    expected = sorted(
+        zip(np.minimum(iid[ia][ok], iid[ib][ok]).tolist(),
+            np.maximum(iid[ia][ok], iid[ib][ok]).tolist(),
+            ham[ok].tolist())
+    )
+    assert len(expected) >= 10  # planted exact copies guarantee coverage
+
+    out = (
+        simhash_dup_pairs(ray.data.from_arrow(t).repartition(5), max_hamming=3)
+        .to_pandas().sort_values(["id_a", "id_b"])
+    )
+    got = list(zip(out.id_a.tolist(), out.id_b.tolist(), out.hamming.tolist()))
+    assert got == expected
+    # n_bands must exceed max_hamming for the pigeonhole cover
+    with pytest.raises(ValueError):
+        simhash_dup_pairs(ray.data.from_arrow(t), max_hamming=3, n_bands=3)
