@@ -29,30 +29,33 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def synth_link_graph(sf_dir: str):
+def synth_link_graph(sf_dir: str, *, deg_mod: int = 3, target_div: int = 1):
     """Deterministic doc->doc link graph over the documents table:
-    outdeg(i) = 1 + fnv(str(i)) % 3, the j-th target is
-    fnv(str(i) + '>' + str(j)) % n.  Self-loops and duplicate targets are
-    kept (multi-edges contribute once per edge — same rule in the SQL
-    twin).  Returns (edges Dataset[src, dst, outdeg], n_nodes)."""
+    outdeg(i) = 1 + fnv(str(i)) % deg_mod, the j-th target is
+    fnv(str(i) + '>' + str(j)) % max(n // target_div, 1).  Self-loops and
+    duplicate targets are kept (multi-edges contribute once per edge — same
+    rule in the SQL twin).  ``target_div > 1`` concentrates targets into a
+    denser core (used by the triangle gate row so the count is non-vacuous).
+    Returns (edges Dataset[src, dst, outdeg], n_nodes)."""
     import ray.data
 
     from ..stages.geocode import fnv1a64
 
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n = docs.count()  # metadata-backed for parquet: no execution
+    tgt_mod = max(n // target_div, 1)
 
     def edges(t: pa.Table) -> pa.Table:
         src = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
         s = pc.cast(pa.array(src), pa.string())
-        outdeg = 1 + (fnv1a64(s) % np.uint64(3)).astype(np.int64)
+        outdeg = 1 + (fnv1a64(s) % np.uint64(deg_mod)).astype(np.int64)
         srcs, dsts, degs = [], [], []
-        for j in range(3):
+        for j in range(deg_mod):
             live = outdeg > j
             tgt = pc.binary_join_element_wise(
                 pc.cast(pa.array(src[live]), pa.string()), ">", str(j), ""
             )
-            dsts.append((fnv1a64(tgt) % np.uint64(n)).astype(np.int64))
+            dsts.append((fnv1a64(tgt) % np.uint64(tgt_mod)).astype(np.int64))
             srcs.append(src[live])
             degs.append(outdeg[live])
         return pa.table({
@@ -158,3 +161,133 @@ def _pagerank_join(edges, *, n_nodes: int, iters: int, r0: int):
             .aggregate(Sum("part", alias_name="rank"))
         )
     return ranks
+
+def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst"):
+    """Per-node triangle counts over a directed multigraph — EXACT, via the
+    degree-oriented "forward" algorithm (Schank & Wagner 2005; the same
+    orientation trick as Latapy's compact-forward): simple undirected graph
+    = distinct {min,max} pairs minus self-loops, each edge oriented from
+    lower (degree, node) rank to higher, wedges enumerated only from each
+    node's OUT-neighbors and closed with one more hash join.
+
+    Why this shape at 100 TB: orientation bounds every node's out-degree by
+    O(sqrt(m)) on any graph, so the wedge join emits O(m^1.5) rows no matter
+    how skewed the in-degrees are — a hub with 10^8 followers contributes
+    no wedges from its in-edges.  Total: three groupby/join shuffles on the
+    edge list plus one on the (smaller) wedge set; per-batch corner counts
+    pre-aggregate before the final groupby.  Returns Dataset[node, n_tri]
+    for nodes in >= 1 triangle.
+    """
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from .dedup import _num_join_partitions
+
+    nparts = _num_join_partitions()
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = np.asarray(t[src_col].combine_chunks(), dtype=np.int64)
+        d = np.asarray(t[dst_col].combine_chunks(), dtype=np.int64)
+        m = s != d
+        u, v = np.minimum(s[m], d[m]), np.maximum(s[m], d[m])
+        tab = pa.table({"u": pa.array(u, pa.int64()), "v": pa.array(v, pa.int64())})
+        # local dedup shrinks the distinct shuffle
+        return tab.group_by(["u", "v"]).aggregate([]).select(["u", "v"])
+
+    und = (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["u", "v"])
+        .materialize()
+    )
+
+    def ends(t: pa.Table) -> pa.Table:
+        both = np.concatenate([
+            np.asarray(t["u"].combine_chunks(), dtype=np.int64),
+            np.asarray(t["v"].combine_chunks(), dtype=np.int64),
+        ])
+        uniq, cnt = np.unique(both, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "dcnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    deg = (
+        und.map_batches(ends, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("dcnt", alias_name="deg"))
+        .materialize()
+    )
+
+    with_du = und.join(
+        deg, "inner", nparts, on=("u",), right_on=("node",)
+    ).map_batches(
+        lambda t: pa.table({"u": t["u"], "v": t["v"],
+                            "du": t["deg"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+    with_both = with_du.join(
+        deg, "inner", nparts, on=("v",), right_on=("node",)
+    ).map_batches(
+        lambda t: pa.table({"u": t["u"], "v": t["v"], "du": t["du"],
+                            "dv": t["deg"].cast(pa.int64())}),
+        batch_format="pyarrow",
+    )
+
+    def orient(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"].combine_chunks(), dtype=np.int64)
+        v = np.asarray(t["v"].combine_chunks(), dtype=np.int64)
+        du = np.asarray(t["du"].combine_chunks(), dtype=np.int64)
+        dv = np.asarray(t["dv"].combine_chunks(), dtype=np.int64)
+        # orient from lower (deg, node) to higher; ties broken by node id
+        swap = (dv < du) | ((dv == du) & (v < u))
+        a = np.where(swap, v, u)
+        b = np.where(swap, u, v)
+        db = np.where(swap, du, dv)
+        return pa.table({"a": pa.array(a, pa.int64()), "b": pa.array(b, pa.int64()),
+                         "db": pa.array(db, pa.int64())})
+
+    oriented = with_both.map_batches(orient, batch_format="pyarrow").materialize()
+
+    # wedges: out-neighbor pairs of each apex, enumerated once by rank order
+    wedges = oriented.join(
+        oriented, "inner", nparts, on=("a",), left_suffix="_l", right_suffix="_r",
+    ).map_batches(
+        lambda t: _wedge_filter(t), batch_format="pyarrow",
+    )
+    closed = wedges.join(
+        oriented.select_columns(["a", "b"]), "inner", nparts,
+        on=("x", "y"), right_on=("a", "b"),
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        allc = np.concatenate([
+            np.asarray(t["apex"].combine_chunks(), dtype=np.int64),
+            np.asarray(t["x"].combine_chunks(), dtype=np.int64),
+            np.asarray(t["y"].combine_chunks(), dtype=np.int64),
+        ])
+        uniq, cnt = np.unique(allc, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (
+        closed.map_batches(corners, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Sum("cnt", alias_name="n_tri"))
+    )
+
+
+def _wedge_filter(t: pa.Table) -> pa.Table:
+    """Keep out-neighbor pairs in strict rank order: (db_l, b_l) < (db_r, b_r)
+    enumerates each unordered wedge exactly once, and the closing edge —
+    if the triangle exists — is oriented x->y by construction."""
+    bl = np.asarray(t["b_l"].combine_chunks(), dtype=np.int64)
+    br = np.asarray(t["b_r"].combine_chunks(), dtype=np.int64)
+    dl = np.asarray(t["db_l"].combine_chunks(), dtype=np.int64)
+    dr = np.asarray(t["db_r"].combine_chunks(), dtype=np.int64)
+    keep = (dl < dr) | ((dl == dr) & (bl < br))
+    a = np.asarray(t["a"].combine_chunks(), dtype=np.int64)
+    return pa.table({
+        "apex": pa.array(a[keep], pa.int64()),
+        "x": pa.array(bl[keep], pa.int64()),
+        "y": pa.array(br[keep], pa.int64()),
+    })

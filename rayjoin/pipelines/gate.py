@@ -800,6 +800,42 @@ SELECT node, "rank" FROM {prev}
 """
 
 
+def q_triangle_counts(sf_dir: str):
+    """Per-node triangle counts via the degree-oriented forward algorithm
+    (functions/graph.py:triangle_counts) over a denser deterministic link
+    graph (outdeg 1+fnv%6, targets concentrated into n//4 core nodes so
+    triangles exist at sf0.01).  The SQL twin enumerates ordered triples
+    x<y<z with three self-joins — a completely different plan that must
+    produce identical per-node counts."""
+    from ..functions.graph import synth_link_graph, triangle_counts
+
+    edges, _ = synth_link_graph(sf_dir, deg_mod=6, target_div=4)
+    return triangle_counts(edges.materialize())
+
+
+def sql_triangle_counts(deg_mod: int = 6, target_div: int = 4) -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH nn AS (SELECT greatest(COUNT(*) // {target_div}, 1) AS m FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % {deg_mod}::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT m FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, {deg_mod - 1}) AS g(j)
+          WHERE g.j < outdeg),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM und a JOIN und b ON b.u = a.v
+                   JOIN und c ON c.u = a.u AND c.v = b.v),
+corners AS (SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
+"""
+
+
 def q_inverted_index(sf_dir: str):
     """Postings (doc_id, token, tf): per-doc term frequencies need NO
     shuffle (each doc lives in one batch) — one split + dictionary encode
@@ -2771,6 +2807,7 @@ def build_queries():
         "bloom_user_bits": q_bloom_user_bits,
         "bloom_member_custkeys": q_bloom_member_custkeys,
         "pagerank_docs": q_pagerank_docs,
+        "triangle_counts": q_triangle_counts,
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
         "url_normalize": q_url_normalize,
@@ -2850,6 +2887,7 @@ def build_queries():
         "bloom_user_bits": sql_bloom_user_bits(),
         "bloom_member_custkeys": sql_bloom_member_custkeys(),
         "pagerank_docs": sql_pagerank_docs(),
+        "triangle_counts": sql_triangle_counts(),
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
         "url_normalize": SQL_URL_NORMALIZE,
