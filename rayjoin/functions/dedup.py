@@ -60,12 +60,14 @@ def dedup_exact(ds, *, id_col: str = "doc_id", text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 
-def _shingle_hashes(texts: pa.Array, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
-    """BYTE k-shingle hashes per document (flat hashes + doc offsets),
-    computed over the flat utf-8 buffer with a rolling polynomial.  For
-    ASCII text byte shingles equal character shingles; for multi-byte text
-    the engine's contract is byte shingles END TO END (signatures and
-    verify use the same windows, so the pipeline is self-consistent)."""
+def _flat_windows(texts: pa.Array, k: int = 5):
+    """BYTE k-shingle hashes per document over the flat utf-8 buffer with a
+    rolling polynomial.  For ASCII text byte shingles equal character
+    shingles; for multi-byte text the engine's contract is byte shingles END
+    TO END (signatures and verify use the same windows, so the pipeline is
+    self-consistent).  Returns (hashes aligned per (doc, window-pos),
+    per-doc window offsets, flat-buffer start index per window, in-doc
+    position per window, flat byte buffer)."""
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
     n = len(arr)
     buf = arr.buffers()
@@ -89,7 +91,8 @@ def _shingle_hashes(texts: pa.Array, k: int = 5) -> Tuple[np.ndarray, np.ndarray
     # rolling hash over the whole flat buffer, then mask out windows that
     # cross document boundaries
     if data.size < k:
-        return np.empty(0, np.uint64), np.zeros(n + 1, np.int64)
+        return (np.empty(0, np.uint64), np.zeros(n + 1, np.int64),
+                np.empty(0, np.int64), np.empty(0, np.int64), data)
     with np.errstate(over="ignore"):
         h = np.zeros(data.size - k + 1, dtype=np.uint64)
         for j in range(k):
@@ -104,7 +107,13 @@ def _shingle_hashes(texts: pa.Array, k: int = 5) -> Tuple[np.ndarray, np.ndarray
         idx = offsets[:-1][pid] + kk
     else:
         idx = np.empty(0, np.int64)
-    return h[idx], doc_off
+        kk = np.empty(0, np.int64)
+    return h[idx], doc_off, idx, kk, data
+
+
+def _shingle_hashes(texts: pa.Array, k: int = 5) -> Tuple[np.ndarray, np.ndarray]:
+    h, doc_off, _, _, _ = _flat_windows(texts, k)
+    return h, doc_off
 
 
 def minhash_signatures(texts, *, num_perm: int = 64, k: int = 5, seed: int = 1) -> np.ndarray:
@@ -831,6 +840,145 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # cross-bucket distinct (the same pair can fire in different bands ->
     # different coarse buckets); hamming identical for all copies
     return cands.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicated fixed-length windows; ExactSubstr flavor,
+# Lee et al. 2022 "Deduplicating Training Data Makes Language Models Better")
+# ---------------------------------------------------------------------------
+
+
+def _window_words(data: np.ndarray, idx: np.ndarray, window: int) -> np.ndarray:
+    """Gather each window's bytes into zero-padded uint64 words: (n, m) with
+    m = ceil(window/8).  Equality of rows == equality of the byte windows,
+    and lexsorting the columns is a deterministic total order — all
+    vectorized, no per-window Python."""
+    m = (window + 7) // 8
+    out = np.zeros((idx.size, m * 8), dtype=np.uint8)
+    if idx.size:
+        out[:, :window] = data[idx[:, None] + np.arange(window, dtype=np.int64)]
+    return out.view(np.uint64)
+
+
+def duplicated_windows(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                       window: int = 32, broadcast_threshold: int = 5_000_000,
+                       coarse_buckets: int = 127):
+    """Per-doc count of byte windows of length ``window`` whose exact content
+    occurs >= 2 times anywhere in the corpus (other doc OR another position
+    of the same doc) — the detection core of exact-substring dedup.
+    Returns Dataset[doc_id, n_dup_windows] for docs with >= 1 such window.
+
+    EXACT even under hash collisions: candidates are grouped by rolling
+    hash, then verified by comparing the actual window bytes (as packed
+    uint64 words) inside each bucket.
+
+    Scale shape (two passes over the corpus, never an all-window shuffle):
+    pass A pre-aggregates per-batch window-hash counts (the shuffle is
+    O(distinct hashes per batch), not O(windows)) into the global
+    duplicated-hash set; pass B re-scans, keeps only windows whose hash is
+    in that set (broadcast sorted array under ``broadcast_threshold``, hash
+    join above), and ships ONLY those — with their bytes — into a bounded
+    bucketed groupby for the exact verify.  On a dup-light corpus the
+    candidate set is tiny; on a dup-heavy one it is O(true duplicates),
+    which any exact answer must touch anyway."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    m_words = (window + 7) // 8
+
+    def partial_counts(t: pa.Table) -> pa.Table:
+        h, _, _, _, _ = _flat_windows(t[text_col], window)
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"h": pa.array(uniq.view(np.int64), pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    dup_h = (
+        ds.map_batches(partial_counts, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(
+            lambda t: t.filter(pc.greater_equal(t["cnt"], 2)).select(["h"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    n_dup = dup_h.count()
+
+    def candidates(t: pa.Table, member) -> pa.Table:
+        h, doc_off, idx, pos, data = _flat_windows(t[text_col], window)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        doc_of = np.repeat(np.arange(doc_off.size - 1, dtype=np.int64),
+                           np.diff(doc_off))
+        keep = member(h)
+        h, idx, pos, doc_of = h[keep], idx[keep], pos[keep], doc_of[keep]
+        words = _window_words(data, idx, window)
+        cols = {
+            "bucket": pa.array(
+                (h.view(np.int64) % coarse_buckets + coarse_buckets) % coarse_buckets,
+                pa.int64()),
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            id_col: pa.array(ids[doc_of], pa.int64()),
+            "pos": pa.array(pos, pa.int64()),
+        }
+        for w in range(m_words):
+            cols[f"w{w}"] = pa.array(words[:, w].view(np.int64), pa.int64())
+        return pa.table(cols)
+
+    if n_dup <= broadcast_threshold:
+        tabs = [t for t in ray.get(dup_h.to_arrow_refs()) if t.num_rows]
+        arr = (np.sort(np.concatenate(
+            [np.asarray(t["h"], dtype=np.int64) for t in tabs]).view(np.uint64))
+            if tabs else np.empty(0, np.uint64))
+        ref = ray.put(arr)
+
+        def member(h, ref=ref):
+            a = ray.get(ref)
+            if a.size == 0:
+                return np.zeros(h.size, bool)
+            p = np.searchsorted(a, h)
+            p = np.minimum(p, a.size - 1)
+            return a[p] == h
+
+        cand = ds.map_batches(
+            lambda t: candidates(t, member), batch_format="pyarrow"
+        )
+    else:
+        # scale fallback: hash-join the window stream against the dup-hash
+        # set; ships candidate windows only after the join filter
+        all_w = ds.map_batches(
+            lambda t: candidates(t, lambda h: np.ones(h.size, bool)),
+            batch_format="pyarrow",
+        )
+        cand = all_w.join(dup_h, "inner", _num_join_partitions(), on=("h",),
+                          right_suffix="_r")
+
+    def verify(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["h"].combine_chunks(), dtype=np.int64)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        words = np.stack(
+            [np.asarray(t[f"w{w}"].combine_chunks(), dtype=np.int64)
+             for w in range(m_words)], axis=1) if h.size else np.empty((0, m_words), np.int64)
+        order = np.lexsort(tuple(words[:, w] for w in range(m_words - 1, -1, -1)) + (h,))
+        h, ids, words = h[order], ids[order], words[order]
+        same = (
+            (h[1:] == h[:-1]) & (words[1:] == words[:-1]).all(axis=1)
+            if h.size else np.empty(0, bool)
+        )
+        new_grp = np.concatenate([[True], ~same]) if h.size else np.empty(0, bool)
+        grp = np.cumsum(new_grp) - 1
+        sizes = np.bincount(grp) if h.size else np.empty(0, np.int64)
+        dup_rows = sizes[grp] >= 2
+        uniq, cnt = np.unique(ids[dup_rows], return_counts=True)
+        return pa.table({id_col: pa.array(uniq, pa.int64()),
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (
+        cand.groupby("bucket")
+        .map_groups(verify, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("cnt", alias_name="n_dup_windows"))
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1573,6 +1573,50 @@ WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
 """
 
 
+def q_exact_substr_windows(sf_dir: str):
+    """Exact-substring dedup core (Lee et al. 2022 flavor,
+    functions/dedup.py:duplicated_windows): per-doc count of 32-byte
+    windows whose exact content recurs anywhere in the corpus.  Corpus =
+    documents plus exact twins (doc_id%20==0 -> id+1e6) so duplication is
+    guaranteed.  The rolling-hash + bucketed byte-verify two-pass plan must
+    equal the SQL twin's direct substring groupby."""
+    import ray.data
+
+    from ..functions.dedup import duplicated_windows
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_twins(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        text = t["text"].combine_chunks()
+        m0 = ids % 20 == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, ids[m0] + 1_000_000]), pa.int64()),
+                "text": pa.concat_arrays([text, text.filter(pa.array(m0))]),
+            }
+        )
+
+    corpus = docs.map_batches(with_twins, batch_format="pyarrow")
+    return duplicated_windows(corpus, window=32)
+
+
+SQL_EXACT_SUBSTR_WINDOWS = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(text) - 31),
+                               i -> substring(text, i, 32))) AS win
+  FROM corpus WHERE length(text) >= 32),
+dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2)
+SELECT doc_id, COUNT(*) AS n_dup_windows
+FROM w JOIN dup USING (win) GROUP BY doc_id
+"""
+
+
 def q_ann_cosine(sf_dir: str):
     """Brute-force cosine top-5 for the 8 lowest-id query vectors."""
     import pyarrow.parquet as pq
@@ -2826,6 +2870,7 @@ def build_queries():
         "near_dup_drop_list": q_near_dup_drop_list,
         "simhash": q_simhash,
         "simhash_dup_pairs": q_simhash_dup_pairs,
+        "exact_substr_windows": q_exact_substr_windows,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -2906,6 +2951,7 @@ def build_queries():
         "near_dup_drop_list": SQL_NEAR_DUP_DROP,
         "simhash": sql_simhash(),
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
+        "exact_substr_windows": SQL_EXACT_SUBSTR_WINDOWS,
         "fingerprint": sql_fingerprint(),
         "ann_cosine": SQL_ANN,
         "ann_ivf_exhaustive": SQL_ANN,

@@ -970,3 +970,38 @@ def test_simhash_dup_pairs_exact_vs_bruteforce():
     # n_bands must exceed max_hamming for the pigeonhole cover
     with pytest.raises(ValueError):
         simhash_dup_pairs(ray.data.from_arrow(t), max_hamming=3, n_bands=3)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicated_windows_exact_vs_bruteforce():
+    """duplicated_windows (ExactSubstr core) equals the brute-force window
+    Counter on a corpus with a full copy, a shared 40-char run, and a
+    below-window doc — on BOTH the broadcast and the join fallback path."""
+    from collections import Counter
+
+    import ray.data
+
+    from rayjoin.functions.dedup import duplicated_windows
+
+    rng = np.random.default_rng(11)
+    W = 16
+    docs = ["".join(rng.choice(list("abcdefgh"), rng.integers(30, 120)))
+            for _ in range(60)]
+    docs += [docs[0], "zzz" + docs[1][:40] + "qqq", "tiny"]
+    ids = list(range(len(docs)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs)})
+
+    wins = Counter(s[p:p + W] for s in docs for p in range(max(len(s) - W + 1, 0)))
+    exp = {}
+    for i, s in zip(ids, docs):
+        c = sum(1 for p in range(max(len(s) - W + 1, 0)) if wins[s[p:p + W]] >= 2)
+        if c:
+            exp[i] = c
+    assert exp  # planted duplication is present
+
+    for thresh in (5_000_000, 0):  # broadcast path, then join fallback
+        out = duplicated_windows(
+            ray.data.from_arrow(t).repartition(4), window=W,
+            broadcast_threshold=thresh,
+        ).to_pandas()
+        assert dict(zip(out.doc_id.tolist(), out.n_dup_windows.tolist())) == exp
