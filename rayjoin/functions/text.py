@@ -360,3 +360,86 @@ def tfidf(ds, *, n_docs: int, text_col: str = "text", id_col: str = "doc_id",
             "tfidf", pa.array(tf_ * _idf_of(d), pa.float64()))
 
     return j.map_batches(score_joined, batch_format="pyarrow")
+
+
+def unigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                      broadcast_vocab_rows: int = 1_000_000):
+    """Per-doc unigram language-model score — the classic corpus-level
+    quality signal (CCNet/Wenzek et al. use a 5-gram LM; the unigram case
+    is the exactly-checkable core): score(d) = sum over token occurrences
+    of floor(1e6 * ln(cnt(token) / N)) as FIXED-POINT int64, so the sum is
+    order-independent and the whole model-build + scoring pipeline
+    gate-checks bit-exactly.  Returns Dataset[doc_id, n_tokens,
+    logprob_micro] (more negative == more surprising under the corpus
+    model).
+
+    Scale shape: postings from ``inverted_index`` (zero shuffle), the
+    unigram model from ONE groupby over already-distinct (doc, token)
+    pairs, scores via broadcast sorted-vocab lookup under
+    ``broadcast_vocab_rows`` (hash join beyond), one final groupby(doc).
+    ln via math.log over DISTINCT counts only (libm-parity trick proven by
+    tfidf: numpy's vectorized log is 1 ulp off on ~28% of inputs)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _num_join_partitions
+
+    post = inverted_index(ds, text_col=text_col, id_col=id_col)
+    vocab = post.groupby("token").aggregate(Sum("tf", alias_name="cnt")).materialize()
+    n_total = vocab.sum("cnt")
+
+    def _lp_of(cnt: np.ndarray) -> np.ndarray:
+        uniq, inv = np.unique(cnt, return_inverse=True)
+        nf = np.float64(n_total)
+        lut = np.array(
+            [np.floor(1_000_000 * math.log(np.float64(c) / nf)) for c in uniq],
+            np.float64,
+        ).astype(np.int64)
+        return lut[inv]
+
+    def _to_scores(t: pa.Table, lp: np.ndarray) -> pa.Table:
+        tf_ = np.asarray(t["tf"].combine_chunks(), dtype=np.int64)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        # per-batch partial: the final shuffle carries one row per touched doc
+        uniq, inv = np.unique(ids, return_inverse=True)
+        ntok = np.zeros(uniq.size, np.int64)
+        lpsum = np.zeros(uniq.size, np.int64)
+        np.add.at(ntok, inv, tf_)
+        np.add.at(lpsum, inv, tf_ * lp)
+        return pa.table({
+            id_col: pa.array(uniq, pa.int64()),
+            "ntok": pa.array(ntok, pa.int64()),
+            "lpsum": pa.array(lpsum, pa.int64()),
+        })
+
+    if vocab.count() <= broadcast_vocab_rows:
+        tbl = pa.concat_tables(ray.get(vocab.to_arrow_refs()))
+        toks = tbl["token"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        order = np.argsort(toks)
+        cnts = np.asarray(tbl["cnt"], dtype=np.int64)[order]
+        ref = ray.put((toks[order], _lp_of(cnts)))
+
+        def probe(t: pa.Table) -> pa.Table:
+            tok_sorted, lp_sorted = ray.get(ref)
+            tok = t["token"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+            pos = np.clip(np.searchsorted(tok_sorted, tok), 0, tok_sorted.size - 1)
+            if not (tok_sorted[pos] == tok).all():
+                raise KeyError("unigram_lm_scores: token missing from vocab")
+            return _to_scores(t, lp_sorted[pos])
+
+        parts = post.map_batches(probe, batch_format="pyarrow")
+    else:
+        j = post.join(vocab, "inner", _num_join_partitions(), on=("token",))
+        parts = j.map_batches(
+            lambda t: _to_scores(t, _lp_of(np.asarray(t["cnt"].combine_chunks(),
+                                                      dtype=np.int64))),
+            batch_format="pyarrow",
+        )
+
+    return (
+        parts.groupby(id_col)
+        .aggregate(Sum("ntok", alias_name="n_tokens"),
+                   Sum("lpsum", alias_name="logprob_micro"))
+    )

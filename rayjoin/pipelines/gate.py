@@ -914,6 +914,36 @@ def _messy_urls_batch(t: pa.Table) -> pa.Table:
     return pa.table({"doc_id": t["doc_id"].combine_chunks(), "url": url})
 
 
+def q_lm_score(sf_dir: str):
+    """Unigram LM quality scores (functions/text.py:unigram_lm_scores):
+    corpus model built distributed, docs scored in fixed-point micro-nats
+    so the whole build+score pipeline is bit-exact vs the SQL twin."""
+    import ray.data
+
+    from ..functions.text import unigram_lm_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return unigram_lm_scores(docs)
+
+
+SQL_LM_SCORE = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab),
+lp AS (SELECT token,
+       CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE) / (SELECT n FROM nn)))
+            AS BIGINT) AS lp
+       FROM vocab)
+SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
+       CAST(SUM(t.tf * l.lp) AS BIGINT) AS logprob_micro
+FROM tf t JOIN lp l USING (token)
+GROUP BY t.doc_id
+"""
+
+
 def q_url_normalize(sf_dir: str):
     """URL canonicalization (functions/urls.py): lowercase scheme/host,
     fragment strip, default-port drop, empty-path -> '/', bytewise query
@@ -2854,6 +2884,7 @@ def build_queries():
         "triangle_counts": q_triangle_counts,
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
+        "lm_score": q_lm_score,
         "url_normalize": q_url_normalize,
         "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
@@ -2935,6 +2966,7 @@ def build_queries():
         "triangle_counts": sql_triangle_counts(),
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
+        "lm_score": SQL_LM_SCORE,
         "url_normalize": SQL_URL_NORMALIZE,
         "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),

@@ -1005,3 +1005,36 @@ def test_duplicated_windows_exact_vs_bruteforce():
             broadcast_threshold=thresh,
         ).to_pandas()
         assert dict(zip(out.doc_id.tolist(), out.n_dup_windows.tolist())) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_unigram_lm_scores_plan_parity():
+    """Broadcast sorted-vocab lookup and the hash-join fallback produce
+    bit-identical fixed-point scores; scores agree with a direct Counter
+    model."""
+    import math
+    from collections import Counter
+
+    import ray.data
+
+    from rayjoin.functions.text import unigram_lm_scores
+
+    texts = ["a b c a", "b b d", "a", "e f g h i", "a b c a"]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    cnt = Counter(w for s in texts for w in s.split(" "))
+    n = float(sum(cnt.values()))
+    lp = {w: int(np.floor(1_000_000 * math.log(np.float64(c) / np.float64(n))))
+          for w, c in cnt.items()}
+    exp = {
+        i: (len(s.split(" ")), sum(lp[w] for w in s.split(" ")))
+        for i, s in zip(ids, texts)
+    }
+
+    ds = ray.data.from_arrow(t).repartition(3)
+    a = unigram_lm_scores(ds).to_pandas().sort_values("doc_id")
+    b = unigram_lm_scores(ds, broadcast_vocab_rows=0).to_pandas().sort_values("doc_id")
+    got = {r.doc_id: (r.n_tokens, r.logprob_micro) for r in a.itertuples()}
+    assert got == exp
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
