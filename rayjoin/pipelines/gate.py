@@ -247,6 +247,58 @@ SELECT big_row_id, small_row_id, distance, rn - 1 AS knn_rank FROM r WHERE rn <=
 """
 
 
+def q_idw_interpolate(sf_dir: str):
+    """IDW spatial interpolation (functions/interp.py) on top of the exact
+    kNN join: each customer point gets the fixed-point inverse-distance-
+    weighted value of its 3 nearest suppliers (value = row_id % 100).
+    Integer weights w = min(floor(1e9/d^2), 1e12) make every sum
+    order-independent — the whole kNN+interpolate chain is bit-exact."""
+    import ray.data
+
+    from ..functions.interp import idw_interpolate
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    knn = SpatialIndex(small).knn_join(big, k=3).map_batches(
+        lambda t: t.rename_columns(["big_row_id", "small_row_id", "distance", "knn_rank"]),
+        batch_format="pyarrow",
+    )
+    sid = np.asarray(small["row_id"], dtype=np.int64)
+    values = ray.data.from_arrow(pa.table({
+        "small_row_id": pa.array(sid, pa.int64()),
+        "value": pa.array(sid % 100, pa.int64()),
+    }))
+    return idw_interpolate(knn, values)
+
+
+SQL_IDW = """
+WITH big AS ({big}), small AS ({small}),
+d AS (
+  SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+         sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) AS distance
+  FROM big b, small s),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY big_row_id
+                               ORDER BY distance, small_row_id) AS rn
+  FROM d),
+k AS (SELECT big_row_id, small_row_id, distance FROM r WHERE rn <= 3),
+w AS (
+  SELECT big_row_id, small_row_id % 100 AS value,
+         CASE WHEN distance = 0.0 THEN 1000000000000
+              ELSE CAST(LEAST(floor(1000000000 / (distance * distance)),
+                              1000000000000.0) AS BIGINT) END AS w
+  FROM k),
+s AS (
+  SELECT big_row_id, CAST(SUM(w * value) AS BIGINT) AS idw_num,
+         CAST(SUM(w) AS BIGINT) AS idw_den
+  FROM w GROUP BY big_row_id)
+SELECT big_row_id, idw_num, idw_den,
+       (1000 * idw_num) // idw_den AS idw_milli
+FROM s
+"""
+
+
 def q_knn_points_partitioned(sf_dir: str):
     """Same kNN join through the two-large-sides partitioned plan (phase-A
     bound + phase-B radius-replicated resolve); same oracle SQL as the
@@ -2868,6 +2920,7 @@ def build_queries():
         "prox_with_geos": q_prox_with_geos,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
+        "idw_interpolate": q_idw_interpolate,
         "knn_points_capped": q_knn_points_capped,
         "knn_points_capped_partitioned": q_knn_points_capped_partitioned,
         "pip_triangle": q_pip_triangle,
@@ -2950,6 +3003,7 @@ def build_queries():
         "prox_with_geos": SQL_PROX_GEOS.format(big=pts_cust, small=pts_supp),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
+        "idw_interpolate": SQL_IDW.format(big=pts_cust, small=pts_supp),
         "knn_points_capped": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
         "knn_points_capped_partitioned": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),

@@ -1038,3 +1038,35 @@ def test_unigram_lm_scores_plan_parity():
     got = {r.doc_id: (r.n_tokens, r.logprob_micro) for r in a.itertuples()}
     assert got == exp
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_idw_interpolate_fixed_point():
+    """IDW weights are capped ints; d == 0 neighbors take the cap weight;
+    broadcast and join value-attach paths agree bit-exactly."""
+    import ray.data
+
+    from rayjoin.functions.interp import W_CAP, idw_interpolate
+
+    knn = pa.table({
+        "big_row_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+        "small_row_id": pa.array([10, 11, 12, 10, 12], pa.int64()),
+        "distance": pa.array([0.0, 2.0, 1e-9, 3.0, 4.0], pa.float64()),
+    })
+    vals = pa.table({
+        "small_row_id": pa.array([10, 11, 12], pa.int64()),
+        "value": pa.array([5, 7, 9], pa.int64()),
+    })
+    kds = ray.data.from_arrow(knn).repartition(2)
+    vds = ray.data.from_arrow(vals)
+    a = idw_interpolate(kds, vds).to_pandas().sort_values("big_row_id").reset_index(drop=True)
+    b = idw_interpolate(kds, ray.data.from_arrow(vals),
+                        broadcast_threshold_rows=0).to_pandas().sort_values(
+        "big_row_id").reset_index(drop=True)
+    assert a.equals(b)
+    # query 1: w(0)=cap, w(2.0)=floor(1e9/4)=25e7, w(1e-9)=cap (overflow-capped)
+    w0, w1, w2 = W_CAP, 250_000_000, W_CAP
+    num = w0 * 5 + w1 * 7 + w2 * 9
+    den = w0 + w1 + w2
+    r1 = a[a.big_row_id == 1].iloc[0]
+    assert (r1.idw_num, r1.idw_den, r1.idw_milli) == (num, den, (1000 * num) // den)
