@@ -1,0 +1,251 @@
+"""Convex polygon overlay: vectorized pairwise intersection AREA.
+
+The missing piece between the predicate joins (intersects/contains) and
+zonal analytics: area-weighted overlay (`join pairs -> how MUCH do they
+overlap`).  Implements Sutherland–Hodgman clipping (1974) — the subject
+polygon is clipped by each half-plane of a CONVEX clip polygon — fully
+vectorized across a batch of pairs: the slot loops run over the bounded
+per-polygon vertex count (<= 8 for rect/triangle overlays), never over
+pairs.
+
+Exactness contract:
+- rect x rect pairs take a closed-form min/max fast path whose IEEE
+  expression graph is reproduced verbatim in the SQL oracle (bit-exact).
+- general convex pairs (triangle/rect/convex single-ring polygon) run S-H
+  with a fixed, documented operation order, differentially tested against
+  the scalar reference `clip_area_scalar` below (bit-exact agreement).
+- lower-dimensional geometries (point/line/linestring) have zero area by
+  the dimension rule; concave polygons are outside the contract (S-H is
+  only exact for convex clips).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .spec import LINE, LINESTRING, POINT, POLYGON, RECT, TRIANGLE
+
+
+# ---------------------------------------------------------------------------
+# scalar reference (the spec; tests pin the vectorized kernel against it)
+# ---------------------------------------------------------------------------
+
+
+def clip_area_scalar(subj, clip):
+    """Reference S-H: subj/clip are CCW vertex lists [(x, y), ...]."""
+    out = list(subj)
+    m = len(clip)
+    for e in range(m):
+        px, py = clip[e]
+        qx, qy = clip[(e + 1) % m]
+        ex, ey = qx - px, qy - py
+        cur_list, out = out, []
+        k = len(cur_list)
+        for j in range(k):
+            cx, cy = cur_list[j]
+            nx, ny = cur_list[(j + 1) % k]
+            d1 = ex * (cy - py) - ey * (cx - px)
+            d2 = ex * (ny - py) - ey * (nx - px)
+            if d1 >= 0:
+                out.append((cx, cy))
+            if (d1 >= 0) != (d2 >= 0):
+                t = d1 / (d1 - d2)
+                out.append((cx + t * (nx - cx), cy + t * (ny - cy)))
+        if not out:
+            break
+    s = 0.0
+    k = len(out)
+    for j in range(k):
+        xj, yj = out[j]
+        xn, yn = out[(j + 1) % k]
+        s += xj * yn - xn * yj
+    return 0.5 * s
+
+
+def signed_area_scalar(pts):
+    s = 0.0
+    k = len(pts)
+    for j in range(k):
+        xj, yj = pts[j]
+        xn, yn = pts[(j + 1) % k]
+        s += xj * yn - xn * yj
+    return 0.5 * s
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernel
+# ---------------------------------------------------------------------------
+
+
+def _emit(buf, cnt, mask, pts):
+    idx = np.flatnonzero(mask)
+    if idx.size:
+        buf[idx, cnt[idx]] = pts[idx]
+        cnt[idx] += 1
+
+
+def _shoelace(V: np.ndarray, cnt: np.ndarray) -> np.ndarray:
+    """Signed area over slot-padded vertex buffers; accumulation in slot
+    order (ascending j) — the scalar reference uses the identical order."""
+    n, VM, _ = V.shape
+    s = np.zeros(n, np.float64)
+    ar = np.arange(n)
+    for j in range(VM):
+        alive = j < cnt
+        if not alive.any():
+            break
+        nj = np.where(j + 1 < cnt, j + 1, 0)
+        x0, y0 = V[:, j, 0], V[:, j, 1]
+        x1 = V[ar, nj, 0]
+        y1 = V[ar, nj, 1]
+        s = np.where(alive, s + (x0 * y1 - x1 * y0), s)
+    return 0.5 * s
+
+
+def _reverse_in_place(V: np.ndarray, cnt: np.ndarray, mask: np.ndarray):
+    idx = np.flatnonzero(mask)
+    if idx.size == 0:
+        return
+    VM = V.shape[1]
+    sub = V[idx].copy()
+    for j in range(VM):
+        alive = j < cnt[idx]
+        src = cnt[idx] - 1 - j
+        rows = idx[alive]
+        V[rows, j] = sub[alive, src[alive]]
+
+
+def ensure_ccw(V: np.ndarray, cnt: np.ndarray):
+    """Reverse rings with negative signed area (in place)."""
+    a = _shoelace(V, cnt)
+    _reverse_in_place(V, cnt, a < 0)
+
+
+def clip_convex(subj: np.ndarray, scnt: np.ndarray,
+                clip: np.ndarray, ccnt: np.ndarray) -> np.ndarray:
+    """Areas of pairwise intersections; subj (n,SM,2) / clip (n,CM,2) slot
+    buffers with per-pair vertex counts, both CCW."""
+    n, SM, _ = subj.shape
+    CM = clip.shape[1]
+    VM = SM + CM
+    S = np.zeros((n, VM, 2), np.float64)
+    S[:, :SM] = subj
+    m = scnt.astype(np.int64).copy()
+    ar = np.arange(n)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for e in range(CM):
+            active = (e < ccnt) & (m >= 1)
+            if not active.any():
+                continue
+            qidx = np.where(e + 1 < ccnt, e + 1, 0)
+            P = clip[:, min(e, CM - 1)]
+            Q = clip[ar, qidx]
+            ex, ey = Q[:, 0] - P[:, 0], Q[:, 1] - P[:, 1]
+            out = np.zeros_like(S)
+            ocnt = np.zeros(n, np.int64)
+            for j in range(VM):
+                alive = active & (j < m)
+                if not alive.any():
+                    break
+                cur = S[:, j]
+                nj = np.where(j + 1 < m, j + 1, 0)
+                nxt = S[ar, nj]
+                d1 = ex * (cur[:, 1] - P[:, 1]) - ey * (cur[:, 0] - P[:, 0])
+                d2 = ex * (nxt[:, 1] - P[:, 1]) - ey * (nxt[:, 0] - P[:, 0])
+                c_in = d1 >= 0
+                n_in = d2 >= 0
+                _emit(out, ocnt, alive & c_in, cur)
+                t = d1 / (d1 - d2)
+                pt = cur + t[:, None] * (nxt - cur)
+                _emit(out, ocnt, alive & (c_in != n_in), pt)
+            keep = ~active
+            out[keep] = S[keep]
+            ocnt[keep] = m[keep]
+            S, m = out, ocnt
+    return _shoelace(S, m)
+
+
+# ---------------------------------------------------------------------------
+# batch operator over *_with_geos join output
+# ---------------------------------------------------------------------------
+
+
+def _ring0(coords) -> tuple:
+    arr = coords.combine_chunks() if isinstance(coords, pa.ChunkedArray) else coords
+    ring = pc.list_element(arr, 0)
+    if isinstance(ring, pa.ChunkedArray):
+        ring = ring.combine_chunks()
+    flat = np.asarray(ring.values, dtype=np.float64)
+    off = np.asarray(ring.offsets, dtype=np.int64)
+    return flat, off
+
+
+def _poly_buffers(kind: np.ndarray, coords) -> tuple:
+    """Slot-padded CCW vertex buffers from geometry columns.  Rect coords
+    ([x0,y0,x1,y1]) expand to 4 corners; point/line/linestring keep their
+    vertices (their shoelace is exactly 0)."""
+    flat, off = _ring0(coords)
+    n = kind.size
+    nvals = off[1:] - off[:-1]
+    cnt = nvals // 2
+    is_rect = kind == RECT
+    cnt = np.where(is_rect, 4, cnt).astype(np.int64)
+    VM = max(int(cnt.max()) if n else 0, 4)
+    V = np.zeros((n, VM, 2), np.float64)
+    # non-rect: scatter the ragged vertex pairs into slots
+    from .primitives import repeat_expand
+
+    nr = np.flatnonzero(~is_rect)
+    if nr.size:
+        c = (nvals[nr] // 2)
+        pid, slot = repeat_expand(c)
+        base = off[:-1][nr]
+        src = base[pid] + 2 * slot
+        rows = nr[pid]
+        V[rows, slot, 0] = flat[src]
+        V[rows, slot, 1] = flat[src + 1]
+    r = np.flatnonzero(is_rect)
+    if r.size:
+        b = off[:-1][r]
+        x0, y0, x1, y1 = flat[b], flat[b + 1], flat[b + 2], flat[b + 3]
+        V[r, 0, 0], V[r, 0, 1] = x0, y0
+        V[r, 1, 0], V[r, 1, 1] = x1, y0
+        V[r, 2, 0], V[r, 2, 1] = x1, y1
+        V[r, 3, 0], V[r, 3, 1] = x0, y1
+    ensure_ccw(V, cnt)
+    return V, cnt
+
+
+def intersection_area_batch(t: pa.Table, *, out_col: str = "inter_area") -> pa.Table:
+    """Append the pairwise intersection area to a *_with_geos join batch.
+    rect x rect pairs take the closed-form min/max path (SQL-reproducible
+    bit-exactly); other convex pairs run the S-H kernel; pairs involving a
+    0/1-dimensional geometry get exactly 0.0."""
+    bk = np.asarray(t["big_geom_type"].combine_chunks(), dtype=np.int8)
+    sk = np.asarray(t["small_geom_type"].combine_chunks(), dtype=np.int8)
+    n = len(t)
+    area = np.zeros(n, np.float64)
+    bflat, boff = _ring0(t["big_coords"])
+    sflat, soff = _ring0(t["small_coords"])
+
+    both_rect = (bk == RECT) & (sk == RECT)
+    rr = np.flatnonzero(both_rect)
+    if rr.size:
+        b, s = boff[:-1][rr], soff[:-1][rr]
+        w = np.minimum(bflat[b + 2], sflat[s + 2]) - np.maximum(bflat[b], sflat[s])
+        h = np.minimum(bflat[b + 3], sflat[s + 3]) - np.maximum(bflat[b + 1], sflat[s + 1])
+        area[rr] = np.maximum(w, 0.0) * np.maximum(h, 0.0)
+
+    areal = np.isin(bk, (RECT, TRIANGLE, POLYGON)) & np.isin(sk, (RECT, TRIANGLE, POLYGON))
+    gen = np.flatnonzero(areal & ~both_rect)
+    if gen.size:
+        sub = t.take(pa.array(gen))
+        BV, bc = _poly_buffers(np.asarray(sub["big_geom_type"], dtype=np.int8),
+                               sub["big_coords"])
+        SV, sc = _poly_buffers(np.asarray(sub["small_geom_type"], dtype=np.int8),
+                               sub["small_coords"])
+        area[gen] = clip_convex(BV, bc, SV, sc)
+
+    return t.append_column(out_col, pa.array(area, pa.float64()))

@@ -188,6 +188,39 @@ WHERE NOT (a.cx - a.w/2 > b.cx + b.w/2 OR a.cx + a.w/2 < b.cx - b.w/2
 """
 
 
+def q_overlay_rect_area(sf_dir: str):
+    """Area-weighted overlay (geom/overlay.py): nation rects x supplier
+    rects intersection join carrying geometries, then the pairwise
+    intersection AREA — the rect-rect closed form whose IEEE expression
+    graph the SQL twin reproduces verbatim.  (The general convex S-H
+    kernel in the same module is pinned by differential pytest.)"""
+    from ..geom.overlay import intersection_area_batch
+    from ..join.broadcast import SpatialIndex
+
+    small = rects_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(rects_geom_table(sf_dir, "nation", "n_nationkey"), 2)
+    ds = SpatialIndex(small).spatial_join_with_geos(big, Interaction.INTERSECTS)
+    return ds.map_batches(intersection_area_batch, batch_format="pyarrow").map_batches(
+        lambda t: t.select(["big_row_id", "small_row_id", "inter_area"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_OVERLAY_RECT = """
+WITH a AS ({a}), b AS ({b}),
+ar AS (SELECT row_id, cx - w/2 AS x0, cy - h/2 AS y0,
+              cx + w/2 AS x1, cy + h/2 AS y1 FROM a),
+br AS (SELECT row_id, cx - w/2 AS x0, cy - h/2 AS y0,
+              cx + w/2 AS x1, cy + h/2 AS y1 FROM b)
+SELECT br.row_id AS big_row_id, ar.row_id AS small_row_id,
+       GREATEST(LEAST(br.x1, ar.x1) - GREATEST(br.x0, ar.x0), 0.0)
+       * GREATEST(LEAST(br.y1, ar.y1) - GREATEST(br.y0, ar.y0), 0.0)
+         AS inter_area
+FROM ar, br
+WHERE NOT (ar.x0 > br.x1 OR ar.x1 < br.x0 OR ar.y0 > br.y1 OR ar.y1 < br.y0)
+"""
+
+
 def q_prox_points(sf_dir: str):
     """Proximity map: customer points vs supplier points, max_distance 3.0
     (inclusive), emitting exact distances."""
@@ -2912,6 +2945,7 @@ def build_queries():
         "sjoin_point_in_rect_partitioned": q_sjoin_point_in_rect_partitioned,
         "sjoin_point_in_rect_hilbert": q_sjoin_point_in_rect_hilbert,
         "sjoin_rect_rect_intersects": q_sjoin_rect_rect_intersects,
+        "overlay_rect_area": q_overlay_rect_area,
         "sjoin_within": q_sjoin_within,
         "sjoin_with_geos": q_sjoin_with_geos,
         "sjoin_with_geos_partitioned": q_sjoin_with_geos_partitioned,
@@ -2995,6 +3029,7 @@ def build_queries():
         "sjoin_point_in_rect_partitioned": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_point_in_rect_hilbert": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_rect_rect_intersects": SQL_RECT_RECT.format(a=rsup, b=rnat),
+        "overlay_rect_area": SQL_OVERLAY_RECT.format(a=rsup, b=rnat),
         "sjoin_within": SQL_WITHIN.format(pts=pts_supp, rects=rnat),
         "sjoin_with_geos": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),
         "sjoin_with_geos_partitioned": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),

@@ -1,0 +1,95 @@
+"""Convex overlay kernel: scalar/vector bit-exact agreement, integer-exact
+cases, and the with_geos batch operator."""
+import numpy as np
+import pyarrow as pa
+
+from rayjoin.geom.encode import points_geom, rects_geom, tris_geom
+from rayjoin.geom.overlay import (
+    clip_area_scalar,
+    clip_convex,
+    intersection_area_batch,
+)
+
+
+def _rand_tri(rng):
+    while True:
+        p = rng.uniform(-5, 5, (3, 2))
+        a = 0.5 * ((p[1, 0] - p[0, 0]) * (p[2, 1] - p[0, 1])
+                   - (p[2, 0] - p[0, 0]) * (p[1, 1] - p[0, 1]))
+        if abs(a) > 1e-3:
+            if a < 0:
+                p = p[::-1]
+            return [tuple(v) for v in p]
+
+
+def _rand_rect(rng):
+    x0, y0 = rng.uniform(-5, 0, 2)
+    w, h = rng.uniform(0.5, 5, 2)
+    return [(x0, y0), (x0 + w, y0), (x0 + w, y0 + h), (x0, y0 + h)]
+
+
+def test_clip_convex_bit_exact_vs_scalar():
+    rng = np.random.default_rng(5)
+    pairs = []
+    for _ in range(500):
+        a = _rand_tri(rng) if rng.random() < 0.5 else _rand_rect(rng)
+        b = _rand_tri(rng) if rng.random() < 0.5 else _rand_rect(rng)
+        pairs.append((a, b))
+    SM = max(len(a) for a, _ in pairs)
+    CM = max(len(b) for _, b in pairs)
+    n = len(pairs)
+    SV = np.zeros((n, SM, 2)); sc = np.zeros(n, np.int64)
+    CV = np.zeros((n, CM, 2)); cc = np.zeros(n, np.int64)
+    for i, (a, b) in enumerate(pairs):
+        SV[i, :len(a)] = a; sc[i] = len(a)
+        CV[i, :len(b)] = b; cc[i] = len(b)
+    got = clip_convex(SV, sc, CV, cc)
+    exp = np.array([clip_area_scalar(a, b) for a, b in pairs])
+    assert (got.view(np.int64) == exp.view(np.int64)).all()
+    # sanity bounds: 0 <= area <= min(|a|, |b|) (+ tiny fp slack)
+    from rayjoin.geom.overlay import signed_area_scalar
+
+    caps = np.array([min(signed_area_scalar(a), signed_area_scalar(b))
+                     for a, b in pairs])
+    assert (got >= -1e-12).all() and (got <= caps + 1e-9).all()
+
+
+def test_clip_exact_integer_cases():
+    tri = [(0.0, 0.0), (4.0, 0.0), (0.0, 4.0)]
+    sq2 = [(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]
+    sq3 = [(0.0, 0.0), (3.0, 0.0), (3.0, 3.0), (0.0, 3.0)]
+    far = [(10.0, 10.0), (11.0, 10.0), (11.0, 11.0), (10.0, 11.0)]
+    assert clip_area_scalar(tri, sq2) == 4.0   # square inside triangle
+    assert clip_area_scalar(tri, sq3) == 7.0   # 9 - corner triangle of area 2
+    assert clip_area_scalar(tri, far) == 0.0   # disjoint
+    assert clip_area_scalar(sq2, tri) == 4.0   # symmetric
+    assert clip_area_scalar(tri, tri) == 8.0   # self
+
+
+def test_intersection_area_batch_kinds():
+    bt = tris_geom(np.arange(3),
+                   np.array([0., 0., 10.]), np.array([0., 0., 10.]),
+                   np.array([4., 1., 14.]), np.array([0., 0., 10.]),
+                   np.array([0., 0., 10.]), np.array([4., 1., 14.]))
+    st = rects_geom(np.arange(3),
+                    np.array([0., 5., 10.]), np.array([0., 5., 10.]),
+                    np.array([2., 6., 20.]), np.array([2., 6., 20.]))
+    tbl = pa.table({
+        "big_row_id": pa.array([0, 1, 2], pa.int64()),
+        "small_row_id": pa.array([0, 1, 2], pa.int64()),
+        "big_geom_type": bt["geom_type"], "big_coords": bt["coords"],
+        "small_geom_type": st["geom_type"], "small_coords": st["coords"],
+    })
+    out = intersection_area_batch(tbl)["inter_area"].to_pylist()
+    assert out[0] == 4.0 and out[1] == 0.0 and out[2] > 0.0
+    # rect x rect closed form and point rows -> exact zero for points
+    pt = points_geom(np.arange(2), np.array([1., 9.]), np.array([1., 9.]))
+    rt = rects_geom(np.arange(2), np.array([0., 0.]), np.array([0., 0.]),
+                    np.array([2., 2.]), np.array([2., 2.]))
+    tbl2 = pa.table({
+        "big_row_id": pa.array([0, 1], pa.int64()),
+        "small_row_id": pa.array([0, 1], pa.int64()),
+        "big_geom_type": pt["geom_type"], "big_coords": pt["coords"],
+        "small_geom_type": rt["geom_type"], "small_coords": rt["coords"],
+    })
+    assert intersection_area_batch(tbl2)["inter_area"].to_pylist() == [0.0, 0.0]
