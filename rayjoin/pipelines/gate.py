@@ -1234,6 +1234,48 @@ def sql_tile_assign() -> str:
     )
 
 
+def q_hex_assign(sf_dir: str):
+    """Hex-grid binning (stages/hexgrid.py): axial cube-rounding with
+    floor(v+0.5) rounding so every branch — including the dx/dy/dz
+    tie-breaks — is reproduced bit-exactly by the SQL CASE ladder."""
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.hexgrid import hex_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"),
+                          batch_format="pyarrow")
+    return hex_assign(ds, size=1.5).map_batches(
+        lambda t: t.select(["doc_id", "hex_q", "hex_r", "hex_id"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_hex_assign(size: float = 1.5) -> str:
+    lon, lat = _latlon_sql("doc_id")
+    return f"""
+WITH g AS (SELECT doc_id, {lat} AS lat, {lon} AS lon FROM documents),
+f AS (SELECT doc_id,
+      (sqrt(3)/3 * lon - lat/3) / {size} AS xf,
+      (2.0/3.0 * lat) / {size} AS zf FROM g),
+rr AS (SELECT doc_id, xf, zf, -xf - zf AS yf,
+       floor(xf + 0.5) AS rx, floor(-xf - zf + 0.5) AS ry,
+       floor(zf + 0.5) AS rz FROM f),
+d AS (SELECT *, abs(rx - xf) AS dx, abs(ry - yf) AS dy, abs(rz - zf) AS dz
+      FROM rr),
+fx AS (SELECT doc_id,
+       CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END AS q_f,
+       CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+            THEN -rx - ry ELSE rz END AS r_f
+       FROM d)
+SELECT doc_id, CAST(q_f AS BIGINT) AS hex_q, CAST(r_f AS BIGINT) AS hex_r,
+       (CAST(q_f AS BIGINT) + 1048576) * 2097152
+         + (CAST(r_f AS BIGINT) + 1048576) AS hex_id
+FROM fx
+"""
+
+
 def q_tile_stats(sf_dir: str):
     """Per-tile aggregate at resolution 6: page count + min doc id."""
     from ray.data.aggregate import Count, Min
@@ -2960,6 +3002,7 @@ def build_queries():
         "pip_triangle": q_pip_triangle,
         "tile_assign": q_tile_assign,
         "s2_assign": q_s2_assign,
+        "hex_assign": q_hex_assign,
         "s2_rollup": q_s2_rollup,
         "pages_e2e": q_pages_e2e,
         "redact_pii": q_redact_pii,
@@ -3044,6 +3087,7 @@ def build_queries():
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
         "tile_assign": sql_tile_assign(),
         "s2_assign": sql_s2_assign(),
+        "hex_assign": sql_hex_assign(),
         "s2_rollup": sql_s2_rollup(),
         "pages_e2e": sql_pages_e2e(),
         "redact_pii": sql_redact_pii(),

@@ -1,0 +1,53 @@
+"""Hex-grid binning: round trips, neighbor structure, rounding invariants."""
+import numpy as np
+
+from rayjoin.stages.hexgrid import (
+    hex_center,
+    hex_neighbors,
+    hex_pack,
+    hex_qr,
+    hex_unpack,
+)
+
+
+def test_center_round_trip():
+    """The center of every assigned hex maps back to the same hex."""
+    rng = np.random.default_rng(9)
+    lon = rng.uniform(-180, 180, 5000)
+    lat = rng.uniform(-90, 90, 5000)
+    size = 1.5
+    q, r = hex_qr(lon, lat, size)
+    hid = hex_pack(q, r)
+    cx, cy = hex_center(hid, size)
+    q2, r2 = hex_qr(cx, cy, size)
+    assert (q2 == q).all() and (r2 == r).all()
+    uq, ur = hex_unpack(hid)
+    assert (uq == q).all() and (ur == r).all()
+
+
+def test_nearest_center_property():
+    """Each point is assigned to the hex whose center is nearest (ties
+    aside): check against the 7-candidate neighborhood."""
+    rng = np.random.default_rng(10)
+    lon = rng.uniform(-50, 50, 2000)
+    lat = rng.uniform(-50, 50, 2000)
+    size = 2.0
+    q, r = hex_qr(lon, lat, size)
+    own = hex_pack(q, r)
+    cx, cy = hex_center(own, size)
+    d_own = (lon - cx) ** 2 + (lat - cy) ** 2
+    nb = hex_neighbors(own)
+    for k in range(6):
+        nx, ny = hex_center(nb[:, k], size)
+        d_nb = (lon - nx) ** 2 + (lat - ny) ** 2
+        assert (d_own <= d_nb + 1e-9).all()
+
+
+def test_neighbors_symmetric_and_distinct():
+    rng = np.random.default_rng(11)
+    hid = hex_pack(rng.integers(-100, 100, 50), rng.integers(-100, 100, 50))
+    nb = hex_neighbors(hid)
+    assert all(len(set(row)) == 6 for row in nb)
+    for i, h in enumerate(hid):
+        for x in nb[i]:
+            assert h in hex_neighbors(np.array([x]))[0]
