@@ -171,3 +171,65 @@ def hll_estimate(registers: pa.Table, *, p: int = 14) -> float:
     if raw <= 2.5 * m and zeros > 0:
         return m * np.log(m / zeros)
     return float(raw)
+
+
+def grouped_regression(ds, *, key_col: str, x_col: str, y_col: str):
+    """Per-key simple-linear-regression SUFFICIENT STATISTICS — (n, sum_x,
+    sum_y, sum_xx, sum_xy) over int64 inputs.  The sums are the regression
+    model's exactly-mergeable form (partials add associatively across
+    batches / shards / retries — the same merge-law philosophy as the HLL /
+    CMS sketch states), so the whole distributed fit gate-checks bit-exactly;
+    slope/intercept derive from them downstream (``regression_slope``).
+
+    Scale shape: one vectorized partial per batch (np.unique + scatter-add
+    on the touched-key set) then ONE groupby over per-batch partials — the
+    shuffle carries rows per (batch, touched key), never per event.
+
+    Caller owns the range contract: inputs must be pre-scaled so that
+    n * max(x)^2 stays inside int64 (rebase timestamps to an epoch offset,
+    fixed-point values, as the gate row does)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        x = np.asarray(t[x_col].combine_chunks(), dtype=np.int64)
+        y = np.asarray(t[y_col].combine_chunks(), dtype=np.int64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        out = {key_col: pa.array(uniq, pa.int64())}
+        for name, v in (("n", np.ones_like(x)), ("sum_x", x), ("sum_y", y),
+                        ("sum_xx", x * x), ("sum_xy", x * y)):
+            agg = np.zeros(uniq.size, np.int64)
+            np.add.at(agg, inv, v)
+            out[name] = pa.array(agg, pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(key_col)
+        .aggregate(Sum("n", alias_name="n"),
+                   Sum("sum_x", alias_name="sum_x"),
+                   Sum("sum_y", alias_name="sum_y"),
+                   Sum("sum_xx", alias_name="sum_xx"),
+                   Sum("sum_xy", alias_name="sum_xy"))
+    )
+
+
+def regression_slope(stats: pa.Table) -> pa.Table:
+    """Derive slope/intercept from grouped_regression output with exact
+    integer arithmetic (Python ints: the cross terms n*sum_xy - sum_x*sum_y
+    can exceed int64 even when every sum fits).  Small per-key table —
+    one column pass, not per-event work."""
+    n = stats["n"].to_pylist()
+    sx = stats["sum_x"].to_pylist()
+    sy = stats["sum_y"].to_pylist()
+    sxx = stats["sum_xx"].to_pylist()
+    sxy = stats["sum_xy"].to_pylist()
+    slope, icept = [], []
+    for ni, a, b, c, d in zip(n, sx, sy, sxx, sxy):
+        num = ni * d - a * b
+        den = ni * c - a * a
+        s = num / den if den else float("nan")
+        slope.append(s)
+        icept.append((b - s * a) / ni if ni else float("nan"))
+    return stats.append_column("slope", pa.array(slope, pa.float64())) \
+                .append_column("intercept", pa.array(icept, pa.float64()))

@@ -2913,6 +2913,48 @@ FROM d JOIN mx ON mx.lang = d.lang AND mx.shard = d.shard
 """
 
 
+def q_user_regression(sf_dir: str):
+    """Per-user linear regression of event value on time
+    (functions/stats.py:grouped_regression): integer sufficient statistics
+    (exactly-mergeable model state, the same merge-law contract the sketch
+    rows pin) — x rebased to seconds since 2024-01-01 and y fixed-point
+    milli so every sum is int64-exact in both engines."""
+    import ray.data
+
+    from ..functions.stats import grouped_regression
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "value"])
+    base = np.datetime64("2024-01-01T00:00:00", "us").astype(np.int64)
+
+    def prep(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"].combine_chunks()).astype("datetime64[us]").astype(np.int64)
+        val = np.asarray(t["value"].combine_chunks(), dtype=np.float64)
+        return pa.table({
+            "user_id": t["user_id"],
+            "x": pa.array((ts - base) // 1_000_000, pa.int64()),
+            "y": pa.array(np.floor(val * 1000).astype(np.int64), pa.int64()),
+        })
+
+    return grouped_regression(ev.map_batches(prep, batch_format="pyarrow"),
+                              key_col="user_id", x_col="x", y_col="y")
+
+
+SQL_USER_REGRESSION = """
+WITH p AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 1000000
+           AS x,
+         CAST(floor(value * 1000) AS BIGINT) AS y
+  FROM events)
+SELECT user_id, COUNT(*) AS n,
+       CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+       CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+       CAST(SUM(x * y) AS BIGINT) AS sum_xy
+FROM p GROUP BY user_id
+"""
+
+
 def q_user_quantiles(sf_dir: str):
     """Exact per-user value quantiles (p25/p50/p90) over the events log —
     bucketed merge: one lexsort per shuffle bucket, zero Python per key;
@@ -3064,6 +3106,7 @@ def build_queries():
         "decontaminate": q_decontaminate,
         "pack_sequences": q_pack_sequences,
         "pack_sequences_fold": q_pack_sequences_fold,
+        "user_regression": q_user_regression,
         "user_quantiles": q_user_quantiles,
         "user_quantiles_preagg": q_user_quantiles_preagg,
     }
@@ -3147,6 +3190,7 @@ def build_queries():
         "decontaminate": SQL_DECONTAMINATE,
         "pack_sequences": SQL_PACK_SEQUENCES,
         "pack_sequences_fold": SQL_PACK_SEQUENCES_FOLD,
+        "user_regression": SQL_USER_REGRESSION,
         "user_quantiles": SQL_USER_QUANTILES,
         "user_quantiles_preagg": SQL_USER_QUANTILES,
         # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,

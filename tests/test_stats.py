@@ -77,3 +77,43 @@ def test_grouped_quantiles_preagg_parity(ray_session):
                            num_buckets=8, pre_aggregate=True)
          .to_pandas().sort_values("k").reset_index(drop=True))
     assert a.equals(b)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_grouped_regression_and_slope():
+    """Sufficient statistics match numpy polyfit-derived sums; slope uses
+    exact Python-int cross terms (overflow-proof beyond int64)."""
+    import ray.data
+
+    from rayjoin.functions.stats import grouped_regression, regression_slope
+
+    rng = np.random.default_rng(4)
+    k = rng.integers(0, 5, 400).astype(np.int64)
+    x = rng.integers(0, 4_000_000, 400).astype(np.int64)
+    y = (3 * x // 1000 + rng.integers(-50, 50, 400)).astype(np.int64)
+    t = pa.table({"k": pa.array(k), "x": pa.array(x), "y": pa.array(y)})
+    out = grouped_regression(ray.data.from_arrow(t).repartition(4),
+                             key_col="k", x_col="x", y_col="y").to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    for _, row in out.iterrows():
+        m = k == row.k
+        assert row.n == m.sum()
+        assert row.sum_x == x[m].sum() and row.sum_y == y[m].sum()
+        assert row.sum_xx == (x[m] * x[m]).sum() and row.sum_xy == (x[m] * y[m]).sum()
+    st = regression_slope(pa.Table.from_pandas(out))
+    sl = st["slope"].to_pylist()
+    for i, row in out.iterrows():
+        m = k == row.k
+        exp = np.polyfit(x[m].astype(float), y[m].astype(float), 1)[0]
+        assert abs(sl[i] - exp) < 1e-6 * max(abs(exp), 1)
+    # overflow guard: cross terms beyond int64 stay exact via Python ints
+    stats = pa.table({
+        "k": pa.array([1], pa.int64()), "n": pa.array([3_000_000_000], pa.int64()),
+        "sum_x": pa.array([4_000_000_000], pa.int64()),
+        "sum_y": pa.array([5_000_000_000], pa.int64()),
+        "sum_xx": pa.array([8_000_000_000], pa.int64()),
+        "sum_xy": pa.array([7_000_000_000], pa.int64()),
+    })
+    r = regression_slope(stats)
+    n, a, b, c, d = 3_000_000_000, 4_000_000_000, 5_000_000_000, 8_000_000_000, 7_000_000_000
+    assert r["slope"].to_pylist()[0] == (n * d - a * b) / (n * c - a * a)
