@@ -1076,6 +1076,41 @@ FROM p
 """
 
 
+def q_url_edit_pairs(sf_dir: str):
+    """Fuzzy string join (functions/fuzzy.py): same-host URL pairs within
+    edit distance 8 over the deterministically-messy url corpus — blocked
+    candidate generation + vectorized banded Levenshtein verify; the SQL
+    twin brute-forces the same blocks with DuckDB's levenshtein()."""
+    import ray.data
+
+    from ..functions.fuzzy import edit_distance_pairs
+    from ..functions.urls import _URL_RE
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def with_host(t: pa.Table) -> pa.Table:
+        t = _messy_urls_batch(t)
+        parts = pc.extract_regex(t["url"].combine_chunks(), _URL_RE)
+        host = pc.utf8_lower(pc.struct_field(parts, "host"))
+        return t.append_column("host", host)
+
+    urls = docs.map_batches(with_host, batch_format="pyarrow")
+    return edit_distance_pairs(urls, id_col="doc_id", str_col="url",
+                               key_col="host", max_dist=8)
+
+
+SQL_URL_EDIT_PAIRS = f"""
+WITH m AS (SELECT doc_id, {_SQL_MESSY_URL} AS url FROM documents),
+h AS (SELECT doc_id, url,
+      lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]*)', 1))
+        AS host FROM m)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(levenshtein(a.url, b.url) AS BIGINT) AS dist
+FROM h a JOIN h b ON a.host = b.host AND a.doc_id < b.doc_id
+WHERE levenshtein(a.url, b.url) <= 8
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -3058,6 +3093,7 @@ def build_queries():
         "tfidf_docs": q_tfidf_docs,
         "lm_score": q_lm_score,
         "url_normalize": q_url_normalize,
+        "url_edit_pairs": q_url_edit_pairs,
         "tri_measures": q_tri_measures,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
@@ -3144,6 +3180,7 @@ def build_queries():
         "tfidf_docs": SQL_TFIDF_DOCS,
         "lm_score": SQL_LM_SCORE,
         "url_normalize": SQL_URL_NORMALIZE,
+        "url_edit_pairs": SQL_URL_EDIT_PAIRS,
         "tri_measures": sql_tri_measures(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
