@@ -1111,6 +1111,117 @@ WHERE levenshtein(a.url, b.url) <= 8
 """
 
 
+_SIMP_NV = 12  # vertices per synthetic polyline
+_SIMP_TOL = 1.5
+
+
+def q_simplify_polylines(sf_dir: str):
+    """Douglas-Peucker simplification (geom/simplify.py) over deterministic
+    INTEGER-coordinate polylines (12 verts from FNV of 'doc_id.j'), so every
+    squared-cross-product decision is exact in float64 and the recursive
+    algorithm gate-checks bit-exactly against a 12-level chained-CTE SQL
+    twin (one level per possible recursion depth, row_number argmax with
+    the same lowest-index tie-break).  Output: (doc_id, slot, x, y) of the
+    simplified lines."""
+    import ray.data
+
+    from ..geom.encode import LINESTRING, _geom_table, pack_single_rings
+    from ..geom.simplify import simplify_linestrings
+    from ..stages.geocode import fnv1a64
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        n = ids.size
+        flat = np.empty((n, 2 * _SIMP_NV), np.float64)
+        s = pc.cast(pa.array(ids), pa.string())
+        for j in range(_SIMP_NV):
+            key = pc.binary_join_element_wise(s, ".", str(j), "")
+            h = fnv1a64(key)
+            flat[:, 2 * j] = (h % np.uint64(21)).astype(np.int64) - 10
+            flat[:, 2 * j + 1] = ((h >> np.uint64(8)) % np.uint64(21)).astype(np.int64) - 10
+        return _geom_table(ids, LINESTRING, pack_single_rings(flat.ravel(), 2 * _SIMP_NV))
+
+    lines = docs.map_batches(mk, batch_format="pyarrow")
+    simp = simplify_linestrings(lines, tolerance=_SIMP_TOL)
+
+    def explode(t: pa.Table) -> pa.Table:
+        ring = pc.list_element(t["coords"].combine_chunks(), 0)
+        if isinstance(ring, pa.ChunkedArray):
+            ring = ring.combine_chunks()
+        flat = np.asarray(ring.values, dtype=np.float64)
+        off = np.asarray(ring.offsets, dtype=np.int64) // 2
+        ids = np.asarray(t["row_id"].combine_chunks(), dtype=np.int64)
+        from ..geom.primitives import repeat_expand
+
+        pid, slot = repeat_expand(np.diff(off))
+        xy = flat.reshape(-1, 2)
+        return pa.table({
+            "doc_id": pa.array(ids[pid], pa.int64()),
+            "slot": pa.array(slot, pa.int64()),
+            "x": pa.array(xy[:, 0], pa.float64()),
+            "y": pa.array(xy[:, 1], pa.float64()),
+        })
+
+    return simp.map_batches(explode, batch_format="pyarrow")
+
+
+def sql_simplify_polylines(nv: int = _SIMP_NV, tol: float = _SIMP_TOL) -> str:
+    fnv = _sql_fnv("(CAST(doc_id AS VARCHAR) || '.' || CAST(g.j AS VARCHAR))")
+    t2 = tol * tol
+    lvls = []
+    sps = []
+    prev = "seg0"
+    for i in range(1, nv + 1):
+        lvls.append(f"""
+c{i} AS MATERIALIZED (
+  SELECT sg.doc_id, sg.s, sg.e, v.j,
+         (ve.x - vs.x) * 1.0 AS dx, (ve.y - vs.y) * 1.0 AS dy,
+         (v.x - vs.x) * 1.0 AS px, (v.y - vs.y) * 1.0 AS py
+  FROM {prev} sg
+  JOIN v vs ON vs.doc_id = sg.doc_id AND vs.j = sg.s
+  JOIN v ve ON ve.doc_id = sg.doc_id AND ve.j = sg.e
+  JOIN v ON v.doc_id = sg.doc_id AND v.j > sg.s AND v.j < sg.e),
+b{i} AS MATERIALIZED (
+  SELECT doc_id, s, e, j, dx*dx + dy*dy AS ln,
+         CASE WHEN dx*dx + dy*dy > 0
+              THEN (dx*py - dy*px) * (dx*py - dy*px)
+              ELSE px*px + py*py END AS d,
+         row_number() OVER (PARTITION BY doc_id, s, e ORDER BY
+           CASE WHEN dx*dx + dy*dy > 0
+                THEN (dx*py - dy*px) * (dx*py - dy*px)
+                ELSE px*px + py*py END DESC, j ASC) AS rn
+  FROM c{i}),
+sp{i} AS MATERIALIZED (
+  SELECT doc_id, s, e, j FROM b{i}
+  WHERE rn = 1 AND d > CASE WHEN ln > 0 THEN {t2} * ln ELSE {t2} END),
+seg{i} AS MATERIALIZED (
+  SELECT doc_id, s, j AS e FROM sp{i} WHERE j - s >= 2
+  UNION ALL
+  SELECT doc_id, j AS s, e FROM sp{i} WHERE e - j >= 2)""")
+        sps.append(f"SELECT doc_id, j FROM sp{i}")
+        prev = f"seg{i}"
+    kept_union = "\n  UNION ALL ".join(sps)
+    return f"""
+WITH v AS MATERIALIZED (
+  SELECT doc_id, g.j,
+         CAST({fnv} % 21::HUGEINT AS BIGINT) - 10 AS x,
+         CAST(({fnv} >> 8) % 21::HUGEINT AS BIGINT) - 10 AS y
+  FROM documents CROSS JOIN generate_series(0, {nv - 1}) AS g(j)),
+seg0 AS MATERIALIZED (SELECT doc_id, 0 AS s, {nv - 1} AS e FROM documents),
+{','.join(lvls)},
+kept AS (
+  SELECT doc_id, 0 AS j FROM documents
+  UNION ALL SELECT doc_id, {nv - 1} FROM documents
+  UNION ALL {kept_union})
+SELECT k.doc_id,
+       row_number() OVER (PARTITION BY k.doc_id ORDER BY k.j) - 1 AS slot,
+       CAST(v.x AS DOUBLE) AS x, CAST(v.y AS DOUBLE) AS y
+FROM kept k JOIN v ON v.doc_id = k.doc_id AND v.j = k.j
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -3095,6 +3206,7 @@ def build_queries():
         "url_normalize": q_url_normalize,
         "url_edit_pairs": q_url_edit_pairs,
         "tri_measures": q_tri_measures,
+        "simplify_polylines": q_simplify_polylines,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
         "rasterize_triangles": q_rasterize_triangles,
@@ -3182,6 +3294,7 @@ def build_queries():
         "url_normalize": SQL_URL_NORMALIZE,
         "url_edit_pairs": SQL_URL_EDIT_PAIRS,
         "tri_measures": sql_tri_measures(),
+        "simplify_polylines": sql_simplify_polylines(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
