@@ -1517,6 +1517,44 @@ def sql_rasterize(n: int = 256) -> str:
 # ---------------------------------------------------------------------------
 
 
+def q_rasterize_rect_area(sf_dir: str):
+    """Fractional-coverage rasterization (pipelines/raster.py:
+    rasterize_area): supplier rects at resolution 8 -> (geom, tile, area)
+    for every positive-overlap tile; the rect-tile closed form is
+    IEEE-identical in the SQL twin (the triangle/convex path of the same
+    operator is pinned by S-H differential pytest)."""
+    from ..pipelines.raster import rasterize_area
+
+    rects = _from_arrow(rects_geom_table(sf_dir, "supplier", "s_suppkey"), 2)
+    return rasterize_area(rects, resolution=8)
+
+
+def sql_rasterize_rect_area(n: int = 256) -> str:
+    tx0 = f"gx.ix / {n}.0 * 360.0 - 180.0"
+    tx1 = f"(gx.ix + 1) / {n}.0 * 360.0 - 180.0"
+    ty0 = f"gy.iy / {n}.0 * 180.0 - 90.0"
+    ty1 = f"(gy.iy + 1) / {n}.0 * 180.0 - 90.0"
+    ix_lo = f"GREATEST(LEAST(CAST(FLOOR((r.x0 + 180.0) / 360.0 * {n}) AS BIGINT), {n-1}), 0)"
+    ix_hi = f"GREATEST(LEAST(CAST(FLOOR((r.x1 + 180.0) / 360.0 * {n}) AS BIGINT), {n-1}), 0)"
+    iy_lo = f"GREATEST(LEAST(CAST(FLOOR((r.y0 + 90.0) / 180.0 * {n}) AS BIGINT), {n-1}), 0)"
+    iy_hi = f"GREATEST(LEAST(CAST(FLOOR((r.y1 + 90.0) / 180.0 * {n}) AS BIGINT), {n-1}), 0)"
+    area = (f"GREATEST(LEAST(r.x1, {tx1}) - GREATEST(r.x0, {tx0}), 0.0)"
+            f" * GREATEST(LEAST(r.y1, {ty1}) - GREATEST(r.y0, {ty0}), 0.0)")
+    return (
+        f"WITH a AS ({{rects}}), "
+        f"r AS (SELECT row_id, cx - w/2 AS x0, cy - h/2 AS y0, "
+        f"cx + w/2 AS x1, cy + h/2 AS y1 FROM a), "
+        f"gx AS (SELECT ix FROM range(0, {n}) t(ix)), "
+        f"gy AS (SELECT iy FROM range(0, {n}) t(iy)) "
+        f"SELECT r.row_id AS geom_row_id, gy.iy * {n} + gx.ix AS tile_id, "
+        f"{area} AS area "
+        f"FROM r, gx, gy "
+        f"WHERE gx.ix BETWEEN {ix_lo} AND {ix_hi} "
+        f"AND gy.iy BETWEEN {iy_lo} AND {iy_hi} "
+        f"AND {area} > 0"
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data
 
@@ -3210,6 +3248,7 @@ def build_queries():
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
         "rasterize_triangles": q_rasterize_triangles,
+        "rasterize_rect_area": q_rasterize_rect_area,
         "vectorize_boundary": q_vectorize_boundary,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
@@ -3298,6 +3337,7 @@ def build_queries():
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
+        "rasterize_rect_area": sql_rasterize_rect_area().format(rects=rsup),
         "vectorize_boundary": sql_vectorize_boundary().format(tri=tri),
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,

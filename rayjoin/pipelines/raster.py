@@ -128,3 +128,65 @@ def vectorize_tiles(raster_ds, resolution: int = 8, num_buckets: int = 64):
         .groupby("part")
         .map_groups(boundary, batch_format="pyarrow")
     )
+
+
+def rasterize_area_batch(batch: pa.Table, resolution: int) -> pa.Table:
+    """Fractional-coverage rasterization: (geom_row_id, tile_id, area) for
+    every tile whose intersection with the geometry has POSITIVE area — the
+    area-weighted refinement of ``rasterize``'s center-in test (what zonal
+    statistics at coarse resolutions actually need).
+
+    Rects take the closed-form min/max path (IEEE-identical in the SQL
+    twin); triangles / convex polygons clip against each candidate tile
+    rect with the vectorized Sutherland-Hodgman kernel (geom/overlay.py),
+    pinned by scalar-differential pytest."""
+    from ..geom.overlay import _poly_buffers, clip_convex
+    from ..geom.spec import POLYGON, RECT, TRIANGLE
+
+    g = GeomBatch.from_arrow(batch)
+    n = np.int64(1) << resolution
+    ix0, iy0 = latlon_to_xy(g.bbox[:, 1], g.bbox[:, 0], resolution)
+    ix1, iy1 = latlon_to_xy(g.bbox[:, 3], g.bbox[:, 2], resolution)
+    nx = ix1 - ix0 + 1
+    ny = iy1 - iy0 + 1
+    gid, k = repeat_expand(nx * ny)
+    ix = ix0[gid] + k % nx[gid]
+    iy = iy0[gid] + k // nx[gid]
+    fn = float(n)
+    tx0 = ix / fn * 360.0 - 180.0
+    tx1 = (ix + 1) / fn * 360.0 - 180.0
+    ty0 = iy / fn * 180.0 - 90.0
+    ty1 = (iy + 1) / fn * 180.0 - 90.0
+    kind = g.kind[gid]
+    area = np.zeros(gid.size, np.float64)
+    isr = kind == RECT
+    bb = g.bbox[gid]
+    w = np.minimum(bb[:, 2], tx1) - np.maximum(bb[:, 0], tx0)
+    h = np.minimum(bb[:, 3], ty1) - np.maximum(bb[:, 1], ty0)
+    area[isr] = (np.maximum(w, 0.0) * np.maximum(h, 0.0))[isr]
+    gen = np.flatnonzero(np.isin(kind, (TRIANGLE, POLYGON)))
+    if gen.size:
+        kinds_all = np.asarray(batch["geom_type"].combine_chunks(), dtype=np.int8)
+        V, cnt = _poly_buffers(kinds_all, batch["coords"])
+        rows = gid[gen]
+        CV = np.empty((gen.size, 4, 2), np.float64)
+        CV[:, 0, 0], CV[:, 0, 1] = tx0[gen], ty0[gen]
+        CV[:, 1, 0], CV[:, 1, 1] = tx1[gen], ty0[gen]
+        CV[:, 2, 0], CV[:, 2, 1] = tx1[gen], ty1[gen]
+        CV[:, 3, 0], CV[:, 3, 1] = tx0[gen], ty1[gen]
+        area[gen] = clip_convex(V[rows], cnt[rows], CV,
+                                np.full(gen.size, 4, np.int64))
+    keep = area > 0
+    return pa.table({
+        "geom_row_id": pa.array(g.row_id[gid[keep]], pa.int64()),
+        "tile_id": pa.array(xy_to_tile(ix[keep], iy[keep], resolution), pa.int64()),
+        "area": pa.array(area[keep], pa.float64()),
+    })
+
+
+def rasterize_area(ds, resolution: int = 8, batch_size: int = 2048):
+    return ds.map_batches(
+        lambda t: rasterize_area_batch(t, resolution),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )

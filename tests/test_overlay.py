@@ -2,6 +2,7 @@
 cases, and the with_geos batch operator."""
 import numpy as np
 import pyarrow as pa
+import pytest
 
 from rayjoin.geom.encode import points_geom, rects_geom, tris_geom
 from rayjoin.geom.overlay import (
@@ -93,3 +94,53 @@ def test_intersection_area_batch_kinds():
         "small_geom_type": rt["geom_type"], "small_coords": rt["coords"],
     })
     assert intersection_area_batch(tbl2)["inter_area"].to_pylist() == [0.0, 0.0]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rasterize_area_triangles_vs_scalar():
+    """Triangle fractional coverage == scalar S-H clip vs every candidate
+    tile; per-geometry areas sum to the triangle area (partition property,
+    as tiles tile the plane)."""
+    import ray.data
+
+    from rayjoin.geom.overlay import clip_area_scalar, signed_area_scalar
+    from rayjoin.geom.encode import tris_geom
+    from rayjoin.pipelines.raster import rasterize_area
+    from rayjoin.stages.tiles import latlon_to_xy
+
+    rng = np.random.default_rng(8)
+    res, n = 6, 1 << 6
+    ax = rng.uniform(-30, 30, 10); ay = rng.uniform(-30, 30, 10)
+    bx, by = ax + rng.uniform(2, 15, 10), ay + rng.uniform(-4, 4, 10)
+    cx, cy = ax + rng.uniform(-4, 4, 10), ay + rng.uniform(2, 15, 10)
+    t = tris_geom(np.arange(10), ax, ay, bx, by, cx, cy)
+    out = rasterize_area(ray.data.from_arrow(t), resolution=res).to_pandas()
+    got = {(r.geom_row_id, r.tile_id): r.area for r in out.itertuples()}
+    exp = {}
+    for i in range(10):
+        tri = [(ax[i], ay[i]), (bx[i], by[i]), (cx[i], cy[i])]
+        if signed_area_scalar(tri) < 0:
+            tri = tri[::-1]
+        x0, x1 = min(p[0] for p in tri), max(p[0] for p in tri)
+        y0, y1 = min(p[1] for p in tri), max(p[1] for p in tri)
+        ix0, iy0 = latlon_to_xy(np.array([y0]), np.array([x0]), res)
+        ix1, iy1 = latlon_to_xy(np.array([y1]), np.array([x1]), res)
+        for iy in range(int(iy0[0]), int(iy1[0]) + 1):
+            for ix in range(int(ix0[0]), int(ix1[0]) + 1):
+                tx0 = ix / n * 360.0 - 180.0
+                tx1 = (ix + 1) / n * 360.0 - 180.0
+                ty0 = iy / n * 180.0 - 90.0
+                ty1 = (iy + 1) / n * 180.0 - 90.0
+                rect = [(tx0, ty0), (tx1, ty0), (tx1, ty1), (tx0, ty1)]
+                a = clip_area_scalar(tri, rect)
+                if a > 0:
+                    exp[(i, iy * n + ix)] = a
+    assert set(got) == set(exp)
+    for key in exp:
+        assert got[key] == exp[key]  # bit-exact (same kernel order)
+    # partition property: per-triangle coverage sums to the triangle area
+    sums = out.groupby("geom_row_id")["area"].sum()
+    for i in range(10):
+        tri_area = abs(signed_area_scalar(
+            [(ax[i], ay[i]), (bx[i], by[i]), (cx[i], cy[i])]))
+        assert abs(sums[i] - tri_area) < 1e-9 * max(tri_area, 1)
