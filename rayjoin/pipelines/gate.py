@@ -1222,6 +1222,74 @@ FROM kept k JOIN v ON v.doc_id = k.doc_id AND v.j = k.j
 """
 
 
+def q_group_hull(sf_dir: str):
+    """Grouped convex hulls (geom/hull.py): 12 deterministic integer points
+    per doc -> the strict hull VERTEX set of each group.  Integer cross
+    products are exact, so the Akl-Toussaint-pruned monotone chain
+    gate-checks against a Caratheodory SQL oracle: a point is NOT a vertex
+    iff it lies in a nondegenerate triangle — or strictly within a
+    segment — of its group's other points."""
+    import ray.data
+
+    from ..geom.hull import group_convex_hull
+    from ..stages.geocode import fnv1a64
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        s = pc.cast(pa.array(ids), pa.string())
+        gs, xs, ys = [], [], []
+        for j in range(12):
+            h = fnv1a64(pc.binary_join_element_wise(s, ".", str(j), ""))
+            gs.append(ids)
+            xs.append((h % np.uint64(30)).astype(np.int64))
+            ys.append(((h >> np.uint64(8)) % np.uint64(30)).astype(np.int64))
+        return pa.table({
+            "group_id": pa.array(np.concatenate(gs), pa.int64()),
+            "x": pa.array(np.concatenate(xs), pa.int64()),
+            "y": pa.array(np.concatenate(ys), pa.int64()),
+        })
+
+    pts = docs.map_batches(mk, batch_format="pyarrow")
+    return group_convex_hull(pts)
+
+
+def sql_group_hull() -> str:
+    fnv = _sql_fnv("(CAST(doc_id AS VARCHAR) || '.' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH p0 AS (
+  SELECT doc_id AS g,
+         CAST({fnv} % 30::HUGEINT AS BIGINT) AS x,
+         CAST(({fnv} >> 8) % 30::HUGEINT AS BIGINT) AS y
+  FROM documents CROSS JOIN generate_series(0, 11) AS g(j)),
+p AS MATERIALIZED (SELECT DISTINCT g, x, y FROM p0)
+SELECT a.g AS group_id, a.x, a.y FROM p a
+WHERE NOT EXISTS (
+  SELECT 1 FROM p b, p c, p d
+  WHERE b.g = a.g AND c.g = a.g AND d.g = a.g
+    AND (b.x <> a.x OR b.y <> a.y) AND (c.x <> a.x OR c.y <> a.y)
+    AND (d.x <> a.x OR d.y <> a.y)
+    AND (c.x - b.x) * (d.y - b.y) - (c.y - b.y) * (d.x - b.x) <> 0
+    AND ((
+      (c.x - b.x) * (a.y - b.y) - (c.y - b.y) * (a.x - b.x) >= 0 AND
+      (d.x - c.x) * (a.y - c.y) - (d.y - c.y) * (a.x - c.x) >= 0 AND
+      (b.x - d.x) * (a.y - d.y) - (b.y - d.y) * (a.x - d.x) >= 0
+    ) OR (
+      (c.x - b.x) * (a.y - b.y) - (c.y - b.y) * (a.x - b.x) <= 0 AND
+      (d.x - c.x) * (a.y - c.y) - (d.y - c.y) * (a.x - c.x) <= 0 AND
+      (b.x - d.x) * (a.y - d.y) - (b.y - d.y) * (a.x - d.x) <= 0
+    )))
+AND NOT EXISTS (
+  SELECT 1 FROM p b, p c
+  WHERE b.g = a.g AND c.g = a.g
+    AND (b.x <> a.x OR b.y <> a.y) AND (c.x <> a.x OR c.y <> a.y)
+    AND (c.x - b.x) * (a.y - b.y) - (c.y - b.y) * (a.x - b.x) = 0
+    AND a.x BETWEEN LEAST(b.x, c.x) AND GREATEST(b.x, c.x)
+    AND a.y BETWEEN LEAST(b.y, c.y) AND GREATEST(b.y, c.y))
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -3245,6 +3313,7 @@ def build_queries():
         "url_edit_pairs": q_url_edit_pairs,
         "tri_measures": q_tri_measures,
         "simplify_polylines": q_simplify_polylines,
+        "group_hull": q_group_hull,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
         "rasterize_triangles": q_rasterize_triangles,
@@ -3334,6 +3403,7 @@ def build_queries():
         "url_edit_pairs": SQL_URL_EDIT_PAIRS,
         "tri_measures": sql_tri_measures(),
         "simplify_polylines": sql_simplify_polylines(),
+        "group_hull": sql_group_hull(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
