@@ -249,3 +249,31 @@ def intersection_area_batch(t: pa.Table, *, out_col: str = "inter_area") -> pa.T
         area[gen] = clip_convex(BV, bc, SV, sc)
 
     return t.append_column(out_col, pa.array(area, pa.float64()))
+
+
+def buffer_points_batch(t: pa.Table, *, k: int = 16, radius_col: str = "radius",
+                        x_col: str = "x", y_col: str = "y",
+                        id_col: str = "row_id") -> pa.Table:
+    """ST_Buffer for points: each point becomes a regular k-gon POLYGON of
+    its per-row radius (CCW, vertex j at angle 2*pi*j/k).  Fully
+    vectorized ((n, k) broadcasting + one ListArray build); cos/sin carry
+    the same shared-libm bit-parity contract as the s2 trig oracle."""
+    from .encode import pack_single_rings
+    from .spec import POLYGON
+
+    ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+    x = np.asarray(t[x_col].combine_chunks(), dtype=np.float64)
+    y = np.asarray(t[y_col].combine_chunks(), dtype=np.float64)
+    r = np.asarray(t[radius_col].combine_chunks(), dtype=np.float64)
+    j = np.arange(k, dtype=np.float64)
+    ang = 2.0 * np.pi * j / k
+    vx = x[:, None] + r[:, None] * np.cos(ang)[None, :]
+    vy = y[:, None] + r[:, None] * np.sin(ang)[None, :]
+    flat = np.empty((ids.size, 2 * k), np.float64)
+    flat[:, 0::2] = vx
+    flat[:, 1::2] = vy
+    return pa.table({
+        "row_id": pa.array(ids, pa.int64()),
+        "geom_type": pa.array(np.full(ids.size, POLYGON, np.int8), pa.int8()),
+        "coords": pack_single_rings(flat.ravel(), 2 * k),
+    })

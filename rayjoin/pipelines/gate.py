@@ -1290,6 +1290,63 @@ AND NOT EXISTS (
 """
 
 
+def q_buffer_points(sf_dir: str):
+    """ST_Buffer for points (geom/overlay.py:buffer_points_batch): each
+    customer point becomes a CCW 16-gon of key-derived radius; output is
+    the exploded (row_id, j, vx, vy) vertex table.  cos/sin ride the same
+    shared-libm bit-parity contract the s2 trig oracle established."""
+    import ray.data
+
+    from ..geom.overlay import buffer_points_batch
+
+    docs = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..stages.geocode import geocode_from_key
+
+        g = geocode_from_key(t, key_col="c_custkey")
+        k = np.asarray(t["c_custkey"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "row_id": pa.array(k, pa.int64()),
+            "x": g["lon"], "y": g["lat"],
+            "radius": pa.array(1.0 + (k % 5) * 0.25, pa.float64()),
+        })
+
+    def explode(t: pa.Table) -> pa.Table:
+        ring = pc.list_element(t["coords"].combine_chunks(), 0)
+        if isinstance(ring, pa.ChunkedArray):
+            ring = ring.combine_chunks()
+        flat = np.asarray(ring.values, dtype=np.float64)
+        off = np.asarray(ring.offsets, dtype=np.int64) // 2
+        ids = np.asarray(t["row_id"].combine_chunks(), dtype=np.int64)
+        from ..geom.primitives import repeat_expand
+
+        pid, j = repeat_expand(np.diff(off))
+        xy = flat.reshape(-1, 2)
+        return pa.table({
+            "row_id": pa.array(ids[pid], pa.int64()),
+            "j": pa.array(j, pa.int64()),
+            "vx": pa.array(xy[:, 0], pa.float64()),
+            "vy": pa.array(xy[:, 1], pa.float64()),
+        })
+
+    buf = docs.map_batches(prep, batch_format="pyarrow").map_batches(
+        lambda t: buffer_points_batch(t), batch_format="pyarrow")
+    return buf.map_batches(explode, batch_format="pyarrow")
+
+
+def sql_buffer_points(k: int = 16) -> str:
+    lon, lat = _latlon_sql("c_custkey")
+    return f"""
+WITH p AS (SELECT CAST(c_custkey AS BIGINT) AS row_id, {lon} AS x, {lat} AS y,
+                  1.0 + (c_custkey % 5) * 0.25 AS r FROM customer)
+SELECT row_id, g.j,
+       x + r * cos(2.0 * pi() * g.j / {k}) AS vx,
+       y + r * sin(2.0 * pi() * g.j / {k}) AS vy
+FROM p CROSS JOIN generate_series(0, {k - 1}) AS g(j)
+"""
+
+
 def q_tri_measures(sf_dir: str):
     """Vectorized geometry measures (shoelace area, perimeter, centroid)
     over the part-derived triangles; the oracle mirrors the kernel's exact
@@ -2467,6 +2524,56 @@ FROM events GROUP BY event_type, date_trunc('hour', ts)
 """
 
 
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_pivot_events(sf_dir: str):
+    """Cross-tab pivot: one count column per event_type per user, plus the
+    purchase value sum — per-batch conditional partial counts (the pivot
+    happens IN the map, so the shuffle carries one wide row per touched
+    user per batch, not the event stream)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].combine_chunks(), dtype=np.int64)
+        et = t["event_type"].combine_chunks().to_numpy(zero_copy_only=False)
+        vm = np.floor(np.asarray(t["value"].combine_chunks(), np.float64) * 1000.0
+                      ).astype(np.int64)
+        uniq, inv = np.unique(uid, return_inverse=True)
+        cols = {"user_id": pa.array(uniq, pa.int64())}
+        for name in _PIVOT_TYPES:
+            m = et == name
+            cnt = np.zeros(uniq.size, np.int64)
+            np.add.at(cnt, inv[m], 1)
+            cols[f"n_{name}"] = pa.array(cnt, pa.int64())
+        pm = et == "purchase"
+        ps = np.zeros(uniq.size, np.int64)
+        np.add.at(ps, inv[pm], vm[pm])
+        cols["purchase_milli"] = pa.array(ps, pa.int64())
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{n}", alias_name=f"n_{n}") for n in _PIVOT_TYPES]
+    aggs.append(Sum("purchase_milli", alias_name="purchase_milli"))
+    return ev.map_batches(partial, batch_format="pyarrow").groupby("user_id").aggregate(*aggs)
+
+
+SQL_PIVOT_EVENTS = """
+SELECT user_id,
+       COUNT(*) FILTER (event_type = 'click') AS n_click,
+       COUNT(*) FILTER (event_type = 'error') AS n_error,
+       COUNT(*) FILTER (event_type = 'purchase') AS n_purchase,
+       COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+       COUNT(*) FILTER (event_type = 'view') AS n_view,
+       COALESCE(CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT), 0) AS purchase_milli
+FROM events GROUP BY user_id
+"""
+
+
 def q_sliding_window(sf_dir: str):
     """Hopping (sliding) event-time windows: 2-hour windows every 1 hour —
     each event lands in 2 windows via a vectorized flat expansion, then one
@@ -3314,6 +3421,7 @@ def build_queries():
         "tri_measures": q_tri_measures,
         "simplify_polylines": q_simplify_polylines,
         "group_hull": q_group_hull,
+        "buffer_points": q_buffer_points,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
         "rasterize_triangles": q_rasterize_triangles,
@@ -3342,6 +3450,7 @@ def build_queries():
         "join_orders_customer_shuffle": q_join_orders_customer_shuffle,
         "corpus_clean": q_corpus_clean,
         "window_events": q_window_events,
+        "pivot_events": q_pivot_events,
         "sliding_window": q_sliding_window,
         "topk_per_segment": q_topk_per_segment,
         "zonal_stats": q_zonal_stats,
@@ -3404,6 +3513,7 @@ def build_queries():
         "tri_measures": sql_tri_measures(),
         "simplify_polylines": sql_simplify_polylines(),
         "group_hull": sql_group_hull(),
+        "buffer_points": sql_buffer_points(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
@@ -3430,6 +3540,7 @@ def build_queries():
         "join_orders_customer_shuffle": SQL_JOIN_ORDERS,
         "corpus_clean": SQL_CORPUS_CLEAN,
         "window_events": SQL_WINDOW,
+        "pivot_events": SQL_PIVOT_EVENTS,
         "sliding_window": SQL_SLIDING,
         "topk_per_segment": SQL_TOPK_SEGMENT,
         "zonal_stats": sql_zonal_stats().format(tri=tri),

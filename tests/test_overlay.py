@@ -144,3 +144,24 @@ def test_rasterize_area_triangles_vs_scalar():
         tri_area = abs(signed_area_scalar(
             [(ax[i], ay[i]), (bx[i], by[i]), (cx[i], cy[i])]))
         assert abs(sums[i] - tri_area) < 1e-9 * max(tri_area, 1)
+
+
+def test_buffer_points_shape():
+    """Buffered points are CCW k-gons of the right radius; buffering then
+    measuring area approaches pi*r^2."""
+    from rayjoin.geom.overlay import buffer_points_batch, signed_area_scalar
+
+    t = pa.table({
+        "row_id": pa.array([1, 2], pa.int64()),
+        "x": pa.array([0.0, 10.0]), "y": pa.array([0.0, -5.0]),
+        "radius": pa.array([2.0, 0.5]),
+    })
+    out = buffer_points_batch(t, k=64)
+    for i, r, cx, cy in ((0, 2.0, 0.0, 0.0), (1, 0.5, 10.0, -5.0)):
+        ring = out["coords"][i][0].as_py()
+        pts = [(ring[2 * j], ring[2 * j + 1]) for j in range(64)]
+        for vx, vy in pts:
+            assert abs((vx - cx) ** 2 + (vy - cy) ** 2 - r * r) < 1e-9
+        a = signed_area_scalar(pts)
+        assert a > 0  # CCW
+        assert abs(a - np.pi * r * r) < 0.02 * r * r
