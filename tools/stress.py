@@ -168,6 +168,82 @@ def stress_minhash() -> dict:
             "planted": 2000, "sec": round(dt, 1), "docs_per_sec": round(102_000 / dt)}
 
 
+def stress_simdup(n: int = 200_000) -> dict:
+    """simhash_dup_pairs at scale: token-soup corpus + 2000 planted exact
+    twins (hamming 0 -> must all be recovered) and 2000 one-token-append
+    near twins (recovered iff their hamming lands <= 3 — reported, not
+    asserted: that is data, not a bug)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from rayjoin.functions.dedup import simhash_dup_pairs
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(40, 200, size=n)
+    toks = pc.binary_join_element_wise(
+        "w", pc.cast(pa.array(rng.integers(0, 100_000, int(lens.sum()))), pa.string()), "")
+    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int64))
+    texts = pc.binary_join(pa.LargeListArray.from_arrays(offsets, toks), " ")
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": texts})
+    base = np.arange(2000, dtype=np.int64)
+    exact = pa.table({"doc_id": pa.array(base + 10_000_000),
+                      "text": texts.take(pa.array(base))})
+    near = pa.table({"doc_id": pa.array(base + 20_000_000),
+                     "text": pc.binary_join_element_wise(
+                         texts.take(pa.array(base + 2000)), " zzz", "")})
+    ds = ray.data.from_arrow(pa.concat_tables([t, exact, near])).repartition(64).materialize()
+    total = n + 4000
+    t0 = time.time()
+    pairs = simhash_dup_pairs(ds, max_hamming=3).to_pandas()
+    dt = time.time() - t0
+    rec_exact = int(((pairs["id_b"] - pairs["id_a"]) == 10_000_000).sum())
+    rec_near = int(((pairs["id_b"] - pairs["id_a"]) == 20_000_000 - 2000).sum())
+    assert rec_exact == 2000, rec_exact
+    return {"stress": "simdup", "pairs": len(pairs), "exact_recovered": rec_exact,
+            "near_within_3": rec_near, "sec": round(dt, 1),
+            "docs_per_sec": round(total / dt)}
+
+
+def stress_substr(n: int = 100_000) -> dict:
+    """duplicated_windows at scale: ~25M 32-byte windows, 1000 planted
+    full-copy docs whose every window must be flagged (count == len-31 on
+    both twins)."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from rayjoin.functions.dedup import duplicated_windows
+
+    rng = np.random.default_rng(9)
+    lens = rng.integers(120, 400, size=n)
+    # random lowercase byte soup: no accidental cross-doc 32-byte repeats
+    total_b = int(lens.sum())
+    data = rng.integers(97, 123, total_b, dtype=np.uint8)
+    offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
+    texts = pa.Array.from_buffers(
+        pa.utf8(), n,
+        [None, pa.py_buffer(offs.astype(np.int32).tobytes()), pa.py_buffer(data.tobytes())])
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": texts})
+    base = np.arange(1000, dtype=np.int64)
+    twins = pa.table({"doc_id": pa.array(base + 10_000_000),
+                      "text": texts.take(pa.array(base))})
+    ds = ray.data.from_arrow(pa.concat_tables([t, twins])).repartition(64).materialize()
+    n_windows = int(np.maximum(lens - 31, 0).sum() + np.maximum(lens[:1000] - 31, 0).sum())
+    t0 = time.time()
+    out = duplicated_windows(ds, window=32).to_pandas()
+    dt = time.time() - t0
+    got = dict(zip(out.doc_id, out.n_dup_windows))
+    exp_rows = 0
+    for b in base:
+        exp = max(int(lens[b]) - 31, 0)
+        assert got.get(b) == exp and got.get(b + 10_000_000) == exp, b
+        exp_rows += 2
+    return {"stress": "substr", "docs_flagged": len(out), "planted_rows": exp_rows,
+            "windows": n_windows, "sec": round(dt, 1),
+            "windows_per_sec": round(n_windows / dt)}
+
+
 _LANGS = np.array(["en", "de", "fr", "es", "pt", "zh"])
 
 
@@ -472,7 +548,8 @@ def stress_pillbox(n: int = 120_000) -> dict:
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "embedding": stress_embedding, "minhash": stress_minhash,
             "corpus": stress_corpus, "pillbox": stress_pillbox,
-            "temporal": stress_temporal, "knnjoin": stress_knnjoin}
+            "temporal": stress_temporal, "knnjoin": stress_knnjoin,
+            "simdup": stress_simdup, "substr": stress_substr}
 
 
 def main(argv=None):
