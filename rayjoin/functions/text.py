@@ -343,7 +343,12 @@ def tfidf(ds, *, n_docs: int, text_col: str = "text", id_col: str = "doc_id",
 
     df_mat = df.materialize()
     if df_mat.count() <= broadcast_vocab_rows:
-        tbl = pa.concat_tables(ray.get(df_mat.to_arrow_refs()))
+        # empty shuffle blocks carry an EMPTY schema -> filter before concat
+        # (block layout varies run to run: this was an intermittent
+        # ArrowInvalid, caught by tools/determinism_sweep.py)
+        tabs = [t for t in ray.get(df_mat.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(tabs) if tabs else pa.table(
+            {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
         toks = tbl["token"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
         order = np.argsort(toks)
         dfs = np.asarray(tbl["df"], dtype=np.int64)[order]
@@ -427,7 +432,10 @@ def unigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         })
 
     if vocab.count() <= broadcast_vocab_rows:
-        tbl = pa.concat_tables(ray.get(vocab.to_arrow_refs()))
+        # filter empty-schema blocks (same intermittent concat trap as tfidf)
+        tabs = [t for t in ray.get(vocab.to_arrow_refs()) if t.num_rows]
+        tbl = pa.concat_tables(tabs) if tabs else pa.table(
+            {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())})
         toks = tbl["token"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
         order = np.argsort(toks)
         cnts = np.asarray(tbl["cnt"], dtype=np.int64)[order]
@@ -454,4 +462,79 @@ def unigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
         parts.groupby(id_col)
         .aggregate(Sum("ntok", alias_name="n_tokens"),
                    Sum("lpsum", alias_name="logprob_micro"))
+    )
+
+
+def bm25_scores(ds, terms, *, text_col: str = "text", id_col: str = "doc_id",
+                k1: float = 1.2, b: float = 0.75):
+    """Okapi BM25 scores for a fixed query-term set, in FIXED-POINT
+    micro-units: each term's contribution is floor(1e6 * idf * tf*(k1+1) /
+    (tf + k1*(1-b+b*dl/avgdl))) so the per-doc sum is an integer — order-
+    independent and bit-exact against the SQL twin (ln via math.log per
+    term, the tfidf libm-parity contract).
+
+    Scale shape: postings once (zero shuffle), doc lengths from one
+    groupby, the query-term postings filtered vectorized (terms are a
+    bounded set), then ONE hash join (filtered postings x dl) and one
+    final groupby(doc).  df/N/avgdl are driver scalars (terms are few;
+    everything else stays distributed)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _num_join_partitions
+
+    terms = sorted(set(terms))
+    post = inverted_index(ds, text_col=text_col, id_col=id_col).materialize()
+    dl = post.groupby(id_col).aggregate(Sum("tf", alias_name="dl")).materialize()
+    n_docs = dl.count()
+    total_tokens = dl.sum("dl")
+    avgdl = np.float64(total_tokens) / np.float64(n_docs)
+
+    term_arr = np.array(terms, object)
+
+    def only_terms(t: pa.Table) -> pa.Table:
+        tok = t["token"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        pos = np.clip(np.searchsorted(term_arr, tok), 0, term_arr.size - 1)
+        return t.filter(pa.array(term_arr[pos] == tok))
+
+    qpost = post.map_batches(only_terms, batch_format="pyarrow").materialize()
+
+    # df per term: a bounded collect (len(terms) rows)
+    from ray.data.aggregate import Count
+
+    df_tabs = [t for t in ray.get(
+        qpost.groupby("token").aggregate(Count(alias_name="df")).to_arrow_refs())
+        if t.num_rows]
+    dfs = {}
+    for t in df_tabs:
+        dfs.update(zip(t["token"].to_pylist(), t["df"].to_pylist()))
+    idf = {
+        t: math.log((np.float64(n_docs) - d + 0.5) / (d + 0.5) + 1.0)
+        for t, d in dfs.items()
+    }
+    idf_arr = np.array([idf.get(t, 0.0) for t in terms], np.float64)
+
+    j = qpost.join(dl, "inner", _num_join_partitions(), on=(id_col,))
+
+    def score(t: pa.Table) -> pa.Table:
+        tok = t["token"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        tf_ = np.asarray(t["tf"].combine_chunks(), dtype=np.float64)
+        dl_ = np.asarray(t["dl"].combine_chunks(), dtype=np.float64)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        tidf = idf_arr[np.searchsorted(term_arr, tok)]
+        num = tf_ * (k1 + 1.0)
+        den = tf_ + k1 * (1.0 - b + b * dl_ / avgdl)
+        part = np.floor(1000000.0 * (tidf * num / den)).astype(np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        agg = np.zeros(uniq.size, np.int64)
+        np.add.at(agg, inv, part)
+        return pa.table({id_col: pa.array(uniq, pa.int64()),
+                         "part": pa.array(agg, pa.int64())})
+
+    return (
+        j.map_batches(score, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("part", alias_name="bm25_micro"))
     )

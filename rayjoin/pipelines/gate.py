@@ -818,9 +818,10 @@ def q_bloom_member_custkeys(sf_dir: str):
 
     m, k = 1021, 5
     ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
-    bits = pa.concat_tables(
-        ray.get(bloom_bits(ev, value_col="user_id", m=m, k=k).to_arrow_refs())
-    )  # bounded: <= m rows
+    bits = pa.concat_tables(  # bounded: <= m rows; skip empty-schema blocks
+        [t for t in ray.get(bloom_bits(ev, value_col="user_id", m=m, k=k)
+                            .to_arrow_refs()) if t.num_rows]
+    )
     ref = ray.put(bloom_blob(bits, m=m))
     cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
     return bloom_member(cust, value_col="c_custkey", blob_ref=ref, m=m, k=k)
@@ -1026,6 +1027,48 @@ SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS n_tokens,
        CAST(SUM(t.tf * l.lp) AS BIGINT) AS logprob_micro
 FROM tf t JOIN lp l USING (token)
 GROUP BY t.doc_id
+"""
+
+
+_BM25_TERMS = ("join", "hash", "scan", "window")
+
+
+def q_bm25(sf_dir: str):
+    """Okapi BM25 for a fixed 4-term query (functions/text.py:bm25_scores):
+    fixed-point per-term contributions make the whole build+score chain
+    bit-exact (the lm_score contract extended to the IR-standard ranking
+    function)."""
+    import ray.data
+
+    from ..functions.text import bm25_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return bm25_scores(docs, _BM25_TERMS)
+
+
+def sql_bm25(k1: float = 1.2, b: float = 0.75) -> str:
+    terms = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS DOUBLE) AS tot FROM dl),
+q AS (SELECT unnest([{terms}]) AS token),
+df AS (SELECT t.token, CAST(COUNT(*) AS BIGINT) AS df
+       FROM tf t JOIN q USING (token) GROUP BY t.token),
+sc AS (
+  SELECT t.doc_id,
+         CAST(floor(1000000.0 * (
+           ln(((SELECT n FROM st) - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (t.tf * ({k1} + 1.0))
+           / (t.tf + {k1} * (1.0 - {b} + {b} * l.dl
+                             / ((SELECT tot FROM st) / (SELECT n FROM st))))
+         )) AS BIGINT) AS part
+  FROM tf t JOIN q USING (token) JOIN df d ON d.token = t.token
+  JOIN dl l USING (doc_id))
+SELECT doc_id, CAST(SUM(part) AS BIGINT) AS bm25_micro FROM sc GROUP BY doc_id
 """
 
 
@@ -3416,6 +3459,7 @@ def build_queries():
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
         "lm_score": q_lm_score,
+        "bm25_docs": q_bm25,
         "url_normalize": q_url_normalize,
         "url_edit_pairs": q_url_edit_pairs,
         "tri_measures": q_tri_measures,
@@ -3508,6 +3552,7 @@ def build_queries():
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
         "lm_score": SQL_LM_SCORE,
+        "bm25_docs": sql_bm25(),
         "url_normalize": SQL_URL_NORMALIZE,
         "url_edit_pairs": SQL_URL_EDIT_PAIRS,
         "tri_measures": sql_tri_measures(),
