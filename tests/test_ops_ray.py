@@ -1070,3 +1070,41 @@ def test_idw_interpolate_fixed_point():
     den = w0 + w1 + w2
     r1 = a[a.big_row_id == 1].iloc[0]
     assert (r1.idw_num, r1.idw_den, r1.idw_milli) == (num, den, (1000 * num) // den)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bm25_scores_vs_direct():
+    """bm25_scores equals a direct per-doc computation with the same
+    fixed-point contract; docs without any query term are absent."""
+    import math
+
+    import ray.data
+
+    from rayjoin.functions.text import bm25_scores
+
+    texts = ["join hash join", "scan scan scan window", "nothing here",
+             "join", "window window hash join scan"]
+    ids = list(range(len(texts)))
+    terms = ["join", "hash", "scan", "window"]
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+
+    toks = [s.split(" ") for s in texts]
+    N = len(texts)
+    dl = [len(tk) for tk in toks]
+    avgdl = np.float64(sum(dl)) / np.float64(N)
+    k1, b = 1.2, 0.75
+    exp = {}
+    for i, tk in enumerate(toks):
+        s = 0
+        for term in sorted(set(tk) & set(terms)):
+            tf = tk.count(term)
+            df = sum(1 for tt in toks if term in tt)
+            idf = math.log((np.float64(N) - df + 0.5) / (df + 0.5) + 1.0)
+            num = tf * (k1 + 1.0)
+            den = tf + k1 * (1.0 - b + b * dl[i] / avgdl)
+            s += int(np.floor(1000000.0 * (idf * num / den)))
+        if set(tk) & set(terms):
+            exp[i] = s
+    out = bm25_scores(ray.data.from_arrow(t).repartition(2), terms).to_pandas()
+    assert dict(zip(out.doc_id, out.bm25_micro)) == exp
+    assert 2 not in dict(zip(out.doc_id, out.bm25_micro))
