@@ -114,3 +114,61 @@ def broadcast_semi_join(ds, keys, *, key_col: str, anti: bool = False):
         return t.filter(pa.array(~hit if anti else hit, pa.bool_()))
 
     return ds.map_batches(filt, batch_format="pyarrow")
+
+
+def funnel(ds, *, steps=("view", "click", "purchase"), key_col: str = "user_id",
+           ts_col: str = "ts", type_col: str = "event_type",
+           num_buckets: int = 64):
+    """Ordered funnel progression per key: t1 = earliest step-1 event,
+    t2 = earliest step-2 event STRICTLY after t1, and so on — the standard
+    product-analytics funnel with earliest-completion semantics.  Returns
+    Dataset[key, depth, t1_us, t2_us, ...] (timestamps in epoch micros,
+    -1 where the step was never reached).
+
+    One bucketed shuffle on the key; each bucket resolves ALL its keys with
+    one lexsort + per-step segmented masked minimum — no per-key Python,
+    same merge pattern as sessionize."""
+    import pyarrow.compute as pc
+
+    SENT = np.iinfo(np.int64).max
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t[ts_col].combine_chunks()).astype("datetime64[us]").astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((k % num_buckets + num_buckets) % num_buckets,
+                               pa.int64()),
+            key_col: pa.array(k, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            type_col: t[type_col],
+        })
+
+    def resolve(t: pa.Table) -> pa.Table:
+        k = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        et = t[type_col].combine_chunks().to_numpy(zero_copy_only=False)
+        order = np.lexsort((ts, k))
+        k, ts, et = k[order], ts[order], et[order]
+        new = np.concatenate([[True], k[1:] != k[:-1]]) if k.size else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        uid = k[starts]
+        gid = np.cumsum(new) - 1
+        prev = np.full(uid.size, np.iinfo(np.int64).min, np.int64)  # step 0: no bound
+        out = {key_col: pa.array(uid, pa.int64())}
+        depth = np.zeros(uid.size, np.int64)
+        for i, step in enumerate(steps):
+            m = (et == step) & (ts > prev[gid])
+            vals = np.where(m, ts, SENT)
+            tmin = np.minimum.reduceat(vals, starts) if k.size else np.empty(0, np.int64)
+            reached = tmin != SENT
+            depth += reached.astype(np.int64) * (depth == i)
+            out[f"t{i + 1}_us"] = pa.array(np.where(reached, tmin, -1), pa.int64())
+            prev = tmin  # unreached -> SENT: later steps can't fire (ts > SENT impossible)
+        out["depth"] = pa.array(depth, pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(resolve, batch_format="pyarrow")
+    )

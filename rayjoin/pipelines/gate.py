@@ -2617,6 +2617,39 @@ FROM events GROUP BY user_id
 """
 
 
+def q_funnel_events(sf_dir: str):
+    """Ordered funnel per user (functions/stream.py:funnel): earliest
+    view -> click strictly after -> purchase strictly after; timestamps in
+    epoch micros so every comparison is integer-exact."""
+    import ray.data
+
+    from ..functions.stream import funnel
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"])
+    return funnel(ev)
+
+
+SQL_FUNNEL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+s1 AS (SELECT user_id, min(ts_us) AS t1 FROM e
+       WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_us) AS t2 FROM e JOIN s1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts_us > s1.t1 GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_us) AS t3 FROM e JOIN s2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts_us > s2.t2 GROUP BY e.user_id),
+u AS (SELECT DISTINCT user_id FROM e)
+SELECT u.user_id,
+       COALESCE(s1.t1, -1) AS t1_us,
+       COALESCE(s2.t2, -1) AS t2_us,
+       COALESCE(s3.t3, -1) AS t3_us,
+       CASE WHEN s1.t1 IS NULL THEN 0 WHEN s2.t2 IS NULL THEN 1
+            WHEN s3.t3 IS NULL THEN 2 ELSE 3 END AS depth
+FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+       LEFT JOIN s3 USING (user_id)
+"""
+
+
 def q_sliding_window(sf_dir: str):
     """Hopping (sliding) event-time windows: 2-hour windows every 1 hour —
     each event lands in 2 windows via a vectorized flat expansion, then one
@@ -3495,6 +3528,7 @@ def build_queries():
         "corpus_clean": q_corpus_clean,
         "window_events": q_window_events,
         "pivot_events": q_pivot_events,
+        "funnel_events": q_funnel_events,
         "sliding_window": q_sliding_window,
         "topk_per_segment": q_topk_per_segment,
         "zonal_stats": q_zonal_stats,
@@ -3586,6 +3620,7 @@ def build_queries():
         "corpus_clean": SQL_CORPUS_CLEAN,
         "window_events": SQL_WINDOW,
         "pivot_events": SQL_PIVOT_EVENTS,
+        "funnel_events": SQL_FUNNEL,
         "sliding_window": SQL_SLIDING,
         "topk_per_segment": SQL_TOPK_SEGMENT,
         "zonal_stats": sql_zonal_stats().format(tri=tri),

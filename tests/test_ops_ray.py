@@ -1108,3 +1108,37 @@ def test_bm25_scores_vs_direct():
     out = bm25_scores(ray.data.from_arrow(t).repartition(2), terms).to_pandas()
     assert dict(zip(out.doc_id, out.bm25_micro)) == exp
     assert 2 not in dict(zip(out.doc_id, out.bm25_micro))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_funnel_ordered_semantics():
+    """Funnel steps require STRICT temporal progression: a purchase before
+    the first view never counts; depth reflects the earliest chain."""
+    import ray.data
+
+    from rayjoin.functions.stream import funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, 100, "view"), (1, 200, "click"), (1, 300, "purchase"),
+        # user 2: purchase BEFORE view -> depth 1 only
+        (2, 50, "purchase"), (2, 100, "view"),
+        # user 3: click first, then view, then click again -> depth 2
+        (3, 10, "click"), (3, 20, "view"), (3, 30, "click"),
+        # user 4: no relevant events
+        (4, 10, "error"),
+        # user 5: simultaneous ts never satisfies the strict ordering
+        (5, 10, "view"), (5, 10, "click"),
+    ]
+    t = pa.table({
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(np.array([r[1] for r in rows], "datetime64[us]")),
+        "event_type": pa.array([r[2] for r in rows]),
+    })
+    out = funnel(ray.data.from_arrow(t).repartition(2)).to_pandas()
+    got = {r.user_id: (r.depth, r.t1_us, r.t2_us, r.t3_us) for r in out.itertuples()}
+    assert got[1] == (3, 100, 200, 300)
+    assert got[2] == (1, 100, -1, -1)
+    assert got[3] == (2, 20, 30, -1)
+    assert got[4] == (0, -1, -1, -1)
+    assert got[5] == (1, 10, -1, -1)
