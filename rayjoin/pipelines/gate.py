@@ -1590,6 +1590,50 @@ FROM fx
 """
 
 
+def q_geohash_assign(sf_dir: str):
+    """Geohash base32 cell ids (stages/geohash.py) at precision 6: the
+    interleaved code AND the string, both rebuilt in SQL (Morton
+    bit-spread ladder + substring concat over the standard alphabet)."""
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.geohash import geohash_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"),
+                          batch_format="pyarrow")
+    return geohash_assign(ds, precision=6).map_batches(
+        lambda t: t.select(["doc_id", "geohash_code", "geohash"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_geohash_assign(precision: int = 6) -> str:
+    lon, lat = _latlon_sql("doc_id")
+    nbits = 5 * precision
+    blon = (nbits + 1) // 2
+    blat = nbits // 2
+    assert blon == blat, "SQL twin uses the even-precision spread form"
+    chars = " || ".join(
+        "substring('0123456789bcdefghjkmnpqrstuvwxyz', "
+        f"CAST((code >> {5 * (precision - 1 - c)}) & 31 AS INTEGER) + 1, 1)"
+        for c in range(precision)
+    )
+    return f"""
+WITH g AS (SELECT doc_id, {lat} AS lat, {lon} AS lon FROM documents),
+ij AS (SELECT doc_id,
+  GREATEST(LEAST(CAST(FLOOR((lon + 180.0) / 360.0 * {1 << blon}) AS BIGINT),
+                 {(1 << blon) - 1}), 0) AS ix,
+  GREATEST(LEAST(CAST(FLOOR((lat + 90.0) / 180.0 * {1 << blat}) AS BIGINT),
+                 {(1 << blat) - 1}), 0) AS iy
+  FROM g),
+c AS (SELECT doc_id,
+      ({_sql_spread_bits('ix')} << 1) | {_sql_spread_bits('iy')} AS code
+      FROM ij)
+SELECT doc_id, code AS geohash_code, {chars} AS geohash FROM c
+"""
+
+
 def q_tile_stats(sf_dir: str):
     """Per-tile aggregate at resolution 6: page count + min doc id."""
     from ray.data.aggregate import Count, Min
@@ -3480,6 +3524,7 @@ def build_queries():
         "tile_assign": q_tile_assign,
         "s2_assign": q_s2_assign,
         "hex_assign": q_hex_assign,
+        "geohash_assign": q_geohash_assign,
         "s2_rollup": q_s2_rollup,
         "pages_e2e": q_pages_e2e,
         "redact_pii": q_redact_pii,
@@ -3574,6 +3619,7 @@ def build_queries():
         "tile_assign": sql_tile_assign(),
         "s2_assign": sql_s2_assign(),
         "hex_assign": sql_hex_assign(),
+        "geohash_assign": sql_geohash_assign(),
         "s2_rollup": sql_s2_rollup(),
         "pages_e2e": sql_pages_e2e(),
         "redact_pii": sql_redact_pii(),

@@ -51,3 +51,20 @@ def test_neighbors_symmetric_and_distinct():
     for i, h in enumerate(hid):
         for x in nb[i]:
             assert h in hex_neighbors(np.array([x]))[0]
+
+
+def test_geohash_canonical_and_prefix_property():
+    """The canonical Wikipedia example encodes exactly; higher precision
+    extends (never rewrites) the prefix; neighbors in space share prefixes."""
+    from rayjoin.stages.geohash import geohash_code, geohash_strings
+
+    lat, lon = np.array([57.64911]), np.array([10.40744])
+    for p, want in ((6, "u4pruy"), (11, "u4pruydqqvj")):
+        c = geohash_code(lat, lon, p)
+        assert geohash_strings(c, p).to_pylist() == [want]
+    rng = np.random.default_rng(12)
+    lats = rng.uniform(-89, 89, 300)
+    lons = rng.uniform(-179, 179, 300)
+    g6 = geohash_strings(geohash_code(lats, lons, 6), 6).to_pylist()
+    g9 = geohash_strings(geohash_code(lats, lons, 9), 9).to_pylist()
+    assert all(b.startswith(a) for a, b in zip(g6, g9))
