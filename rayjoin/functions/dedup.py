@@ -860,13 +860,14 @@ def _window_words(data: np.ndarray, idx: np.ndarray, window: int) -> np.ndarray:
     return out.view(np.uint64)
 
 
-def duplicated_windows(ds, *, id_col: str = "doc_id", text_col: str = "text",
-                       window: int = 32, broadcast_threshold: int = 5_000_000,
-                       coarse_buckets: int = 127):
-    """Per-doc count of byte windows of length ``window`` whose exact content
-    occurs >= 2 times anywhere in the corpus (other doc OR another position
-    of the same doc) — the detection core of exact-substring dedup.
-    Returns Dataset[doc_id, n_dup_windows] for docs with >= 1 such window.
+def _dup_window_positions(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                          window: int = 32, broadcast_threshold: int = 5_000_000,
+                          coarse_buckets: int = 127):
+    """Verified (doc, pos) rows of every byte window of length ``window``
+    whose exact content occurs >= 2 times anywhere in the corpus (other doc
+    OR another position of the same doc) — the detection core of
+    exact-substring dedup shared by ``duplicated_windows`` (counts) and
+    ``duplicated_ranges`` (merged cut intervals).
 
     EXACT even under hash collisions: candidates are grouped by rolling
     hash, then verified by comparing the actual window bytes (as packed
@@ -974,11 +975,12 @@ def duplicated_windows(ds, *, id_col: str = "doc_id", text_col: str = "text",
     def verify(t: pa.Table) -> pa.Table:
         h = np.asarray(t["h"].combine_chunks(), dtype=np.int64)
         ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        pos = np.asarray(t["pos"].combine_chunks(), dtype=np.int64)
         words = np.stack(
             [np.asarray(t[f"w{w}"].combine_chunks(), dtype=np.int64)
              for w in range(m_words)], axis=1) if h.size else np.empty((0, m_words), np.int64)
         order = np.lexsort(tuple(words[:, w] for w in range(m_words - 1, -1, -1)) + (h,))
-        h, ids, words = h[order], ids[order], words[order]
+        h, ids, pos, words = h[order], ids[order], pos[order], words[order]
         same = (
             (h[1:] == h[:-1]) & (words[1:] == words[:-1]).all(axis=1)
             if h.size else np.empty(0, bool)
@@ -987,15 +989,81 @@ def duplicated_windows(ds, *, id_col: str = "doc_id", text_col: str = "text",
         grp = np.cumsum(new_grp) - 1
         sizes = np.bincount(grp) if h.size else np.empty(0, np.int64)
         dup_rows = sizes[grp] >= 2
-        uniq, cnt = np.unique(ids[dup_rows], return_counts=True)
+        return pa.table({id_col: pa.array(ids[dup_rows], pa.int64()),
+                         "pos": pa.array(pos[dup_rows], pa.int64())})
+
+    # verified TRUE-duplicate window positions (doc, pos), distinct by
+    # construction; counts and ranges both derive from this stream
+    return cand.groupby("bucket").map_groups(verify, batch_format="pyarrow")
+
+
+def duplicated_windows(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                       window: int = 32, broadcast_threshold: int = 5_000_000,
+                       coarse_buckets: int = 127):
+    """Per-doc count of duplicated ``window``-byte windows (see
+    ``_dup_window_positions``).  Returns Dataset[doc_id, n_dup_windows]
+    for docs with >= 1 such window; the shuffle carries per-batch partial
+    counts, not positions."""
+    from ray.data.aggregate import Sum
+
+    pos = _dup_window_positions(
+        ds, id_col=id_col, text_col=text_col, window=window,
+        broadcast_threshold=broadcast_threshold, coarse_buckets=coarse_buckets)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        uniq, cnt = np.unique(ids, return_counts=True)
         return pa.table({id_col: pa.array(uniq, pa.int64()),
                          "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
 
     return (
-        cand.groupby("bucket")
-        .map_groups(verify, batch_format="pyarrow")
+        pos.map_batches(partial, batch_format="pyarrow")
         .groupby(id_col)
         .aggregate(Sum("cnt", alias_name="n_dup_windows"))
+    )
+
+
+def duplicated_ranges(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                      window: int = 32, broadcast_threshold: int = 5_000_000,
+                      coarse_buckets: int = 127, num_buckets: int = 64):
+    """Merged byte ranges [start, end) per doc covering every duplicated
+    window — the actual CUT LIST of exact-substring dedup (Lee et al. 2022):
+    overlapping and back-to-back windows coalesce (gap > window starts a
+    new range).  One bucketed shuffle on the doc id; each bucket merges all
+    its docs' sorted positions with one lexsort + run detection."""
+    pos = _dup_window_positions(
+        ds, id_col=id_col, text_col=text_col, window=window,
+        broadcast_threshold=broadcast_threshold, coarse_buckets=coarse_buckets)
+
+    def bucketed(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "dbucket": pa.array((ids % num_buckets + num_buckets) % num_buckets,
+                                pa.int64()),
+            id_col: t[id_col], "pos": t["pos"],
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        p = np.asarray(t["pos"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((p, ids))
+        ids, p = ids[order], p[order]
+        brk = (
+            np.concatenate([[True], (ids[1:] != ids[:-1]) | (p[1:] > p[:-1] + window)])
+            if ids.size else np.empty(0, bool)
+        )
+        starts = np.flatnonzero(brk)
+        ends = np.concatenate([starts[1:], [ids.size]])
+        return pa.table({
+            id_col: pa.array(ids[starts], pa.int64()),
+            "start": pa.array(p[starts], pa.int64()),
+            "end": pa.array(p[ends - 1] + window, pa.int64()),
+        })
+
+    return (
+        pos.map_batches(bucketed, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(merge, batch_format="pyarrow")
     )
 
 

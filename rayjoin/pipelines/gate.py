@@ -2170,6 +2170,57 @@ FROM w JOIN dup USING (win) GROUP BY doc_id
 """
 
 
+def q_exact_substr_ranges(sf_dir: str):
+    """The ExactSubstr CUT LIST (functions/dedup.py:duplicated_ranges):
+    merged [start, end) byte ranges covering every duplicated 32-byte
+    window, over the same twin-augmented corpus as exact_substr_windows.
+    The SQL twin finds the ranges with the classic islands-and-gaps window
+    idiom (LAG + running SUM of breaks)."""
+    import ray.data
+
+    from ..functions.dedup import duplicated_ranges
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_twins(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        text = t["text"].combine_chunks()
+        m0 = ids % 20 == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, ids[m0] + 1_000_000]), pa.int64()),
+                "text": pa.concat_arrays([text, text.filter(pa.array(m0))]),
+            }
+        )
+
+    corpus = docs.map_batches(with_twins, batch_format="pyarrow")
+    return duplicated_ranges(corpus, window=32)
+
+
+SQL_EXACT_SUBSTR_RANGES = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - 31)) AS pos,
+         unnest(list_transform(generate_series(1, length(text) - 31),
+                               i -> substring(text, i, 32))) AS win
+  FROM corpus WHERE length(text) >= 32),
+dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+d AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
+m AS (SELECT doc_id, pos,
+      CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 32
+           THEN 0 ELSE 1 END AS brk FROM d),
+g AS (SELECT doc_id, pos,
+      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m)
+SELECT doc_id, CAST(MIN(pos) - 1 AS BIGINT) AS start,
+       CAST(MAX(pos) + 31 AS BIGINT) AS "end"
+FROM g GROUP BY doc_id, grp
+"""
+
+
 def q_ann_cosine(sf_dir: str):
     """Brute-force cosine top-5 for the 8 lowest-id query vectors."""
     import pyarrow.parquet as pq
@@ -3560,6 +3611,7 @@ def build_queries():
         "simhash": q_simhash,
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "exact_substr_windows": q_exact_substr_windows,
+        "exact_substr_ranges": q_exact_substr_ranges,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -3655,6 +3707,7 @@ def build_queries():
         "simhash": sql_simhash(),
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "exact_substr_windows": SQL_EXACT_SUBSTR_WINDOWS,
+        "exact_substr_ranges": SQL_EXACT_SUBSTR_RANGES,
         "fingerprint": sql_fingerprint(),
         "ann_cosine": SQL_ANN,
         "ann_ivf_exhaustive": SQL_ANN,

@@ -1142,3 +1142,43 @@ def test_funnel_ordered_semantics():
     assert got[3] == (2, 20, 30, -1)
     assert got[4] == (0, -1, -1, -1)
     assert got[5] == (1, 10, -1, -1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicated_ranges_merge_semantics():
+    """Ranges coalesce overlapping AND back-to-back windows; disjoint dup
+    regions in one doc yield separate ranges; ranges reproduce the brute
+    position set exactly."""
+    import ray.data
+
+    from rayjoin.functions.dedup import duplicated_ranges
+
+    W = 8
+    rng = np.random.default_rng(13)
+    filler1 = "".join(rng.choice(list("abcdefgh"), 30))
+    filler2 = "".join(rng.choice(list("qrstuvwx"), 30))
+    shared1, shared2 = "AAAAAAAAAAAA", "BBBBBBBBBB"  # 12 and 10 chars
+    # doc 0 has both shared runs separated by unique filler; docs 1/2 carry
+    # one each
+    docs = [shared1 + filler1 + shared2, filler2 + shared1, shared2 + filler2[::-1]]
+    t = pa.table({"doc_id": pa.array([0, 1, 2], pa.int64()),
+                  "text": pa.array(docs)})
+    out = duplicated_ranges(ray.data.from_arrow(t).repartition(2), window=W) \
+        .to_pandas().sort_values(["doc_id", "start"]).reset_index(drop=True)
+
+    # brute force: dup windows then greedy merge with gap > W
+    from collections import Counter
+
+    wins = Counter(s[p:p + W] for s in docs for p in range(len(s) - W + 1))
+    exp = []
+    for i, s in enumerate(docs):
+        ps = [p for p in range(len(s) - W + 1) if wins[s[p:p + W]] >= 2]
+        for p in ps:
+            if exp and exp[-1][0] == i and p <= exp[-1][2]:
+                exp[-1] = (i, exp[-1][1], max(exp[-1][2], p + W))
+            else:
+                exp.append((i, p, p + W))
+    got = list(zip(out.doc_id, out.start, out.end))
+    assert got == exp
+    # doc 0 has exactly two disjoint ranges (the two shared runs)
+    assert sum(1 for g in got if g[0] == 0) == 2
