@@ -1067,6 +1067,109 @@ def duplicated_ranges(ds, *, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def apply_cut_ranges(docs, ranges, *, id_col: str = "doc_id",
+                     text_col: str = "text", num_buckets: int = 64):
+    """Remove byte ranges [start, end) from each doc's text — the final
+    step of exact-substring dedup (compose with ``duplicated_ranges``).
+    Docs without ranges pass through byte-identical.  Returns
+    Dataset[doc_id, cut_text].
+
+    Plan: ranges pack into one binary blob per doc (bucketed merge), ONE
+    left-outer hash join onto the corpus, then a fully vectorized splice
+    per batch (piece boundaries -> repeat_expand gather over the flat utf8
+    buffer; no per-row Python)."""
+    import ray.data
+
+    from ..geom.primitives import repeat_expand
+
+    def tag(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "dbucket": pa.array((ids % num_buckets + num_buckets) % num_buckets,
+                                pa.int64()),
+            id_col: t[id_col], "start": t["start"], "end": t["end"],
+        })
+
+    def pack(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        s = np.asarray(t["start"].combine_chunks(), dtype=np.int64)
+        e = np.asarray(t["end"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((s, ids))
+        ids, s, e = ids[order], s[order], e[order]
+        new = np.concatenate([[True], ids[1:] != ids[:-1]]) if ids.size else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.concatenate([starts, [ids.size]]))
+        pairs = np.empty(2 * ids.size, np.int64)
+        pairs[0::2], pairs[1::2] = s, e
+        off = np.concatenate([[0], np.cumsum(counts)]) * 16
+        blob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), starts.size,
+            [None, pa.py_buffer(off.astype(np.int64).tobytes()),
+             pa.py_buffer(pairs.tobytes())])
+        return pa.table({id_col: pa.array(ids[starts], pa.int64()),
+                         "cuts": blob})
+
+    packed = (
+        ranges.map_batches(tag, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(pack, batch_format="pyarrow")
+    )
+    j = docs.join(packed, "left_outer", _num_join_partitions(), on=(id_col,))
+
+    def cut(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        cuts = t["cuts"].combine_chunks()
+        n = len(text)
+        buf = text.buffers()
+        toff_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+        toff = np.frombuffer(buf[1], dtype=toff_dt, count=n + 1 + text.offset)[
+            text.offset : text.offset + n + 1].astype(np.int64)
+        tdata = (np.frombuffer(buf[2], dtype=np.uint8)
+                 if buf[2] is not None else np.empty(0, np.uint8))
+        tlen = toff[1:] - toff[:-1]
+        # decode per-doc cut pairs (zero-copy over the large_binary buffer)
+        cb = cuts.buffers()
+        coff = np.frombuffer(cb[1], dtype=np.int64, count=n + 1 + cuts.offset)[
+            cuts.offset : cuts.offset + n + 1]
+        cdata = (np.frombuffer(cb[2], dtype=np.int64)
+                 if cb[2] is not None else np.empty(0, np.int64))
+        valid = np.asarray(pc.is_valid(cuts))
+        ncuts = np.where(valid, (coff[1:] - coff[:-1]) // 16, 0)
+        # kept pieces per doc: ncuts + 1 (between/around the sorted ranges)
+        npieces = ncuts + 1
+        pid, k = repeat_expand(npieces)
+        base = (coff[:-1] // 8)[pid]
+        first = k == 0
+        last = k == npieces[pid] - 1
+        # piece k spans [end_{k-1}, start_k) with end_{-1}=0, start_last=len
+        # (cdata_safe: np.where evaluates both branches, so masked-out
+        # gathers must still be in-bounds even when no doc has cuts)
+        cdata_safe = cdata if cdata.size else np.zeros(1, np.int64)
+        p_from = np.where(
+            first, 0,
+            cdata_safe[np.clip(base + 2 * k - 1, 0, cdata_safe.size - 1)])
+        p_to = np.where(
+            last, tlen[pid],
+            cdata_safe[np.clip(base + 2 * k, 0, cdata_safe.size - 1)])
+        p_from = np.minimum(p_from, tlen[pid])
+        p_to = np.minimum(np.maximum(p_to, p_from), tlen[pid])
+        plen = p_to - p_from
+        out_len = np.zeros(n, np.int64)
+        np.add.at(out_len, pid, plen)
+        sid, kk = repeat_expand(plen)
+        src = toff[:-1][pid[sid]] + p_from[sid] + kk
+        out_off = np.concatenate([[0], np.cumsum(out_len)])
+        out_data = tdata[src] if src.size else np.empty(0, np.uint8)
+        cut_text = pa.Array.from_buffers(
+            pa.large_string(), n,
+            [None, pa.py_buffer(out_off.astype(np.int64).tobytes()),
+             pa.py_buffer(out_data.tobytes())])
+        return pa.table({id_col: pa.array(ids, pa.int64()), "cut_text": cut_text})
+
+    return j.map_batches(cut, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # embedding near-dup (cosine)
 # ---------------------------------------------------------------------------

@@ -2221,6 +2221,70 @@ FROM g GROUP BY doc_id, grp
 """
 
 
+def q_exact_substr_cut(sf_dir: str):
+    """The ExactSubstr END PRODUCT: duplicated ranges CUT out of every
+    doc's text (functions/dedup.py:apply_cut_ranges over
+    duplicated_ranges), docs without ranges byte-identical.  The SQL twin
+    performs the same string surgery with LAG + ordered string_agg."""
+    import ray.data
+
+    from ..functions.dedup import apply_cut_ranges, duplicated_ranges
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_twins(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        text = t["text"].combine_chunks()
+        m0 = ids % 20 == 0
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([ids, ids[m0] + 1_000_000]), pa.int64()),
+                "text": pa.concat_arrays([text, text.filter(pa.array(m0))]),
+            }
+        )
+
+    corpus = docs.map_batches(with_twins, batch_format="pyarrow").materialize()
+    ranges = duplicated_ranges(corpus, window=32)
+    return apply_cut_ranges(corpus, ranges)
+
+
+SQL_EXACT_SUBSTR_CUT = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 20 = 0),
+w AS (
+  SELECT doc_id,
+         unnest(generate_series(1, length(text) - 31)) AS pos,
+         unnest(list_transform(generate_series(1, length(text) - 31),
+                               i -> substring(text, i, 32))) AS win
+  FROM corpus WHERE length(text) >= 32),
+dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(*) >= 2),
+d AS (SELECT doc_id, pos FROM w JOIN dup USING (win)),
+m AS (SELECT doc_id, pos,
+      CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 32
+           THEN 0 ELSE 1 END AS brk FROM d),
+g AS (SELECT doc_id, pos,
+      SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp FROM m),
+r AS (SELECT doc_id, CAST(MIN(pos) - 1 AS BIGINT) AS s,
+             CAST(MAX(pos) + 31 AS BIGINT) AS e
+      FROM g GROUP BY doc_id, grp),
+p AS (SELECT doc_id, s, e,
+      LAG(e, 1, 0) OVER (PARTITION BY doc_id ORDER BY s) AS prev_e FROM r),
+agg AS (SELECT p.doc_id,
+        string_agg(substring(c.text, CAST(p.prev_e + 1 AS INTEGER),
+                             CAST(p.s - p.prev_e AS INTEGER)),
+                   '' ORDER BY p.s) AS mids,
+        MAX(p.e) AS max_e
+        FROM p JOIN corpus c USING (doc_id) GROUP BY p.doc_id)
+SELECT c.doc_id,
+       CASE WHEN a.doc_id IS NULL THEN c.text
+            ELSE COALESCE(a.mids, '')
+                 || substring(c.text, CAST(a.max_e + 1 AS INTEGER)) END AS cut_text
+FROM corpus c LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_ann_cosine(sf_dir: str):
     """Brute-force cosine top-5 for the 8 lowest-id query vectors."""
     import pyarrow.parquet as pq
@@ -3612,6 +3676,7 @@ def build_queries():
         "simhash_dup_pairs": q_simhash_dup_pairs,
         "exact_substr_windows": q_exact_substr_windows,
         "exact_substr_ranges": q_exact_substr_ranges,
+        "exact_substr_cut": q_exact_substr_cut,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
         "ann_ivf": q_ann_ivf,
@@ -3708,6 +3773,7 @@ def build_queries():
         "simhash_dup_pairs": sql_simhash_dup_pairs(),
         "exact_substr_windows": SQL_EXACT_SUBSTR_WINDOWS,
         "exact_substr_ranges": SQL_EXACT_SUBSTR_RANGES,
+        "exact_substr_cut": SQL_EXACT_SUBSTR_CUT,
         "fingerprint": sql_fingerprint(),
         "ann_cosine": SQL_ANN,
         "ann_ivf_exhaustive": SQL_ANN,

@@ -1182,3 +1182,27 @@ def test_duplicated_ranges_merge_semantics():
     assert got == exp
     # doc 0 has exactly two disjoint ranges (the two shared runs)
     assert sum(1 for g in got if g[0] == 0) == 2
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_apply_cut_ranges_splice():
+    """Cut surgery: middle ranges excise cleanly, a full-doc range empties
+    the text, docs without ranges pass through byte-identical (including
+    the empty doc)."""
+    import ray.data
+
+    from rayjoin.functions.dedup import apply_cut_ranges
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(["hello dup world dup end", "untouched", "allgone", ""]),
+    })
+    ranges = pa.table({
+        "doc_id": pa.array([0, 0, 2], pa.int64()),
+        "start": pa.array([6, 16, 0], pa.int64()),
+        "end": pa.array([10, 20, 7], pa.int64()),
+    })
+    out = apply_cut_ranges(ray.data.from_arrow(docs).repartition(2),
+                           ray.data.from_arrow(ranges)).to_pandas()
+    got = dict(zip(out.doc_id, out.cut_text))
+    assert got == {0: "hello world end", 1: "untouched", 2: "", 3: ""}
