@@ -219,20 +219,29 @@ def minhash_dedup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     # bands -> different buckets.  Materialize first so the count, the
     # distinct, and the two downstream consumers (candidate-id collection +
     # verify) never re-execute the signature pipeline.  Small candidate sets
-    # dedupe in one partition; large ones (high-dup corpora) via a
-    # vectorized groupby(id_a, id_b) shuffle instead of one giant block.
+    # dedupe with one driver-side lexsort over the collected blocks (verify
+    # pulls the same blocks anyway for its candidate-id set, and the 5M cap
+    # bounds the pull exactly like the old repartition(1) path — minus its
+    # three barrier stages, measured ~0.7s of fixed overhead at bench
+    # scale); large ones (high-dup corpora) via a vectorized
+    # groupby(id_a, id_b) shuffle instead of one giant block.
     cands = cands.materialize()
     if cands.count() <= 5_000_000:
-        cands = (
-            cands.repartition(1)
-            .map_batches(
-                lambda df: df.drop_duplicates(ignore_index=True),
-                batch_format="pandas",
-                batch_size=None,
-            )
-            .repartition(32)
-            .materialize()
-        )
+        import ray
+        import ray.data
+
+        tabs = [t for t in ray.get(cands.to_arrow_refs()) if t.num_rows]
+        if tabs:
+            pt = pa.concat_tables([t.select(["id_a", "id_b"]) for t in tabs])
+            a = np.asarray(pt["id_a"], dtype=np.int64)
+            b = np.asarray(pt["id_b"], dtype=np.int64)
+            order = np.lexsort((b, a))
+            a, b = a[order], b[order]
+            keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
+            cands = ray.data.from_arrow(pa.table({
+                "id_a": pa.array(a[keep], pa.int64()),
+                "id_b": pa.array(b[keep], pa.int64()),
+            })).materialize()
     else:
         from ray.data.aggregate import Count
 
