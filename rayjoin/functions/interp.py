@@ -60,9 +60,13 @@ def idw_interpolate(knn_ds, values, *, value_col: str = "value",
 
     if values.count() <= broadcast_threshold_rows:
         tabs = [t for t in ray.get(values.to_arrow_refs()) if t.num_rows]
-        tbl = pa.concat_tables(tabs)
-        sid = np.asarray(tbl["small_row_id"], dtype=np.int64)
-        val = np.asarray(tbl[value_col], dtype=np.int64)
+        if tabs:
+            tbl = pa.concat_tables(tabs)
+            sid = np.asarray(tbl["small_row_id"], dtype=np.int64)
+            val = np.asarray(tbl[value_col], dtype=np.int64)
+        else:
+            sid = np.empty(0, np.int64)
+            val = np.empty(0, np.int64)
         order = np.argsort(sid)
         ref = ray.put((sid[order], val[order]))
 

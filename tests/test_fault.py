@@ -120,3 +120,46 @@ def test_partitioned_join_survives_worker_kill(tmp_path):
     assert os.path.exists(str(tmp_path / "probe_killed"))
     key = lambda df: sorted(map(tuple, df[sorted(df.columns)].values))
     assert key(got) == key(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_duplicated_windows_survives_worker_kill(tmp_path, monkeypatch):
+    """Kill a worker during the exact-substring pass-B candidate scan; the
+    two-pass pipeline (pre-aggregated counts -> broadcast dup set ->
+    rescan -> bucketed verify) must still produce the exact counts."""
+    import ray.data
+
+    from rayjoin.functions import dedup as D
+    from rayjoin.functions.dedup import duplicated_windows
+
+    kill_once = _make_killer(str(tmp_path / "substr_killed"))
+
+    # wrap _flat_windows so one pass-B worker dies mid-scan (by-value pickle)
+    orig = D._flat_windows
+
+    rng = np.random.default_rng(17)
+    W = 12
+    docs = ["".join(rng.choice(list("abcdef"), 60)) for _ in range(400)]
+    docs += docs[:20]  # exact twins -> every window of those docs is dup
+    ids = list(range(len(docs)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(docs)})
+
+    from collections import Counter
+
+    wins = Counter(s[p:p + W] for s in docs for p in range(len(s) - W + 1))
+    exp = {}
+    for i, s in zip(ids, docs):
+        c = sum(1 for p in range(len(s) - W + 1) if wins[s[p:p + W]] >= 2)
+        if c:
+            exp[i] = c
+
+    def flaky_flat_windows(texts, k=5):
+        kill_once()
+        return orig(texts, k)
+
+    monkeypatch.setattr(D, "_flat_windows", flaky_flat_windows)
+    out = duplicated_windows(
+        ray.data.from_arrow(t).repartition(8), window=W
+    ).to_pandas()
+    assert os.path.exists(str(tmp_path / "substr_killed"))
+    assert dict(zip(out.doc_id, out.n_dup_windows)) == exp

@@ -244,6 +244,42 @@ def stress_substr(n: int = 100_000) -> dict:
             "windows_per_sec": round(n_windows / dt)}
 
 
+def stress_fuzzy(n: int = 500_000) -> dict:
+    """edit_distance_pairs at scale: 500k urls over 50k hosts (~10 per
+    block), 5000 planted 1-edit twins that must all be recovered; blocks
+    bounded so the quadratic verify stays per-block tiny."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from rayjoin.functions.fuzzy import edit_distance_pairs
+
+    rng = np.random.default_rng(21)
+    host_id = rng.integers(0, 50_000, n)
+    path_id = rng.integers(0, 10**9, n)
+    urls = pc.binary_join_element_wise(
+        "http://h", pc.cast(pa.array(host_id), pa.string()),
+        ".example.com/p", pc.cast(pa.array(path_id), pa.string()), "")
+    hosts = pc.binary_join_element_wise(
+        "h", pc.cast(pa.array(host_id), pa.string()), ".example.com", "")
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "host": hosts, "url": urls})
+    base = np.arange(5000, dtype=np.int64)
+    twin_urls = pc.binary_join_element_wise(
+        pc.cast(urls.take(pa.array(base)), pa.string()), "x", "")  # 1 insert
+    twins = pa.table({"doc_id": pa.array(base + 10_000_000),
+                      "host": hosts.take(pa.array(base)), "url": twin_urls})
+    ds = ray.data.from_arrow(pa.concat_tables([t, twins])).repartition(64).materialize()
+    t0 = time.time()
+    out = edit_distance_pairs(ds, id_col="doc_id", str_col="url",
+                              key_col="host", max_dist=2).to_pandas()
+    dt = time.time() - t0
+    rec = int(((out["id_b"] - out["id_a"]) == 10_000_000).sum())
+    assert rec == 5000, rec
+    return {"stress": "fuzzy", "pairs": len(out), "planted_recovered": rec,
+            "sec": round(dt, 1), "rows_per_sec": round((n + 5000) / dt)}
+
+
 _LANGS = np.array(["en", "de", "fr", "es", "pt", "zh"])
 
 
@@ -549,7 +585,8 @@ STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "embedding": stress_embedding, "minhash": stress_minhash,
             "corpus": stress_corpus, "pillbox": stress_pillbox,
             "temporal": stress_temporal, "knnjoin": stress_knnjoin,
-            "simdup": stress_simdup, "substr": stress_substr}
+            "simdup": stress_simdup, "substr": stress_substr,
+            "fuzzy": stress_fuzzy}
 
 
 def main(argv=None):
