@@ -1141,8 +1141,12 @@ def apply_cut_ranges(docs, ranges, *, id_col: str = "doc_id",
         cb = cuts.buffers()
         coff = np.frombuffer(cb[1], dtype=np.int64, count=n + 1 + cuts.offset)[
             cuts.offset : cuts.offset + n + 1]
-        cdata = (np.frombuffer(cb[2], dtype=np.int64)
-                 if cb[2] is not None else np.empty(0, np.int64))
+        # bound the int64 view to the bytes this slice references: a
+        # join-produced values buffer may carry trailing bytes that are
+        # not a multiple of 8 (frombuffer without count would raise)
+        n_int64 = int(coff.max()) // 8 if coff.size else 0
+        cdata = (np.frombuffer(cb[2], dtype=np.int64, count=n_int64)
+                 if cb[2] is not None and n_int64 else np.empty(0, np.int64))
         valid = np.asarray(pc.is_valid(cuts))
         ncuts = np.where(valid, (coff[1:] - coff[:-1]) // 16, 0)
         # kept pieces per doc: ncuts + 1 (between/around the sorted ranges)
