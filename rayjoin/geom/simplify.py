@@ -109,7 +109,9 @@ def simplify_linestrings(ds, *, tolerance: float):
         kind = np.asarray(t["geom_type"].combine_chunks(), dtype=np.int8)
         ls = np.flatnonzero(kind == LINESTRING)
         if ls.size == 0:
-            return t
+            # same projected schema as the processed branch (mixed batches
+            # must not emit different column sets)
+            return t.select(["row_id", "geom_type", "coords"])
         sub = t.take(pa.array(ls))
         ring = pc.list_element(sub["coords"].combine_chunks(), 0)
         if isinstance(ring, pa.ChunkedArray):
