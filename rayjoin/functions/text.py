@@ -486,6 +486,8 @@ def bm25_scores(ds, terms, *, text_col: str = "text", id_col: str = "doc_id",
     from .dedup import _num_join_partitions
 
     terms = sorted(set(terms))
+    if not terms:
+        raise ValueError("bm25_scores: need at least one query term")
     post = inverted_index(ds, text_col=text_col, id_col=id_col).materialize()
     dl = post.groupby(id_col).aggregate(Sum("tf", alias_name="dl")).materialize()
     n_docs = dl.count()
