@@ -28,7 +28,8 @@ def build_corpus(sf_dir: str, out_dir: str, *, resolution: int = 10,
                  min_mean_token_len_milli: int = 2000,
                  keep_langs: tuple = ("en", "de", "fr", "es", "pt", "zh"),
                  dedup_threshold: float = 0.8, seed: int = 42,
-                 broadcast_drop_rows: int = 5_000_000) -> dict:
+                 broadcast_drop_rows: int = 5_000_000,
+                 substr_cut_window: int | None = None) -> dict:
     """Run the composed pipeline; returns a metrics dict (counts per stage,
     wall seconds, partition layout)."""
     import ray
@@ -105,6 +106,23 @@ def build_corpus(sf_dir: str, out_dir: str, *, resolution: int = 10,
     # hilbert_id is re-derived at the sink's partitioning resolution
     out_cols = ["doc_id", "url", "lat", "lon", "tile_id", "lang", "text"]
     kept = kept.map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
+    if substr_cut_window:
+        # opt-in ExactSubstr stage: duplicated cross-doc byte ranges cut
+        # into an ADDITIONAL text_cut column — `text` itself stays
+        # byte-identical (the north-rule invariant holds regardless)
+        from ..functions.dedup import (_num_join_partitions, apply_cut_ranges,
+                                       duplicated_ranges)
+
+        kept = kept.materialize()
+        ranges = duplicated_ranges(kept.select_columns(["doc_id", "text"]),
+                                   window=substr_cut_window)
+        cut = apply_cut_ranges(kept.select_columns(["doc_id", "text"]), ranges)
+        kept = kept.join(cut, "inner", _num_join_partitions(), on=("doc_id",)
+                         ).map_batches(
+            lambda t: t.select(out_cols + ["cut_text"]).rename_columns(
+                out_cols + ["text_cut"]),
+            batch_format="pyarrow",
+        )
     bounds = write_hilbert_partitioned(
         kept, out_dir, num_partitions=num_partitions, resolution=12, seed=seed
     )
@@ -137,6 +155,9 @@ def main(argv=None):
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     ap.add_argument("--out", required=True)
     ap.add_argument("--num-cpus", type=int, default=None)
+    ap.add_argument("--substr-cut-window", type=int, default=None,
+                    help="add a text_cut column with duplicated byte ranges "
+                         "of this window length excised (ExactSubstr stage)")
     args = ap.parse_args(argv)
 
     import ray
@@ -150,7 +171,8 @@ def main(argv=None):
     import ray.data
 
     ray.data.DataContext.get_current().enable_progress_bars = False
-    print(json.dumps(build_corpus(args.sf_dir, args.out)))
+    print(json.dumps(build_corpus(args.sf_dir, args.out,
+                                  substr_cut_window=args.substr_cut_window)))
     ray.shutdown()
 
 

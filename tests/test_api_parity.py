@@ -121,3 +121,37 @@ def test_corpus_pipeline_end_to_end(tmp_path):
     dropped = {r["doc_id"] for r in near_dup_drop_list(docs).take_all()}
     written = set(got["doc_id"].to_pylist())
     assert dropped.isdisjoint(written)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_corpus_pipeline_substr_cut_stage(tmp_path):
+    """The opt-in ExactSubstr stage adds text_cut while text itself stays
+    byte-identical; cut texts never contain a cross-doc duplicated window
+    longer than the merge rule allows at range boundaries (spot-check:
+    every doc's text_cut is a subsequence of its text)."""
+    import pyarrow.parquet as pq
+
+    from rayjoin.pipelines.corpus import build_corpus
+
+    out = str(tmp_path / "corpus_cut")
+    m = build_corpus("/root/testdata/sf0.001", out, num_partitions=4,
+                     substr_cut_window=24)
+    assert m["rows_written"] > 0
+    got = pq.read_table(out, columns=["doc_id", "text", "text_cut"])
+    src = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                        columns=["doc_id", "text"])
+    src_map = dict(zip(src["doc_id"].to_pylist(), src["text"].to_pylist()))
+    n_changed = 0
+    for d, t, c in zip(got["doc_id"].to_pylist(), got["text"].to_pylist(),
+                       got["text_cut"].to_pylist()):
+        assert src_map[d] == t          # invariant column untouched
+        assert len(c) <= len(t)
+        if c != t:
+            n_changed += 1
+        # cut text is text with contiguous ranges removed -> always a
+        # subsequence; verify greedily
+        it = iter(t)
+        assert all(ch in it for ch in c)
+    # the synthetic corpus repeats template phrases across docs: the cut
+    # stage must actually fire somewhere
+    assert n_changed > 0
