@@ -1660,6 +1660,48 @@ def sql_tile_stats() -> str:
     )
 
 
+def q_focal_sum(sf_dir: str):
+    """Focal (3x3 moving-window) statistics over the res-8 tile grid
+    (pipelines/raster.py:focal_sum): per-tile doc counts scattered to
+    their neighborhoods, integer sums — SQL twin joins an offsets table
+    with the same grid clipping."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    from ..pipelines.raster import focal_sum
+    from ..stages.geocode import geocode_from_key
+    from ..stages.tiles import tile_assign
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    ds = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"),
+                          batch_format="pyarrow")
+    counts = (
+        tile_assign(ds, resolution=8, with_hilbert=False)
+        .groupby("tile_id")
+        .aggregate(Count(alias_name="n"))
+    )
+    return focal_sum(counts, resolution=8)
+
+
+def sql_focal_sum(r: int = 8) -> str:
+    n = 1 << r
+    lon, lat = _latlon_sql("doc_id")
+    tile = _tile_sql("(" + lon + ")", "(" + lat + ")", r)
+    return f"""
+WITH c AS (SELECT {tile} AS tile_id, CAST(COUNT(*) AS BIGINT) AS v
+           FROM documents GROUP BY 1),
+o AS (SELECT dx.d AS dx, dy.d AS dy
+      FROM (SELECT unnest(generate_series(-1, 1)) AS d) dx,
+           (SELECT unnest(generate_series(-1, 1)) AS d) dy),
+s AS (SELECT ((c.tile_id // {n}) + o.dy) * {n} + ((c.tile_id % {n}) + o.dx)
+        AS tile_id, c.v
+      FROM c, o
+      WHERE c.tile_id % {n} + o.dx BETWEEN 0 AND {n - 1}
+        AND c.tile_id // {n} + o.dy BETWEEN 0 AND {n - 1})
+SELECT tile_id, CAST(SUM(v) AS BIGINT) AS focal_sum FROM s GROUP BY tile_id
+"""
+
+
 def q_tile_rollup(sf_dir: str):
     """Hierarchy consistency: assign res-12 tiles, roll up via tile_parent
     to res 6, aggregate.  The SQL oracle computes res-6 ids DIRECTLY — the
@@ -3661,6 +3703,7 @@ def build_queries():
         "buffer_points": q_buffer_points,
         "tile_stats": q_tile_stats,
         "tile_rollup": q_tile_rollup,
+        "focal_sum": q_focal_sum,
         "rasterize_triangles": q_rasterize_triangles,
         "rasterize_rect_area": q_rasterize_rect_area,
         "vectorize_boundary": q_vectorize_boundary,
@@ -3758,6 +3801,7 @@ def build_queries():
         "buffer_points": sql_buffer_points(),
         "tile_stats": sql_tile_stats(),
         "tile_rollup": sql_tile_rollup(),
+        "focal_sum": sql_focal_sum(),
         "rasterize_triangles": sql_rasterize().format(tri=tri),
         "rasterize_rect_area": sql_rasterize_rect_area().format(rects=rsup),
         "vectorize_boundary": sql_vectorize_boundary().format(tri=tri),

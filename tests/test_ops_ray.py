@@ -1206,3 +1206,32 @@ def test_apply_cut_ranges_splice():
                            ray.data.from_arrow(ranges)).to_pandas()
     got = dict(zip(out.doc_id, out.cut_text))
     assert got == {0: "hello world end", 1: "untouched", 2: "", 3: ""}
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_focal_sum_grid_clipping():
+    """3x3 focal sums: interior tiles see all 9 contributions, corner
+    tiles clip (no wraparound); values match a dict-based oracle."""
+    import ray.data
+
+    from rayjoin.pipelines.raster import focal_sum
+
+    res, n = 4, 16
+    tiles = [0, 1, n, n + 1, 5 * n + 5, (n - 1) * n + (n - 1)]  # corner block + interior + far corner
+    vals = [1, 2, 3, 4, 10, 7]
+    t = pa.table({"tile_id": pa.array(tiles, pa.int64()),
+                  "n": pa.array(vals, pa.int64())})
+    out = focal_sum(ray.data.from_arrow(t), resolution=res).to_pandas()
+    got = dict(zip(out.tile_id, out.focal_sum))
+
+    exp = {}
+    for tid, v in zip(tiles, vals):
+        ix, iy = tid % n, tid // n
+        for dx in (-1, 0, 1):
+            for dy in (-1, 0, 1):
+                jx, jy = ix + dx, iy + dy
+                if 0 <= jx < n and 0 <= jy < n:
+                    exp[jy * n + jx] = exp.get(jy * n + jx, 0) + v
+    assert got == exp
+    assert got[0] == 1 + 2 + 3 + 4        # corner collects the 2x2 block
+    assert got[(n - 1) * n + (n - 1)] == 7  # far corner: itself only
