@@ -719,6 +719,193 @@ def near_dup_drop_list(ds, *, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def similarity_join_shingles(ds, *, id_col: str = "doc_id",
+                             text_col: str = "text", threshold: float = 0.8,
+                             k: int = 5, coarse_buckets: int = 127,
+                             df_broadcast_rows: int = 20_000_000):
+    """EXACT set-similarity self-join (PPJoin-style prefix filtering,
+    Xiao et al. 2008) over k-byte-shingle sets: ALL pairs with Jaccard >=
+    threshold — the deterministic counterpart of ``minhash_dedup_pairs``
+    (no LSH miss probability).  Returns Dataset[id_a, id_b, inter, uni]
+    (exact intersection / union sizes), id_a < id_b, distinct.
+
+    Prefix-filter theorem: order every doc's shingles by GLOBAL rarity
+    (df asc, hash asc); with prefix length p = s - ceil(t*s) + 1, any pair
+    with J >= t shares a prefix shingle.  Rare shingles head the prefixes,
+    so candidate groups stay small on discriminative sets.
+
+    Scale shape: per-doc unique shingle hashes (flat-buffer rolling hash),
+    global df via the bucketed segmented-sum pattern, ONE groupby shuffle
+    on the prefix shingle carrying each doc's packed sorted set (bytes
+    shipped ~ (1-t) * corpus shingles * set size — the price of exactness;
+    use minhash for recall-tolerant corpora), per-bucket lexsorted pair
+    expansion + one packed-intersection verify, final pair distinct."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    def partial_df(t: pa.Table) -> pa.Table:
+        h, off = _shingle_hashes(t[text_col], k)
+        h = _mix64(h)
+        uh, _, _ = _segment_unique(h, off)
+        uniq, cnt = np.unique(uh, return_counts=True)
+        hv = uniq.view(np.int64)
+        return pa.table({
+            "bucket": pa.array((hv % coarse_buckets + coarse_buckets) % coarse_buckets,
+                               pa.int64()),
+            "h": pa.array(hv, pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def bucket_df(t: pa.Table) -> pa.Table:
+        h = np.asarray(t["h"].combine_chunks(), dtype=np.int64)
+        cnt = np.asarray(t["cnt"].combine_chunks(), dtype=np.int64)
+        order = np.argsort(h)
+        h, cnt = h[order], cnt[order]
+        new = np.concatenate([[True], h[1:] != h[:-1]]) if h.size else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        sums = np.add.reduceat(cnt, starts) if h.size else np.empty(0, np.int64)
+        return pa.table({"h": pa.array(h[starts], pa.int64()),
+                         "df": pa.array(sums, pa.int64())})
+
+    df_ds = (
+        ds.map_batches(partial_df, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_df, batch_format="pyarrow")
+        .materialize()
+    )
+    if df_ds.count() > df_broadcast_rows:
+        raise NotImplementedError(
+            "similarity_join_shingles: df table exceeds the broadcast cap; "
+            "shard the corpus or use minhash_dedup_pairs")
+    tabs = [t for t in ray.get(df_ds.to_arrow_refs()) if t.num_rows]
+    if tabs:
+        dt = pa.concat_tables(tabs)
+        dh = np.asarray(dt["h"], dtype=np.int64).view(np.uint64)
+        dv = np.asarray(dt["df"], dtype=np.int64)
+        order = np.argsort(dh)
+        ref = ray.put((dh[order], dv[order]))
+    else:
+        ref = ray.put((np.empty(0, np.uint64), np.empty(0, np.int64)))
+
+    def prefixes(t: pa.Table) -> pa.Table:
+        from ..geom.primitives import repeat_expand
+
+        dh_s, dv_s = ray.get(ref)
+        h, off = _shingle_hashes(t[text_col], k)
+        h = _mix64(h)
+        uh, useg, ucounts = _segment_unique(h, off)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        # df of each unique shingle (exact lookup)
+        pos = np.searchsorted(dh_s, uh)
+        pos = np.minimum(pos, max(dh_s.size - 1, 0))
+        dfv = dv_s[pos] if dh_s.size else np.zeros(uh.size, np.int64)
+        # per-doc order by (df, hash): rarest first
+        order = np.lexsort((uh, dfv, useg))
+        uh_o, useg_o = uh[order], useg[order]
+        s = ucounts
+        p = s - np.ceil(threshold * s).astype(np.int64) + 1
+        p = np.clip(p, np.where(s > 0, 1, 0), s)
+        doc_start = np.concatenate([[0], np.cumsum(s)])
+        pid, kk = repeat_expand(p)
+        pref = uh_o[doc_start[:-1][pid] + kk]
+        # packed full set blob per doc, sorted by hash VALUE for the
+        # verify's merge (uh from _segment_unique is already value-sorted
+        # within each doc)
+        uoff = (doc_start * 8).astype(np.int64)
+        blobs = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), s.size,
+            [None, pa.py_buffer(uoff.tobytes()), pa.py_buffer(uh.tobytes())])
+        pv = pref.view(np.int64)
+        return pa.table({
+            "bucket": pa.array((pv % coarse_buckets + coarse_buckets) % coarse_buckets,
+                               pa.int64()),
+            "pref": pa.array(pv, pa.int64()),
+            id_col: pa.array(ids[pid], pa.int64()),
+            "ssize": pa.array(s[pid], pa.int64()),
+            "shash": blobs.take(pa.array(pid)),
+        })
+
+    def bucket_pairs(t: pa.Table) -> pa.Table:
+        from ..functions.text import _binary_u64
+        from ..geom.primitives import repeat_expand
+
+        pref = np.asarray(t["pref"].combine_chunks(), dtype=np.int64)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        ssize = np.asarray(t["ssize"].combine_chunks(), dtype=np.int64)
+        flat, counts = _binary_u64(t["shash"])
+        row_start = np.concatenate([[0], np.cumsum(counts)])
+        order = np.lexsort((ids, pref))
+        pref_s, ids_s = pref[order], ids[order]
+        # drop duplicate (pref, id) rows (a doc can emit the same prefix
+        # shingle only once, but keep the guard cheap)
+        keep = np.concatenate([[True], (pref_s[1:] != pref_s[:-1]) | (ids_s[1:] != ids_s[:-1])]) \
+            if pref_s.size else np.empty(0, bool)
+        order = order[keep]
+        pref_s, ids_s = pref_s[keep], ids_s[keep]
+        new = np.concatenate([[True], pref_s[1:] != pref_s[:-1]]) if pref_s.size else np.empty(0, bool)
+        starts = np.flatnonzero(new)
+        sizes = np.diff(np.concatenate([starts, [pref_s.size]]))
+        ia_l, ib_l = [], []
+        for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            a, b = np.triu_indices(m, 1)
+            ia_l.append(order[st + a])
+            ib_l.append(order[st + b])
+        if not ia_l:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64()),
+                             "uni": pa.array([], pa.int64())})
+        ia = np.concatenate(ia_l)
+        ib = np.concatenate(ib_l)
+        # size-ratio prefilter: J >= t forces min/max >= t
+        sa, sb = ssize[ia], ssize[ib]
+        ok = np.minimum(sa, sb).astype(np.float64) \
+            / np.maximum(np.maximum(sa, sb), 1) >= threshold
+        ia, ib = ia[ok], ib[ok]
+        if ia.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64()),
+                             "inter": pa.array([], pa.int64()),
+                             "uni": pa.array([], pa.int64())})
+        # packed-key intersection count over both (value-sorted) sets
+        ca, cb = counts[ia], counts[ib]
+        pid_a, ka = repeat_expand(ca)
+        pid_b, kb = repeat_expand(cb)
+        va = flat[row_start[ia][pid_a] + ka]
+        vb = flat[row_start[ib][pid_b] + kb]
+        pairseg = np.concatenate([pid_a, pid_b])
+        vals = np.concatenate([va, vb])
+        o2 = np.lexsort((vals, pairseg))
+        vs, ps = vals[o2], pairseg[o2]
+        dup = (vs[1:] == vs[:-1]) & (ps[1:] == ps[:-1]) if vs.size else np.empty(0, bool)
+        inter = np.bincount(ps[1:][dup], minlength=ia.size).astype(np.int64)
+        sa2, sb2 = ssize[ia], ssize[ib]
+        uni = sa2 + sb2 - inter
+        jok = inter.astype(np.float64) / np.maximum(uni, 1) >= threshold
+        a_ids = np.minimum(ids[ia], ids[ib])[jok]
+        b_ids = np.maximum(ids[ia], ids[ib])[jok]
+        out = pa.table({
+            "id_a": pa.array(a_ids, pa.int64()),
+            "id_b": pa.array(b_ids, pa.int64()),
+            "inter": pa.array(inter[jok], pa.int64()),
+            "uni": pa.array(uni[jok], pa.int64()),
+        })
+        g = out.group_by(["id_a", "id_b"]).aggregate(
+            [("inter", "min"), ("uni", "min")])
+        return g.rename_columns(["id_a", "id_b", "inter", "uni"])
+
+    cands = (
+        ds.map_batches(prefixes, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return (
+        cands.groupby(["id_a", "id_b"])
+        .aggregate(Min("inter", alias_name="inter"), Min("uni", alias_name="uni"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash hamming near-dup (Manku et al., WWW'07 band partitioning)
 # ---------------------------------------------------------------------------

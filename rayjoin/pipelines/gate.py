@@ -2103,6 +2103,39 @@ SELECT doc_id, {_SQL_U64_TO_I64.format(v='v')} AS simhash FROM sh
 """
 
 
+def q_similarity_join(sf_dir: str):
+    """EXACT PPJoin-style set-similarity self-join over 5-byte shingle
+    sets (functions/dedup.py:similarity_join_shingles): all pairs with
+    Jaccard >= 0.8 plus their exact intersection/union sizes.  The SQL
+    twin brute-forces all pairs over distinct substring shingle sets (the
+    minhash oracle's machinery, now with the sizes exposed)."""
+    import ray.data
+
+    from ..functions.dedup import similarity_join_shingles
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return similarity_join_shingles(docs, threshold=0.8)
+
+
+SQL_SIMILARITY_JOIN = f"""
+WITH sh AS ({{shingles}}),
+cand AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb,
+         array_length(a.s) AS la, array_length(b.s) AS lb
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE array_length(a.s) > 0 AND array_length(b.s) > 0
+    AND (LEAST(array_length(a.s), array_length(b.s)) * 1.0
+         / GREATEST(array_length(a.s), array_length(b.s), 1)) >= 0.8),
+p AS (
+  SELECT id_a, id_b,
+         CAST(array_length(list_intersect(sa, sb)) AS BIGINT) AS inter,
+         CAST(la + lb - array_length(list_intersect(sa, sb)) AS BIGINT) AS uni
+  FROM cand)
+SELECT id_a, id_b, inter, uni FROM p
+WHERE CAST(inter AS DOUBLE) / GREATEST(uni, 1) >= 0.8
+"""
+
+
 def q_simhash_dup_pairs(sf_dir: str):
     """EXACT Hamming<=3 simhash near-dup pairs (Manku WWW'07 band cover,
     functions/dedup.py:simhash_dup_pairs) over documents augmented with
@@ -3714,6 +3747,7 @@ def build_queries():
         "token_regex": q_token_regex,
         "ngram_jaccard": q_ngram_jaccard,
         "minhash_dedup": q_minhash_dedup,
+        "similarity_join": q_similarity_join,
         "near_dup_drop_list": q_near_dup_drop_list,
         "simhash": q_simhash,
         "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -3812,6 +3846,7 @@ def build_queries():
         "token_regex": sql_token_regex(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "minhash_dedup": SQL_MINHASH_PAIRS,
+        "similarity_join": SQL_SIMILARITY_JOIN.format(shingles=SQL_MINHASH_SHINGLES),
         "near_dup_drop_list": SQL_NEAR_DUP_DROP,
         "simhash": sql_simhash(),
         "simhash_dup_pairs": sql_simhash_dup_pairs(),

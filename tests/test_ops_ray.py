@@ -1235,3 +1235,48 @@ def test_focal_sum_grid_clipping():
     assert got == exp
     assert got[0] == 1 + 2 + 3 + 4        # corner collects the 2x2 block
     assert got[(n - 1) * n + (n - 1)] == 7  # far corner: itself only
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_similarity_join_exact_vs_bruteforce_and_minhash():
+    """PPJoin prefix filtering is EXACT: pairs equal the brute-force
+    shingle-set Jaccard>=t truth, and (on this corpus) contain every pair
+    minhash finds."""
+    import ray.data
+
+    from rayjoin.functions.dedup import (
+        _mix64,
+        _segment_unique,
+        _shingle_hashes,
+        minhash_dedup_pairs,
+        similarity_join_shingles,
+    )
+
+    base = [f"doc number {i} with some unique content tokens {i*7%13}" * 4
+            for i in range(40)]
+    texts = base + [base[3], base[7], base[5][:-6] + "zzzzzz"]
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    # brute-force truth over hashed shingle sets (same universe the
+    # operator uses)
+    h, off = _shingle_hashes(t["text"], 5)
+    h = _mix64(h)
+    uh, useg, cnt = _segment_unique(h, off)
+    sets = [set(uh[useg == i].tolist()) for i in range(len(ids))]
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            uni = len(sets[i] | sets[j])
+            if uni and inter / uni >= 0.8:
+                exp[(i, j)] = (inter, uni)
+
+    out = similarity_join_shingles(ds, threshold=0.8).to_pandas()
+    got = {(r.id_a, r.id_b): (r.inter, r.uni) for r in out.itertuples()}
+    assert got == exp and len(exp) >= 3
+
+    mh = minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
+    mh_pairs = set(zip(mh.id_a, mh.id_b))
+    assert mh_pairs <= set(got)  # the exact join dominates the LSH join
