@@ -335,8 +335,10 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
                          text_col: str = "text", threshold: float = 0.8,
                          k: int = 5, broadcast_threshold_rows: int = 2_000_000,
                          broadcast_threshold_bytes: int = 4 << 30,
-                         num_partitions: int | None = None):
-    """Keep the pairs whose exact shingle Jaccard >= threshold.
+                         num_partitions: int | None = None,
+                         emit_sizes: bool = False):
+    """Keep the pairs whose exact shingle Jaccard >= threshold.  With
+    ``emit_sizes`` the surviving pairs carry exact (inter, uni) columns.
 
     Scale plan (VERDICT r1 fix): the corpus is first semi-filtered
     (streaming ``map_batches``) to the docs named in some candidate pair —
@@ -452,7 +454,11 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
 
             ids_sorted, uh_, uoff_ = ray.get(lookup_ref)
             if ids_sorted.size == 0:  # none of the pair ids exist in corpus
-                return t.select(["id_a", "id_b"]).slice(0, 0)
+                empty = t.select(["id_a", "id_b"]).slice(0, 0)
+                if emit_sizes:
+                    empty = empty.append_column("inter", pa.array([], pa.int64()))
+                    empty = empty.append_column("uni", pa.array([], pa.int64()))
+                return empty
             a = np.asarray(t["id_a"].combine_chunks(), dtype=np.int64)
             b = np.asarray(t["id_b"].combine_chunks(), dtype=np.int64)
             pa_pos = np.searchsorted(ids_sorted, a)
@@ -480,6 +486,8 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
             maybe &= np.where(hi > 0, lo >= threshold, True)
             jac = np.zeros(a.size, np.float64)
             jac[(la == 0) & (lb == 0)] = 1.0  # both empty => 1.0
+            inter_all = np.zeros(a.size, np.int64)
+            union_all = (la + lb).astype(np.int64)
             m = np.flatnonzero(maybe & (hi > 0))
             if m.size:
                 from ..util import intersection_counts
@@ -493,7 +501,16 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
                 inter = intersection_counts(ha, ga_pair, hb, gb_pair, m.size)
                 union = la_m + lb_m - inter
                 jac[m] = inter / union
-            return t.filter(pa.array(jac >= threshold, pa.bool_())).select(["id_a", "id_b"])
+                inter_all[m] = inter
+                union_all[m] = union
+            kept = jac >= threshold
+            out = t.filter(pa.array(kept, pa.bool_())).select(["id_a", "id_b"])
+            if emit_sizes:
+                out = out.append_column(
+                    "inter", pa.array(inter_all[kept], pa.int64()))
+                out = out.append_column(
+                    "uni", pa.array(union_all[kept], pa.int64()))
+            return out
 
         return pairs_ds.map_batches(verify, batch_format="pyarrow", batch_size=4096)
 
@@ -523,7 +540,12 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
         jac = np.ones(n, np.float64)  # both-empty => 1.0 (jaccard_batch parity)
         nz = union > 0
         jac[nz] = inter[nz] / union[nz]
-        return t.filter(pa.array(jac >= threshold, pa.bool_())).select(["id_a", "id_b"])
+        kept = jac >= threshold
+        out = t.filter(pa.array(kept, pa.bool_())).select(["id_a", "id_b"])
+        if emit_sizes:
+            out = out.append_column("inter", pa.array(inter[kept].astype(np.int64), pa.int64()))
+            out = out.append_column("uni", pa.array(union[kept].astype(np.int64), pa.int64()))
+        return out
 
     return j.map_batches(verify_joined, batch_format="pyarrow")
 
@@ -736,13 +758,15 @@ def similarity_join_shingles(ds, *, id_col: str = "doc_id",
 
     Scale shape: per-doc unique shingle hashes (flat-buffer rolling hash),
     global df via the bucketed segmented-sum pattern, ONE groupby shuffle
-    on the prefix shingle carrying each doc's packed sorted set (bytes
-    shipped ~ (1-t) * corpus shingles * set size — the price of exactness;
-    use minhash for recall-tolerant corpora), per-bucket lexsorted pair
-    expansion + one packed-intersection verify, final pair distinct."""
+    over LIGHT prefix rows (pref, doc, setsize — no set payloads: shipping
+    each doc's set once per prefix measured quadratic-in-set-size and
+    filled the disk at 100k docs), per-bucket pair expansion with the
+    size-ratio prefilter, then the shared candidates->verify machinery
+    (``verify_pairs_jaccard``) joins the per-doc hash sets back and scores
+    each surviving pair exactly, emitting (inter, uni)."""
     import ray
     import ray.data
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Count
 
     def partial_df(t: pa.Table) -> pa.Table:
         h, off = _shingle_hashes(t[text_col], k)
@@ -796,26 +820,18 @@ def similarity_join_shingles(ds, *, id_col: str = "doc_id",
         h = _mix64(h)
         uh, useg, ucounts = _segment_unique(h, off)
         ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
-        # df of each unique shingle (exact lookup)
         pos = np.searchsorted(dh_s, uh)
         pos = np.minimum(pos, max(dh_s.size - 1, 0))
         dfv = dv_s[pos] if dh_s.size else np.zeros(uh.size, np.int64)
         # per-doc order by (df, hash): rarest first
         order = np.lexsort((uh, dfv, useg))
-        uh_o, useg_o = uh[order], useg[order]
+        uh_o = uh[order]
         s = ucounts
         p = s - np.ceil(threshold * s).astype(np.int64) + 1
         p = np.clip(p, np.where(s > 0, 1, 0), s)
         doc_start = np.concatenate([[0], np.cumsum(s)])
         pid, kk = repeat_expand(p)
         pref = uh_o[doc_start[:-1][pid] + kk]
-        # packed full set blob per doc, sorted by hash VALUE for the
-        # verify's merge (uh from _segment_unique is already value-sorted
-        # within each doc)
-        uoff = (doc_start * 8).astype(np.int64)
-        blobs = pa.LargeBinaryArray.from_buffers(
-            pa.large_binary(), s.size,
-            [None, pa.py_buffer(uoff.tobytes()), pa.py_buffer(uh.tobytes())])
         pv = pref.view(np.int64)
         return pa.table({
             "bucket": pa.array((pv % coarse_buckets + coarse_buckets) % coarse_buckets,
@@ -823,87 +839,48 @@ def similarity_join_shingles(ds, *, id_col: str = "doc_id",
             "pref": pa.array(pv, pa.int64()),
             id_col: pa.array(ids[pid], pa.int64()),
             "ssize": pa.array(s[pid], pa.int64()),
-            "shash": blobs.take(pa.array(pid)),
         })
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        from ..functions.text import _binary_u64
-        from ..geom.primitives import repeat_expand
-
         pref = np.asarray(t["pref"].combine_chunks(), dtype=np.int64)
         ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
         ssize = np.asarray(t["ssize"].combine_chunks(), dtype=np.int64)
-        flat, counts = _binary_u64(t["shash"])
-        row_start = np.concatenate([[0], np.cumsum(counts)])
         order = np.lexsort((ids, pref))
-        pref_s, ids_s = pref[order], ids[order]
-        # drop duplicate (pref, id) rows (a doc can emit the same prefix
-        # shingle only once, but keep the guard cheap)
-        keep = np.concatenate([[True], (pref_s[1:] != pref_s[:-1]) | (ids_s[1:] != ids_s[:-1])]) \
-            if pref_s.size else np.empty(0, bool)
-        order = order[keep]
-        pref_s, ids_s = pref_s[keep], ids_s[keep]
-        new = np.concatenate([[True], pref_s[1:] != pref_s[:-1]]) if pref_s.size else np.empty(0, bool)
+        pref, ids, ssize = pref[order], ids[order], ssize[order]
+        new = np.concatenate([[True], pref[1:] != pref[:-1]]) if pref.size else np.empty(0, bool)
         starts = np.flatnonzero(new)
-        sizes = np.diff(np.concatenate([starts, [pref_s.size]]))
+        sizes = np.diff(np.concatenate([starts, [pref.size]]))
         ia_l, ib_l = [], []
         for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             a, b = np.triu_indices(m, 1)
-            ia_l.append(order[st + a])
-            ib_l.append(order[st + b])
+            ia_l.append(st + a)
+            ib_l.append(st + b)
         if not ia_l:
             return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "inter": pa.array([], pa.int64()),
-                             "uni": pa.array([], pa.int64())})
+                             "id_b": pa.array([], pa.int64())})
         ia = np.concatenate(ia_l)
         ib = np.concatenate(ib_l)
-        # size-ratio prefilter: J >= t forces min/max >= t
         sa, sb = ssize[ia], ssize[ib]
         ok = np.minimum(sa, sb).astype(np.float64) \
             / np.maximum(np.maximum(sa, sb), 1) >= threshold
         ia, ib = ia[ok], ib[ok]
-        if ia.size == 0:
-            return pa.table({"id_a": pa.array([], pa.int64()),
-                             "id_b": pa.array([], pa.int64()),
-                             "inter": pa.array([], pa.int64()),
-                             "uni": pa.array([], pa.int64())})
-        # packed-key intersection count over both (value-sorted) sets
-        ca, cb = counts[ia], counts[ib]
-        pid_a, ka = repeat_expand(ca)
-        pid_b, kb = repeat_expand(cb)
-        va = flat[row_start[ia][pid_a] + ka]
-        vb = flat[row_start[ib][pid_b] + kb]
-        pairseg = np.concatenate([pid_a, pid_b])
-        vals = np.concatenate([va, vb])
-        o2 = np.lexsort((vals, pairseg))
-        vs, ps = vals[o2], pairseg[o2]
-        dup = (vs[1:] == vs[:-1]) & (ps[1:] == ps[:-1]) if vs.size else np.empty(0, bool)
-        inter = np.bincount(ps[1:][dup], minlength=ia.size).astype(np.int64)
-        sa2, sb2 = ssize[ia], ssize[ib]
-        uni = sa2 + sb2 - inter
-        jok = inter.astype(np.float64) / np.maximum(uni, 1) >= threshold
-        a_ids = np.minimum(ids[ia], ids[ib])[jok]
-        b_ids = np.maximum(ids[ia], ids[ib])[jok]
-        out = pa.table({
-            "id_a": pa.array(a_ids, pa.int64()),
-            "id_b": pa.array(b_ids, pa.int64()),
-            "inter": pa.array(inter[jok], pa.int64()),
-            "uni": pa.array(uni[jok], pa.int64()),
+        pairs = pa.table({
+            "id_a": pa.array(np.minimum(ids[ia], ids[ib]), pa.int64()),
+            "id_b": pa.array(np.maximum(ids[ia], ids[ib]), pa.int64()),
         })
-        g = out.group_by(["id_a", "id_b"]).aggregate(
-            [("inter", "min"), ("uni", "min")])
-        return g.rename_columns(["id_a", "id_b", "inter", "uni"])
+        return pairs.group_by(["id_a", "id_b"]).aggregate([]).select(["id_a", "id_b"])
 
     cands = (
         ds.map_batches(prefixes, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(bucket_pairs, batch_format="pyarrow")
+        .groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_a", "id_b"])
+        .materialize()
     )
-    return (
-        cands.groupby(["id_a", "id_b"])
-        .aggregate(Min("inter", alias_name="inter"), Min("uni", alias_name="uni"))
-    )
+    return verify_pairs_jaccard(cands, ds, id_col=id_col, text_col=text_col,
+                                threshold=threshold, k=k, emit_sizes=True)
 
 
 # ---------------------------------------------------------------------------

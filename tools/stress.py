@@ -244,6 +244,56 @@ def stress_substr(n: int = 100_000) -> dict:
             "windows_per_sec": round(n_windows / dt)}
 
 
+def stress_simjoin() -> dict:
+    """Head-to-head exact PPJoin (similarity_join_shingles) vs MinHash-LSH
+    (minhash_dedup_pairs) on ONE corpus: 100k letter-alphabet docs + 2000
+    planted near-twins; the exact join must recover all 2000 with zero
+    false pairs.
+
+    Corpus note: char-5-shingles need ENTROPY for the prefix filter to
+    prune.  stress_minhash's digit-token soup caps at 12^5 ~ 249k possible
+    shingles (measured: mean df 69 and 64M candidate slots at just 10k
+    docs -> quadratic blowup), which is exactly LSH territory; realistic
+    text (letters, 27^5 ~ 14M shingle space) measured 0 non-planted
+    candidate slots at 10k docs.  The exact join is documented as
+    entropy-dependent; this stress uses the realistic-entropy corpus."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from rayjoin.functions.dedup import minhash_dedup_pairs, similarity_join_shingles
+
+    rng = np.random.default_rng(3)
+    n = 100_000
+    lens = rng.integers(300, 1400, size=n)
+    total = int(lens.sum())
+    chars = rng.integers(97, 123, size=total, dtype=np.uint8)
+    chars[rng.random(total) < 0.15] = 32  # spaces, word-soup shape
+    offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+    texts = pa.StringArray.from_buffers(
+        n, pa.py_buffer(offsets.tobytes()), pa.py_buffer(chars.tobytes()))
+    t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": texts})
+    base_ids = np.arange(2000, dtype=np.int64)
+    tweaked = pc.binary_join_element_wise(texts.take(pa.array(base_ids)), " zzz", "")
+    planted = pa.table({"doc_id": pa.array(base_ids + 10_000_000), "text": tweaked})
+    ds = ray.data.from_arrow(pa.concat_tables([t, planted])).repartition(64).materialize()
+    t0 = time.time()
+    pairs = similarity_join_shingles(ds, threshold=0.8).to_pandas()
+    dt = time.time() - t0
+    rec = int(((pairs["id_b"] - pairs["id_a"]) == 10_000_000).sum())
+    assert rec == 2000, rec
+    assert len(pairs) == 2000, len(pairs)  # exact join: zero false pairs
+    t1 = time.time()
+    mh = minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
+    dt_mh = time.time() - t1
+    rec_mh = int(((mh["id_b"] - mh["id_a"]) == 10_000_000).sum())
+    return {"stress": "simjoin", "pairs": len(pairs), "planted_recovered": rec,
+            "planted": 2000, "sec": round(dt, 1),
+            "docs_per_sec": round(102_000 / dt),
+            "minhash_sec": round(dt_mh, 1), "minhash_recovered": rec_mh,
+            "minhash_pairs": len(mh)}
+
+
 def stress_fuzzy(n: int = 500_000) -> dict:
     """edit_distance_pairs at scale: 500k urls over 50k hosts (~10 per
     block), 5000 planted 1-edit twins that must all be recovered; blocks
@@ -586,7 +636,7 @@ STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "corpus": stress_corpus, "pillbox": stress_pillbox,
             "temporal": stress_temporal, "knnjoin": stress_knnjoin,
             "simdup": stress_simdup, "substr": stress_substr,
-            "fuzzy": stress_fuzzy}
+            "fuzzy": stress_fuzzy, "simjoin": stress_simjoin}
 
 
 def main(argv=None):
