@@ -144,3 +144,144 @@ def bloom_member(ds, *, value_col: str, blob_ref, m: int = 8191, k: int = 5,
         return t.append_column(out_col, pa.array(ok))
 
     return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def heavy_hitters(ds, *, text_col: str = "text", phi_num: int = 1,
+                  phi_den: int = 1000, capacity: int | None = None,
+                  max_candidates: int = 5_000_000):
+    """EXACT phi-heavy-hitters over whitespace tokens: every token whose
+    total count satisfies ``cnt * phi_den >= n * phi_num`` (n = exact total
+    token count), with its exact count — via a two-pass Misra-Gries plan
+    that never runs a full-vocabulary groupby.
+
+    Pass 1 compresses each batch to a mergeable MG summary (Agarwal et al.,
+    "Mergeable Summaries", PODS'12): exact per-batch value counts, then the
+    (capacity+1)-th largest count t_b is subtracted from all and
+    non-positives are dropped, so each batch ships <= capacity rows plus
+    one accounting row carrying (t_b, n_b).  For any token the summed
+    lower bounds undercount by at most E = sum_b t_b <= n/(capacity+1)
+    REGARDLESS of batch count.  Soundness needs E < phi*n (else a true
+    heavy hitter may be compressed out of EVERY batch summary and leave
+    no row to recover): that data-dependent condition is checked after
+    pass 1 and raises if violated, and is guaranteed a priori whenever
+    capacity >= phi_den/phi_num (then E <= n/(capacity+1) < phi*n).
+    Under it, every true heavy hitter has a summary row (undercount
+    <= E < phi*n <= its count) and filtering at ``lower + E >= phi*n``
+    yields a sound candidate superset; with the default capacity
+    4*phi_den/phi_num the candidate set is bounded by ~4/(3*phi)
+    tokens.  Pass 2 broadcasts the
+    candidate tokens once (``ray.put``) and recounts EXACTLY those via a
+    hash-lookup ``pc.index_in`` per batch, one candidate-sized groupby,
+    and the exact integer threshold.  Output: (token, cnt) — exact for
+    ANY capacity; capacity only trades candidate volume for state.
+
+    Scale shape: two streaming passes over the corpus; wide steps are a
+    groupby over <= capacity rows/batch (pass 1) and <= |candidates| rows
+    (pass 2).  A 100 TB corpus shuffles megabytes."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    if phi_num < 1 or phi_den < 1:
+        raise ValueError("phi must be a positive rational phi_num/phi_den")
+    if capacity is None:
+        capacity = max(64, (4 * phi_den) // max(phi_num, 1))
+    if capacity < 1:
+        raise ValueError("capacity must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(text, pattern=" "))
+        vc = flat.value_counts()
+        vals = vc.field("values")
+        cnts = np.asarray(vc.field("counts"), dtype=np.int64)
+        nb = int(cnts.sum())
+        if cnts.size > capacity:
+            order = np.argsort(cnts)[::-1]
+            tb = int(cnts[order[capacity]])
+            keep = order[:capacity]
+            kept = cnts[keep] - tb
+            pos = kept > 0
+            keep, kept = keep[pos], kept[pos]
+        else:
+            tb = 0
+            keep = np.arange(cnts.size)
+            kept = cnts
+        tok = pa.concat_arrays([
+            vals.take(pa.array(keep, pa.int64())).cast(pa.string()),
+            pa.array(["", ""], pa.string()),
+        ])
+        return pa.table({
+            "token": tok,
+            "cnt": pa.array(np.concatenate([kept, [tb, nb]]), pa.int64()),
+            # 0 = summary row, 1 = per-batch MG error t_b, 2 = batch size
+            "acct": pa.array(
+                np.concatenate([np.zeros(keep.size, np.int8), [1, 2]]), pa.int8()),
+        })
+
+    summ = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["token", "acct"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .materialize()
+    )
+    acct = {int(r["acct"]): int(r["cnt"])
+            for r in summ.filter(lambda r: r["acct"] > 0).take_all()}
+    err, n = acct.get(1, 0), acct.get(2, 0)
+    if n == 0:
+        return ray.data.from_arrow(pa.table(
+            {"token": pa.array([], pa.string()), "cnt": pa.array([], pa.int64())}))
+    if err * phi_den >= n * phi_num:
+        raise ValueError(
+            f"heavy_hitters: summed MG error E={err} >= phi*n="
+            f"{n * phi_num / phi_den:.1f} — the summaries cannot certify a "
+            f"candidate superset; raise capacity (>= phi_den/phi_num = "
+            f"{-(-phi_den // max(phi_num, 1))} guarantees E < phi*n)")
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(t["acct"], pa.scalar(0, pa.int8())),
+            pc.greater_equal(
+                pc.multiply(pc.add(t["cnt"], pa.scalar(err, pa.int64())),
+                            pa.scalar(phi_den, pa.int64())),
+                pa.scalar(n * phi_num, pa.int64())))
+        return t.filter(keep).select(["token"])
+
+    cand_tables = ray.get(
+        summ.map_batches(cand_filter, batch_format="pyarrow").to_arrow_refs())
+    cands = pa.concat_tables(
+        [ct for ct in cand_tables if ct.num_rows], promote_options="none"
+    )["token"].combine_chunks() if any(
+        ct.num_rows for ct in cand_tables) else pa.array([], pa.string())
+    if len(cands) > max_candidates:
+        raise ValueError(
+            f"heavy_hitters: {len(cands)} candidates exceeds max_candidates="
+            f"{max_candidates}; raise capacity (error bound n/(capacity+1) "
+            f"must sit below phi*n for a bounded candidate set)")
+    cand_ref = ray.put(cands)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        text = t[text_col].combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(text, pattern=" "))
+        idx = pc.index_in(flat, value_set=cand)
+        idx = idx.filter(pc.is_valid(idx))
+        counts = np.bincount(np.asarray(idx, dtype=np.int64), minlength=len(cand)) \
+            if len(idx) else np.zeros(len(cand), np.int64)
+        nz = np.flatnonzero(counts)
+        return pa.table({"ci": pa.array(nz, pa.int64()),
+                         "cnt": pa.array(counts[nz].astype(np.int64), pa.int64())})
+
+    def finish(t: pa.Table) -> pa.Table:
+        cand = ray.get(cand_ref)
+        keep = pc.greater_equal(pc.multiply(t["cnt"], pa.scalar(phi_den, pa.int64())),
+                                pa.scalar(n * phi_num, pa.int64()))
+        t = t.filter(keep)
+        tok = cand.take(t["ci"])
+        return pa.table({"token": tok.cast(pa.string()), "cnt": t["cnt"]})
+
+    return (
+        ds.map_batches(recount, batch_format="pyarrow")
+        .groupby("ci")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .map_batches(finish, batch_format="pyarrow")
+    )

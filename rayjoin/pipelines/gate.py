@@ -1837,6 +1837,29 @@ SQL_TOKEN_STATS = (
 )
 
 
+def q_heavy_hitters(sf_dir: str):
+    """EXACT phi=1/1000 token heavy hitters via the two-pass Misra-Gries
+    plan (functions/sketch.py:heavy_hitters).  The documents table has
+    only 31 distinct tokens so per-batch compression is a no-op here (the
+    default capacity covers them; the runtime E < phi*n soundness check
+    still runs) — real compression + the certify-or-raise path are pinned
+    by tests/test_sketch.py and the Zipf stress (tools/stress.py hh)."""
+    import ray.data
+
+    from ..functions.sketch import heavy_hitters
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return heavy_hitters(docs, phi_num=1, phi_den=1000)
+
+
+SQL_HEAVY_HITTERS = """
+WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+tot AS (SELECT count(*) AS n FROM tok)
+SELECT token, count(*) AS cnt FROM tok, tot GROUP BY token, n
+HAVING count(*) * 1000 >= n * 1
+"""
+
+
 def q_quality_score(sf_dir: str):
     import ray.data
 
@@ -3742,6 +3765,7 @@ def build_queries():
         "vectorize_boundary": q_vectorize_boundary,
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
+        "heavy_hitters": q_heavy_hitters,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "token_regex": q_token_regex,
@@ -3841,6 +3865,7 @@ def build_queries():
         "vectorize_boundary": sql_vectorize_boundary().format(tri=tri),
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
+        "heavy_hitters": SQL_HEAVY_HITTERS,
         "quality_score": SQL_QUALITY,
         "lang_id": sql_lang_id(),
         "token_regex": sql_token_regex(),

@@ -81,3 +81,43 @@ def test_sketch_bad_args(ray_session):
         cms_counts(_ds(t, 1), value_col="v", d=0)
     with pytest.raises(ValueError, match="k >= 1"):
         bloom_bits(_ds(t, 1), value_col="v", k=0)
+
+
+def test_heavy_hitters_exact_with_real_compression(ray_session):
+    """Brute-force truth must be reproduced (tokens AND exact counts)
+    whenever the soundness condition E < phi*n holds — including at
+    capacity 20/25 where every Zipf batch (55+ distinct tokens) really
+    compresses; a capacity too small to certify must raise loudly, never
+    silently under-report."""
+    from collections import Counter
+
+    from rayjoin.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(5)
+    vocab = [f"tok{i}" for i in range(60)]
+    # zipf-ish draw: token i with weight 1/(i+1)
+    w = 1.0 / np.arange(1, 61)
+    ids = rng.choice(60, size=4000, p=w / w.sum())
+    texts = [" ".join(vocab[i] for i in ids[j * 40:(j + 1) * 40])
+             for j in range(100)]
+    truth = Counter(vocab[i] for i in ids)
+    n = sum(truth.values())
+    phi_num, phi_den = 1, 20
+    exp = {t: c for t, c in truth.items() if c * phi_den >= n * phi_num}
+    assert 2 <= len(exp) < 60  # non-vacuous split
+
+    t = pa.table({"text": pa.array(texts)})
+    for cap in (20, 25, 1000):
+        out = heavy_hitters(_ds(t, 7), phi_num=phi_num, phi_den=phi_den,
+                            capacity=cap).to_pandas()
+        got = dict(zip(out.token, out.cnt))
+        assert got == exp, (cap, len(got), len(exp))
+
+    with pytest.raises(ValueError, match="cannot certify"):
+        heavy_hitters(_ds(t, 7), phi_num=phi_num, phi_den=phi_den,
+                      capacity=1)
+    with pytest.raises(ValueError, match="positive rational"):
+        heavy_hitters(_ds(t, 1), phi_num=0)
+    with pytest.raises(ValueError, match="max_candidates"):
+        heavy_hitters(_ds(t, 7), phi_num=1, phi_den=20, capacity=25,
+                      max_candidates=1).to_pandas()

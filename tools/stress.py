@@ -631,12 +631,50 @@ def stress_pillbox(n: int = 120_000) -> dict:
             "polys_per_sec": round(n / best)}
 
 
+def stress_hh(n_docs: int = 500_000, doc_len: int = 100,
+              vocab: int = 2_000_000) -> dict:
+    """heavy_hitters at scale: 50M Zipf tokens over a 2M vocabulary,
+    phi=1/10000 (~700 true heavy hitters).  Ground truth is EXACT (the
+    generated token-id array is bincounted on the driver before
+    stringification); the operator must reproduce every heavy token with
+    its exact count while shuffling only MG summaries + candidates —
+    never a 2M-key full-vocabulary groupby."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from rayjoin.functions.sketch import heavy_hitters
+
+    rng = np.random.default_rng(7)
+    w = 1.0 / np.arange(1, vocab + 1)
+    p = w / w.sum()
+    ids = rng.choice(vocab, size=n_docs * doc_len, p=p)
+    counts = np.bincount(ids, minlength=vocab).astype(np.int64)
+    n = ids.size
+    phi_num, phi_den = 1, 10_000
+    hh = np.flatnonzero(counts * phi_den >= n * phi_num)
+    exp = {f"t{i}": int(counts[i]) for i in hh}
+    toks = pc.binary_join_element_wise("t", pc.cast(pa.array(ids), pa.string()), "")
+    offs = pa.array(np.arange(0, n + 1, doc_len, dtype=np.int64))
+    texts = pc.binary_join(pa.LargeListArray.from_arrays(offs, toks), " ")
+    ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(64).materialize()
+    t0 = time.time()
+    out = heavy_hitters(ds, phi_num=phi_num, phi_den=phi_den).to_pandas()
+    dt = time.time() - t0
+    got = dict(zip(out.token, out.cnt))
+    assert got == exp, (len(got), len(exp))
+    return {"stress": "hh", "tokens": int(n), "vocab": vocab,
+            "heavy_hitters": len(exp), "all_exact": got == exp,
+            "sec": round(dt, 1), "tokens_per_sec": round(n / dt)}
+
+
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "embedding": stress_embedding, "minhash": stress_minhash,
             "corpus": stress_corpus, "pillbox": stress_pillbox,
             "temporal": stress_temporal, "knnjoin": stress_knnjoin,
             "simdup": stress_simdup, "substr": stress_substr,
-            "fuzzy": stress_fuzzy, "simjoin": stress_simjoin}
+            "fuzzy": stress_fuzzy, "simjoin": stress_simjoin,
+            "hh": stress_hh}
 
 
 def main(argv=None):
