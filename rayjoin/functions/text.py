@@ -540,3 +540,126 @@ def bm25_scores(ds, terms, *, text_col: str = "text", id_col: str = "doc_id",
         .groupby(id_col)
         .aggregate(Sum("part", alias_name="bm25_micro"))
     )
+
+
+def cooccurrence_counts(ds, *, text_col: str = "text", window: int = 2,
+                        min_count: int = 1):
+    """Ordered skip-gram co-occurrence counts: one row (tok_a, tok_b, cnt)
+    per ordered token pair at distance 1..window inside a document — the
+    exact pair statistics under word2vec/GloVe/PMI pipelines.
+
+    Scale shape: each batch slices the flat token array against itself
+    (window zero-copy offsets, a same-doc mask — no per-row Python) and
+    PRE-AGGREGATES pairs Arrow-native, so the one groupby shuffle carries
+    distinct-pairs-per-batch rows, not token occurrences; ``min_count``
+    prunes the tail after the global sum."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tok_a": pa.array([], pa.string()),
+                          "tok_b": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        text = t[text_col].combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(toks).cast(pa.string())
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        doc_of = np.repeat(np.arange(lens.size, dtype=np.int64), lens)
+        parts = []
+        for d in range(1, window + 1):
+            if len(flat) <= d:
+                break
+            idx = np.flatnonzero(doc_of[d:] == doc_of[:-d])
+            if idx.size == 0:
+                continue
+            parts.append(pa.table({
+                "tok_a": flat.take(pa.array(idx, pa.int64())),
+                "tok_b": flat.take(pa.array(idx + d, pa.int64())),
+            }))
+        if not parts:
+            return empty
+        g = pa.concat_tables(parts).group_by(["tok_a", "tok_b"]).aggregate(
+            [([], "count_all")])
+        return pa.table({"tok_a": g["tok_a"], "tok_b": g["tok_b"],
+                         "cnt": g["count_all"].cast(pa.int64())})
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["tok_a", "tok_b"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    if min_count > 1:
+        mc = int(min_count)
+
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["cnt"], pa.scalar(mc, pa.int64())))
+
+        out = out.map_batches(prune, batch_format="pyarrow")
+    return out
+
+
+def cooccurrence_pmi(ds, *, text_col: str = "text", window: int = 2,
+                     min_count: int = 1,
+                     broadcast_vocab_rows: int = 10_000_000):
+    """Pointwise mutual information over the skip-gram pairs, in
+    FIXED-POINT micro-nats: pmi_micro = floor(1e6 * ln((cnt*P) /
+    (la*rb))) with P = total pair count, la/rb = the pair's left/right
+    marginal sums — every term an exact int64 product, the quotient one
+    IEEE division, ln via ``math.log`` (the libm-parity contract proven
+    by tfidf/lm_score/bm25), so the whole statistic gate-checks
+    bit-exactly.  Returns Dataset[tok_a, tok_b, cnt, pmi_micro].
+
+    Scale shape: marginals are token-vocabulary-sized (two groupbys over
+    the already-aggregated pair table), broadcast as sorted lookup
+    arrays under ``broadcast_vocab_rows`` and gathered per batch; the
+    pair table itself streams.  Raises beyond the broadcast bound (a
+    join-based marginal attach is the escape hatch, as in tfidf)."""
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    pairs = cooccurrence_counts(
+        ds, text_col=text_col, window=window, min_count=min_count).materialize()
+    total = pairs.sum("cnt") or 0
+    if total == 0:
+        import ray.data
+
+        return ray.data.from_arrow(pa.table({
+            "tok_a": pa.array([], pa.string()), "tok_b": pa.array([], pa.string()),
+            "cnt": pa.array([], pa.int64()), "pmi_micro": pa.array([], pa.int64())}))
+
+    def _marginal(key: str) -> tuple[np.ndarray, np.ndarray]:
+        m = pairs.groupby(key).aggregate(Sum("cnt", alias_name="m"))
+        if m.count() > broadcast_vocab_rows:
+            raise ValueError(
+                f"cooccurrence_pmi: {key} marginal exceeds "
+                f"broadcast_vocab_rows={broadcast_vocab_rows}")
+        mt = pa.concat_tables([t for t in ray.get(m.to_arrow_refs())
+                               if t.num_rows])
+        tok = mt[key].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        cnt = np.asarray(mt["m"].combine_chunks(), dtype=np.int64)
+        order = np.argsort(tok)
+        return tok[order], cnt[order]
+
+    la_ref = ray.put(_marginal("tok_a"))
+    rb_ref = ray.put(_marginal("tok_b"))
+
+    def score(t: pa.Table) -> pa.Table:
+        a_tok, a_cnt = ray.get(la_ref)
+        b_tok, b_cnt = ray.get(rb_ref)
+        ta = t["tok_a"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        tb = t["tok_b"].combine_chunks().to_numpy(zero_copy_only=False).astype(object)
+        cnt = np.asarray(t["cnt"].combine_chunks(), dtype=np.int64)
+        la = a_cnt[np.searchsorted(a_tok, ta)]
+        rb = b_cnt[np.searchsorted(b_tok, tb)]
+        ratio = (cnt * total).astype(np.float64) / (la * rb).astype(np.float64)
+        uniq, inv = np.unique(ratio, return_inverse=True)
+        lut = np.array([np.floor(1_000_000 * math.log(r)) for r in uniq],
+                       np.float64).astype(np.int64)
+        return t.append_column("pmi_micro", pa.array(lut[inv], pa.int64()))
+
+    return pairs.map_batches(score, batch_format="pyarrow")

@@ -1860,6 +1860,59 @@ HAVING count(*) * 1000 >= n * 1
 """
 
 
+def q_cooc_counts(sf_dir: str):
+    """Ordered skip-gram co-occurrence counts, window 2
+    (functions/text.py:cooccurrence_counts) — the exact pair statistics
+    under word2vec/GloVe/PMI pipelines."""
+    import ray.data
+
+    from ..functions.text import cooccurrence_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cooccurrence_counts(docs, window=2)
+
+
+SQL_COOC_PAIRS = """
+  SELECT unnest(list_transform(generate_series(1, GREATEST(array_length(arr) - d.d, 0)),
+                               i -> arr[i])) AS tok_a,
+         unnest(list_transform(generate_series(1, GREATEST(array_length(arr) - d.d, 0)),
+                               i -> arr[i + d.d])) AS tok_b
+  FROM (SELECT string_split(text, ' ') AS arr FROM documents)
+  CROSS JOIN generate_series(1, 2) AS d(d)"""
+
+SQL_COOC_COUNTS = f"""
+SELECT tok_a, tok_b, count(*) AS cnt FROM ({SQL_COOC_PAIRS})
+GROUP BY tok_a, tok_b
+"""
+
+
+def q_cooc_pmi(sf_dir: str):
+    """PMI in fixed-point micro-nats over the window-2 skip-gram pairs
+    (functions/text.py:cooccurrence_pmi): floor(1e6*ln(cnt*P/(la*rb)))
+    with exact integer products and the shared libm-parity ln."""
+    import ray.data
+
+    from ..functions.text import cooccurrence_pmi
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return cooccurrence_pmi(docs, window=2)
+
+
+SQL_COOC_PMI = f"""
+WITH pairs AS ({SQL_COOC_COUNTS}),
+tot AS (SELECT SUM(cnt) AS p FROM pairs),
+marg AS (
+  SELECT tok_a, tok_b, cnt,
+         SUM(cnt) OVER (PARTITION BY tok_a) AS la,
+         SUM(cnt) OVER (PARTITION BY tok_b) AS rb
+  FROM pairs)
+SELECT tok_a, tok_b, cnt,
+       CAST(floor(1000000 * ln(CAST(cnt * p AS DOUBLE) / CAST(la * rb AS DOUBLE)))
+            AS BIGINT) AS pmi_micro
+FROM marg, tot
+"""
+
+
 def q_quality_score(sf_dir: str):
     import ray.data
 
@@ -3766,6 +3819,8 @@ def build_queries():
         "dedup_exact": q_dedup_exact,
         "token_stats": q_token_stats,
         "heavy_hitters": q_heavy_hitters,
+        "cooc_counts": q_cooc_counts,
+        "cooc_pmi": q_cooc_pmi,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "token_regex": q_token_regex,
@@ -3866,6 +3921,8 @@ def build_queries():
         "dedup_exact": SQL_DEDUP_EXACT,
         "token_stats": SQL_TOKEN_STATS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
+        "cooc_counts": SQL_COOC_COUNTS,
+        "cooc_pmi": SQL_COOC_PMI,
         "quality_score": SQL_QUALITY,
         "lang_id": sql_lang_id(),
         "token_regex": sql_token_regex(),

@@ -1280,3 +1280,49 @@ def test_similarity_join_exact_vs_bruteforce_and_minhash():
     mh = minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
     mh_pairs = set(zip(mh.id_a, mh.id_b))
     assert mh_pairs <= set(got)  # the exact join dominates the LSH join
+
+
+def test_cooccurrence_counts_and_pmi(ray_session):
+    """Brute-force truth over ordered skip-gram pairs: doc boundaries are
+    never crossed, all distances 1..window count, min_count prunes after
+    the global sum, and pmi_micro reproduces floor(1e6*ln(cnt*P/(la*rb)))
+    computed independently."""
+    import math
+    from collections import Counter
+
+    import pytest
+    import ray.data
+
+    from rayjoin.functions.text import cooccurrence_counts, cooccurrence_pmi
+
+    texts = ["a b a c", "b a", "c", "", "a a a"]
+    window = 2
+    exp = Counter()
+    for s in texts:
+        toks = s.split(" ")
+        for i, ta in enumerate(toks):
+            for d in (1, 2):
+                if i + d < len(toks):
+                    exp[(ta, toks[i + d])] += 1
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(texts)})).repartition(3)
+    out = cooccurrence_counts(ds, window=window).to_pandas()
+    got = {(r.tok_a, r.tok_b): r.cnt for r in out.itertuples()}
+    assert got == dict(exp)
+
+    pruned = cooccurrence_counts(ds, window=window, min_count=2).to_pandas()
+    got2 = {(r.tok_a, r.tok_b): r.cnt for r in pruned.itertuples()}
+    assert got2 == {k: v for k, v in exp.items() if v >= 2} and got2 != got
+
+    pmi = cooccurrence_pmi(ds, window=window).to_pandas()
+    P = sum(exp.values())
+    la = Counter(); rb = Counter()
+    for (a, b), c in exp.items():
+        la[a] += c; rb[b] += c
+    for r in pmi.itertuples():
+        want = math.floor(1_000_000 * math.log(
+            (exp[(r.tok_a, r.tok_b)] * P) / (la[r.tok_a] * rb[r.tok_b])))
+        assert (r.cnt, r.pmi_micro) == (exp[(r.tok_a, r.tok_b)], want)
+    assert len(pmi) == len(exp)
+
+    with pytest.raises(ValueError, match="window"):
+        cooccurrence_counts(ds, window=0)
