@@ -233,3 +233,64 @@ def regression_slope(stats: pa.Table) -> pa.Table:
         icept.append((b - s * a) / ni if ni else float("nan"))
     return stats.append_column("slope", pa.array(slope, pa.float64())) \
                 .append_column("intercept", pa.array(icept, pa.float64()))
+
+
+def global_rank(ds, *, value_col: str, max_distinct: int = 50_000_000):
+    """Exact global RANK() / cumulative count over ``value_col`` WITHOUT a
+    global sort: rank = 1 + #rows with a smaller value (SQL RANK() OVER
+    (ORDER BY v)), cume_cnt = #rows <= v (COUNT(*) OVER (ORDER BY v) with
+    the default RANGE frame) — the primitive under percentile-based
+    corpus filtering ("keep the top 10% by quality score").
+
+    Scale shape: per-batch value_counts pre-aggregate, ONE groupby over
+    DISTINCT values, a sorted (value -> prefix count) lookup broadcast
+    once, then a streaming searchsorted gather per batch.  Shuffle and
+    broadcast are O(distinct values) — for fixed-point integer scores
+    (this engine's convention) that is bounded regardless of corpus
+    size; raises past ``max_distinct`` rather than silently hauling a
+    continuous column's full domain to every worker."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        vc = t[value_col].combine_chunks().value_counts()
+        return pa.table({
+            value_col: vc.field("values"),
+            "_c": vc.field("counts").cast(pa.int64()),
+        })
+
+    dist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(value_col)
+        .aggregate(Sum("_c", alias_name="_c"))
+        .materialize()
+    )
+    n_distinct = dist.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"global_rank: {n_distinct} distinct values exceeds "
+            f"max_distinct={max_distinct}; quantize the column (fixed-point "
+            f"scores) or raise the bound")
+
+    def _lookup():
+        t = pa.concat_tables([b for b in ray.get(dist.to_arrow_refs())
+                              if b.num_rows])
+        vals = np.asarray(t[value_col].combine_chunks(), dtype=np.int64)
+        cnts = np.asarray(t["_c"].combine_chunks(), dtype=np.int64)
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        cume = np.cumsum(cnts)
+        return vals, cume
+
+    lut_ref = ray.put(_lookup())
+
+    def attach(t: pa.Table) -> pa.Table:
+        vals, cume = ray.get(lut_ref)
+        v = np.asarray(t[value_col].combine_chunks(), dtype=np.int64)
+        pos = np.searchsorted(vals, v)
+        below = np.where(pos > 0, cume[np.maximum(pos - 1, 0)], 0)
+        t = t.append_column("rnk", pa.array(below + 1, pa.int64()))
+        return t.append_column("cume_cnt", pa.array(cume[pos], pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -1934,6 +1934,30 @@ FROM s
 """
 
 
+def q_doc_rank(sf_dir: str):
+    """Exact global RANK() + cumulative count of documents by the
+    fixed-point quality feature, with NO global sort
+    (functions/stats.py:global_rank — distinct-value prefix sums)."""
+    import ray.data
+
+    from ..functions.stats import global_rank
+    from ..functions.text import quality_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    q = docs.map_batches(quality_score, batch_format="pyarrow") \
+        .select_columns(["doc_id", "mean_token_len_milli"])
+    return global_rank(q, value_col="mean_token_len_milli")
+
+
+SQL_DOC_RANK = f"""
+WITH q AS ({SQL_QUALITY})
+SELECT doc_id, mean_token_len_milli,
+       RANK() OVER (ORDER BY mean_token_len_milli) AS rnk,
+       COUNT(*) OVER (ORDER BY mean_token_len_milli) AS cume_cnt
+FROM q
+"""
+
+
 def q_lang_id(sf_dir: str):
     import ray.data
 
@@ -3821,6 +3845,7 @@ def build_queries():
         "heavy_hitters": q_heavy_hitters,
         "cooc_counts": q_cooc_counts,
         "cooc_pmi": q_cooc_pmi,
+        "doc_rank": q_doc_rank,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "token_regex": q_token_regex,
@@ -3923,6 +3948,7 @@ def build_queries():
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "cooc_counts": SQL_COOC_COUNTS,
         "cooc_pmi": SQL_COOC_PMI,
+        "doc_rank": SQL_DOC_RANK,
         "quality_score": SQL_QUALITY,
         "lang_id": sql_lang_id(),
         "token_regex": sql_token_regex(),

@@ -1326,3 +1326,27 @@ def test_cooccurrence_counts_and_pmi(ray_session):
 
     with pytest.raises(ValueError, match="window"):
         cooccurrence_counts(ds, window=0)
+
+
+def test_global_rank_ties_and_guard(ray_session):
+    """RANK()/cume semantics with heavy ties: rank = 1 + #smaller (peers
+    share), cume_cnt = #<= (peers included); the distinct-domain guard
+    raises rather than broadcasting an unbounded lookup."""
+    import pytest
+    import ray.data
+
+    from rayjoin.functions.stats import global_rank
+
+    rng = np.random.default_rng(9)
+    v = rng.integers(-5, 6, 400)
+    t = pa.table({"doc_id": pa.array(np.arange(400, dtype=np.int64)),
+                  "v": pa.array(v, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = global_rank(ds, value_col="v").to_pandas().sort_values("doc_id")
+    exp_rnk = np.array([1 + int((v < x).sum()) for x in v])
+    exp_cume = np.array([int((v <= x).sum()) for x in v])
+    assert (out.rnk.to_numpy() == exp_rnk).all()
+    assert (out.cume_cnt.to_numpy() == exp_cume).all()
+
+    with pytest.raises(ValueError, match="distinct"):
+        global_rank(ds, value_col="doc_id", max_distinct=10)
