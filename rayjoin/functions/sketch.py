@@ -224,8 +224,11 @@ def heavy_hitters(ds, *, text_col: str = "text", phi_num: int = 1,
         .aggregate(Sum("cnt", alias_name="cnt"))
         .materialize()
     )
+    def acct_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["acct"], pa.scalar(0, pa.int8())))
+
     acct = {int(r["acct"]): int(r["cnt"])
-            for r in summ.filter(lambda r: r["acct"] > 0).take_all()}
+            for r in summ.map_batches(acct_only, batch_format="pyarrow").take_all()}
     err, n = acct.get(1, 0), acct.get(2, 0)
     if n == 0:
         return ray.data.from_arrow(pa.table(
