@@ -922,6 +922,59 @@ SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
 """
 
 
+def q_link_components(sf_dir: str):
+    """Connected components of the (undirected) outdeg-1 link graph via
+    the DISTRIBUTED pointer-doubling path of dup_clusters (the 100 TB
+    plan: label/edge hash joins, O(log diameter) rounds) — forced with
+    method='distributed' so the gate certifies the scale path, not the
+    trivial driver-numpy one.  The SQL twin computes reachability closure
+    with a recursive CTE and takes the per-node MIN label.  Edges are
+    thinned to src % 4 == 0: the full outdeg-1 functional graph grows a
+    giant ~0.75n component whose diameter costs pointer-doubling rounds
+    that only stress-test patience at gate scale — the thinned forest
+    keeps multi-node components (merges via shared targets) at a
+    log-diameter round count."""
+    from ..functions.dedup import dup_clusters
+    from ..functions.graph import synth_link_graph
+
+    edges, _ = synth_link_graph(sf_dir, deg_mod=1, target_div=1)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        out = pa.table({"id_a": pc.min_element_wise(src, dst),
+                        "id_b": pc.max_element_wise(src, dst)})
+        keep = pc.and_(pc.not_equal(out["id_a"], out["id_b"]),
+                       pc.equal(pc.bit_wise_and(src, pa.scalar(3, pa.int64())),
+                                pa.scalar(0, pa.int64())))
+        return out.filter(keep)
+
+    pairs = edges.map_batches(to_pairs, batch_format="pyarrow")
+    return dup_clusters(pairs, method="distributed")
+
+
+def sql_link_components() -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % 1::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, 0) AS g(j) WHERE g.j < outdeg),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst AND src % 4 = 0),
+e AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+reach(v, u) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a)
+SELECT v AS doc_id, least(v, MIN(u)) AS cluster_id FROM reach GROUP BY v
+"""
+
+
 def q_inverted_index(sf_dir: str):
     """Postings (doc_id, token, tf): per-doc term frequencies need NO
     shuffle (each doc lives in one batch) — one split + dictionary encode
@@ -3823,6 +3876,7 @@ def build_queries():
         "bloom_user_bits": q_bloom_user_bits,
         "bloom_member_custkeys": q_bloom_member_custkeys,
         "pagerank_docs": q_pagerank_docs,
+        "link_components": q_link_components,
         "triangle_counts": q_triangle_counts,
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
@@ -3926,6 +3980,7 @@ def build_queries():
         "bloom_user_bits": sql_bloom_user_bits(),
         "bloom_member_custkeys": sql_bloom_member_custkeys(),
         "pagerank_docs": sql_pagerank_docs(),
+        "link_components": sql_link_components(),
         "triangle_counts": sql_triangle_counts(),
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
