@@ -2276,16 +2276,16 @@ cand AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s AS sa, b.s AS sb,
          array_length(a.s) AS la, array_length(b.s) AS lb
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-  WHERE array_length(a.s) > 0 AND array_length(b.s) > 0
-    AND (LEAST(array_length(a.s), array_length(b.s)) * 1.0
-         / GREATEST(array_length(a.s), array_length(b.s), 1)) >= 0.8),
+  WHERE (LEAST(array_length(a.s), array_length(b.s)) * 1.0
+         / GREATEST(array_length(a.s), array_length(b.s), 1)) >= 0.8
+     OR (array_length(a.s) = 0 AND array_length(b.s) = 0)),
 p AS (
   SELECT id_a, id_b,
          CAST(array_length(list_intersect(sa, sb)) AS BIGINT) AS inter,
          CAST(la + lb - array_length(list_intersect(sa, sb)) AS BIGINT) AS uni
   FROM cand)
 SELECT id_a, id_b, inter, uni FROM p
-WHERE CAST(inter AS DOUBLE) / GREATEST(uni, 1) >= 0.8
+WHERE uni = 0 OR CAST(inter AS DOUBLE) / GREATEST(uni, 1) >= 0.8
 """
 
 

@@ -1350,3 +1350,76 @@ def test_global_rank_ties_and_guard(ray_session):
 
     with pytest.raises(ValueError, match="distinct"):
         global_rank(ds, value_col="doc_id", max_distinct=10)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_similarity_join_empty_sets_and_positional_filter():
+    """Docs shorter than k have EMPTY shingle sets: the verify convention
+    (and the minhash SQL twin) scores both-empty pairs as Jaccard 1.0, so
+    the exact join must emit them with inter = uni = 0 (ADVICE r3).  Also
+    pins the positional filter's exactness on a corpus where prefixes
+    collide at different positions."""
+    import ray.data
+
+    from rayjoin.functions.dedup import (
+        _mix64,
+        _segment_unique,
+        _shingle_hashes,
+        similarity_join_shingles,
+    )
+
+    rng = np.random.default_rng(11)
+    texts = ["ab", "x", "", "abcdefghij" * 4]
+    # low-entropy tail: shared vocabulary so prefixes collide
+    vocab = ["alpha", "beta", "gamma", "delta", "epsln"]
+    for i in range(60):
+        words = [vocab[j] for j in rng.integers(0, len(vocab), 12)]
+        texts.append(" ".join(words))
+    texts.append(texts[10])  # exact twin of a low-entropy doc
+    ids = list(range(len(texts)))
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    h, off = _shingle_hashes(t["text"], 5)
+    h = _mix64(h)
+    uh, useg, _ = _segment_unique(h, off)
+    sets = [set(uh[useg == i].tolist()) for i in range(len(ids))]
+    exp = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            inter = len(sets[i] & sets[j])
+            uni = len(sets[i] | sets[j])
+            jac = 1.0 if uni == 0 else inter / uni
+            if jac >= 0.8:
+                exp[(i, j)] = (inter, uni)
+
+    out = similarity_join_shingles(ds, threshold=0.8).to_pandas()
+    got = {(r.id_a, r.id_b): (r.inter, r.uni) for r in out.itertuples()}
+    assert got == exp
+    # the three sub-k docs pair with each other at (0, 0)
+    assert got[(0, 1)] == (0, 0) and got[(0, 2)] == (0, 0) and got[(1, 2)] == (0, 0)
+
+
+def test_min_required_overlap_matches_float_acceptance():
+    """ADVICE r3: the prefix length must be derived from the verify's
+    ACTUAL acceptance test fl(o/s) >= t, not a float ceil(t*s) that can
+    land one off at integer boundaries.  Brute-force o_min for every s and
+    a threshold sweep that includes doubles sitting just above/below exact
+    rationals."""
+    import math
+
+    from rayjoin.functions.dedup import (_exact_prefix_lengths,
+                                         _min_required_overlap)
+
+    thresholds = [0.8, 0.95, 0.1, 1.0, 0.5, 0.33333333,
+                  math.nextafter(0.8, 1.0), math.nextafter(0.8, 0.0),
+                  math.nextafter(2 / 3, 1.0), math.nextafter(2 / 3, 0.0)]
+    sizes = np.arange(0, 300, dtype=np.int64)
+    for t in thresholds:
+        o = _min_required_overlap(sizes, t)
+        p = _exact_prefix_lengths(sizes, t)
+        for s in range(1, 300):
+            want = next(oo for oo in range(0, s + 2) if oo / s >= t)
+            assert o[s] == want, (t, s, o[s], want)
+            assert p[s] == min(max(s - want + 1, 1), s)
+        assert o[0] == 0 and p[0] == 0
