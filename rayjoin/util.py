@@ -70,13 +70,28 @@ def intersection_counts(va: np.ndarray, sa: np.ndarray, vb: np.ndarray,
     return np.bincount(seg[dup], minlength=n).astype(np.int64)
 
 
+def _infer_metadata(ds):
+    """Ray 2.49's logical-plan metadata inference (NEVER executes the plan;
+    populated for file-backed reads, from_arrow, and materialized datasets).
+    Guarded attribute walk: an API change degrades to None, not an
+    exception or a hidden execution."""
+    try:
+        return ds._logical_plan.dag.infer_metadata()
+    except Exception:
+        return None
+
+
 def meta_row_count(ds):
     """Row count from Dataset metadata WITHOUT executing the plan, or None.
 
-    Wraps the private Ray Data ``Dataset._meta_count`` (metadata-only in
-    Ray 2.49; free for file-backed inputs) behind an attribute check so an
-    API change degrades to "unknown" instead of an exception or a hidden
-    full execution (ADVICE r2)."""
+    Tries the logical plan's inferred metadata first, then the private
+    ``Dataset._meta_count`` (both metadata-only in Ray 2.49; free for
+    file-backed inputs), each behind a guard so an API change degrades to
+    "unknown" instead of an exception or a hidden full execution
+    (ADVICE r2)."""
+    m = _infer_metadata(ds)
+    if m is not None and getattr(m, "num_rows", None) is not None:
+        return m.num_rows
     fn = getattr(ds, "_meta_count", None)
     if fn is None:
         return None
@@ -84,6 +99,18 @@ def meta_row_count(ds):
         return fn()
     except Exception:
         return None
+
+
+def meta_size_bytes(ds):
+    """In-memory byte size from Dataset metadata WITHOUT executing the
+    plan, or None (VERDICT r4 #4: ``Dataset.size_bytes()`` falls back to
+    executing the plan when metadata can't answer — the double-execution
+    trap — so broadcast-vs-shuffle byte guards must consult metadata
+    only)."""
+    m = _infer_metadata(ds)
+    if m is not None and getattr(m, "size_bytes", None) is not None:
+        return m.size_bytes
+    return None
 
 
 def bounded_sample_frac(frac: float, rows, cap: int) -> float:

@@ -5,6 +5,7 @@ the `python -m pytest -x -q` contract itself.)"""
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -52,3 +53,29 @@ def test_gate_sample_matches_duckdb():
         assert list(got.columns) == list(exp.columns), name
         assert len(got) == len(exp), name
         assert got.equals(exp), name
+
+
+def test_segment_of_rejects_out_of_range_and_interior_misses(ray_session):
+    """VERDICT r4 #8: the broadcast FK lookup must raise for keys above the
+    whole range (unclamped searchsorted would IndexError) AND for interior
+    misses (an unverified lookup would silently map to a neighbor's
+    segment), and resolve present keys exactly."""
+    import ray
+
+    from rayjoin.pipelines.gate import _segment_of
+
+    keys_sorted = np.array([2, 5, 9], dtype=np.int64)
+    seg_idx = np.array([0, 1, 0], dtype=np.int32)
+    seg_vals = pa.array(["AUTO", "STEEL"])
+    ref = ray.put((keys_sorted, seg_idx, seg_vals))
+
+    got = _segment_of(ref, np.array([5, 2, 9, 2], dtype=np.int64))
+    assert got.to_pylist() == ["STEEL", "AUTO", "AUTO", "AUTO"]
+    assert _segment_of(ref, np.array([], dtype=np.int64)).to_pylist() == []
+
+    with pytest.raises(KeyError, match="not present"):
+        _segment_of(ref, np.array([99], dtype=np.int64))  # above the range
+    with pytest.raises(KeyError, match="not present"):
+        _segment_of(ref, np.array([3], dtype=np.int64))  # interior miss
+    with pytest.raises(KeyError, match="not present"):
+        _segment_of(ref, np.array([1], dtype=np.int64))  # below the range

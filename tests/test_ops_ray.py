@@ -1423,3 +1423,82 @@ def test_min_required_overlap_matches_float_acceptance():
             assert o[s] == want, (t, s, o[s], want)
             assert p[s] == min(max(s - want + 1, 1), s)
         assert o[0] == 0 and p[0] == 0
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_idw_guards_zero_weight_and_value_range():
+    """ADVICE r3: (a) neighbors all farther than ~31623 units quantize to
+    weight 0 -> the integer division silently returned 0 where the SQL twin
+    errors; (b) |value| past the fixed-point bound overflowed int64.  Both
+    now raise with the cause."""
+    import ray.data
+
+    from rayjoin.functions.interp import idw_interpolate
+
+    def knn_tbl(dist):
+        return ray.data.from_arrow(pa.table({
+            "big_row_id": pa.array([1, 1, 2], pa.int64()),
+            "small_row_id": pa.array([10, 11, 10], pa.int64()),
+            "distance": pa.array([dist, dist, 2.0], pa.float64()),
+        }))
+
+    def vals(v):
+        return ray.data.from_arrow(pa.table({
+            "small_row_id": pa.array([10, 11], pa.int64()),
+            "value": pa.array([v, 7], pa.int64()),
+        }))
+
+    # healthy case still works
+    out = idw_interpolate(knn_tbl(2.0), vals(5)).to_pandas()
+    assert set(out.big_row_id) == {1, 2}
+
+    # raised in Ray map tasks -> surfaces wrapped in RayTaskError
+    with pytest.raises(Exception, match="quantized to 0"):
+        idw_interpolate(knn_tbl(1e6), vals(5)).to_pandas()
+
+    with pytest.raises(Exception, match="overflow int64"):
+        idw_interpolate(knn_tbl(2.0), vals(10_000_000)).to_pandas()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_embedding_dups_recall_at_default_threshold():
+    """VERDICT r4 #9: the auto geometry (n_tables from the CONFIGURED
+    threshold via the SimHash collision model, target per-pair miss 1e-2)
+    must deliver >= 0.99 recall on planted truth AT threshold=0.95, not
+    just at cos~0.999.  Planted pairs get exact cosines in [0.955, 0.99]
+    via orthogonal decomposition; deterministic seeds end to end."""
+    import ray.data
+
+    from rayjoin.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.default_rng(17)
+    n, dim, planted = 4000, 24, 1500
+    M = rng.standard_normal((n, dim)).astype(np.float64)
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    base = M[:planted]
+    g = rng.standard_normal((planted, dim))
+    g -= (g * base).sum(1, keepdims=True) * base  # orthogonalize
+    g /= np.linalg.norm(g, axis=1, keepdims=True)
+    c = rng.uniform(0.955, 0.99, size=(planted, 1))
+    dup = c * base + np.sqrt(1 - c * c) * g  # exact cosine c with base
+    V = np.vstack([M, dup]).astype(np.float32)
+    ids = np.concatenate([np.arange(n), np.arange(planted) + 100_000]).astype(np.int64)
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, V.size + 1, dim, dtype=np.int32)),
+        pa.array(V.ravel(), pa.float32()),
+    )
+    ds = ray.data.from_arrow(pa.table({"vec_id": pa.array(ids), "embedding": emb}))
+
+    got = embedding_dup_pairs(ds, threshold=0.95).to_pandas()
+    found = set(map(tuple, got[["id_a", "id_b"]].to_numpy()))
+    # brute truth (float32 normalization, same as the operator sees)
+    Mn = V.astype(np.float64)
+    Mn /= np.linalg.norm(Mn, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    ii, jj = np.nonzero(np.triu(S >= 0.95, 1))
+    true = {(int(min(ids[i], ids[j])), int(max(ids[i], ids[j])))
+            for i, j in zip(ii, jj)}
+    assert found <= true or len(found - true) <= 2  # float32 edge ties only
+    planted_true = {(a, a + 100_000) for a in range(planted)} & true
+    rec = len(found & planted_true) / len(planted_true)
+    assert rec >= 0.99, (rec, len(planted_true))

@@ -268,3 +268,36 @@ def test_hilbert_hot_range_salting():
     bro = _rows(SpatialIndex(t).spatial_join(ds, Interaction.INTERSECTS))
     assert hil == bro
     assert len(hil) == len(set(hil))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_auto_dispatch_byte_cap_routes_datasets(monkeypatch):
+    """VERDICT r4 #4: the broadcast-bytes guardrail must protect DATASET
+    small sides too — metadata byte size (never an execute-the-plan
+    fallback) routes an over-cap side to the partitioned plan, and both
+    plans still produce the identical row set."""
+    import rayjoin.join.auto as auto
+    import rayjoin.join.partitioned as part
+    from rayjoin.join.auto import _bytes_of
+    from rayjoin.oracle import slow_spatial_join
+
+    small = mixed_random(25, seed=91)
+    big = mixed_random(25, seed=92)
+    small_ds = _ds(small, 2)
+    nb = _bytes_of(small_ds)
+    assert nb is not None and nb > 0  # from_arrow metadata answers for free
+
+    exp = [tuple(r) for r in slow_spatial_join(small, big, Interaction.INTERSECTS)]
+    calls = []
+    orig = part.partitioned_spatial_join
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(part, "partitioned_spatial_join", spy)
+    monkeypatch.setattr(auto, "DEFAULT_BROADCAST_BYTES", nb - 1)
+    got = _rows(auto.spatial_join(_ds(big, 2), small_ds, Interaction.INTERSECTS,
+                                  target_cells=25))
+    assert calls, "byte cap did not route to the partitioned plan"
+    assert got == exp

@@ -113,9 +113,13 @@ def test_heavy_hitters_exact_with_real_compression(ray_session):
         got = dict(zip(out.token, out.cnt))
         assert got == exp, (cap, len(got), len(exp))
 
-    with pytest.raises(ValueError, match="cannot certify"):
-        heavy_hitters(_ds(t, 7), phi_num=phi_num, phi_den=phi_den,
-                      capacity=1)
+    # a capacity too small to certify now AUTO-RECOVERS (VERDICT r3 #5):
+    # one warning, one re-summarize at the phi-derived sound capacity,
+    # exact output — where r3 raised mid-job
+    with pytest.warns(UserWarning, match="re-summarizing"):
+        out = heavy_hitters(_ds(t, 7), phi_num=phi_num, phi_den=phi_den,
+                            capacity=1).to_pandas()
+    assert dict(zip(out.token, out.cnt)) == exp
     with pytest.raises(ValueError, match="positive rational"):
         heavy_hitters(_ds(t, 1), phi_num=0)
     with pytest.raises(ValueError, match="max_candidates"):
