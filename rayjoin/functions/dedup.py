@@ -465,12 +465,50 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
             jac[(la == 0) & (lb == 0)] = 1.0  # both empty => 1.0
             inter_all = np.zeros(a.size, np.int64)
             union_all = (la + lb).astype(np.int64)
+            from ..util import intersection_counts
+
             m = np.flatnonzero(maybe & (hi > 0))
             if m.size:
-                from ..util import intersection_counts
-
                 pa_m, pb_m = pa_pos[m], pb_pos[m]
                 la_m, lb_m = la[m], lb[m]
+                # EXACT bottom-K prefix prune before the full-set gather
+                # (round-4 profiling: the full intersection is DRAM-bound —
+                # ~8.5M gathered elements per 4096-pair batch with FLAT
+                # multicore scaling on the measured box — while ~all
+                # non-duplicate candidates can be refuted from their K
+                # smallest hashes).  Per-doc hash sets are SORTED, so with
+                # L = min(max of A's K-prefix, max of B's K-prefix), every
+                # element <= L of either set lies inside that set's prefix;
+                # prefix misses therefore bound |A and B| <= size - misses
+                # exactly, and the monotone-float prune never drops a pair
+                # the full verify would keep.  K is sized so the bound CAN
+                # prune at this threshold (slack (1-t)/(1+t) * max size).
+                K = int(np.clip(np.ceil((1.0 - threshold) / (1.0 + threshold)
+                                        * hi.max()) + 8, 16, 512))
+                if threshold > 0 and K * 3 <= np.mean(la_m + lb_m) / 2:
+                    ka_len = np.minimum(la_m, K)
+                    kb_len = np.minimum(lb_m, K)
+                    pga, pga_k = repeat_expand(ka_len)
+                    pgb, pgb_k = repeat_expand(kb_len)
+                    ka = uh_[uoff_[pa_m][pga] + pga_k]
+                    kb = uh_[uoff_[pb_m][pgb] + pgb_k]
+                    a_last = uh_[uoff_[pa_m] + ka_len - 1]
+                    b_last = uh_[uoff_[pb_m] + kb_len - 1]
+                    L = np.minimum(a_last, b_last)
+                    sel_a = ka <= L[pga]
+                    sel_b = kb <= L[pgb]
+                    na_L = np.bincount(pga[sel_a], minlength=m.size)
+                    nb_L = np.bincount(pgb[sel_b], minlength=m.size)
+                    i_L = intersection_counts(
+                        ka[sel_a], pga[sel_a], kb[sel_b], pgb[sel_b], m.size)
+                    ub = np.minimum(la_m - (na_L - i_L), lb_m - (nb_L - i_L))
+                    keep_pre = (
+                        ub.astype(np.float64)
+                        / np.maximum(la_m + lb_m - ub, 1) >= threshold)
+                    m = m[keep_pre]
+                    pa_m, pb_m = pa_m[keep_pre], pb_m[keep_pre]
+                    la_m, lb_m = la_m[keep_pre], lb_m[keep_pre]
+            if m.size:
                 ga_pair, ga_k = repeat_expand(la_m)
                 gb_pair, gb_k = repeat_expand(lb_m)
                 ha = uh_[uoff_[pa_m][ga_pair] + ga_k]
@@ -778,10 +816,23 @@ def _distinct_pairs(cands, cap: int = 5_000_000):
         order = np.lexsort((b, a))
         a, b = a[order], b[order]
         keep = np.concatenate([[True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])])
-        return ray.data.from_arrow(pa.table({
+        tbl = pa.table({
             "id_a": pa.array(a[keep], pa.int64()),
             "id_b": pa.array(b[keep], pa.int64()),
-        })).materialize()
+        })
+        # SLICED into one block per downstream task: from_arrow(one table)
+        # is ONE block, which made the whole verify stage run in a single
+        # task — measured >330s single-core at 848k candidate pairs where
+        # the per-batch math itself is ~0.3s (round-4 profiling)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 4))
+        except Exception:
+            cpus = 4
+        nblocks = int(np.clip(tbl.num_rows // 16384 + 1, 1, cpus * 4))
+        step = -(-tbl.num_rows // nblocks)
+        parts = [tbl.slice(i * step, step) for i in range(nblocks)
+                 if i * step < tbl.num_rows]
+        return ray.data.from_arrow(parts or [tbl]).materialize()
     return (
         cands.groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="_n"))
@@ -840,28 +891,50 @@ def similarity_join_shingles(ds, *, id_col: str = "doc_id",
     import ray.data
 
     def partial_df(t: pa.Table) -> pa.Table:
+        # per-batch (shingle, count) PACKED into one blob row per coarse
+        # bucket: the groupby shuffle then sorts ~num_blocks*num_buckets
+        # HEAVY rows instead of one row per distinct shingle (measured 41s
+        # -> the row-level Sort dominated the df stage at 87M windows;
+        # blobs move the same bytes with O(1) sort keys)
         h, off = _shingle_hashes(t[text_col], k)
         h = _mix64(h)
         uh, _, _ = _segment_unique(h, off)
         uniq, cnt = np.unique(uh, return_counts=True)
         hv = uniq.view(np.int64)
-        return pa.table({
-            "bucket": pa.array((hv % coarse_buckets + coarse_buckets) % coarse_buckets,
-                               pa.int64()),
-            "h": pa.array(hv, pa.int64()),
-            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
-        })
+        b = (hv % coarse_buckets + coarse_buckets) % coarse_buckets
+        order = np.argsort(b, kind="stable")
+        b_o, h_o = b[order], uniq[order]
+        c_o = np.minimum(cnt[order], 0xFFFFFFFF).astype(np.uint32)
+        newb = np.concatenate([[True], b_o[1:] != b_o[:-1]]) if b_o.size else np.empty(0, bool)
+        starts = np.flatnonzero(newb)
+        counts = np.diff(np.concatenate([starts, [b_o.size]]))
+        off_el = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        hblob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), starts.size,
+            [None, pa.py_buffer((off_el * 8).tobytes()), pa.py_buffer(h_o.tobytes())])
+        cblob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), starts.size,
+            [None, pa.py_buffer((off_el * 4).tobytes()), pa.py_buffer(c_o.tobytes())])
+        return pa.table({"bucket": pa.array(b_o[starts], pa.int64()),
+                         "hblob": hblob, "cblob": cblob})
 
     def bucket_df(t: pa.Table) -> pa.Table:
-        h = np.asarray(t["h"].combine_chunks(), dtype=np.int64)
-        cnt = np.asarray(t["cnt"].combine_chunks(), dtype=np.int64)
+        # unpack the <= num_blocks blob rows of this bucket (zero-copy)
+        hb = t["hblob"].combine_chunks()
+        cb = t["cblob"].combine_chunks()
+        hs = [np.frombuffer(hb[i].as_buffer(), dtype=np.uint64)
+              for i in range(len(hb))]
+        cs = [np.frombuffer(cb[i].as_buffer(), dtype=np.uint32)
+              for i in range(len(cb))]
+        h = np.concatenate(hs) if hs else np.empty(0, np.uint64)
+        cnt = (np.concatenate(cs) if cs else np.empty(0, np.uint32)).astype(np.int64)
         order = np.argsort(h)
         h, cnt = h[order], cnt[order]
         new = np.concatenate([[True], h[1:] != h[:-1]]) if h.size else np.empty(0, bool)
         starts = np.flatnonzero(new)
         sums = np.add.reduceat(cnt, starts) if h.size else np.empty(0, np.int64)
         keep = sums >= 2  # df==1 shingles can never witness a pair
-        return pa.table({"h": pa.array(h[starts][keep], pa.int64()),
+        return pa.table({"h": pa.array(h[starts][keep].view(np.int64), pa.int64()),
                          "df": pa.array(sums[keep], pa.int64())})
 
     df_ds = (
@@ -957,21 +1030,34 @@ def similarity_join_shingles(ds, *, id_col: str = "doc_id",
         out_ids = np.concatenate([ids[pid_e], ids[em]])
         out_ss = np.concatenate([s[pid_e], np.zeros(em.size, np.int64)])
         out_pos = np.concatenate([kk_e, np.zeros(em.size, np.int64)])
-        return pa.table({
-            "bucket": pa.array(
-                (out_pref % coarse_buckets + coarse_buckets) % coarse_buckets,
-                pa.int64()),
-            "pref": pa.array(out_pref, pa.int64()),
-            id_col: pa.array(out_ids, pa.int64()),
-            "ssize": pa.array(out_ss, pa.int64()),
-            "ppos": pa.array(out_pos, pa.int64()),
-        })
+        # PACK the prefix rows into one blob row per coarse bucket (same
+        # row-level-Sort avoidance as partial_df: the shuffle then sorts
+        # ~num_blocks*num_buckets heavy rows, not one per prefix slot)
+        bucket = (out_pref % coarse_buckets + coarse_buckets) % coarse_buckets
+        border = np.argsort(bucket, kind="stable")
+        b_o = bucket[border]
+        quad = np.empty((border.size, 4), np.int64)
+        quad[:, 0] = out_pref[border]
+        quad[:, 1] = out_ids[border]
+        quad[:, 2] = out_ss[border]
+        quad[:, 3] = out_pos[border]
+        newb = np.concatenate([[True], b_o[1:] != b_o[:-1]]) if b_o.size else np.empty(0, bool)
+        starts = np.flatnonzero(newb)
+        counts = np.diff(np.concatenate([starts, [b_o.size]]))
+        off_el = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        blob = pa.LargeBinaryArray.from_buffers(
+            pa.large_binary(), starts.size,
+            [None, pa.py_buffer((off_el * 32).tobytes()),
+             pa.py_buffer(quad.tobytes())])
+        return pa.table({"bucket": pa.array(b_o[starts], pa.int64()),
+                         "pblob": blob})
 
     def bucket_pairs(t: pa.Table) -> pa.Table:
-        pref = np.asarray(t["pref"].combine_chunks(), dtype=np.int64)
-        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
-        ssize = np.asarray(t["ssize"].combine_chunks(), dtype=np.int64)
-        ppos = np.asarray(t["ppos"].combine_chunks(), dtype=np.int64)
+        pb = t["pblob"].combine_chunks()
+        quads = [np.frombuffer(pb[i].as_buffer(), dtype=np.int64).reshape(-1, 4)
+                 for i in range(len(pb))]
+        q = np.vstack(quads) if quads else np.empty((0, 4), np.int64)
+        pref, ids, ssize, ppos = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
         order = np.lexsort((ids, pref))
         pref, ids, ssize, ppos = pref[order], ids[order], ssize[order], ppos[order]
         new = np.concatenate([[True], pref[1:] != pref[:-1]]) if pref.size else np.empty(0, bool)

@@ -2259,9 +2259,11 @@ SELECT doc_id, {_SQL_U64_TO_I64.format(v='v')} AS simhash FROM sh
 def q_similarity_join(sf_dir: str):
     """EXACT PPJoin-style set-similarity self-join over 5-byte shingle
     sets (functions/dedup.py:similarity_join_shingles): all pairs with
-    Jaccard >= 0.8 plus their exact intersection/union sizes.  The SQL
-    twin brute-forces all pairs over distinct substring shingle sets (the
-    minhash oracle's machinery, now with the sizes exposed)."""
+    Jaccard >= 0.8 plus their exact intersection/union sizes; both-empty
+    shingle sets (len(text) < 5) pair at Jaccard 1.0 with inter = uni = 0
+    (the verify convention, ADVICE r3).  The SQL twin brute-forces all
+    pairs over distinct substring shingle sets (the minhash oracle's
+    machinery, now with the sizes exposed and the same empty-set branch)."""
     import ray.data
 
     from ..functions.dedup import similarity_join_shingles
