@@ -694,15 +694,16 @@ def stress_simjoin_bigdf() -> dict:
                      rng.integers(65, 91, size=total)).astype(np.uint8)
     chars[rng.random(total) < 0.15] = 32
     offsets = np.concatenate([[0], np.cumsum(lens)]).astype(np.int64)
-    texts = pa.LargeStringArray.from_buffers(
+    texts = pa.Array.from_buffers(
         pa.large_string(), n, [None, pa.py_buffer(offsets.tobytes()),
                                pa.py_buffer(chars.tobytes())])
     t = pa.table({"doc_id": pa.array(np.arange(n, dtype=np.int64)), "text": texts})
     base_ids = np.arange(1000, dtype=np.int64)
-    tweaked = pc.binary_join_element_wise(
-        pc.cast(texts.take(pa.array(base_ids)), pa.string()), " zzz", "")
+    tweaked = pc.cast(pc.binary_join_element_wise(
+        pc.cast(texts.take(pa.array(base_ids)), pa.string()), " zzz", ""),
+        pa.large_string())
     planted = pa.table({"doc_id": pa.array(base_ids + 10_000_000), "text": tweaked})
-    ds = ray.data.from_arrow(pa.concat_tables([t, planted], promote_options="default")
+    ds = ray.data.from_arrow(pa.concat_tables([t, planted])
                              ).repartition(64).materialize()
 
     # exact distinct-shingle count (what the old cap compared against):
