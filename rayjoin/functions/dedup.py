@@ -569,22 +569,67 @@ def verify_pairs_jaccard(pairs_ds, corpus_ds, *, id_col: str = "doc_id",
 
     def verify_joined(t: pa.Table) -> pa.Table:
         from ..functions.text import _binary_u64
+        from ..geom.primitives import repeat_expand
         from ..util import intersection_counts
 
         n = t.num_rows
         va, ca = _binary_u64(t["hash_a"])
         vb, cb = _binary_u64(t["hash_b"])
-        seg = np.arange(n, dtype=np.int64)
-        inter = intersection_counts(va, np.repeat(seg, ca), vb, np.repeat(seg, cb), n)
-        union = ca + cb - inter
-        jac = np.ones(n, np.float64)  # both-empty => 1.0 (jaccard_batch parity)
-        nz = union > 0
-        jac[nz] = inter[nz] / union[nz]
-        kept = jac >= threshold
-        out = t.filter(pa.array(kept, pa.bool_())).select(["id_a", "id_b"])
+        offa = np.concatenate([[0], np.cumsum(ca)])
+        offb = np.concatenate([[0], np.cumsum(cb)])
+        # EXACT bottom-K prefix prune (same as the broadcast path: sorted
+        # per-doc sets => misses within the K smallest hashes bound the
+        # intersection from above; monotone-float prune never drops a pair
+        # the full verify keeps) — the full intersection is DRAM-bound, so
+        # refuting non-dups from K elements is the dominant saving here too
+        live = np.arange(n, dtype=np.int64)
+        hi_s = np.maximum(ca, cb)
+        K = int(np.clip(np.ceil((1.0 - threshold) / (1.0 + threshold)
+                                * (hi_s.max() if n else 0)) + 8, 16, 512))
+        pre = (threshold > 0 and n > 0
+               and K * 3 <= np.mean(ca + cb) / 2)
+        if pre:
+            both = (ca > 0) & (cb > 0)  # empty sides skip straight to exact
+            m = np.flatnonzero(both)
+            if m.size:
+                ka_len = np.minimum(ca[m], K)
+                kb_len = np.minimum(cb[m], K)
+                pga, pga_k = repeat_expand(ka_len)
+                pgb, pgb_k = repeat_expand(kb_len)
+                ka = va[offa[m][pga] + pga_k]
+                kb = vb[offb[m][pgb] + pgb_k]
+                a_last = va[offa[m] + ka_len - 1]
+                b_last = vb[offb[m] + kb_len - 1]
+                L = np.minimum(a_last, b_last)
+                sel_a = ka <= L[pga]
+                sel_b = kb <= L[pgb]
+                na_L = np.bincount(pga[sel_a], minlength=m.size)
+                nb_L = np.bincount(pgb[sel_b], minlength=m.size)
+                i_L = intersection_counts(
+                    ka[sel_a], pga[sel_a], kb[sel_b], pgb[sel_b], m.size)
+                ub = np.minimum(ca[m] - (na_L - i_L), cb[m] - (nb_L - i_L))
+                refuted = (ub.astype(np.float64)
+                           / np.maximum(ca[m] + cb[m] - ub, 1)) < threshold
+                alive = np.ones(n, bool)
+                alive[m[refuted]] = False
+                live = np.flatnonzero(alive)
+        sega, ga_k = repeat_expand(ca[live])
+        segb, gb_k = repeat_expand(cb[live])
+        inter_l = intersection_counts(
+            va[offa[live][sega] + ga_k], sega,
+            vb[offb[live][segb] + gb_k], segb, live.size)
+        union_l = ca[live] + cb[live] - inter_l
+        jac_l = np.ones(live.size, np.float64)  # both-empty => 1.0
+        nz = union_l > 0
+        jac_l[nz] = inter_l[nz] / union_l[nz]
+        kept_l = jac_l >= threshold
+        keep_rows = live[kept_l]
+        out = t.take(pa.array(keep_rows, pa.int64())).select(["id_a", "id_b"])
         if emit_sizes:
-            out = out.append_column("inter", pa.array(inter[kept].astype(np.int64), pa.int64()))
-            out = out.append_column("uni", pa.array(union[kept].astype(np.int64), pa.int64()))
+            out = out.append_column(
+                "inter", pa.array(inter_l[kept_l].astype(np.int64), pa.int64()))
+            out = out.append_column(
+                "uni", pa.array(union_l[kept_l].astype(np.int64), pa.int64()))
         return out
 
     return j.map_batches(verify_joined, batch_format="pyarrow")
