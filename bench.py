@@ -194,15 +194,23 @@ def scaling_workload() -> dict:
     # levels is reported separately by the main bench.
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from rayjoin.stages.geocode import fnv1a64, LAT_MOD, LON_MOD
     from rayjoin.stages.tiles import hilbert_xy2d, latlon_to_xy, xy_to_tile
 
-    n = int(os.environ.get("GRAFT_SCALE_N", "120000000"))
+    n = int(os.environ.get("GRAFT_SCALE_N", "480000000"))
 
     def synth_geotile(t: pa.Table) -> pa.Table:
         ids = np.asarray(t["id"].combine_chunks(), dtype=np.int64)
-        urls = pa.array([f"https://site{i % 997}.example/{i}" for i in ids])
+        # URL synthesis is Arrow-vectorized (the old per-row f-string loop
+        # was 65% of the batch cost AND pure Python-object allocation churn
+        # — exactly what this box's THP-compaction episodes throttle, which
+        # made the measurement bimodal; see BASELINE.md)
+        sid = pc.cast(pa.array(ids % 997), pa.string())
+        sfull = pc.cast(pa.array(ids), pa.string())
+        urls = pc.binary_join_element_wise(
+            "https://site", sid, ".example/", sfull, "")
         h = fnv1a64(urls)
         lat = (h % np.uint64(LAT_MOD)).astype(np.int64) / 1_000_000.0 - 90.0
         lon = ((h >> np.uint64(32)) % np.uint64(LON_MOD)).astype(np.int64) / 1_000_000.0 - 180.0
@@ -215,9 +223,11 @@ def scaling_workload() -> dict:
             }
         )
 
-    ds = ray.data.range(n, override_num_blocks=256)
+    ds = ray.data.range(n, override_num_blocks=512)
     t0 = time.time()
-    total = ds.map_batches(synth_geotile, batch_format="pyarrow", batch_size=262144).sum(
+    # 65536-row batches keep the per-batch numpy temporaries (~0.5 MB each)
+    # L2-resident, so the kernel scales with cores instead of DRAM
+    total = ds.map_batches(synth_geotile, batch_format="pyarrow", batch_size=65536).sum(
         "hilbert_id"
     )
     dt = time.time() - t0
@@ -321,7 +331,7 @@ def scaling():
         json.dumps(
             {
                 "workload": "geocode+tile+hilbert over %s synthesized pages (tiles/sec)"
-                % os.environ.get("GRAFT_SCALE_N", "120000000"),
+                % os.environ.get("GRAFT_SCALE_N", "480000000"),
                 "sec_8": r_lo["sec"],
                 "sec_32": r_hi["sec"],
                 "probe_rows": r_lo["probe_rows"],
