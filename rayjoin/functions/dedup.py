@@ -1559,7 +1559,18 @@ def apply_cut_ranges(docs, ranges, *, id_col: str = "doc_id",
 
     from ..geom.primitives import repeat_expand
 
+    _empty_tagged = pa.table({
+        "dbucket": pa.array([], pa.int64()), id_col: pa.array([], pa.int64()),
+        "start": pa.array([], pa.int64()), "end": pa.array([], pa.int64())})
+    _empty_packed = pa.table({id_col: pa.array([], pa.int64()),
+                              "cuts": pa.array([], pa.large_binary())})
+
     def tag(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            # a Sort/map_groups upstream can emit zero-row blocks with NO
+            # columns (the dup_clusters flaky-shield bug class); re-pin so
+            # the hash join never sees a block without the key column
+            return _empty_tagged
         ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
         return pa.table({
             "dbucket": pa.array((ids % num_buckets + num_buckets) % num_buckets,
@@ -1568,6 +1579,8 @@ def apply_cut_ranges(docs, ranges, *, id_col: str = "doc_id",
         })
 
     def pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _empty_packed
         ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
         s = np.asarray(t["start"].combine_chunks(), dtype=np.int64)
         e = np.asarray(t["end"].combine_chunks(), dtype=np.int64)
@@ -1591,6 +1604,14 @@ def apply_cut_ranges(docs, ranges, *, id_col: str = "doc_id",
         .groupby("dbucket")
         .map_groups(pack, batch_format="pyarrow")
     )
+    # map_groups can SHORT-CIRCUIT an empty sort partition into a zero-row
+    # block with NO columns, and empty blocks bypass downstream map UDFs,
+    # so no schema-pinning map_batches can repair them — the join would
+    # fail with "No match for key field doc_id on right side".  Rebuild
+    # from the non-empty block refs instead.
+    from ..util import drop_schemaless_empty_blocks
+
+    packed = drop_schemaless_empty_blocks(packed, _empty_packed)
     j = docs.join(packed, "left_outer", _num_join_partitions(), on=(id_col,))
 
     def cut(t: pa.Table) -> pa.Table:
@@ -1651,6 +1672,212 @@ def apply_cut_ranges(docs, ranges, *, id_col: str = "doc_id",
         return pa.table({id_col: pa.array(ids, pa.int64()), "cut_text": cut_text})
 
     return j.map_batches(cut, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (CCNet/RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+_PARA_IDX_BITS = 20  # paragraphs per doc bounded by 2^20; doc_id by 2^43
+
+
+def _explode_paragraphs(t: pa.Table, *, id_col: str, text_col: str,
+                        sep: str) -> pa.Table:
+    """One light row per paragraph: (h, wkey, start, end, last) where
+    ``h`` is the FNV-1a64 of the paragraph bytes, ``wkey`` packs
+    (doc_id << 20 | idx) so the corpus-order first occurrence is the
+    integer min, and [start, end) are BYTE offsets of the paragraph inside
+    its doc's utf-8 text (sep is byte-based too, so the downstream cut
+    splice composes exactly)."""
+    from ..geom.primitives import repeat_expand
+
+    text = t[text_col].combine_chunks()
+    ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+    parts = pc.split_pattern(text, sep)
+    if isinstance(parts, pa.ChunkedArray):
+        parts = parts.combine_chunks()
+    counts = np.asarray(pc.list_value_length(parts), dtype=np.int64)
+    values = parts.flatten()  # paragraphs in (doc, idx) order
+    pid, k = repeat_expand(counts)
+    if k.size and int(k.max()) >= (1 << _PARA_IDX_BITS):
+        raise ValueError(
+            f"paragraph_dedup: a doc has >= 2^{_PARA_IDX_BITS} paragraphs; "
+            "raise _PARA_IDX_BITS or pre-chunk the doc")
+    if ids.size and (int(ids.max()) >= (1 << (63 - _PARA_IDX_BITS)) or int(ids.min()) < 0):
+        raise ValueError("paragraph_dedup: doc ids must be in [0, 2^43)")
+    # byte length of each paragraph from the flattened string offsets
+    vbuf = values.buffers()
+    voff_dt = np.int64 if pa.types.is_large_string(values.type) else np.int32
+    voff = np.frombuffer(vbuf[1], dtype=voff_dt, count=len(values) + 1 + values.offset)[
+        values.offset : values.offset + len(values) + 1].astype(np.int64)
+    vlens = voff[1:] - voff[:-1]
+    # start byte of paragraph k inside its doc: sum of previous paragraph
+    # lengths + k separator bytes (split partitions the text exactly)
+    excl = np.concatenate([[0], np.cumsum(vlens)[:-1]])
+    doc_first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    start = excl - excl[doc_first[pid]] + k * len(sep.encode())
+    end = start + vlens
+    h = fnv1a64(values).astype(np.int64)
+    wkey = (ids[pid] << _PARA_IDX_BITS) | k
+    return pa.table({
+        "h": pa.array(h, pa.int64()),
+        "wkey": pa.array(wkey, pa.int64()),
+        "start": pa.array(start, pa.int64()),
+        "end": pa.array(end, pa.int64()),
+        "last": pa.array(k == counts[pid] - 1),
+    })
+
+
+def paragraph_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    sep: str = "\n", broadcast_threshold_rows: int = 2_000_000,
+                    broadcast_threshold_bytes: int = 1 << 30,
+                    num_buckets: int = 64, passthrough: bool = False):
+    """Corpus-wide paragraph-level EXACT dedup (the CCNet / RefinedWeb /
+    Gopher rule "remove any paragraph duplicated anywhere in the corpus,
+    keeping its first occurrence"): split each doc on ``sep``, keep only
+    the corpus-order first occurrence (min (doc_id, idx)) of each distinct
+    paragraph, splice the survivors back together with ``sep``.  Docs that
+    lose every paragraph come back with empty text (the row is KEPT — text
+    filtering is a separate policy stage).
+
+    Returns Dataset[doc_id, text_dedup] (plus every other input column
+    when ``passthrough``).
+
+    Plan (one corpus scan + two light shuffles):
+      1. explode to (h, wkey, start, end) rows — 33 bytes/paragraph, no
+         text payload — materialized once so winner-finding and drop
+         marking don't re-split the corpus;
+      2. winner per h = groupby(h).min(wkey) after a per-batch partial min
+         (the shuffle carries distinct-per-batch hashes only);
+      3. drops = rows with wkey != winner (winners broadcast under
+         row+byte caps, hash join above — the dup_clusters tiering);
+      4. dropped paragraphs extend over one adjacent separator, overlap-
+         merge per doc, then ``apply_cut_ranges`` splices them out with
+         the shared flat-buffer gather (no per-row Python anywhere).
+
+    Hash note: a 64-bit FNV collision could drop a non-duplicate paragraph
+    (~n^2/2^65 expected false drops); the exact-verify variant would join
+    paragraph bytes back like verify_pairs_jaccard — documented trade, the
+    reference LLM-pipeline recipes all dedup on 64-bit hashes too."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Min
+
+    from ..util import meta_row_count, meta_size_bytes
+
+    trip = ds.map_batches(
+        lambda t: _explode_paragraphs(t, id_col=id_col, text_col=text_col, sep=sep),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        g = t.group_by("h").aggregate([("wkey", "min")])
+        # select by NAME before renaming (pyarrow group_by column-order
+        # drift across releases — same guard as dedup_exact)
+        return g.select(["h", "wkey_min"]).rename_columns(["h", "wkey"])
+
+    winners = (
+        trip.map_batches(lambda t: partial_min(t.select(["h", "wkey"])),
+                         batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Min("wkey", alias_name="min_wkey"))
+        .materialize()
+    )
+
+    n_win = meta_row_count(winners)
+    b_win = meta_size_bytes(winners)
+    if (n_win is not None and n_win <= broadcast_threshold_rows
+            and (b_win is None or b_win <= broadcast_threshold_bytes)):
+        tabs = [t for t in ray.get(winners.to_arrow_refs()) if t.num_rows]
+        wt = pa.concat_tables(tabs) if tabs else pa.table(
+            {"h": pa.array([], pa.int64()), "min_wkey": pa.array([], pa.int64())})
+        wh = np.asarray(wt["h"].combine_chunks(), dtype=np.int64)
+        wmin = np.asarray(wt["min_wkey"].combine_chunks(), dtype=np.int64)
+        order = np.argsort(wh, kind="stable")
+        ref = ray.put((wh[order], wmin[order]))
+
+        def mark_drops_bcast(t: pa.Table) -> pa.Table:
+            wh_s, wmin_s = ray.get(ref)
+            h = np.asarray(t["h"].combine_chunks(), dtype=np.int64)
+            wkey = np.asarray(t["wkey"].combine_chunks(), dtype=np.int64)
+            pos = np.minimum(np.searchsorted(wh_s, h), max(wh_s.size - 1, 0))
+            if wh_s.size == 0 or not np.array_equal(wh_s[pos], h):
+                raise AssertionError("paragraph_dedup: hash missing from winners")
+            drop = wkey != wmin_s[pos]
+            return t.filter(pa.array(drop))
+
+        drops = trip.map_batches(mark_drops_bcast, batch_format="pyarrow")
+    else:
+        j = trip.join(winners, "inner", _num_join_partitions(), on=("h",))
+        drops = j.map_batches(
+            lambda t: t.filter(pc.not_equal(t["wkey"], t["min_wkey"]))
+            .select(["h", "wkey", "start", "end", "last"]),
+            batch_format="pyarrow",
+        )
+
+    sep_len = len(sep.encode())
+
+    def to_ranges(t: pa.Table) -> pa.Table:
+        # RAW paragraph byte ranges for every dropped paragraph; separator
+        # attachment happens at RUN level in merge_runs (a trailing dropped
+        # run must consume its PRECEDING separator, which no per-paragraph
+        # rule can know)
+        wkey = np.asarray(t["wkey"].combine_chunks(), dtype=np.int64)
+        ids = wkey >> _PARA_IDX_BITS
+        return pa.table({
+            "dbucket": pa.array((ids % num_buckets + num_buckets) % num_buckets,
+                                pa.int64()),
+            id_col: pa.array(ids, pa.int64()),
+            "start": t["start"], "end": t["end"], "last": t["last"],
+        })
+
+    def merge_runs(t: pa.Table) -> pa.Table:
+        # consecutive dropped paragraphs (next.start == prev.end + sep_len)
+        # coalesce into one run; a run cuts its FOLLOWING separator, except
+        # a doc-terminal run which cuts the PRECEDING one (if any) so the
+        # survivors re-join with exactly one separator everywhere
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "start": pa.array([], pa.int64()),
+                             "end": pa.array([], pa.int64())})
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        s = np.asarray(t["start"].combine_chunks(), dtype=np.int64)
+        e = np.asarray(t["end"].combine_chunks(), dtype=np.int64)
+        last = np.asarray(t["last"].combine_chunks())
+        order = np.lexsort((s, ids))
+        ids, s, e, last = ids[order], s[order], e[order], last[order]
+        newdoc = np.concatenate([[True], ids[1:] != ids[:-1]])
+        prev_e = np.concatenate([[np.iinfo(np.int64).min // 2], e[:-1]])
+        brk = newdoc | (s != prev_e + sep_len)
+        starts_idx = np.flatnonzero(brk)
+        ends_idx = np.concatenate([starts_idx[1:], [ids.size]])
+        S, E = s[starts_idx], e[ends_idx - 1]
+        terminal = last[ends_idx - 1]
+        cut_s = np.where(terminal & (S > 0), S - sep_len, S)
+        cut_e = np.where(~terminal, E + sep_len, E)
+        return pa.table({
+            id_col: pa.array(ids[starts_idx], pa.int64()),
+            "start": pa.array(cut_s, pa.int64()),
+            "end": pa.array(cut_e, pa.int64()),
+        })
+
+    ranges = (
+        drops.map_batches(to_ranges, batch_format="pyarrow")
+        .groupby("dbucket")
+        .map_groups(merge_runs, batch_format="pyarrow")
+    )
+    out = apply_cut_ranges(ds, ranges, id_col=id_col, text_col=text_col,
+                           num_buckets=num_buckets, passthrough=passthrough)
+    if passthrough:
+        return out.map_batches(
+            lambda t: t.rename_columns(
+                [c if c != "cut_text" else "text_dedup" for c in t.column_names]),
+            batch_format="pyarrow",
+        )
+    return out.map_batches(
+        lambda t: t.rename_columns([id_col, "text_dedup"]),
+        batch_format="pyarrow",
+    )
 
 
 # ---------------------------------------------------------------------------

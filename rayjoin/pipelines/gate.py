@@ -1875,6 +1875,84 @@ def q_dedup_exact(sf_dir: str):
 SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def _paraify7(t: pa.Table) -> pa.Table:
+    """Deterministic paragraph synthesis for the paragraph_dedup gate row:
+    every 7th space byte becomes a newline (documents.text is single-line
+    token soup).  Flat-buffer pass, no per-row Python; the SQL twin
+    rebuilds the same text token-wise."""
+    text = t["text"].combine_chunks()
+    n = len(text)
+    buf = text.buffers()
+    off_dt = np.int64 if pa.types.is_large_string(text.type) else np.int32
+    off = np.frombuffer(buf[1], dtype=off_dt, count=n + 1 + text.offset)[
+        text.offset : text.offset + n + 1].astype(np.int64)
+    data = (np.frombuffer(buf[2], dtype=np.uint8)[off[0] : off[-1]].copy()
+            if buf[2] is not None else np.empty(0, np.uint8))
+    off = off - off[0]
+    sp = np.flatnonzero(data == 32)
+    doc = np.searchsorted(off, sp, side="right") - 1
+    newdoc = np.concatenate([[True], doc[1:] != doc[:-1]]) if doc.size else np.empty(0, bool)
+    first_pos = np.flatnonzero(newdoc)
+    seg = np.cumsum(newdoc) - 1
+    rank = np.arange(sp.size, dtype=np.int64) - first_pos[seg]
+    data[sp[(rank + 1) % 7 == 0]] = 10  # '\n'
+    para = pa.Array.from_buffers(
+        pa.large_string(), n,
+        [None, pa.py_buffer(off.tobytes()), pa.py_buffer(data.tobytes())])
+    return pa.table({"doc_id": t["doc_id"], "text": para})
+
+
+def q_paragraph_dedup(sf_dir: str):
+    """Corpus-wide paragraph-level exact dedup (CCNet/RefinedWeb rule;
+    functions/dedup.py:paragraph_dedup): paragraphs synthesized by turning
+    every 7th space into a newline, then every paragraph duplicated
+    anywhere in the corpus keeps only its (doc_id, idx)-first occurrence
+    and survivors re-join with the separator."""
+    import ray.data
+
+    from ..functions.dedup import paragraph_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    para = docs.map_batches(_paraify7, batch_format="pyarrow")
+    return paragraph_dedup(para)
+
+
+SQL_PARAGRAPH_DEDUP = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         unnest(range(len(string_split(text, ' ')))) AS i,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+par AS (
+  SELECT doc_id,
+         string_agg(tok || CASE WHEN i = n - 1 THEN ''
+                                WHEN (i + 1) % 7 = 0 THEN chr(10)
+                                ELSE ' ' END, '' ORDER BY i) AS ptext
+  FROM toks GROUP BY doc_id
+),
+p AS (
+  SELECT doc_id,
+         unnest(string_split(ptext, chr(10))) AS para,
+         unnest(range(len(string_split(ptext, chr(10))))) AS idx
+  FROM par
+),
+k AS (
+  SELECT doc_id, para, idx,
+         row_number() OVER (PARTITION BY para ORDER BY doc_id, idx) AS rn
+  FROM p
+),
+agg AS (
+  SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS text_dedup
+  FROM k WHERE rn = 1 GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(a.text_dedup, '') AS text_dedup
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_token_stats(sf_dir: str):
     import ray.data
 
@@ -3897,6 +3975,7 @@ def build_queries():
         "rasterize_rect_area": q_rasterize_rect_area,
         "vectorize_boundary": q_vectorize_boundary,
         "dedup_exact": q_dedup_exact,
+        "paragraph_dedup": q_paragraph_dedup,
         "token_stats": q_token_stats,
         "heavy_hitters": q_heavy_hitters,
         "cooc_counts": q_cooc_counts,
@@ -4001,6 +4080,7 @@ def build_queries():
         "rasterize_rect_area": sql_rasterize_rect_area().format(rects=rsup),
         "vectorize_boundary": sql_vectorize_boundary().format(tri=tri),
         "dedup_exact": SQL_DEDUP_EXACT,
+        "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "token_stats": SQL_TOKEN_STATS,
         "heavy_hitters": SQL_HEAVY_HITTERS,
         "cooc_counts": SQL_COOC_COUNTS,

@@ -121,3 +121,28 @@ def bounded_sample_frac(frac: float, rows, cap: int) -> float:
     if rows is None or rows <= 0:
         return frac
     return min(frac, cap / float(rows))
+
+
+def drop_schemaless_empty_blocks(ds, empty_table):
+    """Work around a Ray Data quirk: a Sort/map_groups stage can emit a
+    zero-row block with an EMPTY schema (no columns), and zero-row blocks
+    BYPASS downstream map UDFs entirely (verified: a schema-pinning
+    map_batches never sees them), so they reach hash-join shuffle
+    aggregators whose acero join then fails with "No match ... for key
+    field".  Rebuild the dataset from the non-empty block refs (no driver
+    data transfer; one tiny row-count task per block).  ``empty_table``
+    supplies the schema when every block is empty."""
+    import ray
+    import ray.data
+
+    refs = ds.materialize().to_arrow_refs()
+
+    @ray.remote(num_cpus=0)
+    def _nrows(t):
+        return t.num_rows
+
+    counts = ray.get([_nrows.remote(r) for r in refs])
+    keep = [r for r, c in zip(refs, counts) if c]
+    if not keep:
+        return ray.data.from_arrow(empty_table)
+    return ray.data.from_arrow_refs(keep)

@@ -1502,3 +1502,78 @@ def test_embedding_dups_recall_at_default_threshold():
     planted_true = {(a, a + 100_000) for a in range(planted)} & true
     rec = len(found & planted_true) / len(planted_true)
     assert rec >= 0.99, (rec, len(planted_true))
+
+
+def _paragraph_dedup_oracle(docs: dict[int, str], sep: str = "\n") -> dict[int, str]:
+    """Brute-force first-occurrence paragraph dedup (the semantic spec of
+    rayjoin.functions.dedup.paragraph_dedup and its SQL twin)."""
+    seen = set()
+    out = {}
+    for doc_id in sorted(docs):
+        kept = []
+        for para in docs[doc_id].split(sep):
+            if para not in seen:
+                seen.add(para)
+                kept.append(para)
+        out[doc_id] = sep.join(kept)
+    return out
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_matches_oracle():
+    """Cross-doc paragraph dedup: first occurrence survives, later copies
+    are spliced out with their separator, empty paragraphs dedup too,
+    all-dropped docs come back with empty text, untouched docs are
+    byte-identical.  Broadcast and join winner tiers agree."""
+    import ray.data
+
+    from rayjoin.functions.dedup import paragraph_dedup
+
+    docs = {
+        0: "alpha\nbeta\ngamma",
+        1: "beta\ndelta\nalpha",        # two cross-doc dups
+        2: "alpha\nbeta\ngamma",        # fully duplicated doc -> ""
+        3: "unique one\nunique two",    # untouched
+        4: "eps\n\nzeta\n\neps",        # empty paragraphs + in-doc repeat
+        5: "gamma",                     # single dropped paragraph
+        6: "",                          # empty doc ('' dedups vs doc4's)
+    }
+    exp = _paragraph_dedup_oracle(docs)
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)])})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    got_b = paragraph_dedup(ds).to_pandas()
+    assert dict(zip(got_b.doc_id, got_b.text_dedup)) == exp
+
+    got_j = paragraph_dedup(ds, broadcast_threshold_rows=0).to_pandas()
+    assert dict(zip(got_j.doc_id, got_j.text_dedup)) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_paragraph_dedup_random_differential():
+    """500 random docs over a tiny paragraph vocabulary (heavy cross-doc
+    duplication) match the brute-force oracle on both winner tiers; with
+    passthrough the extra column rides along."""
+    import ray.data
+
+    from rayjoin.functions.dedup import paragraph_dedup
+
+    rng = np.random.default_rng(7)
+    vocab = [f"p{i} text body {i}" for i in range(40)] + [""]
+    docs = {
+        int(i): "\n".join(rng.choice(vocab, size=rng.integers(1, 9)))
+        for i in range(500)
+    }
+    exp = _paragraph_dedup_oracle(docs)
+    t = pa.table({"doc_id": pa.array(sorted(docs), pa.int64()),
+                  "text": pa.array([docs[k] for k in sorted(docs)]),
+                  "lang": pa.array(["en"] * len(docs))})
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    got = paragraph_dedup(ds, passthrough=True).to_pandas()
+    assert dict(zip(got.doc_id, got.text_dedup)) == exp
+    assert set(got.columns) >= {"doc_id", "text", "lang", "text_dedup"}
+
+    got_j = paragraph_dedup(ds, broadcast_threshold_rows=0).to_pandas()
+    assert dict(zip(got_j.doc_id, got_j.text_dedup)) == exp
