@@ -3370,6 +3370,46 @@ GROUP BY o_orderstatus
 """
 
 
+def q_bbox_pruned_read(sf_dir: str):
+    """Spatial predicate pushdown at the READ (stages/sink.py): geocoded
+    docs land as Hilbert-partitioned parquet, a zone-map manifest is built
+    from parquet FOOTER min/max stats only, and a bbox query scans ONLY
+    the partition directories whose zones intersect — at 100 TB that is a
+    city's partitions instead of the planet.  The exact residual filter
+    makes pruning a pure I/O optimization (pytest pins selected < total);
+    the SQL twin recomputes the geocode and filters the same closed box."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.sink import (build_zone_manifest, read_bbox_pruned,
+                               write_hilbert_partitioned)
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    geo = docs.map_batches(lambda t: geocode_from_key(t, key_col="doc_id"),
+                           batch_format="pyarrow")
+    out = f"/tmp/rayjoin_bboxread_{os.path.basename(os.path.normpath(sf_dir))}"
+    shutil.rmtree(out, ignore_errors=True)
+    write_hilbert_partitioned(geo, out, num_partitions=8)
+    build_zone_manifest(out)
+    ds = read_bbox_pruned(out, -30.0, 30.0, -90.0, 90.0,
+                          columns=["doc_id", "lat", "lon"])
+    return ds.map_batches(lambda t: t.select(["doc_id", "lat", "lon"]),
+                          batch_format="pyarrow")
+
+
+def _sql_bbox_pruned_read() -> str:
+    lon, lat = _latlon_sql("doc_id")
+    return f"""
+SELECT doc_id, lat, lon FROM (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id, {lat} AS lat, {lon} AS lon
+  FROM documents)
+WHERE lat BETWEEN -30.0 AND 30.0 AND lon BETWEEN -90.0 AND 90.0
+"""
+
+
 SQL_TOPK = (
     "SELECT o_orderkey, o_totalprice FROM orders "
     "ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"
@@ -4015,6 +4055,7 @@ def build_queries():
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
         "filtered_read": q_filtered_read,
+        "bbox_pruned_read": q_bbox_pruned_read,
         "distinct_flags": q_distinct_flags,
         "asof_last_purchase": q_asof_last_purchase,
         "band_pairs_events": q_band_pairs_events,
@@ -4118,6 +4159,7 @@ def build_queries():
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,
         "filtered_read": SQL_FILTERED_READ,
+        "bbox_pruned_read": _sql_bbox_pruned_read(),
         "distinct_flags": SQL_DISTINCT,
         "asof_last_purchase": SQL_ASOF,
         "band_pairs_events": SQL_BAND,

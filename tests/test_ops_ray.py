@@ -1577,3 +1577,59 @@ def test_paragraph_dedup_random_differential():
 
     got_j = paragraph_dedup(ds, broadcast_threshold_rows=0).to_pandas()
     assert dict(zip(got_j.doc_id, got_j.text_dedup)) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_bbox_pruned_read_skips_partitions_exactly():
+    """Zone-map pruning (stages/sink.py): the pruned read touches a strict
+    subset of partition directories, returns exactly the full-scan-filter
+    rows, and the manifest row counts cover the layout.  An empty cover
+    (bbox outside every zone) yields zero rows with the right schema."""
+    import os
+    import shutil
+
+    import ray.data
+
+    from rayjoin.stages.geocode import geocode_from_key
+    from rayjoin.stages.sink import (build_zone_manifest, prune_partitions,
+                                     read_bbox_pruned,
+                                     write_hilbert_partitioned)
+
+    out = "/tmp/rayjoin_test_bboxread"
+    shutil.rmtree(out, ignore_errors=True)
+    t = pa.table({"doc_id": pa.array(np.arange(4000, dtype=np.int64))})
+    geo = ray.data.from_arrow(t).map_batches(
+        lambda b: geocode_from_key(b, key_col="doc_id"), batch_format="pyarrow")
+    write_hilbert_partitioned(geo, out, num_partitions=8)
+    manifest = build_zone_manifest(out)
+    n_parts = manifest.num_rows
+    assert manifest["rows"].to_pandas().sum() == 4000
+
+    box = (-25.0, 25.0, -60.0, 60.0)
+    keys = prune_partitions(manifest, *box)
+    assert 0 < len(keys) < n_parts, (len(keys), n_parts)  # pruning is real
+
+    got = read_bbox_pruned(out, *box, columns=["doc_id", "lat", "lon"]).to_pandas()
+    full = ray.data.read_parquet(out).to_pandas()
+    m = ((full.lat >= box[0]) & (full.lat <= box[1])
+         & (full.lon >= box[2]) & (full.lon <= box[3]))
+    exp = full[m][["doc_id", "lat", "lon"]].sort_values("doc_id").reset_index(drop=True)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got.equals(exp)
+    assert len(got) > 0
+
+    # residual-empty result (a zone covers the box but no row survives):
+    # Dataset schema holds even at zero rows (to_pandas drops columns for
+    # 0-row datasets — a Ray display quirk, so assert on the schema)
+    res_empty = read_bbox_pruned(out, 89.5, 89.9, 179.5, 179.9,
+                                 columns=["doc_id", "lat", "lon"])
+    assert res_empty.count() == 0
+    assert res_empty.schema().names == ["doc_id", "lat", "lon"]
+
+    # zone-empty cover (no partition intersects at all): schema from the
+    # footer, zero rows, zero data scanned
+    assert prune_partitions(manifest, -0.2, -0.1, 179.0, 180.0) == []
+    cov_empty = read_bbox_pruned(out, -0.2, -0.1, 179.0, 180.0,
+                                 columns=["doc_id", "lat", "lon"])
+    assert cov_empty.count() == 0
+    assert cov_empty.schema().names == ["doc_id", "lat", "lon"]
