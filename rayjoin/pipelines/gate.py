@@ -251,6 +251,59 @@ def q_prox_points_partitioned(sf_dir: str):
     return partitioned_proximity_map(big, small, Config(max_distance=3.0), target_cells=64)
 
 
+def _dbscan_pts_np(k: np.ndarray):
+    """Clustered point synthesis for the DBSCAN row: 23x11 attractor grid
+    (15-degree pitch) + a +-2.0 jitter derived from the geocode multipliers.
+    Association mirrors the SQL twin exactly: (grid term) + (jitter term)."""
+    cx = (k % 23).astype(np.float64) * 15.0 - 165.0
+    cy = (k % 11).astype(np.float64) * 15.0 - 75.0
+    jx = ((k * LON_MULT) % 4000) / 1000.0 - 2.0
+    jy = ((k * LAT_MULT) % 4000) / 1000.0 - 2.0
+    return cx + jx, cy + jy
+
+
+def q_dbscan_points(sf_dir: str):
+    """Exact DBSCAN (eps=3 inclusive, min_pts=4 self-inclusive) over
+    clustered customer points: eps-edges via the PBSM proximity self-join,
+    core points via a pre-aggregated degree groupby, components via
+    dup_clusters, border/noise via hash joins.  Labels are deterministic
+    (min core row_id per cluster, min cluster per border point), so the
+    recursive-CTE SQL twin hash-matches."""
+    from ..functions.cluster import dbscan
+    from ..geom.encode import points_geom
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    x, y = _dbscan_pts_np(k)
+    pts = _from_arrow(points_geom(k, x, y))
+    return dbscan(pts, eps=3.0, min_pts=4, target_cells=64)
+
+
+def sql_dbscan_points() -> str:
+    x = f"((c_custkey%23)*15.0 - 165.0) + (((c_custkey*{LON_MULT})%4000)/1000.0 - 2.0)"
+    y = f"((c_custkey%11)*15.0 - 75.0) + (((c_custkey*{LAT_MULT})%4000)/1000.0 - 2.0)"
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT CAST(c_custkey AS BIGINT) AS row_id, {x} AS x, {y} AS y
+        FROM customer),
+pairs AS (SELECT a.row_id AS ra, b.row_id AS rb FROM pts a, pts b
+          WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 3.0),
+core AS (SELECT ra AS id FROM pairs GROUP BY ra HAVING COUNT(*) >= 4),
+ce AS (SELECT p.ra, p.rb FROM pairs p
+       JOIN core ca ON ca.id = p.ra JOIN core cb ON cb.id = p.rb),
+reach(v, u) AS (SELECT ra, rb FROM ce
+                UNION SELECT r.v, e.rb FROM reach r JOIN ce e ON r.u = e.ra),
+comp AS (SELECT v AS id, MIN(u) AS lbl FROM reach GROUP BY v),
+assigned AS (SELECT p.ra AS id, MIN(c.lbl) AS cluster_id
+             FROM pairs p JOIN comp c ON c.id = p.rb GROUP BY p.ra)
+SELECT a.id AS row_id, a.cluster_id,
+       a.id IN (SELECT id FROM core) AS is_core
+FROM assigned a
+UNION ALL
+SELECT p.row_id, CAST(-1 AS BIGINT) AS cluster_id, FALSE AS is_core
+FROM pts p WHERE p.row_id NOT IN (SELECT id FROM assigned)
+"""
+
+
 def q_knn_points(sf_dir: str):
     """kNN join: for each customer point the 3 nearest supplier points,
     ties (distance, small_row_id)."""
@@ -3978,6 +4031,7 @@ def build_queries():
         "prox_points": q_prox_points,
         "prox_points_partitioned": q_prox_points_partitioned,
         "prox_with_geos": q_prox_with_geos,
+        "dbscan_points": q_dbscan_points,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
         "idw_interpolate": q_idw_interpolate,
@@ -4084,6 +4138,7 @@ def build_queries():
         "prox_points": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "prox_points_partitioned": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "prox_with_geos": SQL_PROX_GEOS.format(big=pts_cust, small=pts_supp),
+        "dbscan_points": sql_dbscan_points(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "idw_interpolate": SQL_IDW.format(big=pts_cust, small=pts_supp),

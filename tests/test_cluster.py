@@ -1,0 +1,122 @@
+"""DBSCAN differential tests vs a brute-force O(n^2) reference."""
+
+import numpy as np
+import pytest
+
+from rayjoin.functions.cluster import dbscan
+from rayjoin.geom.encode import points_geom
+
+
+def brute_dbscan(ids, x, y, eps, min_pts):
+    """Reference DBSCAN with the engine's determinism contract (min core
+    row_id = cluster id, border takes min cluster among core neighbors)."""
+    n = len(ids)
+    d = np.sqrt((x[:, None] - x[None, :]) ** 2 + (y[:, None] - y[None, :]) ** 2)
+    adj = d <= eps
+    core = adj.sum(1) >= min_pts
+
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.where(core)[0]
+    for a in ci:
+        for b in ci:
+            if adj[a, b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    comp_members = {}
+    for a in ci:
+        comp_members.setdefault(find(a), []).append(a)
+    lab = {}
+    for members in comp_members.values():
+        m = min(int(ids[i]) for i in members)
+        for i in members:
+            lab[i] = m
+    out = {}
+    for i in range(n):
+        if core[i]:
+            out[int(ids[i])] = (lab[i], True)
+        else:
+            cand = [lab[j] for j in ci if adj[i, j]]
+            out[int(ids[i])] = (min(cand), False) if cand else (-1, False)
+    return out
+
+
+def run_engine(ids, x, y, eps, min_pts, **kw):
+    res = dbscan(points_geom(ids, x, y), eps=eps, min_pts=min_pts, **kw).to_pandas()
+    return {
+        int(r.row_id): (int(r.cluster_id), bool(r.is_core))
+        for r in res.itertuples()
+    }
+
+
+@pytest.mark.parametrize("method", ["driver", "distributed"])
+def test_dbscan_matches_brute_force(ray_session, method):
+    rng = np.random.default_rng(11)
+    n = 300
+    x = rng.uniform(0, 80, n)
+    y = rng.uniform(0, 80, n)
+    ids = (rng.permutation(n).astype(np.int64) * 7 + 3)
+    exp = brute_dbscan(ids, x, y, eps=4.0, min_pts=4)
+    got = run_engine(ids, x, y, 4.0, 4, target_cells=16,
+                     components_method=method)
+    assert got == exp
+    # sanity: the instance exercises all three roles
+    kinds = {(c == -1, ic) for c, ic in exp.values()}
+    assert (True, False) in kinds and (False, True) in kinds
+
+
+def test_dbscan_all_noise(ray_session):
+    # far-apart points, min_pts 2 -> no cores, everything noise
+    ids = np.arange(5, dtype=np.int64)
+    x = np.arange(5) * 100.0
+    y = np.zeros(5)
+    got = run_engine(ids, x, y, 1.0, 2, target_cells=4)
+    assert got == {i: (-1, False) for i in range(5)}
+
+
+def test_dbscan_min_pts_one_every_point_core(ray_session):
+    # min_pts=1: every point is core (self-neighborhood); far-apart points
+    # become singleton clusters labelled by themselves
+    ids = np.array([9, 4, 30], dtype=np.int64)
+    x = np.array([0.0, 50.0, 100.0])
+    y = np.zeros(3)
+    got = run_engine(ids, x, y, 1.0, 1, target_cells=4)
+    assert got == {9: (9, True), 4: (4, True), 30: (30, True)}
+
+
+def test_dbscan_duplicate_coordinates_cluster(ray_session):
+    # k coincident points: all within eps of each other -> one cluster,
+    # labelled by the min id, all core once k >= min_pts
+    ids = np.array([12, 7, 22, 5], dtype=np.int64)
+    x = np.full(4, 3.25)
+    y = np.full(4, -1.5)
+    got = run_engine(ids, x, y, 0.5, 4, target_cells=4)
+    assert got == {12: (5, True), 7: (5, True), 22: (5, True), 5: (5, True)}
+
+
+def test_dbscan_border_takes_min_cluster(ray_session):
+    # two tight 4-point cores; the point at x=10 reaches exactly ONE core
+    # member on each side (2 neighbors + self < min_pts=4 -> border) and
+    # joins the MIN cluster id (deterministic tie)
+    ids = np.array([100, 101, 102, 103, 200, 201, 202, 203, 999],
+                   dtype=np.int64)
+    x = np.array([0.0, 0.05, 0.1, 0.15, 19.85, 19.9, 19.95, 20.0, 10.0])
+    y = np.zeros(9)
+    got = run_engine(ids, x, y, 9.87, 4, target_cells=4)
+    assert got[999] == (100, False)
+    assert got[100] == (100, True) and got[200] == (200, True)
+    exp = brute_dbscan(ids, x, y, 9.87, 4)
+    assert got == exp
+
+
+def test_dbscan_rejects_bad_min_pts(ray_session):
+    ids = np.array([1], dtype=np.int64)
+    with pytest.raises(ValueError):
+        dbscan(points_geom(ids, np.zeros(1), np.zeros(1)), eps=1.0, min_pts=0)
