@@ -100,6 +100,105 @@ def sessionize(ds, *, gap_minutes: int = 30, key_col: str = "user_id",
     )
 
 
+def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
+                    end_col: str = "e", num_buckets: int = 256):
+    """Per-key interval UNION (gaps and islands): merge every overlapping or
+    touching [start, end] pair (inclusive touch: next.start == current
+    running end merges) into islands.
+
+    Input columns: key (int64), start/end (timestamp[us] or int64 with
+    start <= end).  Returns Dataset[<key_col>, island_id, island_start,
+    island_end, n_events] with island_id 1-based per key in start order.
+
+    Same shuffle shape as ``sessionize``: keys hash into ``num_buckets``
+    buckets, each bucket merges ALL its keys with one lexsort + segmented
+    kernels (no per-key Python).  The segmented running-max-of-end uses the
+    rank + segment-base trick so a single ``np.maximum.accumulate`` serves
+    every key in the bucket."""
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        part = knuth_bucket(key, num_buckets)
+        s = t[start_col]
+        e = t[end_col]
+        if pa.types.is_timestamp(s.type):
+            s = pc.cast(pc.cast(s, pa.timestamp("us")), pa.int64())
+            e = pc.cast(pc.cast(e, pa.timestamp("us")), pa.int64())
+        return pa.table(
+            {key_col: t[key_col], "s": s, "e": e,
+             "part": pa.array(part, pa.int64())}
+        )
+
+    out_empty = pa.table(
+        {
+            key_col: pa.array([], pa.int64()),
+            "island_id": pa.array([], pa.int64()),
+            "island_start": pa.array([], pa.timestamp("us")),
+            "island_end": pa.array([], pa.timestamp("us")),
+            "n_events": pa.array([], pa.int64()),
+        }
+    )
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return out_empty
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        s = np.asarray(t["s"].combine_chunks(), dtype=np.int64)
+        e = np.asarray(t["e"].combine_chunks(), dtype=np.int64)
+        n = key.size
+        # rank * segment base must stay in int64: n^2 < 2^63 -> n < 3e9;
+        # a shuffle bucket beyond 2^31 rows has bigger problems first
+        assert n < 2**31, "merge_intervals bucket too large"
+        order = np.lexsort((e, s, key))
+        key, s, e = key[order], s[order], e[order]
+        new_key = np.empty(n, np.bool_)
+        new_key[0] = True
+        new_key[1:] = key[1:] != key[:-1]
+        seg = np.cumsum(new_key) - 1
+        # segmented running max of e, EXCLUDING the current row: rank the
+        # ends, add seg*n so no segment's running max can leak into the
+        # next, one global accumulate, shift by one
+        er_order = np.argsort(e, kind="stable")
+        rank = np.empty(n, np.int64)
+        rank[er_order] = np.arange(n, dtype=np.int64)
+        adj = rank + seg * np.int64(n)
+        cm = np.maximum.accumulate(adj)
+        prev_rank = np.empty(n, np.int64)
+        prev_rank[0] = 0
+        prev_rank[1:] = cm[:-1] - seg[1:] * np.int64(n)
+        prev_end = e[er_order[np.clip(prev_rank, 0, n - 1)]]
+        brk = new_key | (s > prev_end)
+        starts = np.flatnonzero(brk)
+        counts = np.diff(np.concatenate([starts, [n]]))
+        isl_key = key[starts]
+        isl_start = s[starts]
+        isl_end = np.maximum.reduceat(e, starts)
+        # 1-based island index per key (same base algebra as sessionize)
+        gid = np.cumsum(brk)
+        key_first_gid = gid[np.flatnonzero(new_key)]
+        base = np.repeat(key_first_gid, np.diff(np.concatenate(
+            [np.flatnonzero(new_key[starts]), [starts.size]]
+        ))) if starts.size else np.empty(0, np.int64)
+        island_id = gid[starts] - base + 1
+        return pa.table(
+            {
+                key_col: pa.array(isl_key, pa.int64()),
+                "island_id": pa.array(island_id, pa.int64()),
+                "island_start": pa.array(isl_start, pa.int64()).cast(pa.timestamp("us")),
+                "island_end": pa.array(isl_end, pa.int64()).cast(pa.timestamp("us")),
+                "n_events": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(per_bucket, batch_format="pyarrow")
+    )
+
+
 def broadcast_semi_join(ds, keys, *, key_col: str, anti: bool = False):
     """Semi/anti join by broadcast key set (engine guidance: broadcast the
     key set and filter inside map_batches — no shuffle)."""

@@ -3318,6 +3318,55 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_merge_intervals(sf_dir: str):
+    """Per-user interval UNION (gaps and islands): each event spans
+    [ts, ts + floor(value*100) seconds]; overlapping-or-touching spans merge
+    into islands.  One bucketed shuffle, lexsort + segmented running-max per
+    bucket (rank + segment-base trick) — no per-key Python."""
+    import ray.data
+
+    from ..functions.stream import merge_intervals
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"]
+    )
+
+    def spans(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        dur = pc.multiply(
+            pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        return pa.table(
+            {"user_id": t["user_id"], "s": s, "e": pc.add(s, dur)}
+        )
+
+    return merge_intervals(ev.map_batches(spans, batch_format="pyarrow"))
+
+
+SQL_MERGE_INTERVALS = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP)
+           + to_microseconds(CAST(FLOOR(value * 100.0) AS BIGINT) * 1000000) AS e
+  FROM events
+), o AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+), f AS (
+  SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM o
+), g AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+  FROM f)
+SELECT user_id, island_id, MIN(s) AS island_start, MAX(e) AS island_end,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, island_id
+"""
+
+
 def q_semi_join_lineitem(sf_dir: str):
     """Broadcast semi join: lineitems of high-value orders, aggregated
     (semi/anti pattern: broadcast key set, filter in map_batches)."""
@@ -4105,6 +4154,7 @@ def build_queries():
         "topk_per_segment": q_topk_per_segment,
         "zonal_stats": q_zonal_stats,
         "sessionize_events": q_sessionize_events,
+        "merge_intervals": q_merge_intervals,
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
@@ -4210,6 +4260,7 @@ def build_queries():
         "topk_per_segment": SQL_TOPK_SEGMENT,
         "zonal_stats": sql_zonal_stats().format(tri=tri),
         "sessionize_events": SQL_SESSIONIZE,
+        "merge_intervals": SQL_MERGE_INTERVALS,
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,

@@ -1633,3 +1633,56 @@ def test_bbox_pruned_read_skips_partitions_exactly():
                                  columns=["doc_id", "lat", "lon"])
     assert cov_empty.count() == 0
     assert cov_empty.schema().names == ["doc_id", "lat", "lon"]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_merge_intervals_vs_brute_force():
+    """Bucketed interval union == per-key sorted sweep (overlap AND touch
+    merge, 1-based island ids, n_events per island)."""
+    import ray.data
+
+    from rayjoin.functions.stream import merge_intervals
+
+    rng = np.random.default_rng(17)
+    n = 4000
+    key = rng.integers(0, 60, n).astype(np.int64)
+    s = rng.integers(0, 1_000_000, n).astype(np.int64)
+    e = s + rng.integers(0, 30_000, n).astype(np.int64)
+    # force exact-touch cases: some intervals start exactly at another's end
+    touch = rng.integers(0, n, 200)
+    s[touch[:100]] = e[touch[100:]]
+    t = pa.table({"user_id": pa.array(key), "s": pa.array(s), "e": pa.array(e)})
+
+    got = (
+        merge_intervals(ray.data.from_arrow(t).repartition(7), num_buckets=16)
+        .to_pandas()
+        .sort_values(["user_id", "island_id"])
+        .reset_index(drop=True)
+    )
+
+    rows = []
+    for uid in np.unique(key):
+        m = key == uid
+        order = np.lexsort((e[m], s[m]))
+        ss, ee = s[m][order], e[m][order]
+        isl = 0
+        cur_s = cur_e = None
+        cnt = 0
+        for a, b in zip(ss, ee):
+            if cur_e is None or a > cur_e:
+                if cur_e is not None:
+                    rows.append((uid, isl, cur_s, cur_e, cnt))
+                isl += 1
+                cur_s, cur_e, cnt = a, b, 0
+            cur_e = max(cur_e, b)
+            cnt += 1
+        rows.append((uid, isl, cur_s, cur_e, cnt))
+    import pandas as pd
+
+    exp = pd.DataFrame(
+        rows, columns=["user_id", "island_id", "island_start", "island_end", "n_events"]
+    )
+    got["island_start"] = got["island_start"].astype("int64")
+    got["island_end"] = got["island_end"].astype("int64")
+    exp = exp.astype("int64").sort_values(["user_id", "island_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got.astype("int64"), exp)
