@@ -1,0 +1,208 @@
+"""Geodesic (great-circle) proximity join over lon/lat point geometries.
+
+The planar joins treat coordinates as a flat plane; web-scale geocoded
+corpora live on a sphere.  This join finds every (big, small) pair whose
+great-circle distance is <= ``max_meters`` on the R=6,371,000 m sphere.
+
+Exactness contract: the pair PREDICATE is evaluated on the haversine term
+
+    hav = sin^2(dphi/2) + (cos(phi_b) * cos(phi_s)) * sin^2(dlam/2)
+
+compared against the constant ``sin^2(D / (2R))`` — asin/2R*... is monotone,
+so this is exactly "distance <= D" while avoiding asin, whose numpy SIMD
+implementation is NOT bit-identical to libm (measured on this box; sin, cos,
+sqrt and radians ARE — same caveat as the s2 trig oracle,
+rayjoin/stages/s2cell.py:25).  The SQL twin spells the same IEEE operation
+order, so the hav column hash-matches bit-for-bit.  ``distance_m`` (computed
+with np.arcsin for the user) is intentionally NOT part of the oracle hash.
+
+Scale shape (the PBSM pattern in spherical dress):
+
+  * fixed lat/lon grid, cell edge >= the angular radius theta = D/R;
+  * each SMALL point replicates to every cell its theta-cap can touch —
+    the lon span per lat band is widened by 1/cos(band edge) and becomes a
+    full wrap when the cap contains a pole; columns wrap modulo the grid
+    (antimeridian-safe);
+  * each BIG point lands in exactly ONE cell, so no pair dedup is needed;
+  * one groupby(cell) shuffle; per cell a vectorized all-pairs haversine
+    between the cell's bigs and its (replicated) smalls.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+EARTH_RADIUS_M = 6_371_000.0
+_MAX_ROWS = 1 << 14  # lat rows cap -> cell ids fit comfortably in int64
+
+
+def _hav(lat_b, lon_b, lat_s, lon_s):
+    """Haversine term; operation order mirrors the SQL twin exactly."""
+    dp = np.radians(lat_s - lat_b) / 2.0
+    dl = np.radians(lon_s - lon_b) / 2.0
+    sdp = np.sin(dp)
+    sdl = np.sin(dl)
+    return sdp * sdp + (
+        np.cos(np.radians(lat_b)) * np.cos(np.radians(lat_s))
+    ) * (sdl * sdl)
+
+
+def hav_threshold(max_meters: float) -> float:
+    t = np.sin(max_meters / (2.0 * EARTH_RADIUS_M))
+    return float(t * t)
+
+
+def _points_lonlat(t: pa.Table):
+    from ..geom.batch import GeomBatch
+
+    g = GeomBatch.from_arrow(t)
+    return g.row_id, g.bbox[:, 0].copy(), g.bbox[:, 1].copy()
+
+
+def geodesic_proximity_map(big, small, *, max_meters: float,
+                           cell_deg: float | None = None):
+    """Dataset[big_row_id, small_row_id, hav, distance_m] for every pair at
+    great-circle distance <= ``max_meters`` (inclusive).  ``big``/``small``
+    are point geometry tables/Datasets (geom.encode.points_geom)."""
+    import ray.data
+
+    if not (np.isfinite(max_meters) and max_meters >= 0.0):
+        raise ValueError(f"max_meters must be finite and >= 0, got {max_meters}")
+    theta_deg = np.degrees(max_meters / EARTH_RADIUS_M) * (1.0 + 1e-9)
+    g = float(cell_deg) if cell_deg is not None else max(theta_deg, 180.0 / _MAX_ROWS)
+    g = max(g, 180.0 / _MAX_ROWS)
+    rows = int(np.ceil(180.0 / g))
+    # lon cells must tile 360 EXACTLY or the modulo wrap misidentifies
+    # cells (58 cells x 6.295 deg = 365 deg leaves a 5-deg seam whose two
+    # namings disagree); g_lon = 360/cols >= g keeps the span guarantee
+    cols = max(1, int(np.floor(360.0 / g)))
+    g_lon = 360.0 / cols
+
+    big = ray.data.from_arrow(big) if isinstance(big, pa.Table) else big
+    small = ray.data.from_arrow(small) if isinstance(small, pa.Table) else small
+
+    def cell_of(lat, lon):
+        r = np.minimum((np.clip(lat, -90.0, 90.0) + 90.0) // g, rows - 1).astype(np.int64)
+        c = (((lon + 180.0) // g_lon).astype(np.int64)) % cols
+        return r, c
+
+    rep_schema = pa.table(
+        {"cell": pa.array([], pa.int64()), "side": pa.array([], pa.int8()),
+         "row_id": pa.array([], pa.int64()),
+         "lon": pa.array([], pa.float64()), "lat": pa.array([], pa.float64())}
+    )
+
+    def rep_big(t: pa.Table) -> pa.Table:
+        rid, lon, lat = _points_lonlat(t)
+        r, c = cell_of(lat, lon)
+        return pa.table(
+            {"cell": pa.array(r * cols + c, pa.int64()),
+             "side": pa.array(np.ones(len(rid), np.int8), pa.int8()),
+             "row_id": pa.array(rid, pa.int64()),
+             "lon": pa.array(lon, pa.float64()),
+             "lat": pa.array(lat, pa.float64())}
+        )
+
+    def rep_small(t: pa.Table) -> pa.Table:
+        rid, lon, lat = _points_lonlat(t)
+        n = len(rid)
+        if n == 0:
+            return rep_schema
+        r_lo = np.maximum(((lat - theta_deg + 90.0) // g).astype(np.int64), 0)
+        r_hi = np.minimum(((lat + theta_deg + 90.0) // g).astype(np.int64), rows - 1)
+        out_cell, out_idx = [], []
+        # per-row-band lon span from the haversine identity
+        #   sin^2(dlam/2) * cos(phi_big) * cos(phi_small) <= sin^2(theta/2):
+        # |dlam| <= 2*asin(min(1, sin(theta/2) / sqrt(cos(cap) * cos(phi_s))))
+        # with cap = the band's largest |lat| (bounds the unknown big) and
+        # phi_s this small point's OWN lat (known exactly — using cap for
+        # both sides under-covers when the small sits much nearer the pole
+        # than the band edge)
+        theta_rad = max_meters / EARTH_RADIUS_M
+        sin_half = np.sin(theta_rad / 2.0) * (1.0 + 1e-9)
+        cos_s = np.cos(np.radians(np.abs(lat)))
+        max_band = int((r_hi - r_lo).max()) if n else 0
+        for k in range(max_band + 1):
+            rr = r_lo + k
+            active = rr <= r_hi
+            if not active.any():
+                continue
+            band_lo = rr * g - 90.0
+            band_hi = band_lo + g
+            cap = np.maximum(np.abs(band_lo), np.abs(band_hi))
+            cos_cap = np.cos(np.radians(np.minimum(cap, 90.0)))
+            denom = np.sqrt(np.maximum(cos_cap * cos_s, 0.0))
+            ratio = np.where(denom > 0, sin_half / np.maximum(denom, 1e-300), 2.0)
+            full = ratio >= 1.0  # band touches a pole cap -> all columns
+            dlam_deg = np.degrees(2.0 * np.arcsin(np.clip(ratio, 0.0, 1.0))) * (1.0 + 1e-9)
+            # +-1 column of slack swallows any float fuzz in the g_lon
+            # division at cell boundaries
+            c_lo = ((lon - dlam_deg + 180.0) // g_lon).astype(np.int64) - 1
+            c_hi = ((lon + dlam_deg + 180.0) // g_lon).astype(np.int64) + 1
+            span = np.where(full, cols, np.minimum(c_hi - c_lo + 1, cols)).astype(np.int64)
+            span = np.where(active, span, 0)
+            tot = int(span.sum())
+            if tot == 0:
+                continue
+            idx = np.repeat(np.arange(n), span)
+            # column offsets within each point's span
+            offs = np.arange(tot) - np.repeat(np.cumsum(span) - span, span)
+            base = np.where(full, 0, c_lo)
+            cc = (np.repeat(base, span) + offs) % cols
+            out_cell.append(np.repeat(rr, span) * cols + cc)
+            out_idx.append(idx)
+        if not out_cell:
+            return rep_schema
+        cell = np.concatenate(out_cell)
+        idx = np.concatenate(out_idx)
+        return pa.table(
+            {"cell": pa.array(cell, pa.int64()),
+             "side": pa.array(np.zeros(len(cell), np.int8), pa.int8()),
+             "row_id": pa.array(rid[idx], pa.int64()),
+             "lon": pa.array(lon[idx], pa.float64()),
+             "lat": pa.array(lat[idx], pa.float64())}
+        )
+
+    t2 = hav_threshold(max_meters)
+    out_empty = pa.table(
+        {"big_row_id": pa.array([], pa.int64()),
+         "small_row_id": pa.array([], pa.int64()),
+         "hav": pa.array([], pa.float64()),
+         "distance_m": pa.array([], pa.float64())}
+    )
+
+    def cell_join(t: pa.Table) -> pa.Table:
+        side = np.asarray(t["side"].combine_chunks(), dtype=np.int8)
+        rid = np.asarray(t["row_id"].combine_chunks(), dtype=np.int64)
+        lon = np.asarray(t["lon"].combine_chunks(), dtype=np.float64)
+        lat = np.asarray(t["lat"].combine_chunks(), dtype=np.float64)
+        bm = side == 1
+        sm = ~bm
+        nb, ns = int(bm.sum()), int(sm.sum())
+        if nb == 0 or ns == 0:
+            return out_empty
+        rb, lob, lab = rid[bm], lon[bm], lat[bm]
+        rs, los, las = rid[sm], lon[sm], lat[sm]
+        outs = []
+        # chunk the big side so the (chunk x ns) pair block stays small
+        step = max(1, 2_000_000 // max(ns, 1))
+        for i in range(0, nb, step):
+            j = min(i + step, nb)
+            h = _hav(lab[i:j, None], lob[i:j, None], las[None, :], los[None, :])
+            bi, si = np.nonzero(h <= t2)
+            if bi.size:
+                hv = h[bi, si]
+                d = 2.0 * EARTH_RADIUS_M * np.arcsin(np.sqrt(np.minimum(hv, 1.0)))
+                outs.append(pa.table(
+                    {"big_row_id": pa.array(rb[i + bi], pa.int64()),
+                     "small_row_id": pa.array(rs[si], pa.int64()),
+                     "hav": pa.array(hv, pa.float64()),
+                     "distance_m": pa.array(d, pa.float64())}
+                ))
+        return pa.concat_tables(outs) if outs else out_empty
+
+    rep = big.map_batches(rep_big, batch_format="pyarrow").union(
+        small.map_batches(rep_small, batch_format="pyarrow")
+    )
+    return rep.groupby("cell").map_groups(cell_join, batch_format="pyarrow")

@@ -251,6 +251,39 @@ def q_prox_points_partitioned(sf_dir: str):
     return partitioned_proximity_map(big, small, Config(max_distance=3.0), target_cells=64)
 
 
+def q_geodesic_prox(sf_dir: str):
+    """Great-circle proximity join (customer x supplier points within 600 km
+    on the R=6371 km sphere).  The predicate compares the haversine term
+    against sin^2(D/2R) — monotone-equivalent to distance <= D but avoids
+    asin, whose numpy SIMD kernel is not bit-identical to libm (sin/cos/
+    radians/sqrt are; measured, same contract as the s2 trig row).  The
+    emitted hav column hash-matches bit-for-bit; distance_m (needs asin) is
+    deliberately excluded from the oracle row."""
+    from ..join.geodesic import geodesic_proximity_map
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    ds = geodesic_proximity_map(big, small, max_meters=600_000.0)
+    return ds.map_batches(
+        lambda t: t.select(["big_row_id", "small_row_id", "hav"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GEODESIC_PROX = """
+WITH big AS ({big}), small AS ({small})
+SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+       sin(radians(s.y - b.y)/2)*sin(radians(s.y - b.y)/2)
+       + (cos(radians(b.y))*cos(radians(s.y)))
+         * (sin(radians(s.x - b.x)/2)*sin(radians(s.x - b.x)/2)) AS hav
+FROM big b, small s
+WHERE sin(radians(s.y - b.y)/2)*sin(radians(s.y - b.y)/2)
+      + (cos(radians(b.y))*cos(radians(s.y)))
+        * (sin(radians(s.x - b.x)/2)*sin(radians(s.x - b.x)/2))
+      <= sin(600000.0/(2.0*6371000.0))*sin(600000.0/(2.0*6371000.0))
+"""
+
+
 def _dbscan_pts_np(k: np.ndarray):
     """Clustered point synthesis for the DBSCAN row: 23x11 attractor grid
     (15-degree pitch) + a +-2.0 jitter derived from the geocode multipliers.
@@ -4080,6 +4113,7 @@ def build_queries():
         "prox_points": q_prox_points,
         "prox_points_partitioned": q_prox_points_partitioned,
         "prox_with_geos": q_prox_with_geos,
+        "geodesic_prox": q_geodesic_prox,
         "dbscan_points": q_dbscan_points,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -4188,6 +4222,7 @@ def build_queries():
         "prox_points": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "prox_points_partitioned": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "prox_with_geos": SQL_PROX_GEOS.format(big=pts_cust, small=pts_supp),
+        "geodesic_prox": SQL_GEODESIC_PROX.format(big=pts_cust, small=pts_supp),
         "dbscan_points": sql_dbscan_points(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
