@@ -206,3 +206,78 @@ def geodesic_proximity_map(big, small, *, max_meters: float,
         small.map_batches(rep_small, batch_format="pyarrow")
     )
     return rep.groupby("cell").map_groups(cell_join, batch_format="pyarrow")
+
+
+def geodesic_knn_join(big, small, *, k: int, max_meters: float = float("inf")):
+    """For each big point the k nearest smalls by GREAT-CIRCLE distance;
+    ties break on (hav, small_row_id), exactly the planar knn_join contract
+    (join/broadcast.py).  Returns Dataset[big_row_id, small_row_id, hav,
+    distance_m, knn_rank] with knn_rank 0-based; ``max_meters`` (inclusive)
+    filters BEFORE ranking, so rank counts within-radius neighbors only.
+
+    Scale shape: the small side is broadcast ONCE via ray.put (zero-copy
+    numpy views out of plasma in every map task — never re-shipped per
+    batch); the big side streams.  Per batch one chunked hav matrix + a
+    stable argsort over id-sorted columns (stability IS the tie rule).  For
+    two large sides, partition big with the geodesic grid above and apply
+    the planar two-phase radius-refinement pattern (join/partitioned.py) —
+    not needed while the indexed side fits a worker, which is the
+    reference's own operating envelope."""
+    import ray
+    import ray.data
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    small_t = small if isinstance(small, pa.Table) else pa.concat_tables(
+        ray.get(small.to_arrow_refs())
+    )
+    rid_s, lon_s, lat_s = _points_lonlat(small_t)
+    order = np.argsort(rid_s, kind="stable")  # column order == id order
+    rid_s, lon_s, lat_s = rid_s[order], lon_s[order], lat_s[order]
+    ref = ray.put((rid_s, lon_s, lat_s))
+    t2 = hav_threshold(max_meters) if np.isfinite(max_meters) else None
+
+    big = ray.data.from_arrow(big) if isinstance(big, pa.Table) else big
+    out_empty = pa.table(
+        {"big_row_id": pa.array([], pa.int64()),
+         "small_row_id": pa.array([], pa.int64()),
+         "hav": pa.array([], pa.float64()),
+         "distance_m": pa.array([], pa.float64()),
+         "knn_rank": pa.array([], pa.int64())}
+    )
+
+    def probe(t: pa.Table) -> pa.Table:
+        rs, los, las = ray.get(ref)
+        ns = rs.size
+        rb, lob, lab = _points_lonlat(t)
+        nb = rb.size
+        if nb == 0 or ns == 0:
+            return out_empty
+        outs = []
+        step = max(1, 4_000_000 // ns)
+        for i in range(0, nb, step):
+            j = min(i + step, nb)
+            h = _hav(lab[i:j, None], lob[i:j, None], las[None, :], los[None, :])
+            if t2 is not None:
+                h = np.where(h <= t2, h, np.inf)
+            kk = min(k, ns)
+            # stable sort over id-ordered columns = (hav, small_row_id) ties
+            top = np.argsort(h, axis=1, kind="stable")[:, :kk]
+            rows = np.arange(j - i)[:, None]
+            hv = h[rows, top]
+            keep = np.isfinite(hv)
+            ranks = np.broadcast_to(np.arange(kk, dtype=np.int64), hv.shape)
+            bi = np.broadcast_to(rb[i:j, None], hv.shape)
+            d = 2.0 * EARTH_RADIUS_M * np.arcsin(
+                np.sqrt(np.minimum(np.where(keep, hv, 0.0), 1.0))
+            )
+            outs.append(pa.table(
+                {"big_row_id": pa.array(bi[keep], pa.int64()),
+                 "small_row_id": pa.array(rs[top][keep], pa.int64()),
+                 "hav": pa.array(hv[keep], pa.float64()),
+                 "distance_m": pa.array(d[keep], pa.float64()),
+                 "knn_rank": pa.array(ranks[keep], pa.int64())}
+            ))
+        return pa.concat_tables(outs) if outs else out_empty
+
+    return big.map_batches(probe, batch_format="pyarrow")

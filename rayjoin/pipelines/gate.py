@@ -284,6 +284,38 @@ WHERE sin(radians(s.y - b.y)/2)*sin(radians(s.y - b.y)/2)
 """
 
 
+def q_geodesic_knn(sf_dir: str):
+    """Great-circle kNN join (3 nearest suppliers per customer on the
+    sphere).  Ranking and ties run on the bit-exact hav term (monotone in
+    distance), so row_number() in the SQL twin reproduces knn_rank exactly;
+    distance_m (asin) is excluded from the oracle row."""
+    from ..join.geodesic import geodesic_knn_join
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    ds = geodesic_knn_join(big, small, k=3)
+    return ds.map_batches(
+        lambda t: t.select(["big_row_id", "small_row_id", "hav", "knn_rank"]),
+        batch_format="pyarrow",
+    )
+
+
+SQL_GEODESIC_KNN = """
+WITH big AS ({big}), small AS ({small}),
+d AS (
+  SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+         sin(radians(s.y - b.y)/2)*sin(radians(s.y - b.y)/2)
+         + (cos(radians(b.y))*cos(radians(s.y)))
+           * (sin(radians(s.x - b.x)/2)*sin(radians(s.x - b.x)/2)) AS hav
+  FROM big b, small s),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY big_row_id
+                               ORDER BY hav, small_row_id) AS rn
+  FROM d)
+SELECT big_row_id, small_row_id, hav, rn - 1 AS knn_rank FROM r WHERE rn <= 3
+"""
+
+
 def _dbscan_pts_np(k: np.ndarray):
     """Clustered point synthesis for the DBSCAN row: 23x11 attractor grid
     (15-degree pitch) + a +-2.0 jitter derived from the geocode multipliers.
@@ -4114,6 +4146,7 @@ def build_queries():
         "prox_points_partitioned": q_prox_points_partitioned,
         "prox_with_geos": q_prox_with_geos,
         "geodesic_prox": q_geodesic_prox,
+        "geodesic_knn": q_geodesic_knn,
         "dbscan_points": q_dbscan_points,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -4223,6 +4256,7 @@ def build_queries():
         "prox_points_partitioned": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "prox_with_geos": SQL_PROX_GEOS.format(big=pts_cust, small=pts_supp),
         "geodesic_prox": SQL_GEODESIC_PROX.format(big=pts_cust, small=pts_supp),
+        "geodesic_knn": SQL_GEODESIC_KNN.format(big=pts_cust, small=pts_supp),
         "dbscan_points": sql_dbscan_points(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

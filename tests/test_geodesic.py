@@ -79,3 +79,51 @@ def test_geodesic_prox_rejects_bad_distance():
     p = points_geom(np.array([1], np.int64), np.array([0.0]), np.array([0.0]))
     with pytest.raises(ValueError):
         geodesic_proximity_map(p, p, max_meters=float("nan"))
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geodesic_knn_matches_brute_force():
+    from rayjoin.join.geodesic import geodesic_knn_join
+
+    rng = np.random.default_rng(9)
+    nb, ns = 500, 80
+    lab = rng.uniform(-89, 89, nb)
+    lob = rng.uniform(-180, 180, nb)
+    las = rng.uniform(-89, 89, ns)
+    los = rng.uniform(-180, 180, ns)
+    idb = np.arange(nb, dtype=np.int64)
+    ids = rng.permutation(ns).astype(np.int64) * 5  # non-contiguous ids
+    k = 4
+    res = geodesic_knn_join(
+        points_geom(idb, lob, lab), points_geom(ids, los, las), k=k
+    ).to_pandas()
+    assert len(res) == nb * k
+
+    h = _hav(lab[:, None], lob[:, None], las[None, :], los[None, :])
+    id_order = np.argsort(ids)
+    for b in rng.integers(0, nb, 40):
+        hb = h[b][id_order]
+        top = np.argsort(hb, kind="stable")[:k]
+        exp_ids = ids[id_order][top]
+        sub = res[res.big_row_id == idb[b]].sort_values("knn_rank")
+        assert list(sub.small_row_id) == list(exp_ids)
+        assert np.array_equal(
+            sub.hav.to_numpy().view(np.int64), hb[top].view(np.int64)
+        )
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_geodesic_knn_radius_cap_ranks_within_radius():
+    from rayjoin.join.geodesic import geodesic_knn_join
+
+    # one big at origin; smalls at ~111 km per degree of lon on the equator
+    big = points_geom(np.array([0], np.int64), np.array([0.0]), np.array([0.0]))
+    small = points_geom(
+        np.array([1, 2, 3, 4], np.int64),
+        np.array([1.0, 2.0, 3.0, 4.0]),
+        np.zeros(4),
+    )
+    res = geodesic_knn_join(big, small, k=3, max_meters=250_000.0).to_pandas()
+    # only the 1- and 2-degree smalls are within 250 km
+    assert list(res.sort_values("knn_rank").small_row_id) == [1, 2]
+    assert list(res.sort_values("knn_rank").knn_rank) == [0, 1]
