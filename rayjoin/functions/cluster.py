@@ -33,6 +33,7 @@ cluster_id == -1 for noise.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -70,7 +71,8 @@ def ids_noise_only(pts):
 
 
 def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
-           components_method: str = "auto"):
+           components_method: str = "auto",
+           core_broadcast_rows: int = 16_000_000):
     """Exact DBSCAN over a point geometry table/Dataset (columns
     row_id/geom_type/coords, as built by ``geom.encode.points_geom``).
     row_ids must be unique.  Returns Dataset[row_id, cluster_id, is_core]
@@ -80,6 +82,17 @@ def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
     threshold (self-inclusive).  ``target_cells`` sizes the PBSM grid of the
     eps self-join; ``components_method`` forwards to ``dup_clusters``
     ("auto" | "driver" | "distributed").
+
+    Two physical plans for the membership/label steps, picked by core count
+    (the engine's usual broadcast-vs-join tiering):
+
+    - core set (and comp labels) <= ``core_broadcast_rows`` (x8B = 128 MiB
+      plasma object at the default): sorted-array broadcast, prepared in a
+      Ray task (driver stays O(1)); edge classification and label lookup are
+      searchsorted inside map_batches — ZERO hash-join shuffles of the edge
+      list.
+    - above the cap: hash joins of the edge list against the core/label
+      Datasets (5 shuffles; correct at any size).
     """
     import ray
     import ray.data
@@ -145,51 +158,185 @@ def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
     if core.count() == 0:
         return ids_noise_only(pts)
 
+    n_core = core.count()
+
     # 3) connected components of core points under the eps relation.  Both
     #    endpoints must be core; self-edges keep singleton-core clusters
     #    alive (a core point whose eps-neighbors are all border).
-    core_edges = (
-        edges.join(core, "inner", nparts, on=("big_row_id",),
-                   right_on=("row_id",))
-        .select_columns(["big_row_id", "small_row_id"])
-        .join(core, "inner", nparts, on=("small_row_id",),
-              right_on=("row_id",))
-        .select_columns(["big_row_id", "small_row_id"])
-        .map_batches(
-            lambda t: pa.table(
-                {"id_a": t["big_row_id"].cast(pa.int64()),
-                 "id_b": t["small_row_id"].cast(pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    comp = dup_clusters(core_edges, method=components_method).materialize()
-    # Dataset[doc_id, cluster_id]; cluster_id = MIN core row_id of the
-    # component (dup_clusters' label contract).
+    def contract(a: np.ndarray, b: np.ndarray) -> pa.Table:
+        # local union-find per edge block: a dense eps-graph has ~degree x n
+        # edges, but each block contracts to <= one (node, local-root) row
+        # per distinct node.  Contraction over ANY edge partition preserves
+        # global connectivity, so dup_clusters sees a graph of O(n) rows
+        # instead of O(n * degree).
+        from .dedup import _clusters_numpy
 
-    # 4) every point within eps of >= 1 core point gets the MIN cluster id
-    #    among its core neighbors.  For a core point that min IS its own
-    #    component label (its core neighbors share it, and the self-edge
-    #    contributes it directly) — so one join covers core AND border.
-    assigned = (
-        edges.join(comp, "inner", nparts, on=("small_row_id",),
-                   right_on=("doc_id",))
-        .map_batches(
-            lambda t: pa.table(
-                {"row_id": t["big_row_id"].cast(pa.int64()),
-                 "cluster_id": t["cluster_id"].cast(pa.int64())}
+        if a.size == 0:
+            return pa.table({"id_a": pa.array([], pa.int64()),
+                             "id_b": pa.array([], pa.int64())})
+        return _clusters_numpy(a, b).rename_columns(["id_a", "id_b"])
+
+    def premin(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"row_id": pa.array([], pa.int64()),
+                             "cluster_id": pa.array([], pa.int64())})
+        g = t.group_by("row_id").aggregate([("cluster_id", "min")])
+        return pa.table({"row_id": g["row_id"].cast(pa.int64()),
+                         "cluster_id": g["cluster_id_min"].cast(pa.int64())})
+
+    assigned_schema = pa.table({"row_id": pa.array([], pa.int64()),
+                                "cluster_id": pa.array([], pa.int64())})
+
+    @ray.remote(num_cpus=0)
+    def _sorted_ids(*tabs):
+        keep = [x for x in tabs if x.num_rows]
+        if not keep:
+            return np.empty(0, np.int64)
+        t = pa.concat_tables(keep)
+        return np.sort(np.asarray(t.column(0), dtype=np.int64))
+
+    @ray.remote(num_cpus=0)
+    def _sorted_lookup(*tabs):
+        keep = [x for x in tabs if x.num_rows]
+        if not keep:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        t = pa.concat_tables(keep)
+        k = np.asarray(t["doc_id"], dtype=np.int64)
+        v = np.asarray(t["cluster_id"], dtype=np.int64)
+        o = np.argsort(k, kind="stable")
+        return k[o], v[o]
+
+    def _in_sorted(sorted_ids: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        pos = np.searchsorted(sorted_ids, vals)
+        pos = np.minimum(pos, max(sorted_ids.size - 1, 0))
+        return sorted_ids[pos] == vals
+
+    if n_core <= core_broadcast_rows:
+        # --- broadcast tier: membership/labels as sorted plasma arrays
+        # (prepared in a Ray task — the driver never holds them), edge
+        # classification by searchsorted in map_batches.  No edge shuffle
+        # beyond the one dup_clusters round over CONTRACTED rows.
+        core_ref = _sorted_ids.remote(*core.to_arrow_refs())
+
+        def edge_arrays(t):
+            return (np.asarray(t["big_row_id"].combine_chunks(), np.int64),
+                    np.asarray(t["small_row_id"].combine_chunks(), np.int64))
+
+        def cc_edges(t: pa.Table) -> pa.Table:
+            cid = ray.get(core_ref)
+            a, b = edge_arrays(t)
+            m = _in_sorted(cid, a) & _in_sorted(cid, b)
+            return contract(a[m], b[m])
+
+        comp = dup_clusters(
+            edges.map_batches(cc_edges, batch_format="pyarrow"),
+            method=components_method,
+        ).materialize()
+        comp_ref = _sorted_lookup.remote(*comp.to_arrow_refs())
+
+        def border_partial(t: pa.Table) -> pa.Table:
+            cid = ray.get(core_ref)
+            ck, cv = ray.get(comp_ref)
+            a, b = edge_arrays(t)
+            m = ~_in_sorted(cid, a) & _in_sorted(cid, b)
+            lab = cv[np.searchsorted(ck, b[m])]
+            return premin(pa.table(
+                {"row_id": pa.array(a[m], pa.int64()),
+                 "cluster_id": pa.array(lab, pa.int64())}
+            ))
+
+        border = (
+            edges.map_batches(border_partial, batch_format="pyarrow")
+            .groupby("row_id")
+            .aggregate(Min("cluster_id", alias_name="cluster_id"))
+            .materialize()
+        )
+        border = drop_schemaless_empty_blocks(border, assigned_schema)
+        border_ref = _sorted_ids.remote(*border.to_arrow_refs())
+
+        def noise_filter(t: pa.Table) -> pa.Table:
+            cid = ray.get(core_ref)
+            bid = ray.get(border_ref)
+            v = np.asarray(t["row_id"].combine_chunks(), np.int64)
+            m = ~_in_sorted(cid, v)
+            if bid.size:
+                m &= ~_in_sorted(bid, v)
+            v = v[m]
+            return _pin_out(pa.table(
+                {"row_id": pa.array(v, pa.int64()),
+                 "cluster_id": pa.array(np.full(v.size, -1, np.int64), pa.int64())}
+            ), False)
+
+        noise = pts.map_batches(
+            lambda t: pa.table({"row_id": t["row_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        ).map_batches(noise_filter, batch_format="pyarrow")
+    else:
+        # --- join tier: hash joins of the edge list (any size).  A join can
+        # emit EMPTY-SCHEMA partition blocks that crash the next join's
+        # acero stage — scrub between every chained pair; joins also crash
+        # on an EMPTY side, hence the count() guards.
+        half = edges.join(core, "inner", nparts, on=("big_row_id",),
+                          right_on=("row_id",)).select_columns(
+            ["big_row_id", "small_row_id"])
+        half = drop_schemaless_empty_blocks(half, edge_schema)
+        core_edges = (
+            half.join(core, "inner", nparts, on=("small_row_id",),
+                      right_on=("row_id",))
+            .select_columns(["big_row_id", "small_row_id"])
+            .map_batches(
+                lambda t: contract(
+                    np.asarray(t["big_row_id"].combine_chunks(), np.int64),
+                    np.asarray(t["small_row_id"].combine_chunks(), np.int64),
+                ),
+                batch_format="pyarrow",
+            )
+        )
+        comp = dup_clusters(core_edges, method=components_method).materialize()
+
+        nc_edges = edges.join(core, "left_anti", nparts, on=("big_row_id",),
+                              right_on=("row_id",))
+        nc_edges = drop_schemaless_empty_blocks(nc_edges, edge_schema)
+        if nc_edges.count() == 0:  # every point is core (e.g. min_pts == 1)
+            border = ray.data.from_arrow(assigned_schema)
+        else:
+            border = (
+                nc_edges.join(comp, "inner", nparts, on=("small_row_id",),
+                              right_on=("doc_id",))
+                .map_batches(
+                    lambda t: pa.table(
+                        {"row_id": t["big_row_id"].cast(pa.int64()),
+                         "cluster_id": t["cluster_id"].cast(pa.int64())}
+                    ),
+                    batch_format="pyarrow",
+                )
+                .map_batches(premin, batch_format="pyarrow")
+                .groupby("row_id")
+                .aggregate(Min("cluster_id", alias_name="cluster_id"))
+                .materialize()
+            )
+            border = drop_schemaless_empty_blocks(border, assigned_schema)
+
+        ids = pts.map_batches(
+            lambda t: pa.table({"row_id": t["row_id"].cast(pa.int64())}),
+            batch_format="pyarrow",
+        )
+        noncore = ids.join(core, "left_anti", nparts, on=("row_id",))
+        noncore = drop_schemaless_empty_blocks(
+            noncore, pa.table({"row_id": pa.array([], pa.int64())})
+        )
+        if border.count() > 0 and noncore.count() > 0:
+            noncore = noncore.join(border, "left_anti", nparts, on=("row_id",))
+        noise = noncore.map_batches(
+            lambda t: _pin_out(
+                pa.table(
+                    {"row_id": t["row_id"],
+                     "cluster_id": pa.array([-1] * t.num_rows, pa.int64())}
+                ),
+                False,
             ),
             batch_format="pyarrow",
         )
-        .groupby("row_id")
-        .aggregate(Min("cluster_id", alias_name="cluster_id"))
-        .materialize()
-    )
-    assigned = drop_schemaless_empty_blocks(
-        assigned,
-        pa.table({"row_id": pa.array([], pa.int64()),
-                  "cluster_id": pa.array([], pa.int64())}),
-    )
 
     core_out = comp.map_batches(
         lambda t: _pin_out(
@@ -198,24 +345,8 @@ def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
         ),
         batch_format="pyarrow",
     )
-    border_out = assigned.join(
-        core, "left_anti", nparts, on=("row_id",)
-    ).map_batches(lambda t: _pin_out(t, False), batch_format="pyarrow")
-
-    # 5) noise: points with no core neighbor at all.
-    ids = pts.map_batches(
-        lambda t: pa.table({"row_id": t["row_id"].cast(pa.int64())}),
-        batch_format="pyarrow",
-    )
-    noise = ids.join(assigned, "left_anti", nparts, on=("row_id",)).map_batches(
-        lambda t: _pin_out(
-            pa.table(
-                {"row_id": t["row_id"],
-                 "cluster_id": pa.array([-1] * t.num_rows, pa.int64())}
-            ),
-            False,
-        ),
-        batch_format="pyarrow",
+    border_out = border.map_batches(
+        lambda t: _pin_out(t, False), batch_format="pyarrow"
     )
 
     out = core_out.union(border_out).union(noise)

@@ -56,8 +56,12 @@ def run_engine(ids, x, y, eps, min_pts, **kw):
     }
 
 
-@pytest.mark.parametrize("method", ["driver", "distributed"])
-def test_dbscan_matches_brute_force(ray_session, method):
+@pytest.mark.parametrize("method,bcast_rows", [
+    ("driver", 16_000_000),       # broadcast membership tier
+    ("distributed", 16_000_000),  # broadcast tier, distributed components
+    ("driver", 0),                # forced hash-join tier
+])
+def test_dbscan_matches_brute_force(ray_session, method, bcast_rows):
     rng = np.random.default_rng(11)
     n = 300
     x = rng.uniform(0, 80, n)
@@ -65,7 +69,8 @@ def test_dbscan_matches_brute_force(ray_session, method):
     ids = (rng.permutation(n).astype(np.int64) * 7 + 3)
     exp = brute_dbscan(ids, x, y, eps=4.0, min_pts=4)
     got = run_engine(ids, x, y, 4.0, 4, target_cells=16,
-                     components_method=method)
+                     components_method=method,
+                     core_broadcast_rows=bcast_rows)
     assert got == exp
     # sanity: the instance exercises all three roles
     kinds = {(c == -1, ic) for c, ic in exp.values()}

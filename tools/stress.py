@@ -750,7 +750,72 @@ def stress_simjoin_bigdf() -> dict:
             "tiered_identical": bool(same)}
 
 
+def stress_dbscan(n: int = 1_000_000) -> dict:
+    """Clustered planet: n points over a 400x200 attractor grid (~12.5
+    points each at n=1M) with a +-0.02-degree jitter; eps spans the jitter
+    box so each attractor forms one dense cluster.  Edge volume ~= n *
+    points-per-cluster; the pair graph exceeds the dup_clusters driver cap,
+    certifying the DISTRIBUTED pointer-doubling components path at scale."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from rayjoin.functions.cluster import dbscan
+    from rayjoin.geom.encode import points_geom
+
+    k = np.arange(n, dtype=np.int64)
+    x = (k % 400).astype(np.float64) * 0.9 - 180.0 + \
+        ((k * 2654435761) % 40000) / 1_000_000.0
+    y = ((k // 400) % 200).astype(np.float64) * 0.9 - 90.0 + \
+        ((k * 40503) % 40000) / 1_000_000.0
+    # 10% scattered singles exercise the noise/border paths at scale
+    ks = np.arange(n // 10, dtype=np.int64) + 100_000_000
+    xs = ((ks * 2654435761) % 360_000_000) / 1_000_000.0 - 180.0
+    ys = ((ks * 40503) % 180_000_000) / 1_000_000.0 - 90.0
+    k = np.concatenate([k, ks])
+    x = np.concatenate([x, xs])
+    y = np.concatenate([y, ys])
+    n = k.size
+    pts = ray.data.from_arrow(points_geom(k, x, y)).repartition(64).materialize()
+    t0 = time.time()
+    res = dbscan(pts, eps=0.06, min_pts=4, target_cells=4096)
+    agg = res.map_batches(
+        lambda t: pa.table({
+            "core": [int(pc.sum(pc.cast(t["is_core"], pa.int64())).as_py() or 0)],
+            "noise": [int(pc.sum(pc.cast(pc.equal(t["cluster_id"], -1), pa.int64())).as_py() or 0)],
+            "rows": [t.num_rows],
+        }), batch_format="pyarrow").to_pandas().sum()
+    dt = time.time() - t0
+    assert int(agg["rows"]) == n, (int(agg["rows"]), n)
+    return {"stress": "dbscan", "points": n, "sec": round(dt, 1),
+            "points_per_sec": round(n / dt), "core": int(agg["core"]),
+            "noise": int(agg["noise"])}
+
+
+def stress_geodesic(n: int = 5_000_000, ns: int = 200_000) -> dict:
+    """Great-circle proximity join: n streamed bigs vs ns replicated smalls
+    at 50 km on the sphere (polar rows and the antimeridian seam included
+    by construction of key_to_latlon)."""
+    import ray.data
+
+    from rayjoin.geom.encode import points_geom
+    from rayjoin.join.geodesic import geodesic_proximity_map
+    from rayjoin.stages.geocode import key_to_latlon
+
+    kb = np.arange(n, dtype=np.int64)
+    lat_b, lon_b = key_to_latlon(kb)
+    ks = np.arange(ns, dtype=np.int64) + 10_000_000
+    lat_s, lon_s = key_to_latlon(ks)
+    big = ray.data.from_arrow(points_geom(kb, lon_b, lat_b)).repartition(64).materialize()
+    small = ray.data.from_arrow(points_geom(ks, lon_s, lat_s)).repartition(8).materialize()
+    t0 = time.time()
+    pairs = geodesic_proximity_map(big, small, max_meters=50_000.0).count()
+    dt = time.time() - t0
+    return {"stress": "geodesic", "bigs": n, "smalls": ns, "pairs": pairs,
+            "sec": round(dt, 1), "bigs_per_sec": round(n / dt)}
+
+
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
+            "dbscan": stress_dbscan, "geodesic": stress_geodesic,
             "embedding": stress_embedding, "minhash": stress_minhash,
             "corpus": stress_corpus, "pillbox": stress_pillbox,
             "temporal": stress_temporal, "knnjoin": stress_knnjoin,
@@ -797,7 +862,8 @@ def main(argv=None):
     sys.path.insert(0, ".")
     fn = STRESSES[args.which]
     kwargs = {"n": args.n} if args.n and args.which in (
-        "embedding", "corpus", "pillbox", "temporal", "knnjoin") else {}
+        "embedding", "corpus", "pillbox", "temporal", "knnjoin",
+        "dbscan", "geodesic") else {}
     print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
