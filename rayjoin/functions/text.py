@@ -131,6 +131,87 @@ def repetition_stats(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return out.append_column("rep_milli", pa.array(rep, pa.int64()))
 
 
+GOPHER_STOPWORDS = ("join", "hash", "row", "batch", "scan", "order",
+                    "data", "filter")
+
+
+def gopher_rules(batch: pa.Table, *, text_col: str = "text",
+                 stopwords: tuple = GOPHER_STOPWORDS,
+                 min_words: int = 50, max_words: int = 100_000,
+                 mean_lo_milli: int = 3000, mean_hi_milli: int = 10_000,
+                 top_word_max_milli: int = 200, dup_word_max_milli: int = 600,
+                 min_stopwords: int = 2) -> pa.Table:
+    """Gopher/RefinedWeb-style composite quality gate, integer-exact so the
+    SQL twin hash-matches (Rae et al. 2021 'Scaling Language Models' app. A
+    + RefinedWeb's repetition rules, adapted to exact arithmetic):
+
+      R1 word count within [min_words, max_words]
+      R2 mean word length within [mean_lo, mean_hi] (milli-chars)
+      R3 top-word dominance: 1000*max_freq // n_tokens <= top_word_max
+      R4 duplicate-word fraction: 1000*(n - n_distinct) // n <= dup_word_max
+      R5 >= min_stopwords DISTINCT members of ``stopwords`` present
+
+    keep = R1 & ... & R5.  Doc-local (each doc lives in one batch): one
+    split + one dictionary encode + one lexsort per batch, NO shuffle, no
+    per-row Python.  Emits the metrics alongside ``keep`` so downstream
+    stages can re-threshold without recomputing."""
+    text = batch[text_col].combine_chunks()
+    n_chars = np.asarray(pc.cast(pc.utf8_length(text), pa.int64()))
+    toks = pc.split_pattern(text, pattern=" ")
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = toks.flatten()
+    tok_len = np.asarray(pc.cast(pc.utf8_length(flat), pa.int64()))
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    nb = lens.size
+    starts = np.concatenate([[0], np.cumsum(lens)])[:-1]
+    max_tok = (np.maximum.reduceat(tok_len, starts)
+               if tok_len.size else np.zeros(nb, np.int64))
+    doc = np.repeat(np.arange(nb, dtype=np.int64), lens)
+    order = np.lexsort((codes, doc))
+    d_s, c_s = doc[order], codes[order]
+    run_first = np.concatenate(
+        [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    ) if d_s.size else np.empty(0, bool)
+    run_starts = np.flatnonzero(run_first)
+    run_len = np.diff(np.concatenate([run_starts, [d_s.size]]))
+    run_doc = d_s[run_starts]
+    doc_first = np.concatenate(
+        [[True], run_doc[1:] != run_doc[:-1]]
+    ) if run_doc.size else np.empty(0, bool)
+    doc_starts = np.flatnonzero(doc_first)
+    n_distinct = np.diff(np.concatenate([doc_starts, [run_starts.size]]))
+    maxc = (np.maximum.reduceat(run_len, doc_starts)
+            if run_len.size else np.zeros(nb, np.int64))
+    # stopword membership via dictionary codes (exact string equality)
+    sw_mask = np.asarray(pc.is_in(
+        enc.dictionary, value_set=pa.array(list(stopwords), pa.string())
+    ).fill_null(False))
+    run_is_sw = sw_mask[c_s[run_starts]] if run_starts.size else \
+        np.empty(0, bool)
+    n_sw = (np.add.reduceat(run_is_sw.astype(np.int64), doc_starts)
+            if run_is_sw.size else np.zeros(nb, np.int64))
+    nt = np.maximum(lens, 1)
+    mean_milli = 1000 * (n_chars - (lens - 1)) // nt
+    top_milli = 1000 * maxc // nt
+    dup_milli = 1000 * (lens - n_distinct) // nt
+    keep = ((lens >= min_words) & (lens <= max_words)
+            & (mean_milli >= mean_lo_milli) & (mean_milli <= mean_hi_milli)
+            & (top_milli <= top_word_max_milli)
+            & (dup_milli <= dup_word_max_milli)
+            & (n_sw >= min_stopwords))
+    out = batch.drop_columns([text_col])
+    for name, arr in (("n_tokens", lens), ("n_distinct", n_distinct),
+                      ("max_token_len", max_tok),
+                      ("mean_token_len_milli", mean_milli),
+                      ("top_word_milli", top_milli),
+                      ("dup_word_milli", dup_milli), ("n_stopwords", n_sw)):
+        out = out.append_column(name, pa.array(arr, pa.int64()))
+    return out.append_column("keep", pa.array(keep, pa.bool_()))
+
+
 def vocab_partial_counts(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     """Per-batch partial token counts (the combiner half of the corpus
     vocabulary groupby: pre-aggregate inside map_batches so the shuffle

@@ -3383,6 +3383,55 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_gopher_rules(sf_dir: str):
+    """Gopher/RefinedWeb composite quality gate over documents (word-count
+    bounds, mean-word-length band, top-word dominance, duplicate-word
+    fraction, stopword presence — integer-exact milli-ratios).  Thresholds
+    tuned so every rule discriminates on this corpus (keep ~= 56% at
+    sf0.01).  Doc-local: one split + dictionary encode per batch, NO
+    shuffle."""
+    import functools
+
+    import ray.data
+
+    from ..functions.text import gopher_rules
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    fn = functools.partial(
+        gopher_rules, min_words=20, max_words=100_000,
+        mean_lo_milli=3000, mean_hi_milli=4700,
+        top_word_max_milli=150, dup_word_max_milli=650, min_stopwords=4,
+    )
+    return docs.map_batches(fn, batch_format="pyarrow")
+
+
+SQL_GOPHER_RULES = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+t AS (SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS nd,
+             MAX(len(tok)) AS mx FROM toks GROUP BY doc_id),
+dom AS (SELECT doc_id, MAX(c) AS maxc FROM (
+        SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+        GROUP BY doc_id),
+mt AS (SELECT doc_id, 1000*(len(text) - (len(string_split(text, ' ')) - 1))
+                      // len(string_split(text, ' ')) AS mm FROM documents),
+sw AS (SELECT t.doc_id, COALESCE(s.nsw, 0) AS nsw FROM t LEFT JOIN (
+       SELECT doc_id, COUNT(DISTINCT tok) AS nsw FROM toks
+       WHERE tok IN ('join','hash','row','batch','scan','order','data','filter')
+       GROUP BY doc_id) s USING (doc_id))
+SELECT t.doc_id, t.n AS n_tokens, t.nd AS n_distinct, t.mx AS max_token_len,
+       mt.mm AS mean_token_len_milli,
+       1000*dom.maxc // t.n AS top_word_milli,
+       1000*(t.n - t.nd) // t.n AS dup_word_milli,
+       sw.nsw AS n_stopwords,
+       (t.n BETWEEN 20 AND 100000) AND (mt.mm BETWEEN 3000 AND 4700)
+       AND (1000*dom.maxc // t.n <= 150) AND (1000*(t.n - t.nd) // t.n <= 650)
+       AND (sw.nsw >= 4) AS keep
+FROM t JOIN dom USING (doc_id) JOIN mt USING (doc_id) JOIN sw USING (doc_id)
+"""
+
+
 def q_merge_intervals(sf_dir: str):
     """Per-user interval UNION (gaps and islands): each event spans
     [ts, ts + floor(value*100) seconds]; overlapping-or-touching spans merge
@@ -4222,6 +4271,7 @@ def build_queries():
         "zonal_stats": q_zonal_stats,
         "sessionize_events": q_sessionize_events,
         "merge_intervals": q_merge_intervals,
+        "gopher_rules": q_gopher_rules,
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
@@ -4330,6 +4380,7 @@ def build_queries():
         "zonal_stats": sql_zonal_stats().format(tri=tri),
         "sessionize_events": SQL_SESSIONIZE,
         "merge_intervals": SQL_MERGE_INTERVALS,
+        "gopher_rules": SQL_GOPHER_RULES,
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,

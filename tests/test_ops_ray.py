@@ -1686,3 +1686,45 @@ def test_merge_intervals_vs_brute_force():
     got["island_end"] = got["island_end"].astype("int64")
     exp = exp.astype("int64").sort_values(["user_id", "island_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+
+def test_gopher_rules_vs_python_reference():
+    """The vectorized composite quality gate == a per-doc Python reference
+    (metrics + keep) on adversarial docs: empty-ish, all-dup, long words,
+    stopword-free."""
+    from collections import Counter
+
+    from rayjoin.functions.text import gopher_rules
+
+    docs = [
+        "join hash row batch scan order data filter extra words here now",
+        "dup dup dup dup dup dup dup dup dup dup",
+        "supercalifragilistic word join hash row batch five six seven eight",
+        "a b c d e f g h i j k l m n o p q r s t u v w x y z",
+        "join",
+    ]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = gopher_rules(t, min_words=5, max_words=20, mean_lo_milli=1000,
+                       mean_hi_milli=9000, top_word_max_milli=300,
+                       dup_word_max_milli=400, min_stopwords=2).to_pandas()
+    for i, text in enumerate(docs):
+        toks = text.split(" ")
+        n = len(toks)
+        cnt = Counter(toks)
+        nd = len(cnt)
+        mm = 1000 * (len(text) - (n - 1)) // n
+        top = 1000 * max(cnt.values()) // n
+        dup = 1000 * (n - nd) // n
+        nsw = len(set(toks) & {"join", "hash", "row", "batch", "scan",
+                               "order", "data", "filter"})
+        keep = (5 <= n <= 20 and 1000 <= mm <= 9000 and top <= 300
+                and dup <= 400 and nsw >= 2)
+        r = got[got.doc_id == i].iloc[0]
+        assert (r.n_tokens, r.n_distinct, r.max_token_len) == \
+            (n, nd, max(len(x) for x in toks))
+        assert (r.mean_token_len_milli, r.top_word_milli, r.dup_word_milli,
+                r.n_stopwords) == (mm, top, dup, nsw)
+        assert bool(r.keep) == keep
+    # the fixture must exercise both outcomes
+    assert 0 < int(got.keep.sum()) < len(docs)
