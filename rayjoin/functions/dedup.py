@@ -742,6 +742,17 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 50,
         ),
         batch_format="pyarrow",
     ).materialize()
+    # groupby/Sort stages can STOCHASTICALLY emit zero-row blocks with an
+    # EMPTY schema; such blocks bypass map UDFs and crash the hash-join
+    # aggregators below with "No match for key field" (util docstring) —
+    # scrub edges once and labels after every groupby
+    from ..util import drop_schemaless_empty_blocks
+
+    _edge_empty = pa.table({"node": pa.array([], pa.int64()),
+                            "peer": pa.array([], pa.int64())})
+    _lab_empty = pa.table({"node": pa.array([], pa.int64()),
+                           "label": pa.array([], pa.int64())})
+    edges = drop_schemaless_empty_blocks(edges, _edge_empty)
 
     # labels: start at min(node, peer) per node
     labels = (
@@ -758,6 +769,7 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 50,
         .aggregate(Min("label", alias_name="label"))
         .materialize()
     )
+    labels = drop_schemaless_empty_blocks(labels, _lab_empty)
     prev_sum = labels.sum("label")
     num_partitions = _num_join_partitions()
 
@@ -793,6 +805,7 @@ def dup_clusters(pairs_ds, *, max_rounds: int = 50,
             .aggregate(Min("label", alias_name="label"))
             .materialize()
         )
+        labels = drop_schemaless_empty_blocks(labels, _lab_empty)
         s = labels.sum("label")
         if s == prev_sum:
             converged = True
