@@ -110,6 +110,160 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str,
     )
 
 
+def _fold_f64(x: np.ndarray) -> np.ndarray:
+    """float64 -> uint64, order-preserving (sign-fold): negatives flip all
+    bits, non-negatives set the sign bit.  Monotone, so rank selection can
+    run in integer key space.  NaN is NOT ordered — callers must exclude."""
+    u = x.view(np.uint64)
+    neg = (u >> np.uint64(63)).astype(bool)
+    return np.where(neg, ~u, u | np.uint64(1 << 63))
+
+
+def _unfold_f64(u: np.ndarray) -> np.ndarray:
+    neg = ~((u >> np.uint64(63)).astype(bool))
+    return np.where(neg, ~u, u & ~np.uint64(1 << 63)).view(np.float64)
+
+
+def global_quantiles_no_sort(ds, *, value_col: str,
+                             qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+                             buckets: int = 4096,
+                             gather_cap: int = 4_000_000) -> pa.Table:
+    """EXACT global quantiles of a float64 column with NO sort and NO data
+    shuffle: iterative histogram-refinement selection in folded-bit space.
+
+    Each pass streams the column once (map_batches histogram partials,
+    pre-summed per batch; only ``buckets x len(qs)`` int64 counts reach the
+    tiny count shuffle), narrows every target rank to one bucket, and
+    recurses into it.  Key ranges shrink ``buckets``-fold per pass, so
+    <= ceil(64 / log2(buckets)) ~ 6 passes at the default; in practice a
+    target resolves earlier, when its surviving population fits
+    ``gather_cap`` — then one Ray task gathers just that value range and
+    selects the rank exactly (driver stays O(1)).
+
+    Quantile rule: quantile_disc, rank = clip(ceil(q*n), 1, n) over the
+    ascending sort — identical to ``grouped_quantiles`` and DuckDB.
+    Returns a pa.Table[q_milli, value] (len(qs) rows).  Nulls and NaN are
+    rejected loudly: order statistics over unordered values are undefined.
+    """
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    if not qs or any(not (0.0 <= q <= 1.0) for q in qs):
+        raise ValueError(f"quantile fractions must be in [0, 1]: {qs}")
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = t[value_col]
+        if col.null_count:
+            raise ValueError("global_quantiles_no_sort: null values present")
+        v = np.asarray(pc.cast(col, pa.float64()).combine_chunks(),
+                       dtype=np.float64)
+        if np.isnan(v).any():
+            raise ValueError("global_quantiles_no_sort: NaN values present")
+        return pa.table({"k": pa.array(_fold_f64(v), pa.uint64())})
+
+    keys = ds.map_batches(prep, batch_format="pyarrow").materialize()
+    n = keys.count()
+    if n == 0:
+        raise ValueError("global_quantiles_no_sort: empty input")
+
+    # state per target: [lo, hi) key range, 1-based rank within it, pop
+    full = (np.uint64(0), np.uint64(0xFFFFFFFFFFFFFFFF))
+    targets = []
+    for q in qs:
+        rank = min(max(math.ceil(q * n), 1), n)
+        targets.append({"q": q, "lo": full[0], "hi": full[1],
+                        "rank": rank, "pop": n, "value": None})
+
+    @ray.remote(num_cpus=0)
+    def _gather_select(lo, hi, rank, *tabs):
+        ks = [np.asarray(t["k"].combine_chunks(), dtype=np.uint64)
+              for t in tabs if t.num_rows]
+        sel = [k[(k >= lo) & (k < hi)] for k in ks]
+        allk = (np.concatenate(sel) if sel else np.empty(0, np.uint64))
+        return np.partition(allk, rank - 1)[rank - 1]
+
+    key_refs = keys.to_arrow_refs()
+    for _pass in range(8):
+        active = [t for t in targets if t["value"] is None]
+        if not active:
+            break
+        for t in active:
+            # single-key range: every surviving value is this key
+            if t["hi"] - t["lo"] <= np.uint64(1):
+                t["value"] = t["lo"]
+        active = [t for t in targets if t["value"] is None]
+        if not active:
+            break
+        for t in active:
+            if t["pop"] <= gather_cap:
+                t["value"] = ray.get(_gather_select.remote(
+                    t["lo"], t["hi"], t["rank"], *key_refs))
+        active = [t for t in targets if t["value"] is None]
+        if not active:
+            break
+        # one histogram pass serving every active target
+        edges = []
+        for t in active:
+            span = t["hi"] - t["lo"]
+            width = np.uint64(max(int(span // np.uint64(buckets)), 1))
+            e = t["lo"] + width * np.arange(1, buckets, dtype=np.uint64)
+            e = e[(e > t["lo"]) & (e < t["hi"])]
+            edges.append((t, e))
+
+        edge_list = [e for _, e in edges]
+        active_ranges = [(t["lo"], t["hi"]) for t, _ in edges]
+
+        def hist(tab: pa.Table) -> pa.Table:
+            k = np.asarray(tab["k"].combine_chunks(), dtype=np.uint64)
+            idx_out, cnt_out = [], []
+            for ti, e in enumerate(edge_list):
+                tgt = active_ranges[ti]
+                kk = k[(k >= tgt[0]) & (k < tgt[1])]
+                b = np.searchsorted(e, kk, side="right")
+                bc = np.bincount(b, minlength=e.size + 1)
+                nz = np.flatnonzero(bc)
+                idx_out.append(ti * (buckets + 1) + nz)
+                cnt_out.append(bc[nz])
+            if not idx_out:
+                return pa.table({"tb": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table(
+                {"tb": pa.array(np.concatenate(idx_out), pa.int64()),
+                 "cnt": pa.array(np.concatenate(cnt_out), pa.int64())}
+            )
+
+        parts = (keys.map_batches(hist, batch_format="pyarrow")
+                 .groupby("tb").aggregate(Sum("cnt", alias_name="cnt"))
+                 .to_pandas())
+        tb = parts["tb"].to_numpy()
+        cn = parts["cnt"].to_numpy()
+        for ti, (t, e) in enumerate(edges):
+            m = (tb >= ti * (buckets + 1)) & (tb < (ti + 1) * (buckets + 1))
+            counts = np.zeros(e.size + 1, np.int64)
+            counts[tb[m] - ti * (buckets + 1)] = cn[m]
+            cum = np.cumsum(counts)
+            b = int(np.searchsorted(cum, t["rank"], side="left"))
+            lo = t["lo"] if b == 0 else e[b - 1]
+            hi = t["hi"] if b == e.size else e[b]
+            t["rank"] -= int(cum[b - 1]) if b > 0 else 0
+            t["lo"], t["hi"], t["pop"] = lo, hi, int(counts[b])
+
+    vals = []
+    for t in targets:
+        if t["value"] is None:  # defensive: 8 passes always suffice
+            t["value"] = ray.get(_gather_select.remote(
+                t["lo"], t["hi"], t["rank"], *key_refs))
+        vals.append(float(_unfold_f64(np.array([t["value"]],
+                                               np.uint64))[0]))
+    return pa.table(
+        {"q_milli": pa.array([round(q * 1000) for q in qs], pa.int64()),
+         "value": pa.array(vals, pa.float64())}
+    )
+
+
 # --- HyperLogLog distinct sketch ---------------------------------------------
 
 

@@ -3383,6 +3383,33 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_global_quantiles(sf_dir: str):
+    """Exact global quantiles of events.value with NO sort: histogram-
+    refinement selection in folded float64-bit space (stats.py).  Each pass
+    streams the column once; only bucket counts move.  gather_cap=100
+    forces several histogram passes before the final range gather, so the
+    gate certifies the refinement loop, not just the gather."""
+    import ray.data
+
+    from ..functions.stats import global_quantiles_no_sort
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+    return global_quantiles_no_sort(
+        ev, value_col="value", qs=(0.25, 0.5, 0.9, 0.99), gather_cap=100
+    )
+
+
+SQL_GLOBAL_QUANTILES = """
+SELECT 250 AS q_milli, quantile_disc(value, 0.25) AS value FROM events
+UNION ALL
+SELECT 500, quantile_disc(value, 0.5) FROM events
+UNION ALL
+SELECT 900, quantile_disc(value, 0.9) FROM events
+UNION ALL
+SELECT 990, quantile_disc(value, 0.99) FROM events
+"""
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher/RefinedWeb composite quality gate over documents (word-count
     bounds, mean-word-length band, top-word dominance, duplicate-word
@@ -4272,6 +4299,7 @@ def build_queries():
         "sessionize_events": q_sessionize_events,
         "merge_intervals": q_merge_intervals,
         "gopher_rules": q_gopher_rules,
+        "global_quantiles": q_global_quantiles,
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
@@ -4381,6 +4409,7 @@ def build_queries():
         "sessionize_events": SQL_SESSIONIZE,
         "merge_intervals": SQL_MERGE_INTERVALS,
         "gopher_rules": SQL_GOPHER_RULES,
+        "global_quantiles": SQL_GLOBAL_QUANTILES,
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,
