@@ -131,6 +131,51 @@ def repetition_stats(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
     return out.append_column("rep_milli", pa.array(rep, pa.int64()))
 
 
+def token_entropy(batch: pa.Table, *, text_col: str = "text") -> pa.Table:
+    """Shannon-entropy quality signal in FIXED POINT: per doc emits
+    n_tokens, n_distinct and ent_num = sum_i c_i * floor(1e6 * ln(c_i))
+    over the token multiplicities c_i.  Entropy in micro-nats is then
+    ln(n) - ent_num/(1e6*n) (derivable downstream); the emitted sum is pure
+    int64, so it is ORDER-FREE — any aggregation order, engine or SQL,
+    yields the same bits.  ln goes through a math.log LUT over the unique
+    multiplicities (scalar libm — the same shared-libm parity contract as
+    tfidf; numpy's SIMD log is not bit-identical).  One dictionary encode +
+    one lexsort per batch, doc-local, no shuffle."""
+    import math
+
+    text = batch[text_col].combine_chunks()
+    toks = pc.split_pattern(text, pattern=" ")
+    lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    flat = toks.flatten()
+    enc = flat.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    codes = np.asarray(enc.indices, dtype=np.int64)
+    nb = lens.size
+    doc = np.repeat(np.arange(nb, dtype=np.int64), lens)
+    order = np.lexsort((codes, doc))
+    d_s, c_s = doc[order], codes[order]
+    run_first = np.concatenate(
+        [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+    ) if d_s.size else np.empty(0, bool)
+    run_starts = np.flatnonzero(run_first)
+    run_len = np.diff(np.concatenate([run_starts, [d_s.size]]))
+    run_doc = d_s[run_starts]
+    uniq, inv = (np.unique(run_len, return_inverse=True)
+                 if run_len.size else (np.empty(0, np.int64), np.empty(0, np.int64)))
+    lut = np.array([math.floor(1_000_000 * math.log(c)) for c in uniq],
+                   np.int64)
+    terms = run_len * lut[inv] if run_len.size else np.empty(0, np.int64)
+    ent = np.zeros(nb, np.int64)
+    np.add.at(ent, run_doc, terms)
+    nd = np.bincount(run_doc, minlength=nb) if run_doc.size else \
+        np.zeros(nb, np.int64)
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_tokens", pa.array(lens, pa.int64()))
+    out = out.append_column("n_distinct", pa.array(nd, pa.int64()))
+    return out.append_column("ent_num", pa.array(ent, pa.int64()))
+
+
 GOPHER_STOPWORDS = ("join", "hash", "row", "batch", "scan", "order",
                     "data", "filter")
 

@@ -3383,6 +3383,32 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_token_entropy(sf_dir: str):
+    """Fixed-point Shannon-entropy signal per doc: ent_num =
+    sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
+    sum is aggregation-order-free and the ln goes through the shared-libm
+    scalar LUT (tfidf's parity contract)."""
+    import ray.data
+
+    from ..functions.text import token_entropy
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return docs.map_batches(token_entropy, batch_format="pyarrow")
+
+
+SQL_TOKEN_ENTROPY = """
+WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct,
+       CAST(SUM(c * CAST(FLOOR(1000000 * ln(c)) AS BIGINT)) AS BIGINT)
+         AS ent_num
+FROM cnt GROUP BY doc_id
+"""
+
+
 def q_global_quantiles(sf_dir: str):
     """Exact global quantiles of events.value with NO sort: histogram-
     refinement selection in folded float64-bit space (stats.py).  Each pass
@@ -4300,6 +4326,7 @@ def build_queries():
         "merge_intervals": q_merge_intervals,
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
+        "token_entropy": q_token_entropy,
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
@@ -4410,6 +4437,7 @@ def build_queries():
         "merge_intervals": SQL_MERGE_INTERVALS,
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,
+        "token_entropy": SQL_TOKEN_ENTROPY,
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,

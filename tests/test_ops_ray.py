@@ -1728,3 +1728,21 @@ def test_gopher_rules_vs_python_reference():
         assert bool(r.keep) == keep
     # the fixture must exercise both outcomes
     assert 0 < int(got.keep.sum()) < len(docs)
+
+
+def test_token_entropy_vs_python_reference():
+    import math
+    from collections import Counter
+
+    from rayjoin.functions.text import token_entropy
+
+    docs = ["a a a b c", "x", "same same same same", "p q r s t u"]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = token_entropy(t).to_pandas()
+    for i, text in enumerate(docs):
+        cnt = Counter(text.split(" "))
+        ent = sum(c * math.floor(1_000_000 * math.log(c)) for c in cnt.values())
+        r = got[got.doc_id == i].iloc[0]
+        assert (r.n_tokens, r.n_distinct, r.ent_num) == \
+            (sum(cnt.values()), len(cnt), ent)
