@@ -72,7 +72,8 @@ def ids_noise_only(pts):
 
 def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
            components_method: str = "auto",
-           core_broadcast_rows: int = 16_000_000):
+           core_broadcast_rows: int = 16_000_000,
+           metric: str = "euclidean"):
     """Exact DBSCAN over a point geometry table/Dataset (columns
     row_id/geom_type/coords, as built by ``geom.encode.points_geom``).
     row_ids must be unique.  Returns Dataset[row_id, cluster_id, is_core]
@@ -93,6 +94,11 @@ def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
       list.
     - above the cap: hash joins of the edge list against the core/label
       Datasets (5 shuffles; correct at any size).
+
+    ``metric``: "euclidean" (planar; eps in coordinate units, PBSM
+    self-join) or "geodesic" (lon/lat points on the R=6371km sphere; eps in
+    METERS, pole- and antimeridian-safe grid self-join from
+    join/geodesic.py).  Everything downstream of the edge list is shared.
     """
     import ray
     import ray.data
@@ -118,9 +124,17 @@ def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
         {"big_row_id": pa.array([], pa.int64()),
          "small_row_id": pa.array([], pa.int64())}
     )
-    edges = partitioned_proximity_map(
-        pts, pts, Config(max_distance=float(eps)), target_cells=target_cells
-    ).map_batches(
+    if metric == "euclidean":
+        edges = partitioned_proximity_map(
+            pts, pts, Config(max_distance=float(eps)),
+            target_cells=target_cells)
+    elif metric == "geodesic":
+        from ..join.geodesic import geodesic_proximity_map
+
+        edges = geodesic_proximity_map(pts, pts, max_meters=float(eps))
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    edges = edges.map_batches(
         lambda t: t.select(["big_row_id", "small_row_id"]),
         batch_format="pyarrow",
     )

@@ -369,6 +369,51 @@ FROM pts p WHERE p.row_id NOT IN (SELECT id FROM assigned)
 """
 
 
+def q_dbscan_geodesic(sf_dir: str):
+    """Same DBSCAN machinery with the GEODESIC metric: eps = 300 km on the
+    sphere, edges from the pole/antimeridian-safe geodesic grid self-join;
+    everything downstream (degree, components, border, noise) is shared
+    with the planar row.  The recursive-CTE twin swaps the predicate for
+    hav <= sin^2(D/2R)."""
+    from ..functions.cluster import dbscan
+    from ..geom.encode import points_geom
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    x, y = _dbscan_pts_np(k)
+    pts = _from_arrow(points_geom(k, x, y))
+    return dbscan(pts, eps=300_000.0, min_pts=4, metric="geodesic")
+
+
+def sql_dbscan_geodesic() -> str:
+    x = f"((c_custkey%23)*15.0 - 165.0) + (((c_custkey*{LON_MULT})%4000)/1000.0 - 2.0)"
+    y = f"((c_custkey%11)*15.0 - 75.0) + (((c_custkey*{LAT_MULT})%4000)/1000.0 - 2.0)"
+    hav = ("sin(radians(b.y - a.y)/2)*sin(radians(b.y - a.y)/2)"
+           " + (cos(radians(a.y))*cos(radians(b.y)))"
+           " * (sin(radians(b.x - a.x)/2)*sin(radians(b.x - a.x)/2))")
+    thr = "sin(300000.0/(2.0*6371000.0))*sin(300000.0/(2.0*6371000.0))"
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT CAST(c_custkey AS BIGINT) AS row_id, {x} AS x, {y} AS y
+        FROM customer),
+pairs AS (SELECT a.row_id AS ra, b.row_id AS rb FROM pts a, pts b
+          WHERE {hav} <= {thr}),
+core AS (SELECT ra AS id FROM pairs GROUP BY ra HAVING COUNT(*) >= 4),
+ce AS (SELECT p.ra, p.rb FROM pairs p
+       JOIN core ca ON ca.id = p.ra JOIN core cb ON cb.id = p.rb),
+reach(v, u) AS (SELECT ra, rb FROM ce
+                UNION SELECT r.v, e.rb FROM reach r JOIN ce e ON r.u = e.ra),
+comp AS (SELECT v AS id, MIN(u) AS lbl FROM reach GROUP BY v),
+assigned AS (SELECT p.ra AS id, MIN(c.lbl) AS cluster_id
+             FROM pairs p JOIN comp c ON c.id = p.rb GROUP BY p.ra)
+SELECT a.id AS row_id, a.cluster_id,
+       a.id IN (SELECT id FROM core) AS is_core
+FROM assigned a
+UNION ALL
+SELECT p.row_id, CAST(-1 AS BIGINT) AS cluster_id, FALSE AS is_core
+FROM pts p WHERE p.row_id NOT IN (SELECT id FROM assigned)
+"""
+
+
 def q_knn_points(sf_dir: str):
     """kNN join: for each customer point the 3 nearest supplier points,
     ties (distance, small_row_id)."""
@@ -4250,6 +4295,7 @@ def build_queries():
         "geodesic_prox": q_geodesic_prox,
         "geodesic_knn": q_geodesic_knn,
         "dbscan_points": q_dbscan_points,
+        "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
         "idw_interpolate": q_idw_interpolate,
@@ -4363,6 +4409,7 @@ def build_queries():
         "geodesic_prox": SQL_GEODESIC_PROX.format(big=pts_cust, small=pts_supp),
         "geodesic_knn": SQL_GEODESIC_KNN.format(big=pts_cust, small=pts_supp),
         "dbscan_points": sql_dbscan_points(),
+        "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "idw_interpolate": SQL_IDW.format(big=pts_cust, small=pts_supp),

@@ -125,3 +125,60 @@ def test_dbscan_rejects_bad_min_pts(ray_session):
     ids = np.array([1], dtype=np.int64)
     with pytest.raises(ValueError):
         dbscan(points_geom(ids, np.zeros(1), np.zeros(1)), eps=1.0, min_pts=0)
+
+
+def test_dbscan_geodesic_matches_brute_force(ray_session):
+    from rayjoin.join.geodesic import _hav, hav_threshold
+
+    rng = np.random.default_rng(23)
+    n = 200
+    # clusters near the pole and the antimeridian — where planar eps breaks
+    lat = np.concatenate([rng.uniform(84, 88, 60), rng.uniform(-10, 10, 100),
+                          rng.uniform(-88, -84, 40)])
+    lon = np.concatenate([rng.uniform(-180, 180, 60),
+                          np.where(rng.random(100) < 0.5,
+                                   rng.uniform(176, 180, 100),
+                                   rng.uniform(-180, -176, 100)),
+                          rng.uniform(-180, 180, 40)])
+    ids = rng.permutation(n).astype(np.int64) * 3
+    D = 400_000.0
+    h = _hav(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+    adj = h <= hav_threshold(D)
+    min_pts = 4
+    core = adj.sum(1) >= min_pts
+
+    parent = list(range(n))
+
+    def find(a):
+        while parent[a] != a:
+            parent[a] = parent[parent[a]]
+            a = parent[a]
+        return a
+
+    ci = np.where(core)[0]
+    for a in ci:
+        for b in ci:
+            if adj[a, b]:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    members = {}
+    for a in ci:
+        members.setdefault(find(a), []).append(a)
+    lab = {}
+    for ms in members.values():
+        m = min(int(ids[i]) for i in ms)
+        for i in ms:
+            lab[i] = m
+    exp = {}
+    for i in range(n):
+        if core[i]:
+            exp[int(ids[i])] = (lab[i], True)
+        else:
+            cand = [lab[j] for j in ci if adj[i, j]]
+            exp[int(ids[i])] = (min(cand), False) if cand else (-1, False)
+
+    got = run_engine(ids, lon, lat, D, min_pts, metric="geodesic")
+    assert got == exp
+    kinds = {(c == -1, ic) for c, ic in exp.values()}
+    assert (False, True) in kinds  # clusters exist near pole/antimeridian
