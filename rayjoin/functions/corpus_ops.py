@@ -335,6 +335,56 @@ PHONE_RE = r"\+?[0-9][0-9\- ]{7,}[0-9]"
 DEFAULT_REDACTIONS = ((EMAIL_RE, "[EMAIL]"), (PHONE_RE, "[PHONE]"))
 
 
+def doc_line_dedup(ds, *, text_col: str = "text", sep: str = "\n"):
+    """WITHIN-document line dedup (the Dolma/CCNet in-doc rule): every
+    repeated line inside a document keeps only its FIRST occurrence;
+    survivors re-join with ``sep`` in original order.  Doc-local — each doc
+    lives in one batch, so there is NO shuffle; one split + dictionary
+    encode + lexsort per batch, list rebuild via offset arithmetic (no
+    per-row Python).
+
+    Returns Dataset[<passthrough cols>, text, n_lines, n_kept] where text
+    is the deduped document (corpus-wide dedup is ``paragraph_dedup``;
+    this is its cheap in-document sibling)."""
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        lines = pc.split_pattern(text, pattern=sep)
+        nl = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+        flat = lines.flatten()
+        enc = flat.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        nb = nl.size
+        doc = np.repeat(np.arange(nb, dtype=np.int64), nl)
+        pos = np.arange(codes.size, dtype=np.int64)
+        order = np.lexsort((pos, codes, doc))
+        d_s, c_s = doc[order], codes[order]
+        first = np.concatenate(
+            [[True], (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])]
+        ) if d_s.size else np.empty(0, bool)
+        keep = np.zeros(codes.size, bool)
+        keep[order[first]] = True  # first occurrence in original position
+        n_kept = np.bincount(doc[keep], minlength=nb) if doc.size else \
+            np.zeros(nb, np.int64)
+        new_off = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        kept_lines = flat.filter(pa.array(keep, pa.bool_()))
+        # binary_join has no large_list kernel — int32 list offsets (a batch
+        # with >2^31 kept lines would long since have blown block limits)
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_off, pa.int32()),
+                                     pc.cast(kept_lines, pa.string())),
+            sep,
+        )
+        out = t.drop_columns([text_col])
+        out = out.append_column(text_col, pc.cast(rebuilt, pa.large_string()))
+        out = out.append_column("n_lines", pa.array(nl, pa.int64()))
+        return out.append_column("n_kept", pa.array(n_kept, pa.int64()))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def redact_text(ds, *, text_col: str = "text",
                 rules: tuple = DEFAULT_REDACTIONS,
                 count_col: str = "n_redacted"):

@@ -3428,6 +3428,46 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_doc_line_dedup(sf_dir: str):
+    """Within-document line dedup (Dolma in-doc rule) with single-token
+    lines (every space becomes a newline — word soup repeats words, so the
+    rule bites: ~half the tokens are in-doc duplicates).  Doc-local, no
+    shuffle; SQL twin keeps MIN(ordinality) per (doc, line) and string_aggs
+    back in first-occurrence order."""
+    import ray.data
+
+    from ..functions.corpus_ops import doc_line_dedup
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "text": pc.replace_substring(t["text"], pattern=" ",
+                                          replacement="\n")}
+        )
+
+    return doc_line_dedup(docs.map_batches(to_lines, batch_format="pyarrow"))
+
+
+SQL_DOC_LINE_DEDUP = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(replace(text, ' ', chr(10)), chr(10))) AS line,
+         unnest(range(len(string_split(replace(text, ' ', chr(10)), chr(10)))))
+           AS i,
+         len(string_split(replace(text, ' ', chr(10)), chr(10))) AS nl
+  FROM documents
+),
+first AS (SELECT doc_id, line, MIN(i) AS mi, ANY_VALUE(nl) AS nl
+          FROM lines GROUP BY doc_id, line)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY mi) AS text,
+       ANY_VALUE(nl) AS n_lines, COUNT(*) AS n_kept
+FROM first GROUP BY doc_id
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -4373,6 +4413,7 @@ def build_queries():
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
         "token_entropy": q_token_entropy,
+        "doc_line_dedup": q_doc_line_dedup,
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
@@ -4485,6 +4526,7 @@ def build_queries():
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,
         "token_entropy": SQL_TOKEN_ENTROPY,
+        "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,

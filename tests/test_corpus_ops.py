@@ -266,3 +266,26 @@ def test_redact_text_rules():
     assert out.iloc[1]["text"] == "call [PHONE] or [PHONE] now"
     assert out.iloc[3]["text"] == "two mails [EMAIL] [EMAIL] and a phone [PHONE]"
     assert out.iloc[2]["text"] == texts[2] and out.iloc[4]["text"] == ""
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_doc_line_dedup_keeps_first_in_original_order():
+    import ray.data
+
+    from rayjoin.functions.corpus_ops import doc_line_dedup
+
+    docs = [
+        "a\nb\na\nc\nb\na",          # dups scattered
+        "x",                          # single line
+        "same\nsame\nsame",           # all identical
+        "p\nq\nr",                    # no dups
+        "\na\n\na\n",                 # empty lines are lines too
+    ]
+    exp_text = ["a\nb\nc", "x", "same", "p\nq\nr", "\na"]
+    exp_counts = [(6, 3), (1, 1), (3, 1), (3, 3), (5, 2)]
+    t = pa.table({"doc_id": pa.array(range(len(docs)), pa.int64()),
+                  "text": pa.array(docs)})
+    got = (doc_line_dedup(ray.data.from_arrow(t)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert list(got.text) == exp_text
+    assert list(zip(got.n_lines, got.n_kept)) == exp_counts
