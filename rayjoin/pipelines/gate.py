@@ -3468,6 +3468,57 @@ FROM first GROUP BY doc_id
 """
 
 
+def q_extract_links(sf_dir: str):
+    """Link-graph construction from raw html: pages synthesized with
+    doc_id%5 anchor tags (urls a pure formula of doc_id), engine extracts
+    every href vectorized (split + find/slice — no regex backtracking, no
+    per-row Python); the oracle computes the SAME urls directly from the
+    formula, so the gate certifies the extraction end-to-end against
+    ground truth rather than a mirrored parser."""
+    import ray.data
+
+    from ..stages.extract import extract_links
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def synth_html(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        k = d % 5
+        idx = np.repeat(d, k)
+        starts = np.concatenate([[0], np.cumsum(k)])[:-1]
+        j = np.arange(idx.size, dtype=np.int64) - np.repeat(starts, k)
+        anchors = pc.binary_join_element_wise(
+            '<a href="https://site',
+            pc.cast(pa.array((idx * 7 + j) % 997), pa.string()),
+            ".example/",
+            pc.cast(pa.array(idx * 131 + j), pa.string()),
+            '">x</a>', "",
+        )
+        body = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(np.concatenate([[0], np.cumsum(k)]), pa.int32()),
+                anchors,
+            ),
+            "",
+        )
+        html = pc.binary_join_element_wise("<html><body>", body,
+                                           "</body></html>", "")
+        return pa.table({"doc_id": t["doc_id"],
+                         "html": pc.cast(html, pa.binary())})
+
+    return extract_links(docs.map_batches(synth_html, batch_format="pyarrow"))
+
+
+SQL_EXTRACT_LINKS = """
+SELECT doc_id, CAST(g.j AS BIGINT) AS link_idx,
+       'https://site' || CAST((doc_id*7 + g.j) % 997 AS VARCHAR)
+         || '.example/' || CAST(doc_id*131 + g.j AS VARCHAR) AS href
+FROM documents CROSS JOIN generate_series(0, 4) AS g(j)
+WHERE g.j < doc_id % 5
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -4414,6 +4465,7 @@ def build_queries():
         "global_quantiles": q_global_quantiles,
         "token_entropy": q_token_entropy,
         "doc_line_dedup": q_doc_line_dedup,
+        "extract_links": q_extract_links,
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
@@ -4527,6 +4579,7 @@ def build_queries():
         "global_quantiles": SQL_GLOBAL_QUANTILES,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
+        "extract_links": SQL_EXTRACT_LINKS,
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,

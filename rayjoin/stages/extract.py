@@ -65,3 +65,60 @@ def extract_text(ds, *, html_col: str = "html", out_col: str = "text"):
         return t.append_column(out_col, got)
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def extract_links_batch(html_col, doc_ids: "pa.Array") -> pa.Table:
+    """Vectorized href extraction: every ``href=\"...\"`` value, in document
+    order, as (doc_id, link_idx, href) rows.  One split on the attribute
+    marker + one find/slice for the closing quote — equivalent to
+    regexp_extract_all(html, 'href=\"([^\"]*)\"', 1), with unterminated
+    attributes dropped, and NO per-row Python or backtracking regex."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    html = html_col
+    if pa.types.is_binary(html.type) or pa.types.is_large_binary(html.type):
+        html = pc.cast(html, pa.large_string())
+    frags = pc.split_pattern(html, pattern='href="')
+    nfrag = np.asarray(pc.list_value_length(frags), dtype=np.int64)
+    flat = frags.flatten() if not isinstance(frags, pa.ChunkedArray) \
+        else frags.combine_chunks().flatten()
+    nb = nfrag.size
+    doc = np.repeat(np.asarray(doc_ids, dtype=np.int64), nfrag)
+    starts = np.concatenate([[0], np.cumsum(nfrag)])[:-1]
+    idx_in_doc = np.arange(doc.size, dtype=np.int64) - np.repeat(starts, nfrag)
+    is_link = idx_in_doc >= 1  # fragment 0 precedes the first href
+    # prefix up to the closing quote: split(max 1) -> 2 elements iff a
+    # quote exists; unterminated attributes (1 element) are dropped
+    cut = pc.split_pattern(flat, pattern='"', max_splits=1)
+    terminated = np.asarray(pc.list_value_length(cut), dtype=np.int64) == 2
+    keep = is_link & terminated
+    href = pc.list_element(cut.filter(pa.array(keep, pa.bool_())), 0)
+    # link_idx: 0-based among KEPT links per doc
+    kd = doc[keep]
+    new_doc = np.concatenate([[True], kd[1:] != kd[:-1]]) if kd.size else \
+        np.empty(0, bool)
+    seg_first = np.flatnonzero(new_doc)
+    link_idx = (np.arange(kd.size, dtype=np.int64)
+                - np.repeat(seg_first, np.diff(np.concatenate(
+                    [seg_first, [kd.size]])))) if kd.size else \
+        np.empty(0, np.int64)
+    return pa.table(
+        {"doc_id": pa.array(kd, pa.int64()),
+         "link_idx": pa.array(link_idx, pa.int64()),
+         "href": pc.cast(href, pa.large_string())}
+    )
+
+
+def extract_links(ds, *, html_col: str = "html", id_col: str = "doc_id"):
+    """Dataset[doc_id, link_idx, href] — the link-graph construction step
+    over raw pages (feeds functions/graph.py pagerank / components).
+    Doc-local, no shuffle."""
+
+    def run(t: pa.Table) -> pa.Table:
+        return extract_links_batch(
+            t[html_col].combine_chunks(),
+            t[id_col].combine_chunks().cast(pa.int64()),
+        )
+
+    return ds.map_batches(run, batch_format="pyarrow")

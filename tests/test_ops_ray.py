@@ -1746,3 +1746,19 @@ def test_token_entropy_vs_python_reference():
         r = got[got.doc_id == i].iloc[0]
         assert (r.n_tokens, r.n_distinct, r.ent_num) == \
             (sum(cnt.values()), len(cnt), ent)
+
+
+def test_extract_links_edge_cases():
+    from rayjoin.stages.extract import extract_links_batch
+
+    html = pa.array([
+        '<a href="u1">x</a> text <a href="u2">y</a>',
+        "no links at all",
+        '<a href="unterminated',          # dropped
+        '<a href="">e</a><a href="u3">z</a>',  # empty href kept, order holds
+        "",
+    ]).cast(pa.large_string())
+    ids = pa.array([10, 20, 30, 40, 50], pa.int64())
+    got = extract_links_batch(html, ids).to_pandas()
+    rows = list(zip(got.doc_id, got.link_idx, got.href))
+    assert rows == [(10, 0, "u1"), (10, 1, "u2"), (40, 0, ""), (40, 1, "u3")]
