@@ -208,6 +208,53 @@ def geodesic_proximity_map(big, small, *, max_meters: float,
     return rep.groupby("cell").map_groups(cell_join, batch_format="pyarrow")
 
 
+def polyline_chord_length(ds):
+    """Per-geometry great-circle CHORD length of lon/lat polylines, in
+    FIXED-POINT micro-meters: length_micro = sum over segments of
+    floor(1e6 * (2R)*sqrt(hav)).  The chord 2R*sin(d/2R) = 2R*sqrt(hav)
+    needs only sqrt (bit-exact vs libm, unlike asin), and flooring each
+    SEGMENT to int64 before summing makes the total independent of
+    aggregation order — engine == SQL under any plan.  (The chord
+    underestimates arc length by <0.13% at 500 km segments; callers
+    wanting arcs apply 2R*asin(c/2R) to the emitted value.)
+
+    Input: LINESTRING geometry table/Dataset (geom.encode); output
+    Dataset[row_id, n_vertices, length_micro].  Doc-local, no shuffle."""
+    import ray.data
+
+    ds = ray.data.from_arrow(ds) if isinstance(ds, pa.Table) else ds
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        from ..geom.batch import GeomBatch
+
+        g = GeomBatch.from_arrow(t)
+        xy = g.xy
+        off = g.ring_vert_off  # one ring per linestring
+        nv = np.diff(off)
+        # segment endpoints: every vertex except each ring's last
+        mask = np.ones(xy.shape[0], bool)
+        if off.size > 1:
+            mask[off[1:] - 1] = False
+        seg_a = np.flatnonzero(mask)
+        lon1, lat1 = xy[seg_a, 0], xy[seg_a, 1]
+        lon2, lat2 = xy[seg_a + 1, 0], xy[seg_a + 1, 1]
+        h = _hav(lat1, lon1, lat2, lon2)
+        term = np.floor(
+            1_000_000 * ((2.0 * EARTH_RADIUS_M) * np.sqrt(h))
+        ).astype(np.int64)
+        starts = np.concatenate([[0], np.cumsum(nv - 1)])[:-1]
+        total = (np.add.reduceat(term, np.minimum(starts, term.size - 1))
+                 if term.size else np.zeros(len(nv), np.int64))
+        total[nv - 1 == 0] = 0  # single-vertex lines have no segments
+        return pa.table(
+            {"row_id": pa.array(g.row_id, pa.int64()),
+             "n_vertices": pa.array(nv, pa.int64()),
+             "length_micro": pa.array(total, pa.int64())}
+        )
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
 def geodesic_knn_join(big, small, *, k: int, max_meters: float = float("inf")):
     """For each big point the k nearest smalls by GREAT-CIRCLE distance;
     ties break on (hav, small_row_id), exactly the planar knn_join contract

@@ -3519,6 +3519,65 @@ WHERE g.j < doc_id % 5
 """
 
 
+_TRACK_NV = 8  # vertices per synthetic geodesic track
+
+
+def q_geodesic_track_length(sf_dir: str):
+    """Great-circle CHORD length of per-doc lon/lat tracks in fixed-point
+    micro-meters: each segment floors 1e6*(2R)*sqrt(hav) to int64 BEFORE
+    the sum, so the total is aggregation-order-free and needs only sqrt
+    (bit-exact; no asin).  Tracks are 8 FNV-derived vertices per doc."""
+    import ray.data
+
+    from ..geom.encode import LINESTRING, _geom_table, pack_single_rings
+    from ..join.geodesic import polyline_chord_length
+    from ..stages.geocode import fnv1a64
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        n = ids.size
+        flat = np.empty((n, 2 * _TRACK_NV), np.float64)
+        s = pc.cast(pa.array(ids), pa.string())
+        for j in range(_TRACK_NV):
+            h = fnv1a64(pc.binary_join_element_wise(s, ".", str(j), ""))
+            flat[:, 2 * j] = (h % np.uint64(360000)).astype(np.float64) / 1000.0 - 180.0
+            flat[:, 2 * j + 1] = ((h >> np.uint64(8)) % np.uint64(160000)).astype(np.float64) / 1000.0 - 80.0
+        return _geom_table(ids, LINESTRING,
+                           pack_single_rings(flat.ravel(), 2 * _TRACK_NV))
+
+    lines = docs.map_batches(mk, batch_format="pyarrow")
+    return polyline_chord_length(lines).map_batches(
+        lambda t: t.rename_columns(["doc_id", "n_vertices", "length_micro"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_geodesic_track_length(nv: int = _TRACK_NV) -> str:
+    fnv = _sql_fnv("(CAST(doc_id AS VARCHAR) || '.' || CAST(g.j AS VARCHAR))")
+    hav = ("sin(radians(b.lat - a.lat)/2)*sin(radians(b.lat - a.lat)/2)"
+           " + (cos(radians(a.lat))*cos(radians(b.lat)))"
+           " * (sin(radians(b.lon - a.lon)/2)*sin(radians(b.lon - a.lon)/2))")
+    return f"""
+WITH v AS (
+  SELECT doc_id, g.j AS j,
+         CAST({fnv} % 360000::HUGEINT AS DOUBLE)/1000.0 - 180.0 AS lon,
+         CAST(({fnv} // 256::HUGEINT) % 160000::HUGEINT AS DOUBLE)/1000.0 - 80.0 AS lat
+  FROM documents CROSS JOIN generate_series(0, {nv - 1}) AS g(j)
+),
+seg AS (
+  SELECT a.doc_id, {hav} AS h
+  FROM v a JOIN v b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+)
+SELECT doc_id, CAST({nv} AS BIGINT) AS n_vertices,
+       CAST(SUM(CAST(FLOOR(1000000 * ((2.0*6371000.0)*sqrt(h))) AS BIGINT))
+            AS BIGINT) AS length_micro
+FROM seg GROUP BY doc_id
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -4466,6 +4525,7 @@ def build_queries():
         "token_entropy": q_token_entropy,
         "doc_line_dedup": q_doc_line_dedup,
         "extract_links": q_extract_links,
+        "geodesic_track_length": q_geodesic_track_length,
         "semi_join_lineitem": q_semi_join_lineitem,
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
@@ -4580,6 +4640,7 @@ def build_queries():
         "token_entropy": SQL_TOKEN_ENTROPY,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "extract_links": SQL_EXTRACT_LINKS,
+        "geodesic_track_length": sql_geodesic_track_length(),
         "semi_join_lineitem": SQL_SEMI_JOIN,
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,

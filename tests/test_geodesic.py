@@ -127,3 +127,26 @@ def test_geodesic_knn_radius_cap_ranks_within_radius():
     # only the 1- and 2-degree smalls are within 250 km
     assert list(res.sort_values("knn_rank").small_row_id) == [1, 2]
     assert list(res.sort_values("knn_rank").knn_rank) == [0, 1]
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_polyline_chord_length_reference():
+    from rayjoin.geom.encode import LINESTRING, _geom_table, pack_single_rings
+    from rayjoin.join.geodesic import polyline_chord_length
+
+    # two tracks: equator hop 1 degree (known chord), single vertex (0)
+    flat = np.array([
+        [0.0, 0.0, 1.0, 0.0, 2.0, 0.0],   # two 1-degree equator segments
+    ]).ravel()
+    t1 = _geom_table(np.array([7], np.int64), LINESTRING,
+                     pack_single_rings(flat, 6))
+    got = polyline_chord_length(t1).to_pandas()
+    h = np.sin(np.radians(1.0) / 2) ** 2
+    term = np.floor(1_000_000 * ((2.0 * 6_371_000.0) * np.sqrt(h)))
+    assert got.length_micro[0] == 2 * int(term)
+    assert got.n_vertices[0] == 3
+
+    t2 = _geom_table(np.array([8], np.int64), LINESTRING,
+                     pack_single_rings(np.array([5.0, 5.0]), 2))
+    got2 = polyline_chord_length(t2).to_pandas()
+    assert got2.length_micro[0] == 0 and got2.n_vertices[0] == 1
