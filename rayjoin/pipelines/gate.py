@@ -3631,6 +3631,49 @@ SELECT 990, quantile_disc(value, 0.99) FROM events
 """
 
 
+def q_winsorized_sum(sf_dir: str):
+    """Composition row: global p05/p95 via the no-sort histogram selection,
+    then a per-user winsorized sum — each value clipped to [p05, p95] and
+    floored to milli units BEFORE the sum (int64, aggregation-order-free).
+    The oracle recomputes the clip bounds with quantile_disc subqueries."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.stats import global_quantiles_no_sort
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+    qt = global_quantiles_no_sort(ev, value_col="value", qs=(0.05, 0.95),
+                                  gather_cap=100)
+    lo, hi = (float(qt["value"][0].as_py()), float(qt["value"][1].as_py()))
+
+    def clip_milli(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["value"].combine_chunks(), dtype=np.float64)
+        c = np.minimum(np.maximum(v, lo), hi)
+        return pa.table(
+            {"user_id": t["user_id"],
+             "vm": pa.array(np.floor(c * 1000.0).astype(np.int64), pa.int64())}
+        )
+
+    return (
+        ev.map_batches(clip_milli, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("vm", alias_name="wsum_milli"),
+                   Count(alias_name="n_events"))
+    )
+
+
+SQL_WINSORIZED_SUM = """
+WITH b AS (SELECT quantile_disc(value, 0.05) AS lo,
+                  quantile_disc(value, 0.95) AS hi FROM events)
+SELECT user_id,
+       CAST(SUM(CAST(FLOOR(LEAST(GREATEST(value, b.lo), b.hi) * 1000.0)
+                     AS BIGINT)) AS BIGINT) AS wsum_milli,
+       COUNT(*) AS n_events
+FROM events, b GROUP BY user_id
+"""
+
+
 def q_gopher_rules(sf_dir: str):
     """Gopher/RefinedWeb composite quality gate over documents (word-count
     bounds, mean-word-length band, top-word dominance, duplicate-word
@@ -4522,6 +4565,7 @@ def build_queries():
         "merge_intervals": q_merge_intervals,
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
+        "winsorized_sum": q_winsorized_sum,
         "token_entropy": q_token_entropy,
         "doc_line_dedup": q_doc_line_dedup,
         "extract_links": q_extract_links,
@@ -4637,6 +4681,7 @@ def build_queries():
         "merge_intervals": SQL_MERGE_INTERVALS,
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,
+        "winsorized_sum": SQL_WINSORIZED_SUM,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "extract_links": SQL_EXTRACT_LINKS,
