@@ -335,6 +335,78 @@ PHONE_RE = r"\+?[0-9][0-9\- ]{7,}[0-9]"
 DEFAULT_REDACTIONS = ((EMAIL_RE, "[EMAIL]"), (PHONE_RE, "[PHONE]"))
 
 
+def mixture_sample(ds, *, key_col: str, id_col: str, target_total: int,
+                   temperature: float = 2.0):
+    """Temperature-smoothed source mixing (the training-data 'mix sources
+    by count^(1/T)' rule): per source s with n_s docs, keep the
+
+        t_s = min(n_s, target_total * w_s // W)      (integer arithmetic)
+
+    docs with the LOWEST sampling hash, where w_s is the smoothed weight
+    and W = sum w_s.  Exact-arithmetic temperatures only (a float pow is
+    not bit-portable between numpy and SQL):
+
+      T=1   -> w_s = n_s                (proportional)
+      T=2   -> w_s = floor(1000*sqrt(n_s))  (sqrt smoothing; sqrt IS
+               bit-exact vs libm)
+      T=inf -> w_s = 1                  (uniform across sources)
+
+    Per-source counts reach the driver (source cardinality is tiny by
+    construction — it is a SOURCE label); doc selection reuses
+    ``cap_per_key``'s bounded shuffle with the shared sampling hash, then a
+    broadcast per-key limit prunes rk > t_s.  Output keeps ``rk``."""
+    import math
+
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count
+
+    counts = (ds.groupby(key_col).aggregate(Count(alias_name="n"))
+              .to_pandas())
+    if counts.empty:
+        return ds
+    n = counts["n"].to_numpy().astype(np.int64)
+    if temperature == 1.0:
+        w = n.copy()
+    elif temperature == 2.0:
+        w = np.floor(np.sqrt(n.astype(np.float64)) * 1000.0).astype(np.int64)
+    elif math.isinf(temperature):
+        w = np.ones_like(n)
+    else:
+        raise ValueError(
+            "mixture_sample supports exact temperatures 1.0, 2.0, inf only "
+            f"(got {temperature}): arbitrary T needs pow, which is not "
+            "bit-portable")
+    W = int(w.sum())
+    t = np.minimum(n, (int(target_total) * w) // max(W, 1))
+    tmap = dict(zip(counts[key_col].tolist(), t.tolist()))
+    ref = ray.put(tmap)
+
+    def hashed(tab: pa.Table) -> pa.Table:
+        h = id_sample_hash(tab[id_col])
+        return tab.append_column(
+            "neg_hash",
+            pa.array(-(h % np.uint64(1 << 62)).astype(np.int64), pa.int64()),
+        )
+
+    capped = cap_per_key(
+        ds.map_batches(hashed, batch_format="pyarrow"),
+        key_col=key_col, cap=int(t.max()) if t.size else 0,
+        order_col="neg_hash", id_col=id_col,
+    )
+
+    def limit_filter(tab: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        enc = tab[key_col].combine_chunks().dictionary_encode()
+        lim = np.array([m.get(k.as_py(), 0) for k in enc.dictionary],
+                       np.int64)  # python over UNIQUE keys only
+        per_row = lim[np.asarray(enc.indices, dtype=np.int64)]
+        keep = np.asarray(tab["rk"].combine_chunks(), np.int64) <= per_row
+        return tab.filter(pa.array(keep, pa.bool_()))
+
+    return capped.map_batches(limit_filter, batch_format="pyarrow")
+
+
 def doc_line_dedup(ds, *, text_col: str = "text", sep: str = "\n"):
     """WITHIN-document line dedup (the Dolma/CCNet in-doc rule): every
     repeated line inside a document keeps only its FIRST occurrence;

@@ -4159,6 +4159,59 @@ SELECT doc_id, lang, neg_hash, rk FROM r WHERE rk <= 20
 """
 
 
+def q_mixture_sample(sf_dir: str):
+    """Temperature-smoothed source mixing (T=2: weights floor(1000*sqrt(n)),
+    integer target split, exact-k per source by the shared sampling hash)
+    over a SKEWED synthetic source key (group j = floor(sqrt(doc_id%400))
+    has ~2j+1 members, so smoothing genuinely reorders the allocation)."""
+    import ray.data
+
+    from ..functions.corpus_ops import mixture_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        j = np.floor(np.sqrt((d % 400).astype(np.float64))).astype(np.int64)
+        key = pc.binary_join_element_wise(
+            "m", pc.cast(pa.array(j), pa.string()), "")
+        return pa.table({"doc_id": t["doc_id"], "mkey": key})
+
+    ds = docs.map_batches(mk, batch_format="pyarrow")
+    total = ds.count()
+    return mixture_sample(ds, key_col="mkey", id_col="doc_id",
+                          target_total=total // 3, temperature=2.0)
+
+
+def sql_mixture_sample() -> str:
+    fnv = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         'm' || CAST(CAST(FLOOR(sqrt(doc_id % 400)) AS BIGINT) AS VARCHAR)
+           AS mkey
+  FROM documents),
+c AS (SELECT mkey, COUNT(*) AS n FROM d GROUP BY mkey),
+t AS (SELECT mkey, n,
+             LEAST(n, ((SELECT COUNT(*) // 3 FROM documents)
+                       * CAST(FLOOR(sqrt(n) * 1000.0) AS BIGINT))
+                      // (SELECT SUM(CAST(FLOOR(sqrt(n) * 1000.0) AS BIGINT))
+                          FROM c)) AS ts
+      FROM c),
+h AS (
+  SELECT doc_id, mkey,
+         -CAST({fnv} % 4611686018427387904::HUGEINT AS BIGINT) AS neg_hash
+  FROM d),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY mkey
+                               ORDER BY neg_hash DESC, doc_id) AS rk
+  FROM h)
+SELECT r.doc_id, r.mkey, r.neg_hash, r.rk
+FROM r JOIN t USING (mkey) WHERE r.rk <= t.ts
+"""
+
+
 def q_domain_cap(sf_dir: str):
     """Per-domain page cap over the pages table (Common-Crawl "no domain
     dominates"): host extracted from the URL, top-3 pages per host by text
@@ -4566,6 +4619,7 @@ def build_queries():
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
         "winsorized_sum": q_winsorized_sum,
+        "mixture_sample": q_mixture_sample,
         "token_entropy": q_token_entropy,
         "doc_line_dedup": q_doc_line_dedup,
         "extract_links": q_extract_links,
@@ -4682,6 +4736,7 @@ def build_queries():
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,
         "winsorized_sum": SQL_WINSORIZED_SUM,
+        "mixture_sample": sql_mixture_sample(),
         "token_entropy": SQL_TOKEN_ENTROPY,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "extract_links": SQL_EXTRACT_LINKS,

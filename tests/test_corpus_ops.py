@@ -289,3 +289,47 @@ def test_doc_line_dedup_keeps_first_in_original_order():
            .sort_values("doc_id").reset_index(drop=True))
     assert list(got.text) == exp_text
     assert list(zip(got.n_lines, got.n_kept)) == exp_counts
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_mixture_sample_temperature_allocation():
+    import math
+
+    import ray.data
+
+    from rayjoin.functions.corpus_ops import id_sample_hash, mixture_sample
+
+    # skewed sources: 100 / 25 / 4 docs
+    sizes = {"big": 100, "mid": 25, "tiny": 4}
+    ids, keys = [], []
+    i = 0
+    for k, sz in sizes.items():
+        for _ in range(sz):
+            ids.append(i)
+            keys.append(k)
+            i += 1
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                  "src": pa.array(keys)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    target = 60
+    got = mixture_sample(ds, key_col="src", id_col="doc_id",
+                         target_total=target, temperature=2.0).to_pandas()
+    # expected integer allocation
+    w = {k: math.floor(1000 * math.sqrt(sz)) for k, sz in sizes.items()}
+    W = sum(w.values())
+    exp_t = {k: min(sizes[k], target * w[k] // W) for k in sizes}
+    assert got.groupby("src").size().to_dict() == exp_t
+    # per source: exactly the exp_t docs with the lowest sampling hash
+    h = (np.asarray(id_sample_hash(pa.array(ids, pa.int64())))
+         % np.uint64(1 << 62)).astype(np.int64)
+    for k in sizes:
+        members = [(h[j], ids[j]) for j in range(len(ids)) if keys[j] == k]
+        exp_ids = {d for _, d in sorted(members)[: exp_t[k]]}
+        assert set(got[got.src == k].doc_id) == exp_ids
+    # T=inf spreads uniformly (capped by tiny source size)
+    uni = mixture_sample(ds, key_col="src", id_col="doc_id",
+                         target_total=30, temperature=float("inf")).to_pandas()
+    assert uni.groupby("src").size().to_dict() == {"big": 10, "mid": 10, "tiny": 4}
+    with pytest.raises(ValueError):
+        mixture_sample(ds, key_col="src", id_col="doc_id",
+                       target_total=10, temperature=3.0)
