@@ -257,3 +257,20 @@ def decode_features(ds, *, fake: bool = True, feature_dim: int = 16, concurrency
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def audio_features(ds, *, window: int = 64, max_windows: int = 8,
+                   concurrency: int = 2, batch_size: int = 256):
+    """Dataset stage: actor-pool windowed audio features over int8-PCM
+    payloads (rms is bit-exact — integer square sums stay exact in float64
+    regardless of summation order, /window is a power-of-2 divide, sqrt is
+    libm-parity — so the stage is SQL-oracle-checkable end to end)."""
+    return ds.map_batches(
+        AudioFeatures,
+        fn_constructor_kwargs={"window": window, "max_windows": max_windows,
+                               "fake": True},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

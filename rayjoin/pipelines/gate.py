@@ -4159,6 +4159,63 @@ SELECT doc_id, lang, neg_hash, rk FROM r WHERE rk <= 20
 """
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal plumbing gate row: int8-PCM payloads built byte-wise from
+    a doc_id formula (length 100 + id%300, byte_k = (id*31 + k*7) % 256),
+    pushed through the ACTOR-POOL AudioFeatures stage (state in __init__,
+    per-batch vectorized window DSP over the flat binary buffer).  rms is
+    bit-exact (integer square sums are exact in float64 at any order,
+    /64 is a power-of-2 divide, sqrt is libm-parity), so the oracle
+    recomputes the windows straight from the formula — certifying the
+    binary-column plumbing end to end, not a mirrored decoder."""
+    import ray.data
+
+    from ..functions.multimodal import audio_features
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        n = d.size
+        L = 100 + d % 300
+        off = np.concatenate([[0], np.cumsum(L)]).astype(np.int32)
+        rep = np.repeat(np.arange(n, dtype=np.int64), L)
+        k = np.arange(int(off[-1]), dtype=np.int64) - \
+            np.repeat(off[:-1].astype(np.int64), L)
+        by = ((d[rep] * 31 + k * 7) % 256).astype(np.uint8)
+        payload = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(by.tobytes())])
+        return pa.table({"media_id": pa.array(d, pa.int64()),
+                         "payload": payload})
+
+    return audio_features(docs.map_batches(mk, batch_format="pyarrow"))
+
+
+SQL_AUDIO_FEATURES = """
+WITH m AS (SELECT doc_id AS media_id, 100 + doc_id % 300 AS L FROM documents),
+w AS (SELECT media_id, L, g.w AS window_no
+      FROM m CROSS JOIN generate_series(0, 7) AS g(w)
+      WHERE g.w < LEAST(GREATEST(L // 64, 1), 8)),
+b AS (SELECT media_id, window_no, g.j AS j,
+             CASE WHEN window_no*64 + g.j < L THEN
+               CASE WHEN (media_id*31 + (window_no*64 + g.j)*7) % 256 > 127
+                    THEN (media_id*31 + (window_no*64 + g.j)*7) % 256 - 256
+                    ELSE (media_id*31 + (window_no*64 + g.j)*7) % 256 END
+             ELSE 0 END AS v
+      FROM w CROSS JOIN generate_series(0, 63) AS g(j)),
+z AS (SELECT media_id, window_no, j, v,
+             lag(v) OVER (PARTITION BY media_id, window_no ORDER BY j) AS pv
+      FROM b)
+SELECT media_id, window_no,
+       sqrt(CAST(SUM(v*v) AS DOUBLE)/64.0) AS rms,
+       CAST(SUM(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM z GROUP BY media_id, window_no
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Temperature-smoothed source mixing (T=2: weights floor(1000*sqrt(n)),
     integer target split, exact-k per source by the shared sampling hash)
@@ -4620,6 +4677,7 @@ def build_queries():
         "global_quantiles": q_global_quantiles,
         "winsorized_sum": q_winsorized_sum,
         "mixture_sample": q_mixture_sample,
+        "audio_features": q_audio_features,
         "token_entropy": q_token_entropy,
         "doc_line_dedup": q_doc_line_dedup,
         "extract_links": q_extract_links,
@@ -4737,6 +4795,7 @@ def build_queries():
         "global_quantiles": SQL_GLOBAL_QUANTILES,
         "winsorized_sum": SQL_WINSORIZED_SUM,
         "mixture_sample": sql_mixture_sample(),
+        "audio_features": SQL_AUDIO_FEATURES,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "extract_links": SQL_EXTRACT_LINKS,
