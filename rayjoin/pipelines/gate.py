@@ -4216,6 +4216,43 @@ FROM z GROUP BY media_id, window_no
 """
 
 
+def q_frame_sample(sf_dir: str):
+    """Video frame-sampling plumbing (codec-stubbed): same formula-built
+    binary payloads as audio_features, actor-shaped FrameSample stage
+    (stride 10, max 5 frames); the oracle derives frame rows from the
+    length formula directly."""
+    import ray.data
+
+    from ..functions.multimodal import FrameSample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def mk(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        n = d.size
+        L = 100 + d % 300
+        off = np.concatenate([[0], np.cumsum(L)]).astype(np.int32)
+        by = np.zeros(int(off[-1]), np.uint8)
+        payload = pa.Array.from_buffers(
+            pa.binary(), n,
+            [None, pa.py_buffer(off.tobytes()), pa.py_buffer(by.tobytes())])
+        return pa.table({"media_id": pa.array(d, pa.int64()),
+                         "payload": payload})
+
+    return docs.map_batches(mk, batch_format="pyarrow").map_batches(
+        FrameSample, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=1,
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id AS media_id, CAST(g.j * 10 AS BIGINT) AS frame_no
+FROM documents CROSS JOIN generate_series(0, 4) AS g(j)
+WHERE g.j < LEAST(GREATEST((100 + doc_id % 300) // 10, 1), 5)
+"""
+
+
 def q_mixture_sample(sf_dir: str):
     """Temperature-smoothed source mixing (T=2: weights floor(1000*sqrt(n)),
     integer target split, exact-k per source by the shared sampling hash)
@@ -4678,6 +4715,7 @@ def build_queries():
         "winsorized_sum": q_winsorized_sum,
         "mixture_sample": q_mixture_sample,
         "audio_features": q_audio_features,
+        "frame_sample": q_frame_sample,
         "token_entropy": q_token_entropy,
         "doc_line_dedup": q_doc_line_dedup,
         "extract_links": q_extract_links,
@@ -4796,6 +4834,7 @@ def build_queries():
         "winsorized_sum": SQL_WINSORIZED_SUM,
         "mixture_sample": sql_mixture_sample(),
         "audio_features": SQL_AUDIO_FEATURES,
+        "frame_sample": SQL_FRAME_SAMPLE,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
         "extract_links": SQL_EXTRACT_LINKS,
