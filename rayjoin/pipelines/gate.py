@@ -3519,6 +3519,85 @@ WHERE g.j < doc_id % 5
 """
 
 
+_NP_NV = 4  # vertices per synthetic road polyline
+
+
+def q_nearest_polyline(sf_dir: str):
+    """Map-matching primitive: for every customer point the single nearest
+    supplier ROAD (4-vertex polyline), via the broadcast kNN join with a
+    LINESTRING small side — the exact point-segment kernel
+    (geom/primitives.py:v_point_seg_distance) decides projection vs
+    endpoint per segment, min over segments, ties (distance,
+    small_row_id).  The SQL twin spells the same IEEE operation order in a
+    CASE expression, so the distance column hash-matches bit-for-bit."""
+    from ..geom.encode import LINESTRING, _geom_table, pack_single_rings
+    from ..join.broadcast import SpatialIndex
+    from ..stages.geocode import fnv1a64
+
+    import ray.data
+
+    k = _read_keys(sf_dir, "supplier", "s_suppkey")
+    lon, lat = _latlon_np(k)
+    flat = np.empty((k.size, 2 * _NP_NV), np.float64)
+    s = pc.cast(pa.array(k), pa.string())
+    for j in range(_NP_NV):
+        h = fnv1a64(pc.binary_join_element_wise(s, ".", str(j), ""))
+        flat[:, 2 * j] = lon + ((h % np.uint64(21)).astype(np.int64) - 10)
+        flat[:, 2 * j + 1] = lat + (((h >> np.uint64(8)) % np.uint64(21)).astype(np.int64) - 10)
+    roads = _geom_table(k, LINESTRING, pack_single_rings(flat.ravel(), 2 * _NP_NV))
+
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    ds = SpatialIndex(roads).knn_join(big, k=1)
+    return ds.map_batches(
+        lambda t: t.rename_columns(
+            ["big_row_id", "small_row_id", "distance", "knn_rank"]),
+        batch_format="pyarrow",
+    )
+
+
+def sql_nearest_polyline() -> str:
+    lon, lat = _latlon_sql("s_suppkey")
+    fnv = _sql_fnv("(CAST(s_suppkey AS VARCHAR) || '.' || CAST(g.j AS VARCHAR))")
+    pts = points_table("customer", "c_custkey")
+    case = """
+      CASE WHEN (sx = ex AND sy = ey)
+             OR ((px-sx)*(ex-sx) + (py-sy)*(ey-sy))
+                / ((ex-sx)*(ex-sx) + (ey-sy)*(ey-sy)) <= 0.0
+           THEN sqrt((sx-px)*(sx-px) + (sy-py)*(sy-py))
+           WHEN ((px-sx)*(ex-sx) + (py-sy)*(ey-sy))
+                / ((ex-sx)*(ex-sx) + (ey-sy)*(ey-sy)) >= 1.0
+           THEN sqrt((ex-px)*(ex-px) + (ey-py)*(ey-py))
+           ELSE abs(((sy-py)*(ex-sx) - (sx-px)*(ey-sy))
+                    / ((ex-sx)*(ex-sx) + (ey-sy)*(ey-sy)))
+                * sqrt((ex-sx)*(ex-sx) + (ey-sy)*(ey-sy))
+      END"""
+    return f"""
+WITH pts AS ({pts}),
+v AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS line_id, g.j AS j,
+         ({lon}) + (CAST({fnv} % 21::HUGEINT AS BIGINT) - 10) AS x,
+         ({lat}) + (CAST(({fnv} // 256::HUGEINT) % 21::HUGEINT AS BIGINT) - 10) AS y
+  FROM supplier CROSS JOIN generate_series(0, {_NP_NV - 1}) AS g(j)
+),
+seg AS (
+  SELECT a.line_id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+  FROM v a JOIN v b ON b.line_id = a.line_id AND b.j = a.j + 1
+),
+d AS (
+  SELECT p.row_id AS big_row_id, s.line_id AS small_row_id,
+         MIN({case}) AS distance
+  FROM (SELECT row_id, x AS px, y AS py FROM pts) p CROSS JOIN seg s
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY big_row_id
+                               ORDER BY distance, small_row_id) AS rn
+  FROM d)
+SELECT big_row_id, small_row_id, distance, CAST(0 AS BIGINT) AS knn_rank
+FROM r WHERE rn = 1
+"""
+
+
 _TRACK_NV = 8  # vertices per synthetic geodesic track
 
 
@@ -4634,6 +4713,7 @@ def build_queries():
         "prox_with_geos": q_prox_with_geos,
         "geodesic_prox": q_geodesic_prox,
         "geodesic_knn": q_geodesic_knn,
+        "nearest_polyline": q_nearest_polyline,
         "dbscan_points": q_dbscan_points,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
@@ -4755,6 +4835,7 @@ def build_queries():
         "prox_with_geos": SQL_PROX_GEOS.format(big=pts_cust, small=pts_supp),
         "geodesic_prox": SQL_GEODESIC_PROX.format(big=pts_cust, small=pts_supp),
         "geodesic_knn": SQL_GEODESIC_KNN.format(big=pts_cust, small=pts_supp),
+        "nearest_polyline": sql_nearest_polyline(),
         "dbscan_points": sql_dbscan_points(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),

@@ -197,3 +197,41 @@ def test_knn_points_large_vs_numpy():
         dx = B[b, 0] - S[order, 0]
         dy = B[b, 1] - S[order, 1]
         assert grp["distance"].tolist() == np.sqrt(dx * dx + dy * dy).tolist()
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_knn_join_linestring_small_side_nearest_road():
+    """kNN join with a LINESTRING small side (map-matching): nearest road
+    per point matches a brute-force min-over-segments of the exact
+    point-segment kernel, distances bit-identical."""
+    import ray.data
+
+    from rayjoin.geom.encode import LINESTRING, _geom_table, pack_single_rings, points_geom
+    from rayjoin.geom.primitives import v_point_seg_distance
+    from rayjoin.join.broadcast import SpatialIndex
+
+    rng = np.random.default_rng(4)
+    nl, npnt, nv = 25, 200, 4
+    verts = rng.integers(-50, 50, (nl, nv, 2)).astype(np.float64)
+    lines = _geom_table(np.arange(nl, dtype=np.int64) + 1000, LINESTRING,
+                        pack_single_rings(verts.reshape(nl, -1).ravel(), 2 * nv))
+    px = rng.uniform(-60, 60, npnt)
+    py = rng.uniform(-60, 60, npnt)
+    pts = points_geom(np.arange(npnt, dtype=np.int64), px, py)
+
+    res = SpatialIndex(lines).knn_join(ray.data.from_arrow(pts), k=1).to_pandas()
+    res.columns = ["big_row_id", "small_row_id", "distance", "knn_rank"]
+    assert len(res) == npnt
+
+    for i in range(npnt):
+        dists = np.array([
+            min(v_point_seg_distance(px[i], py[i], L[j, 0], L[j, 1],
+                                     L[j + 1, 0], L[j + 1, 1])
+                for j in range(nv - 1))
+            for L in verts
+        ])
+        best = np.lexsort((np.arange(nl) + 1000, dists))[0]
+        row = res[res.big_row_id == i].iloc[0]
+        assert row.small_row_id == best + 1000
+        assert np.float64(row.distance).view(np.int64) == \
+            np.float64(dists[best]).view(np.int64)
