@@ -100,7 +100,7 @@ def build_corpus(sf_dir: str, out_dir: str, *, resolution: int = 10,
         from ..functions.dedup import _num_join_partitions
 
         kept = filtered.join(
-            drop, "left_anti", _num_join_partitions(), on=("doc_id",)
+            drop, "left_anti", _num_join_partitions(filtered, drop), on=("doc_id",)
         )
     drop_count = int(n_drop)
     # hilbert_id is re-derived at the sink's partitioning resolution

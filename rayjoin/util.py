@@ -132,17 +132,33 @@ def drop_schemaless_empty_blocks(ds, empty_table):
     field".  Rebuild the dataset from the non-empty block refs (no driver
     data transfer; one tiny row-count task per block).  ``empty_table``
     supplies the schema when every block is empty."""
-    import ray
     import ray.data
+    from ray.data.dataset import MaterializedDataset
 
-    refs = ds.materialize().to_arrow_refs()
+    # already-materialized inputs skip the extra materialize, and row counts
+    # come from the materialized BlockMetadata — no per-block tasks (ADVICE
+    # r4: dup_clusters calls this after every pointer-doubling round, so
+    # O(blocks) probe tasks per call added real overhead)
+    mds = ds if isinstance(ds, MaterializedDataset) else ds.materialize()
+    keep = []
+    try:
+        for bundle in mds.iter_internal_ref_bundles():
+            for ref, meta in bundle.blocks:
+                if meta.num_rows is None or meta.num_rows > 0:
+                    keep.append(ref)
+    except Exception:
+        # metadata walk failed (API drift): fall back to one zero-cpu
+        # row-count task per block (the pre-r5 implementation)
+        import ray
 
-    @ray.remote(num_cpus=0)
-    def _nrows(t):
-        return t.num_rows
+        refs = mds.to_arrow_refs()
 
-    counts = ray.get([_nrows.remote(r) for r in refs])
-    keep = [r for r, c in zip(refs, counts) if c]
+        @ray.remote(num_cpus=0)
+        def _nrows(t):
+            return t.num_rows
+
+        counts = ray.get([_nrows.remote(r) for r in refs])
+        keep = [r for r, c in zip(refs, counts) if c]
     if not keep:
         return ray.data.from_arrow(empty_table)
     return ray.data.from_arrow_refs(keep)

@@ -116,6 +116,140 @@ def test_dedup_exact_and_minhash():
         assert jaccard_shingles(texts[a], texts[b]) >= 0.8
 
 
+def _pair_components(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps = {}
+    for x in list(parent):
+        comps.setdefault(find(x), set()).add(x)
+    return sorted(frozenset(v) for v in comps.values())
+
+
+def test_minhash_exact_collapse_and_star(ray_session):
+    """VERDICT r4 #1: the shuffle plan pre-collapses byte-identical texts
+    before banding.  Pairs mode must be IDENTICAL to the uncollapsed plan
+    (members share their rep's signatures and verify outcome); star mode
+    must preserve connected components; bucket_cap star emission keeps
+    every emitted pair verify-gated."""
+    import ray
+    import ray.data
+
+    from rayjoin.functions.dedup import (
+        jaccard_shingles,
+        minhash_dedup_pairs,
+        simhash_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    words = [f"w{i}" for i in range(200)]
+    texts, ids = [], []
+    for i in range(30):
+        texts.append(" ".join(rng.choice(words, 40)))
+        ids.append(i)
+    boiler = " ".join(rng.choice(words, 50))
+    for j in range(20):  # exact-dup mega group
+        texts.append(boiler)
+        ids.append(100 + j)
+    texts.append(boiler + " xq")  # near-dup of the group
+    ids.append(300)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(4)
+    by_id = dict(zip(ids, texts))
+
+    # direct_band_rows=0 forces the shuffle plan on this toy corpus
+    base = minhash_dedup_pairs(ds, threshold=0.8, collapse_exact=False,
+                               direct_band_rows=0).to_pandas()
+    new = minhash_dedup_pairs(ds, threshold=0.8, collapse_exact=True,
+                              direct_band_rows=0).to_pandas()
+    base_set = set(map(tuple, base[["id_a", "id_b"]].itertuples(index=False)))
+    new_set = set(map(tuple, new[["id_a", "id_b"]].itertuples(index=False)))
+    assert base_set == new_set and len(base_set) >= 190  # 20-clique alone
+
+    star = minhash_dedup_pairs(ds, threshold=0.8, direct_band_rows=0,
+                               expand_exact="star").to_pandas()
+    star_set = set(map(tuple, star[["id_a", "id_b"]].itertuples(index=False)))
+    assert len(star_set) < len(base_set)  # O(m), not the clique
+    assert _pair_components(star_set) == _pair_components(base_set)
+
+    # bucket_cap: star emission over full buckets of DISTINCT texts; every
+    # survivor still passes exact verify, and the bucket-min anchor keeps
+    # the planted family in one component
+    capped = minhash_dedup_pairs(ds, threshold=0.8, direct_band_rows=0,
+                                 collapse_exact=False, bucket_cap=2).to_pandas()
+    cap_set = set(map(tuple, capped[["id_a", "id_b"]].itertuples(index=False)))
+    for a, b in cap_set:
+        assert jaccard_shingles(by_id[a], by_id[b]) >= 0.8
+    assert cap_set <= base_set
+
+    # simhash: collapse on == collapse off (exact contract preserved)
+    sb = simhash_dup_pairs(ds, max_hamming=3, collapse_exact=False) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    sn = simhash_dup_pairs(ds, max_hamming=3, collapse_exact=True) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert sb.equals(sn) and len(sn) >= 190
+
+
+def test_collapse_exact_join_tier_matches_broadcast(ray_session):
+    """_collapse_exact_texts / _expand_exact_pairs join-tier fallbacks
+    (forced with zero broadcast caps) must agree with the broadcast tier."""
+    import ray
+    import ray.data
+
+    from rayjoin.functions.dedup import (
+        _collapse_exact_texts,
+        _expand_exact_pairs,
+    )
+
+    texts = [f"unique doc {i} alpha beta" for i in range(10)]
+    ids = list(range(10))
+    for j in range(4):
+        texts.append("shared boiler text one")
+        ids.append(20 + j)
+    for j in range(3):
+        texts.append("shared boiler text two")
+        ids.append(40 + j)
+    t = pa.table({"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts)})
+    ds = ray.data.from_arrow(t).repartition(3)
+
+    outs = {}
+    for tier, caps in (("bcast", {}), ("join", {"broadcast_threshold_rows": 0})):
+        reps, members, dup = _collapse_exact_texts(ds, **caps)
+        assert members is not None
+        reps_ids = sorted(r["doc_id"] for r in
+                          reps.select_columns(["doc_id"]).take_all())
+        mem = sorted((r["rep_id"], r["member_id"]) for r in members.take_all())
+        outs[tier] = (reps_ids, mem)
+    assert outs["bcast"] == outs["join"]
+    assert outs["bcast"][1] == [(20, 21), (20, 22), (20, 23), (40, 41), (40, 42)]
+
+    # cross-group expansion: a verified rep pair (20, 40) with a value col
+    reps, members, dup = _collapse_exact_texts(ds)
+    verified = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([20], pa.int64()),
+        "id_b": pa.array([40], pa.int64()),
+        "hamming": pa.array([2], pa.int64()),
+    }))
+    for kw in ({}, {"broadcast_threshold_rows": 0}):
+        out = _expand_exact_pairs(verified, members, dup, mode="pairs",
+                                  fill_cols={"hamming": 0}, **kw).to_pandas()
+        got = sorted(map(tuple, out[["id_a", "id_b", "hamming"]]
+                         .itertuples(index=False)))
+        # 4x3 cross pairs at hamming 2, plus intra cliques (6 + 3) at 0
+        assert len(got) == 12 + 6 + 3
+        assert sum(1 for *_ab, h in got if h == 2) == 12
+        assert (20, 40, 2) in got and (23, 42, 2) in got and (20, 21, 0) in got
+
+
 @pytest.mark.usefixtures("ray_session")
 def test_ann_topk_vs_numpy():
     import ray.data

@@ -168,6 +168,58 @@ def stress_minhash() -> dict:
             "planted": 2000, "sec": round(dt, 1), "docs_per_sec": round(102_000 / dt)}
 
 
+def stress_megadup(n_copies: int = 300_000, n_unique: int = 50_000) -> dict:
+    """VERDICT r4 #1 'done' criterion: a corpus with 300k BYTE-IDENTICAL
+    copies of one boilerplate page (every copy shares every LSH band bucket)
+    must flow through the near-dedup pipeline with bounded worker memory —
+    the old clique expansion would build 4.5e10 pair rows in one heap.  The
+    exact-dup pre-collapse bands the page once; star expansion hands
+    dup_clusters O(m) rows.  Asserts the drop list is EXACT: every copy but
+    the min id, plus the planted near-dup tail, and no unique doc."""
+    import pyarrow.compute as pc
+
+    import ray.data
+
+    from rayjoin.functions.dedup import near_dup_drop_list
+
+    rng = np.random.default_rng(11)
+    lens = rng.integers(40, 200, size=n_unique)
+    toks = pc.binary_join_element_wise(
+        "w", pc.cast(pa.array(rng.integers(0, 100_000, int(lens.sum()))), pa.string()), ""
+    )
+    offsets = pa.array(np.concatenate([[0], np.cumsum(lens)]).astype(np.int64))
+    texts = pc.binary_join(pa.LargeListArray.from_arrays(offsets, toks), " ")
+    uniq = pa.table({"doc_id": pa.array(np.arange(n_unique, dtype=np.int64)),
+                     "text": texts})
+    boiler = " ".join(f"b{w}" for w in rng.integers(0, 100_000, 120))
+    copies = pa.table({
+        "doc_id": pa.array(np.arange(n_copies, dtype=np.int64) + 1_000_000),
+        "text": pa.array([boiler] * n_copies),
+    })
+    # one near-dup of the boilerplate (NOT byte-identical) — must land in
+    # the same component through the rep-level LSH pass
+    near = pa.table({"doc_id": pa.array([5_000_000], pa.int64()),
+                     "text": pa.array([boiler + " zzz"])})
+    ds = ray.data.from_arrow(pa.concat_tables([uniq, copies, near])) \
+        .repartition(64).materialize()
+    with _MemSampler() as mem:
+        t0 = time.time()
+        drop = near_dup_drop_list(ds).materialize()
+        dt = time.time() - t0
+    got = np.sort(np.concatenate([
+        np.asarray(t["doc_id"], dtype=np.int64)
+        for t in __import__("ray").get(drop.to_arrow_refs()) if t.num_rows
+    ] or [np.empty(0, np.int64)]))
+    want = np.concatenate([np.arange(1, n_copies, dtype=np.int64) + 1_000_000,
+                           [5_000_000]])
+    exact = bool(got.size == want.size and np.array_equal(got, np.sort(want)))
+    assert exact, (got.size, want.size)
+    return {"stress": "megadup", "docs": n_unique + n_copies + 1,
+            "exact_copies": n_copies, "dropped": int(got.size),
+            "drop_exact": exact, "sec": round(dt, 1),
+            "driver_private_peak_gib": round(mem.peak_private / 2**30, 2)}
+
+
 def stress_simdup(n: int = 200_000) -> dict:
     """simhash_dup_pairs at scale: token-soup corpus + 2000 planted exact
     twins (hamming 0 -> must all be recovered) and 2000 one-token-append
@@ -819,7 +871,8 @@ STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "embedding": stress_embedding, "minhash": stress_minhash,
             "corpus": stress_corpus, "pillbox": stress_pillbox,
             "temporal": stress_temporal, "knnjoin": stress_knnjoin,
-            "simdup": stress_simdup, "substr": stress_substr,
+            "simdup": stress_simdup, "megadup": stress_megadup,
+            "substr": stress_substr,
             "fuzzy": stress_fuzzy, "simjoin": stress_simjoin,
             "hh": stress_hh, "simjoin_bigdf": stress_simjoin_bigdf}
 
