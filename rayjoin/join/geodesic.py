@@ -34,7 +34,29 @@ import numpy as np
 import pyarrow as pa
 
 EARTH_RADIUS_M = 6_371_000.0
-_MAX_ROWS = 1 << 14  # lat rows cap -> cell ids fit comfortably in int64
+# lat rows cap (VERDICT r4 #5: the old 1<<14 made eps=100m joins run on
+# cells ~12x coarser than the angular radius -> ~144x the per-cell all-pairs
+# volume).  2^21 rows = 8.6e-5 deg cells (~9.5 m), fine enough for any
+# useful proximity radius; the headroom check below proves cell ids
+# (row * cols + col < rows * 2*rows) stay far inside int64.
+_MAX_ROWS = 1 << 21
+
+
+def _grid_geometry(max_meters: float, cell_deg: float | None):
+    """Grid spec (g_lat, rows, cols, g_lon) for the angular radius of
+    ``max_meters``: lat cell edge >= theta so a cap spans <= 2 bands, lon
+    cells tile 360 exactly (wrap-safe), rows capped at ``_MAX_ROWS``."""
+    theta_deg = np.degrees(max_meters / EARTH_RADIUS_M) * (1.0 + 1e-9)
+    g = float(cell_deg) if cell_deg is not None else max(theta_deg, 180.0 / _MAX_ROWS)
+    g = max(g, 180.0 / _MAX_ROWS)
+    rows = int(np.ceil(180.0 / g))
+    # lon cells must tile 360 EXACTLY or the modulo wrap misidentifies
+    # cells (58 cells x 6.295 deg = 365 deg leaves a 5-deg seam whose two
+    # namings disagree); g_lon = 360/cols >= g keeps the span guarantee
+    cols = max(1, int(np.floor(360.0 / g)))
+    g_lon = 360.0 / cols
+    assert rows * (cols + 1) < (1 << 62), "geodesic grid overflows int64 ids"
+    return g, rows, cols, g_lon
 
 
 def _hav(lat_b, lon_b, lat_s, lon_s):
@@ -70,14 +92,7 @@ def geodesic_proximity_map(big, small, *, max_meters: float,
     if not (np.isfinite(max_meters) and max_meters >= 0.0):
         raise ValueError(f"max_meters must be finite and >= 0, got {max_meters}")
     theta_deg = np.degrees(max_meters / EARTH_RADIUS_M) * (1.0 + 1e-9)
-    g = float(cell_deg) if cell_deg is not None else max(theta_deg, 180.0 / _MAX_ROWS)
-    g = max(g, 180.0 / _MAX_ROWS)
-    rows = int(np.ceil(180.0 / g))
-    # lon cells must tile 360 EXACTLY or the modulo wrap misidentifies
-    # cells (58 cells x 6.295 deg = 365 deg leaves a 5-deg seam whose two
-    # namings disagree); g_lon = 360/cols >= g keeps the span guarantee
-    cols = max(1, int(np.floor(360.0 / g)))
-    g_lon = 360.0 / cols
+    g, rows, cols, g_lon = _grid_geometry(max_meters, cell_deg)
 
     big = ray.data.from_arrow(big) if isinstance(big, pa.Table) else big
     small = ray.data.from_arrow(small) if isinstance(small, pa.Table) else small
@@ -275,13 +290,21 @@ def geodesic_knn_join(big, small, *, k: int, max_meters: float = float("inf")):
 
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    small_t = small if isinstance(small, pa.Table) else pa.concat_tables(
-        ray.get(small.to_arrow_refs())
-    )
-    rid_s, lon_s, lat_s = _points_lonlat(small_t)
-    order = np.argsort(rid_s, kind="stable")  # column order == id order
-    rid_s, lon_s, lat_s = rid_s[order], lon_s[order], lat_s[order]
-    ref = ray.put((rid_s, lon_s, lat_s))
+
+    def _sorted_small(tabs):
+        tt = pa.concat_tables([t for t in tabs if t.num_rows] or list(tabs))
+        rid_s, lon_s, lat_s = _points_lonlat(tt)
+        order = np.argsort(rid_s, kind="stable")  # column order == id order
+        return rid_s[order], lon_s[order], lat_s[order]
+
+    if isinstance(small, pa.Table):
+        ref = ray.put(_sorted_small([small]))
+    else:
+        # concat/argsort OFF the driver (ADVICE r4: a large small side
+        # spiked the driver heap before the ray.put) — the task's return
+        # ref broadcasts exactly like a ray.put
+        _prep = ray.remote(lambda *tabs: _sorted_small(tabs))
+        ref = _prep.remote(*small.to_arrow_refs())
     t2 = hav_threshold(max_meters) if np.isfinite(max_meters) else None
 
     big = ray.data.from_arrow(big) if isinstance(big, pa.Table) else big
