@@ -115,6 +115,25 @@ def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
     kernels (no per-key Python).  The segmented running-max-of-end uses the
     rank + segment-base trick so a single ``np.maximum.accumulate`` serves
     every key in the bucket."""
+    # Output island_start/island_end mirror the INPUT type (ADVICE r4:
+    # plain-int64 intervals used to come back silently coerced to
+    # timestamp[us]).  The probe is metadata-only (fetch_if_missing=False,
+    # never a hidden plan execution); an unknown schema keeps the historic
+    # timestamp output.
+    ts_out = True
+    try:
+        sch = ds.schema(fetch_if_missing=False)
+        if sch is not None and start_col in sch.names:
+            ts_out = pa.types.is_timestamp(
+                sch.base_schema.field(start_col).type
+                if hasattr(sch, "base_schema") else sch.field(start_col).type
+            )
+    except Exception:
+        pass
+
+    def _isl(arr: np.ndarray) -> pa.Array:
+        a = pa.array(arr, pa.int64())
+        return a.cast(pa.timestamp("us")) if ts_out else a
 
     def prep(t: pa.Table) -> pa.Table:
         from ..util import knuth_bucket
@@ -135,8 +154,8 @@ def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
         {
             key_col: pa.array([], pa.int64()),
             "island_id": pa.array([], pa.int64()),
-            "island_start": pa.array([], pa.timestamp("us")),
-            "island_end": pa.array([], pa.timestamp("us")),
+            "island_start": _isl(np.empty(0, np.int64)),
+            "island_end": _isl(np.empty(0, np.int64)),
             "n_events": pa.array([], pa.int64()),
         }
     )
@@ -186,8 +205,8 @@ def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
             {
                 key_col: pa.array(isl_key, pa.int64()),
                 "island_id": pa.array(island_id, pa.int64()),
-                "island_start": pa.array(isl_start, pa.int64()).cast(pa.timestamp("us")),
-                "island_end": pa.array(isl_end, pa.int64()).cast(pa.timestamp("us")),
+                "island_start": _isl(isl_start),
+                "island_end": _isl(isl_end),
                 "n_events": pa.array(counts, pa.int64()),
             }
         )

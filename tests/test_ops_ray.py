@@ -1816,10 +1816,28 @@ def test_merge_intervals_vs_brute_force():
     exp = pd.DataFrame(
         rows, columns=["user_id", "island_id", "island_start", "island_end", "n_events"]
     )
-    got["island_start"] = got["island_start"].astype("int64")
-    got["island_end"] = got["island_end"].astype("int64")
+    # int64 input -> int64 output (ADVICE r4: no silent timestamp coercion)
+    assert got["island_start"].dtype == np.int64
+    assert got["island_end"].dtype == np.int64
     exp = exp.astype("int64").sort_values(["user_id", "island_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got.astype("int64"), exp)
+
+    # timestamp input -> timestamp output (the historic behavior, unchanged)
+    t_ts = pa.table({
+        "user_id": pa.array(key),
+        "s": pa.array(s, pa.int64()).cast(pa.timestamp("us")),
+        "e": pa.array(e, pa.int64()).cast(pa.timestamp("us")),
+    })
+    got_ts = (
+        merge_intervals(ray.data.from_arrow(t_ts).repartition(7), num_buckets=16)
+        .to_pandas()
+        .sort_values(["user_id", "island_id"])
+        .reset_index(drop=True)
+    )
+    assert str(got_ts["island_start"].dtype).startswith("datetime64")
+    got_ts["island_start"] = got_ts["island_start"].astype("int64")
+    got_ts["island_end"] = got_ts["island_end"].astype("int64")
+    pd.testing.assert_frame_equal(got_ts.astype("int64"), exp)
 
 
 def test_gopher_rules_vs_python_reference():
