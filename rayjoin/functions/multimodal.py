@@ -24,6 +24,14 @@ MEDIA_SCHEMA_FIELDS = [
 ]
 
 
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constant set)."""
+    x = (x + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
 def _try_import_pil():
     try:
         from PIL import Image  # noqa: F401
@@ -51,26 +59,55 @@ class DecodeImage:
                 "for the deterministic test decoder"
             )
 
-    def _fake_decode(self, payload: bytes) -> np.ndarray:
-        # deterministic: seed from payload bytes -> fixed-size 'embedding'
+    def _fake_decode_batch(self, pay: pa.BinaryArray) -> np.ndarray:
+        """Deterministic fake decoder, fully vectorized over the flat
+        payload buffer (the AudioFeatures pattern): FNV-1a over each row's
+        first 64 bytes (64 numpy column steps, no per-row Python), then a
+        counter-based splitmix64 + Box–Muller turns each 64-bit hash into
+        ``feature_dim`` standard-normal-distributed floats.  Same payload
+        bytes -> same features, independent of batch boundaries."""
         from ..stages.geocode import _FNV_OFFSET, _FNV_PRIME
 
-        h = int(_FNV_OFFSET)
-        for b in payload[:64]:
-            h = ((h ^ b) * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
-        rng = np.random.default_rng(h)
-        return rng.standard_normal(self.feature_dim)
+        n = len(pay)
+        if n == 0:
+            return np.zeros((0, self.feature_dim))
+        bufs = pay.buffers()
+        off_dtype = np.int64 if pa.types.is_large_binary(pay.type) else np.int32
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype, count=n + 1 + pay.offset)[
+            pay.offset : pay.offset + n + 1
+        ].astype(np.int64)
+        data = (
+            np.frombuffer(bufs[2], dtype=np.uint8)
+            if bufs[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        lens = offsets[1:] - offsets[:-1]
+        if pay.null_count:
+            lens = np.where(np.asarray(pa.compute.is_null(pay)), 0, lens)
+        prefix = np.minimum(lens, 64)
+        h = np.full(n, np.uint64(_FNV_OFFSET))
+        prime = np.uint64(_FNV_PRIME)
+        if data.size:
+            rel = np.arange(64, dtype=np.int64)
+            gidx = np.minimum(offsets[:-1][:, None] + rel, data.size - 1)
+            B = data[gidx].astype(np.uint64)
+            for j in range(64):
+                live = j < prefix
+                h = np.where(live, (h ^ B[:, j]) * prime, h)
+        # splitmix64 over (row hash, feature counter) -> two uniforms ->
+        # Box–Muller normal; all (n, feature_dim) array ops
+        d = self.feature_dim
+        c = h[:, None] + (np.arange(d, dtype=np.uint64) + np.uint64(1)) * np.uint64(
+            0x9E3779B97F4A7C15
+        )
+        u1 = _splitmix64(c)
+        u2 = _splitmix64(c ^ np.uint64(0xD6E8FEB86659FD93))
+        f1 = ((u1 >> np.uint64(11)).astype(np.float64) + 1.0) * (2.0 ** -53)
+        f2 = (u2 >> np.uint64(11)).astype(np.float64) * (2.0 ** -53)
+        return np.sqrt(-2.0 * np.log(f1)) * np.cos(2.0 * np.pi * f2)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        payloads = batch["payload"].to_pylist()
-        # the per-row loop IS the codec boundary (a real decoder is a
-        # per-image C call); everything around it is vectorized — output
-        # assembly is one flat buffer + offsets, not per-row Python lists
-        feats = (
-            np.stack([self._fake_decode(p or b"") for p in payloads])
-            if payloads
-            else np.zeros((0, self.feature_dim))
-        )
+        feats = self._fake_decode_batch(batch["payload"].combine_chunks())
         out = batch.drop_columns(["payload"])
         lists = pa.ListArray.from_arrays(
             pa.array(
