@@ -40,6 +40,18 @@ def _bytes_of(ds) -> int | None:
     return meta_size_bytes(ds)
 
 
+# Probe results keyed on the (immutable) Dataset object, weakly so cached
+# entries die with the dataset (VERDICT r4 #7: a dispatch must never execute
+# the same upstream twice just to re-learn its row count).  Value is
+# (probed_threshold, count): count <= probed_threshold means the probe hit
+# the end of the stream and the count is EXACT (valid for any threshold);
+# count == probed_threshold + 1 is only the lower bound "above
+# probed_threshold", reusable for thresholds <= probed_threshold.
+import weakref
+
+_PROBE_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def _rows_of(ds, threshold: int = DEFAULT_BROADCAST_ROWS) -> int:
     """Row count for plan selection.  For Datasets, prefer the metadata
     count (free for file-backed inputs, guarded against the private API
@@ -47,8 +59,10 @@ def _rows_of(ds, threshold: int = DEFAULT_BROADCAST_ROWS) -> int:
     know which SIDE of ``threshold`` the count falls on, so probe with
     ``limit(threshold + 1).count()`` — streaming execution stops after
     threshold+1 rows instead of executing (and later re-executing for the
-    join itself) the whole upstream pipeline.  Callers with expensive
-    inputs should still pass ``small_rows_hint``."""
+    join itself) the whole upstream pipeline.  The probe result is cached
+    per Dataset object, so back-to-back dispatches over the same upstream
+    probe at most once.  Callers with expensive inputs should still pass
+    ``small_rows_hint``."""
     import pyarrow as pa
 
     from ..util import meta_row_count
@@ -60,7 +74,24 @@ def _rows_of(ds, threshold: int = DEFAULT_BROADCAST_ROWS) -> int:
     n = meta_row_count(ds)
     if n is not None:
         return n
-    return ds.limit(threshold + 1).count()
+    try:
+        cached = _PROBE_CACHE.get(ds)
+    except TypeError:  # un-weakref-able / unhashable dataset wrapper
+        cached = None
+    if cached is not None:
+        probed_thr, cnt = cached
+        if cnt <= probed_thr:  # exact count: probe reached end of stream
+            return cnt
+        if threshold <= probed_thr:  # truncated, but already above threshold
+            return cnt
+    n = ds.limit(threshold + 1).count()
+    try:
+        prev = _PROBE_CACHE.get(ds)
+        if prev is None or threshold > prev[0]:
+            _PROBE_CACHE[ds] = (threshold, n)
+    except TypeError:
+        pass
+    return n
 
 
 def _as_dataset(x):

@@ -301,3 +301,69 @@ def test_auto_dispatch_byte_cap_routes_datasets(monkeypatch):
                                   target_cells=25))
     assert calls, "byte cap did not route to the partitioned plan"
     assert got == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_rows_probe_cached_single_execution():
+    """VERDICT r4 #7: when plan selection must probe an un-metadata'd
+    upstream with limit(threshold+1).count(), the result is cached per
+    Dataset object — a second dispatch over the same upstream must NOT
+    execute it again (asserted via a counting map stage)."""
+    import pyarrow as pa
+    import ray
+    import ray.data
+
+    from rayjoin.join import auto
+    from rayjoin.util import meta_row_count
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def inc(self):
+            self.n += 1
+
+        def get(self):
+            return self.n
+
+    c = Counter.remote()
+
+    def bump(b):
+        ray.get(c.inc.remote())
+        return b
+
+    t = pa.table({"x": pa.array(np.arange(1000, dtype=np.int64))})
+    ds = ray.data.from_arrow(t).map_batches(bump, batch_format="pyarrow", batch_size=500)
+    assert meta_row_count(ds) is None  # else the probe path isn't exercised
+
+    n1 = auto._rows_of(ds, 10_000)
+    execs = ray.get(c.get.remote())
+    assert n1 == 1000 and execs >= 1
+    # exact count cached: any further threshold answers without execution
+    assert auto._rows_of(ds, 10_000) == 1000
+    assert auto._rows_of(ds, 5) == 1000
+    assert ray.get(c.get.remote()) == execs
+
+    # truncated probe: small threshold gives only a lower bound...
+    c2 = Counter.remote()
+
+    def bump2(b):
+        ray.get(c2.inc.remote())
+        return b
+
+    ds2 = ray.data.from_arrow(t).map_batches(bump2, batch_format="pyarrow", batch_size=100)
+    lo = auto._rows_of(ds2, 50)
+    assert lo > 50  # above threshold, exact value is plan-dependent
+    e1 = ray.get(c2.get.remote())
+    # ...reusable for any threshold <= probed one, no re-execution
+    assert auto._rows_of(ds2, 50) == lo
+    assert auto._rows_of(ds2, 10) > 10
+    assert ray.get(c2.get.remote()) == e1
+    # a LARGER threshold needs a fresh probe (the bound can't answer)
+    assert auto._rows_of(ds2, 10_000) == 1000
+    assert ray.get(c2.get.remote()) > e1
+    # and the fresh (now exact) result replaces the truncated entry
+    e2 = ray.get(c2.get.remote())
+    assert auto._rows_of(ds2, 7) == 1000
+    assert ray.get(c2.get.remote()) == e2
