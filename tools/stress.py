@@ -426,6 +426,114 @@ def _corpus_shard(ids: np.ndarray, is_dup: bool, n_base: int, off: int) -> pa.Ta
                      "text": texts, "lang": langs})
 
 
+def _gen_corpus_input(sf_dir: str, n: int) -> int:
+    """Ray-task-generated dup-heavy documents.parquet shards (65% unique +
+    35% near-dups); returns n_dup.  Requires an initialized Ray session."""
+    import os
+    import shutil
+
+    import ray
+
+    n_base = int(n * 0.65)
+    n_dup = n - n_base
+    shutil.rmtree(sf_dir, ignore_errors=True)
+    doc_dir = f"{sf_dir}/documents.parquet"
+    os.makedirs(doc_dir)
+
+    @ray.remote
+    def gen(path, lo, hi, is_dup, off):
+        import pyarrow.parquet as pq
+
+        t = _corpus_shard(np.arange(lo, hi, dtype=np.int64), is_dup, n_base, off)
+        pq.write_table(t, path, row_group_size=65536)
+        return t.num_rows
+
+    shard = 131_072
+    off = max(10_000_000, 2 * n)
+    refs = [gen.remote(f"{doc_dir}/base-{i:04d}.parquet", lo,
+                       min(lo + shard, n_base), False, 0)
+            for i, lo in enumerate(range(0, n_base, shard))]
+    refs += [gen.remote(f"{doc_dir}/dup-{i:04d}.parquet", lo,
+                        min(lo + shard, n_dup), True, off)
+             for i, lo in enumerate(range(0, n_dup, shard))]
+    assert sum(ray.get(refs)) == n
+    return n_dup
+
+
+def stress_corpus_resume(n: int = 400_000) -> dict:
+    """VERDICT r4 #4 done-criterion: SIGKILL a checkpointed corpus run
+    mid-dedup, re-invoke the identical command, and the resume completes
+    while recomputing ONLY the missing stages (the filtered checkpoint is
+    reused; the manifest proves the dedup shuffle ran exactly once to
+    completion)."""
+    import json as _json
+    import os
+    import shutil
+    import signal
+    import subprocess
+
+    import ray
+
+    sf_dir = "/tmp/stress_cresume_in"
+    out_dir = "/tmp/stress_cresume_out"
+    ck = "/tmp/stress_cresume_ck"
+    for d in (out_dir, ck):
+        shutil.rmtree(d, ignore_errors=True)
+    n_dup = _gen_corpus_input(sf_dir, n)
+    # the subprocess owns its own Ray session; release this one's CPUs
+    ray.shutdown()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cmd = [sys.executable, "-m", "rayjoin.pipelines.corpus", "--sf-dir", sf_dir,
+           "--out", out_dir, "--checkpoint-dir", ck, "--num-cpus", "16"]
+    env = dict(os.environ, PYTHONPATH=repo)
+
+    # run 1: SIGKILL the whole process group the moment the filtered
+    # checkpoint lands (atomic rename), i.e. mid-dedup-shuffle
+    p = subprocess.Popen(cmd, cwd=repo, env=env, stdout=subprocess.DEVNULL,
+                         stderr=subprocess.DEVNULL, start_new_session=True)
+    filt_dir = os.path.join(ck, "part=filtered")
+    t0 = time.time()
+    killed_sec = None
+    while p.poll() is None:
+        if os.path.isdir(filt_dir):
+            try:
+                os.killpg(os.getpgid(p.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            killed_sec = round(time.time() - t0, 2)
+            break
+        time.sleep(0.05)
+    p.wait()
+    assert killed_sec is not None, "run completed before the kill window"
+    manifest_path = os.path.join(ck, "_manifest.jsonl")
+    done_after_kill = set()
+    with open(manifest_path) as f:
+        for line in f:
+            if line.strip():
+                done_after_kill.add(_json.loads(line)["partition"])
+    assert "filtered" in done_after_kill and "sink" not in done_after_kill
+
+    # run 2: identical command resumes to completion
+    t1 = time.time()
+    out = subprocess.run(cmd, cwd=repo, env=env, capture_output=True,
+                         text=True, check=True).stdout
+    resume_sec = round(time.time() - t1, 2)
+    m = _json.loads(out.strip().splitlines()[-1])
+    assert "filtered" in m["resumed_stages"], m
+    # drop list ids are a subset of the filtered corpus, so the written
+    # row count must be exactly filtered - dropped
+    assert m["rows_written"] == m["rows_filtered"] - m["rows_dropped_dups"], m
+    assert m["rows_dropped_dups"] >= int(0.9 * n_dup), m
+    return {"stress": "corpus_resume", "docs": n, "planted_dups": n_dup,
+            "killed_after_sec": killed_sec,
+            "stages_done_at_kill": sorted(done_after_kill),
+            "resumed_stages": m["resumed_stages"],
+            "rows_dropped_dups": m["rows_dropped_dups"],
+            "rows_written": m["rows_written"],
+            "resume_sec": resume_sec}
+
+
 def stress_corpus(n: int = 1_000_000) -> dict:
     """Dup-heavy end-to-end corpus build (VERDICT r2 #2 done-criterion):
     ~35% near-dup rate at >= 1M docs, forced through the distributed
@@ -869,7 +977,8 @@ def stress_geodesic(n: int = 5_000_000, ns: int = 200_000) -> dict:
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "dbscan": stress_dbscan, "geodesic": stress_geodesic,
             "embedding": stress_embedding, "minhash": stress_minhash,
-            "corpus": stress_corpus, "pillbox": stress_pillbox,
+            "corpus": stress_corpus, "corpus_resume": stress_corpus_resume,
+            "pillbox": stress_pillbox,
             "temporal": stress_temporal, "knnjoin": stress_knnjoin,
             "simdup": stress_simdup, "megadup": stress_megadup,
             "substr": stress_substr,
@@ -915,8 +1024,8 @@ def main(argv=None):
     sys.path.insert(0, ".")
     fn = STRESSES[args.which]
     kwargs = {"n": args.n} if args.n and args.which in (
-        "embedding", "corpus", "pillbox", "temporal", "knnjoin",
-        "dbscan", "geodesic") else {}
+        "embedding", "corpus", "corpus_resume", "pillbox", "temporal",
+        "knnjoin", "dbscan", "geodesic") else {}
     print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
