@@ -83,6 +83,7 @@ def bench_queries():
     sf = SF_DIR
     out = {}
     rows = {}
+    audit = {}
 
     # warm the page cache (measure compute+shuffle, not first disk read)
     for t in ("events", "part", "customer", "supplier", "documents"):
@@ -98,7 +99,9 @@ def bench_queries():
         # then best-of-N timed passes, since co-tenant noise on this shared
         # box is ±20% run-to-run and bimodal (THP compaction stalls the
         # allocation-heavy queries)
+        t0 = time.time()
         fn()
+        warm_sec = time.time() - t0
         samples = []
         for _ in range(reps):
             t0 = time.time()
@@ -117,6 +120,11 @@ def bench_queries():
             extra += 1
         out[name] = round(min(samples), 3)
         rows[name] = r
+        # full sample record (ADVICE r4: keep cross-round comparisons and
+        # dispersion auditable — the headline stays best-of, but the warm
+        # pass and every timed sample are in the JSON)
+        audit[name] = {"warm_sec": round(warm_sec, 3),
+                       "samples_sec": [round(s, 3) for s in samples]}
 
     # Input construction (parquet decode to in-memory tables/Datasets,
     # fixture synthesis, repartition) happens ONCE out here: the timers
@@ -186,7 +194,7 @@ def bench_queries():
     timed("minhash_dedup",
           lambda: _consume(minhash_dedup_pairs(docs, threshold=0.8)), reps=3)
 
-    return out, rows
+    return out, rows, audit
 
 
 def scaling_workload() -> dict:
@@ -245,6 +253,70 @@ def scaling_workload() -> dict:
             "probe_rows_per_sec": round(n / dt)}
 
 
+IO_SCALE_N = int(os.environ.get("GRAFT_IO_SCALE_N", "96000000"))
+IO_INPUT_DIR = os.environ.get("GRAFT_IO_INPUT_DIR", "/tmp/rayjoin_bench_io_input")
+
+
+def _ensure_io_input() -> str:
+    """Ray-task-generated multi-shard parquet input for the I/O-inclusive
+    scaling run (VERDICT r4 #3): 64 shards of (doc_id, url).  Generated once
+    (untimed) and reused by every CPU level so both sides of the scaling
+    ratio read the identical files."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    marker = os.path.join(IO_INPUT_DIR, f".done_{IO_SCALE_N}")
+    if os.path.exists(marker):
+        return IO_INPUT_DIR
+    import shutil
+
+    shutil.rmtree(IO_INPUT_DIR, ignore_errors=True)
+
+    def synth_urls(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["id"].combine_chunks(), dtype=np.int64)
+        sid = pc.cast(pa.array(ids % 997), pa.string())
+        sfull = pc.cast(pa.array(ids), pa.string())
+        urls = pc.binary_join_element_wise(
+            "https://site", sid, ".example/", sfull, "")
+        return pa.table({"doc_id": pa.array(ids, pa.int64()), "url": urls})
+
+    (
+        ray.data.range(IO_SCALE_N, override_num_blocks=64)
+        .map_batches(synth_urls, batch_format="pyarrow")
+        .write_parquet(IO_INPUT_DIR)
+    )
+    open(marker, "w").close()
+    return IO_INPUT_DIR
+
+
+def io_scaling_workload() -> dict:
+    """I/O-INCLUSIVE headline for the two-cluster-size criterion: the full
+    Parquet surface — read_parquet(column-pruned) -> geocode -> quadtree
+    tile + Hilbert -> write_parquet — so the scaling claim covers decode,
+    compute AND encode, not just the compute kernel."""
+    import shutil
+
+    import ray.data
+
+    from rayjoin.stages.geocode import geocode_from_url
+    from rayjoin.stages.tiles import tile_assign
+
+    inp = _ensure_io_input()
+    outdir = f"/tmp/rayjoin_bench_io_out_{NUM_CPUS}_{os.getpid()}"
+    shutil.rmtree(outdir, ignore_errors=True)
+    t0 = time.time()
+    ds = ray.data.read_parquet(inp, columns=["doc_id", "url"])
+    ds = ds.map_batches(geocode_from_url, batch_format="pyarrow")
+    ds = tile_assign(ds, resolution=12)
+    ds.select_columns(["doc_id", "tile_id", "hilbert_id"]).write_parquet(outdir)
+    dt = time.time() - t0
+    shutil.rmtree(outdir, ignore_errors=True)
+    return {"probe_rows": IO_SCALE_N, "sec": round(dt, 3),
+            "probe_rows_per_sec": round(IO_SCALE_N / dt)}
+
+
 def main():
     import ray
 
@@ -259,7 +331,7 @@ def main():
 
     ray.data.DataContext.get_current().enable_progress_bars = False
 
-    secs, rows = bench_queries()
+    secs, rows, audit = bench_queries()
     total = round(sum(secs.values()), 3)
     join_rows = rows["pip_triangle"] + rows["pillbox_5k_self_join"] + rows["prox_points"] + rows["knn_points"]
     join_sec = secs["pip_triangle"] + secs["pillbox_5k_self_join"] + secs["prox_points"] + secs["knn_points"]
@@ -275,13 +347,14 @@ def main():
         "joined_rows_per_sec": round(join_rows / join_sec) if join_sec else None,
         "tiles_per_sec": round(tile_rows / tile_sec) if tile_sec else None,
         "rows": rows,
+        "samples": audit,
     }
     print(json.dumps(result))
     ray.shutdown()
 
 
 def scaling_child():
-    """Run the heavy headline once in this process and print one JSON line."""
+    """Run one headline (compute-only or --io) in this process, print JSON."""
     import ray
 
     ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
@@ -291,65 +364,82 @@ def scaling_child():
     ray.data.DataContext.get_current().enable_progress_bars = False
     # warm workers before timing (cold spawn would bias the high-cpu run)
     _warm_worker_pool(NUM_CPUS)
+    wl = io_scaling_workload if "--io" in sys.argv else scaling_workload
     # one untimed pass absorbs session one-time costs (worker imports the
-    # pool loop missed, plasma first-touch, executor spin-up); then
-    # best-of-2 timed passes so a background hiccup on this shared box
-    # doesn't decide the measurement
-    scaling_workload()
-    r1 = scaling_workload()
-    r2 = scaling_workload()
+    # pool loop missed, plasma first-touch, executor spin-up, and for --io
+    # the one-time input generation + page-cache warm); then best-of-2
+    # timed passes so a background hiccup on this shared box doesn't
+    # decide the measurement
+    wl()
+    r1 = wl()
+    r2 = wl()
     r = r1 if r1["sec"] <= r2["sec"] else r2
+    r["samples_sec"] = sorted([r1["sec"], r2["sec"]])
     r["num_cpus"] = NUM_CPUS
     print(json.dumps(r))
     ray.shutdown()
 
 
 def scaling():
-    def run(ncpu: int) -> dict:
+    def run(ncpu: int, io: bool = False) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        args = [sys.executable,
+                os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
+                "--scaling-child"]
+        if io:
+            args.append("--io")
         out = subprocess.run(
-            [sys.executable, os.path.join(os.path.dirname(__file__) or ".", "bench.py"),
-             "--scaling-child"],
-            env=env,
-            capture_output=True,
-            text=True,
-            check=True,
+            args, env=env, capture_output=True, text=True, check=True
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
     lo, hi = 8, 32
-    # This box's THP-compaction mode is bimodal (documented in BASELINE.md:
-    # khugepaged/kcompactd stall allocation-heavy phases for whole runs), so
-    # the measurement is bounded best-of-N — and SYMMETRIC (ADVICE r3: the
-    # r3 hi-side-only retry biased the ratio upward by construction): every
-    # retry round re-runs BOTH sides and keeps each side's fastest, so the
-    # efficiency is always a ratio of identically-sampled minima.
-    r_lo, r_hi = run(lo), run(hi)
-    attempts = 1
-    while attempts < 3:
+
+    def measure(io: bool):
+        # This box's THP-compaction mode is bimodal (documented in
+        # BASELINE.md: khugepaged/kcompactd stall allocation-heavy phases
+        # for whole runs), so the measurement is bounded best-of-N — and
+        # SYMMETRIC (ADVICE r3: the r3 hi-side-only retry biased the ratio
+        # upward by construction): every retry round re-runs BOTH sides and
+        # keeps each side's fastest, so the efficiency is always a ratio of
+        # identically-sampled minima.
+        r_lo, r_hi = run(lo, io), run(hi, io)
+        attempts = 1
+        while attempts < 3:
+            eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+            if eff >= 0.85:
+                break
+            nlo, nhi = run(lo, io), run(hi, io)
+            attempts += 1
+            if nlo["sec"] < r_lo["sec"]:
+                r_lo = nlo
+            if nhi["sec"] < r_hi["sec"]:
+                r_hi = nhi
         eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
-        if eff >= 0.85:
-            break
-        nlo, nhi = run(lo), run(hi)
-        attempts += 1
-        if nlo["sec"] < r_lo["sec"]:
-            r_lo = nlo
-        if nhi["sec"] < r_hi["sec"]:
-            r_hi = nhi
-    eff = (r_lo["sec"] / r_hi["sec"]) / (hi / lo)
+        return {
+            "sec_8": r_lo["sec"],
+            "sec_32": r_hi["sec"],
+            "probe_rows": r_lo["probe_rows"],
+            "rows_per_sec_8": r_lo["probe_rows_per_sec"],
+            "rows_per_sec_32": r_hi["probe_rows_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+            "attempts": attempts,
+        }
+
+    compute = measure(io=False)
+    io_incl = measure(io=True)
     print(
         json.dumps(
             {
                 "workload": "geocode+tile+hilbert over %s synthesized pages (tiles/sec)"
                 % os.environ.get("GRAFT_SCALE_N", "480000000"),
-                "sec_8": r_lo["sec"],
-                "sec_32": r_hi["sec"],
-                "probe_rows": r_lo["probe_rows"],
-                "rows_per_sec_8": r_lo["probe_rows_per_sec"],
-                "rows_per_sec_32": r_hi["probe_rows_per_sec"],
-                "scaling_efficiency": round(eff, 3),
-                "attempts": attempts,
+                **compute,
                 "sf": SF_DIR,
+                "io_inclusive": {
+                    "workload": "read_parquet(64 shards) -> geocode -> tile "
+                    "-> write_parquet over %d rows" % IO_SCALE_N,
+                    **io_incl,
+                },
             }
         )
     )
