@@ -3956,6 +3956,61 @@ GROUP BY o_orderstatus
 """
 
 
+def q_jsonl_source(sf_dir: str):
+    """Line-oriented ingest (sources/textlines.py): documents exported as
+    Ray-task-written JSONL shards, streamed back with ``read_json``, and
+    the FULL round-tripped table is returned — the driver's value hash
+    verifies every id, lang tag and UTF-8 text byte survived the format,
+    against the ORIGINAL parquet (so a writer/reader escaping bug cannot
+    self-cancel)."""
+    import os
+
+    from ..sources.textlines import read_documents_jsonl, write_jsonl_shards
+
+    out = f"/tmp/rayjoin_jsonl_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_jsonl_shards(sf_dir, out, num_shards=8)
+    ds = read_documents_jsonl(out)
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "lang", "text"]), batch_format="pyarrow"
+    )
+
+
+SQL_JSONL_SOURCE = "SELECT doc_id, lang, text FROM documents"
+
+
+def q_csv_source(sf_dir: str):
+    """CSV ingest (sources/textlines.py): events exported as Ray-task-
+    written CSV shards (floats pre-floored to integer cents, timestamps to
+    int64 micros — the export surface refuses decimal-float round-trip
+    hazards by construction), streamed back with ``read_csv`` under an
+    explicit schema, timestamps reconstructed, FULL table returned."""
+    import os
+
+    from ..sources.textlines import read_events_csv, write_csv_shards
+
+    out = f"/tmp/rayjoin_csv_{os.path.basename(os.path.normpath(sf_dir))}"
+    write_csv_shards(sf_dir, out, num_shards=8)
+    ds = read_events_csv(out)
+
+    def restore(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "ts": pc.cast(t["ts_us"], pa.timestamp("us")),
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "value_cents": t["value_cents"],
+        })
+
+    return ds.map_batches(restore, batch_format="pyarrow")
+
+
+SQL_CSV_SOURCE = """
+SELECT event_id, ts, user_id, event_type,
+       CAST(FLOOR(value * 100.0) AS BIGINT) AS value_cents
+FROM events
+"""
+
+
 def q_bbox_pruned_read(sf_dir: str):
     """Spatial predicate pushdown at the READ (stages/sink.py): geocoded
     docs land as Hilbert-partitioned parquet, a zone-map manifest is built
@@ -4804,6 +4859,8 @@ def build_queries():
         "anti_join_lineitem": q_anti_join_lineitem,
         "topk_orders": q_topk_orders,
         "filtered_read": q_filtered_read,
+        "jsonl_source": q_jsonl_source,
+        "csv_source": q_csv_source,
         "bbox_pruned_read": q_bbox_pruned_read,
         "distinct_flags": q_distinct_flags,
         "asof_last_purchase": q_asof_last_purchase,
@@ -4924,6 +4981,8 @@ def build_queries():
         "anti_join_lineitem": SQL_ANTI_JOIN,
         "topk_orders": SQL_TOPK,
         "filtered_read": SQL_FILTERED_READ,
+        "jsonl_source": SQL_JSONL_SOURCE,
+        "csv_source": SQL_CSV_SOURCE,
         "bbox_pruned_read": _sql_bbox_pruned_read(),
         "distinct_flags": SQL_DISTINCT,
         "asof_last_purchase": SQL_ASOF,

@@ -1,0 +1,139 @@
+"""Line-oriented source formats: JSONL and CSV.
+
+A web corpus rarely arrives as parquet — crawls land as newline-delimited
+JSON (one document per line) and logs as CSV.  This module gives the
+engine those two ingest surfaces with the same scale shape as the parquet
+path:
+
+- WRITERS are one Ray task per shard (the resumable-job shape: a 100 TB
+  export is a fleet of independent shard tasks, each encoding its slice
+  worker-locally; at gate scale each task re-reads the small parquet with
+  pruned columns and keeps its hash residue).
+- READERS are plain ``ray.data.read_json`` / ``read_csv`` — pyarrow's
+  block-level JSON/CSV decoders, streaming one task per file shard.
+
+Round-trip fidelity notes (pinned by tests/gate rows):
+- JSONL: UTF-8 text survives exactly (json escapes control chars; pyarrow
+  reads them back); int64 ids survive exactly.
+- CSV: only int64 + string columns are written (floats are pre-floored to
+  integer cents at EXPORT time, timestamps to int64 micros) — decimal
+  float round-trips are a format hazard, so the export surface refuses
+  them by construction rather than hoping the writer picked 17 digits.
+"""
+
+from __future__ import annotations
+
+import os
+
+JSONL_COLUMNS = ["doc_id", "lang", "text"]
+CSV_COLUMNS = ["event_id", "ts_us", "user_id", "event_type", "value_cents"]
+
+
+def _marker(outdir: str, tag: str) -> str:
+    return os.path.join(outdir, f".complete_{tag}")
+
+
+def write_jsonl_shards(sf_dir: str, outdir: str, num_shards: int = 8) -> str:
+    """Export ``documents`` (doc_id, lang, text) as ``num_shards`` JSONL
+    shards, one Ray task per shard (task i keeps rows with
+    ``doc_id % num_shards == i``).  Idempotent per (sf_dir, num_shards):
+    a completion marker skips the rewrite so gate reruns are read-only."""
+    import ray
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{num_shards}"
+    if os.path.exists(_marker(outdir, tag)):
+        return outdir
+    import shutil
+
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir)
+
+    @ray.remote
+    def shard(i: int) -> int:
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/documents.parquet", columns=JSONL_COLUMNS)
+        mask = (t["doc_id"].to_numpy() % num_shards) == i
+        df = t.to_pandas()[mask]
+        # lines=True -> one JSON object per row; pandas escapes correctly
+        df.to_json(os.path.join(outdir, f"part-{i:05d}.jsonl"),
+                   orient="records", lines=True, force_ascii=False)
+        return int(mask.sum())
+
+    ray.get([shard.remote(i) for i in range(num_shards)])
+    open(_marker(outdir, tag), "w").close()
+    return outdir
+
+
+def read_documents_jsonl(indir: str):
+    """Stream the JSONL export back: one read task per shard file."""
+    import ray.data
+
+    files = sorted(
+        os.path.join(indir, f) for f in os.listdir(indir)
+        if f.endswith(".jsonl")
+    )
+    return ray.data.read_json(files)
+
+
+def write_csv_shards(sf_dir: str, outdir: str, num_shards: int = 8) -> str:
+    """Export ``events`` as CSV shards, one Ray task per shard.  Floats
+    are floored to integer cents and timestamps cast to int64 micros AT
+    EXPORT (see module docstring); strings are quoted by the writer, so
+    embedded commas/newlines survive."""
+    import ray
+
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{num_shards}"
+    if os.path.exists(_marker(outdir, tag)):
+        return outdir
+    import shutil
+
+    shutil.rmtree(outdir, ignore_errors=True)
+    os.makedirs(outdir)
+
+    @ray.remote
+    def shard(i: int) -> int:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.csv as pacsv
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/events.parquet",
+                          columns=["event_id", "ts", "user_id", "event_type",
+                                   "value"])
+        mask = (t["event_id"].to_numpy() % num_shards) == i
+        t = t.filter(pa.array(mask))
+        out = pa.table({
+            "event_id": t["event_id"],
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+            "user_id": t["user_id"],
+            "event_type": t["event_type"],
+            "value_cents": pc.cast(
+                pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()),
+        })
+        pacsv.write_csv(out, os.path.join(outdir, f"part-{i:05d}.csv"))
+        return out.num_rows
+
+    ray.get([shard.remote(i) for i in range(num_shards)])
+    open(_marker(outdir, tag), "w").close()
+    return outdir
+
+
+def read_events_csv(indir: str):
+    """Stream the CSV export back: one read task per shard file, with an
+    EXPLICIT column schema (int64/string) — inference on an empty or
+    all-null shard would drift types between shards."""
+    import pyarrow as pa
+    import pyarrow.csv as pacsv
+    import ray.data
+
+    files = sorted(
+        os.path.join(indir, f) for f in os.listdir(indir)
+        if f.endswith(".csv")
+    )
+    convert = pacsv.ConvertOptions(column_types={
+        "event_id": pa.int64(), "ts_us": pa.int64(), "user_id": pa.int64(),
+        "event_type": pa.string(), "value_cents": pa.int64(),
+    })
+    return ray.data.read_csv(files, convert_options=convert)
