@@ -55,6 +55,8 @@ def write_jsonl_shards(sf_dir: str, outdir: str, num_shards: int = 8) -> str:
 
         t = pq.read_table(f"{sf_dir}/documents.parquet", columns=JSONL_COLUMNS)
         mask = (t["doc_id"].to_numpy() % num_shards) == i
+        if not mask.any():
+            return 0  # pyarrow.json rejects empty files — skip the shard
         df = t.to_pandas()[mask]
         # lines=True -> one JSON object per row; pandas escapes correctly
         df.to_json(os.path.join(outdir, f"part-{i:05d}.jsonl"),
@@ -67,13 +69,22 @@ def write_jsonl_shards(sf_dir: str, outdir: str, num_shards: int = 8) -> str:
 
 
 def read_documents_jsonl(indir: str):
-    """Stream the JSONL export back: one read task per shard file."""
+    """Stream the JSONL export back: one read task per shard file.  An
+    all-empty export (writer skips empty shards) reads back as a zero-row
+    dataset with the pinned schema, not a reader error."""
+    import pyarrow as pa
     import ray.data
 
     files = sorted(
         os.path.join(indir, f) for f in os.listdir(indir)
         if f.endswith(".jsonl")
     )
+    if not files:
+        return ray.data.from_arrow(pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "text": pa.array([], pa.string()),
+        }))
     return ray.data.read_json(files)
 
 
@@ -132,6 +143,14 @@ def read_events_csv(indir: str):
         os.path.join(indir, f) for f in os.listdir(indir)
         if f.endswith(".csv")
     )
+    if not files:
+        return ray.data.from_arrow(pa.table({
+            "event_id": pa.array([], pa.int64()),
+            "ts_us": pa.array([], pa.int64()),
+            "user_id": pa.array([], pa.int64()),
+            "event_type": pa.array([], pa.string()),
+            "value_cents": pa.array([], pa.int64()),
+        }))
     convert = pacsv.ConvertOptions(column_types={
         "event_id": pa.int64(), "ts_us": pa.int64(), "user_id": pa.int64(),
         "event_type": pa.string(), "value_cents": pa.int64(),

@@ -67,3 +67,19 @@ def test_csv_roundtrip_exact(ray_session, tmp_path):
                                pa.int64()),
     }).to_pandas().sort_values("event_id").reset_index(drop=True)
     assert got[list(want.columns)].equals(want)
+
+
+def test_jsonl_sparse_shards_skip_empty(ray_session, tmp_path):
+    """num_shards > populated residues: empty shards are skipped (pyarrow
+    json rejects empty files) and the round trip still returns every row."""
+    import os
+
+    from rayjoin.sources.textlines import (read_documents_jsonl,
+                                           write_jsonl_shards)
+
+    out = str(tmp_path / "jsonl1024")
+    write_jsonl_shards(SF, out, num_shards=1024)
+    n_rows = pq.ParquetFile(f"{SF}/documents.parquet").metadata.num_rows
+    files = [f for f in os.listdir(out) if f.endswith(".jsonl")]
+    assert len(files) < 1024  # more shards than rows -> some skipped
+    assert read_documents_jsonl(out).count() == n_rows
