@@ -297,26 +297,15 @@ def _ensure_io_input() -> str:
     return IO_INPUT_DIR
 
 
-def _process_shard(batch):
-    """One input shard -> one output shard, entirely worker-local:
-    parquet decode (column-pruned), geocode, tile+Hilbert, parquet encode.
-    This is the execution shape of ``rayjoin.job``'s resumable shard
-    runner — the way a partitioned 100 TB pipeline actually runs — and
-    the bulk data never crosses the object store."""
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
+def _io_shard_fn(t):
+    """The per-shard transform for the I/O headline: geocode -> tile ->
+    project.  Decode/encode around it are the library's fused shard
+    executor (``rayjoin.sources.fused.map_parquet_shards``)."""
     from rayjoin.stages.geocode import geocode_from_url
     from rayjoin.stages.tiles import TileAssign
 
-    ta = TileAssign(12, "lat", "lon", True)
-    rows = []
-    for path, out in zip(batch["path"].to_pylist(), batch["out"].to_pylist()):
-        t = pq.read_table(path, columns=["doc_id", "url"])
-        t = ta(geocode_from_url(t)).select(["doc_id", "tile_id", "hilbert_id"])
-        pq.write_table(t, out)
-        rows.append(t.num_rows)
-    return pa.table({"rows": pa.array(rows, pa.int64())})
+    return TileAssign(12, "lat", "lon", True)(geocode_from_url(t)).select(
+        ["doc_id", "tile_id", "hilbert_id"])
 
 
 def io_scaling_workload() -> dict:
@@ -338,24 +327,17 @@ def io_scaling_workload() -> dict:
     virtio disk's writeback — a cluster writes per-node.  The Dataset
     form is still measured and recorded alongside (``io_dataset``) so
     the gap itself stays auditable."""
-    import glob
     import shutil
 
-    import ray.data
+    from rayjoin.sources.fused import map_parquet_shards
 
     inp = _ensure_io_input()
-    files = sorted(glob.glob(os.path.join(inp, "*.parquet")))
     outdir = f"/dev/shm/rayjoin_bench_io_out_{NUM_CPUS}_{os.getpid()}"
     shutil.rmtree(outdir, ignore_errors=True)
-    os.makedirs(outdir)
-    items = [{"path": f, "out": os.path.join(outdir, os.path.basename(f))}
-             for f in files]
     t0 = time.time()
-    total = (
-        ray.data.from_items(items, override_num_blocks=len(items))
-        .map_batches(_process_shard, batch_format="pyarrow", batch_size=1)
-        .sum("rows")
-    )
+    total = map_parquet_shards(
+        inp, _io_shard_fn, columns=["doc_id", "url"], write_dir=outdir
+    ).sum("rows")
     dt = time.time() - t0
     shutil.rmtree(outdir, ignore_errors=True)
     assert total == IO_SCALE_N, (total, IO_SCALE_N)
