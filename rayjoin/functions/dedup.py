@@ -161,10 +161,21 @@ def minhash_dedup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
     (``expand_exact="pairs"``, identical output — members share their rep's
     signatures and verify outcome) or as rep->member stars
     (``expand_exact="star"``, O(m) rows with identical connected components —
-    the tier component consumers use).  Residual over-full buckets of
-    DISTINCT texts (>``bucket_cap`` collisions in one band) emit a star to
-    the bucket-min doc instead of the O(m^2) clique; star candidates still
-    pass through the exact Jaccard verify.
+    the tier component consumers use).
+
+    ``bucket_cap`` semantics (be precise — this is a bounded-memory
+    APPROXIMATION, not free): a band bucket with more than ``bucket_cap``
+    colliding docs emits a star to the bucket-min doc instead of the O(m^2)
+    clique.  Star candidates still pass the exact Jaccard verify, so for a
+    bucket of byte-identical texts (only possible on the direct plan — the
+    shuffle plan pre-collapses them) every star edge verifies at J=1 and
+    connected components are preserved exactly (member-member PAIRS beyond
+    the star are not emitted).  For an over-full bucket of DISTINCT texts,
+    a star edge to a bucket-min that fails the verify can drop real pairs
+    and split a component — at most for families larger than ``bucket_cap``
+    colliding in one band, which no gate/stress corpus reaches.  Set
+    ``bucket_cap=None`` for the unconditional-exact contract (and accept
+    O(m^2) candidate memory on adversarial skew).
     """
     import ray.data
 
@@ -225,14 +236,20 @@ def minhash_dedup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
         out_a, out_b = [], []
         for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
             if bucket_cap is not None and m > bucket_cap:
-                # over-full bucket of DISTINCT texts: star to the bucket-min
-                # doc (ids ascend within the group) — O(m) candidate rows;
-                # components identical under star emission, and the exact
-                # Jaccard verify still gates every emitted pair
+                # over-full bucket: star to the bucket-min doc (ids ascend
+                # within the group) — O(m) candidate rows; the exact Jaccard
+                # verify still gates every emitted pair.  See the bucket_cap
+                # semantics note in the minhash docstring: exact for
+                # identical-text buckets, bounded-memory approximation for
+                # >cap DISTINCT colliders.
                 out_a.append(np.full(m - 1, ids[st], np.int64))
                 out_b.append(ids[st + 1 : st + m])
                 continue
-            ia, ib = np.triu_indices(m, 1)
+            # mask-free i<j expansion: O(output) memory (np.triu_indices
+            # builds an (m,m) mask — fatal for uncapped mega-buckets)
+            cnts = np.arange(m - 1, 0, -1)
+            ia = np.repeat(np.arange(m - 1), cnts)
+            ib = np.arange(m * (m - 1) // 2) - (np.cumsum(cnts) - cnts)[ia] + ia + 1
             out_a.append(ids[st + ia])
             out_b.append(ids[st + ib])
         a = np.concatenate(out_a) if out_a else np.empty(0, np.int64)
@@ -1030,8 +1047,13 @@ def _collapse_exact_texts(ds, *, id_col: str = "doc_id", text_col: str = "text",
     Scale shape: one light (id, hash) scan with per-batch partial
     aggregation feeding ONE small groupby (one row per distinct dup text
     moves); membership + rep filtering run streaming against a broadcast of
-    the dup-group map when it fits (rows AND bytes caps), else via
-    distributed hash joins on the LIGHT rows only (text never shuffles).
+    the dup-group map when it fits (rows AND bytes caps).  Above the caps,
+    MEMBERSHIP comes from a hash join on the light rows, but the rep
+    FILTER is a left_anti ``ds.join(drop_ids)`` that does repartition the
+    full corpus (text included) through the join aggregators — a
+    broadcastable membership doesn't exist there by definition, so one
+    text shuffle is the honest cost of that tier; per-aggregator memory is
+    bounded by the byte-scaled ``_num_join_partitions``.
     """
     import ray
     import ray.data
@@ -1148,7 +1170,8 @@ def _collapse_exact_texts(ds, *, id_col: str = "doc_id", text_col: str = "text",
 def _expand_exact_pairs(verified, members, dup, *, mode: str = "pairs",
                         fill_cols: dict | None = None,
                         broadcast_threshold_rows: int = 50_000_000,
-                        chunk_rows: int = 1_000_000):
+                        chunk_rows: int = 1_000_000,
+                        max_clique_pairs: int = 200_000_000):
     """Re-derive the pairs suppressed by ``_collapse_exact_texts``.
 
     ``verified``: distinct representative-level pairs (id_a < id_b, plus
@@ -1195,12 +1218,32 @@ def _expand_exact_pairs(verified, members, dup, *, mode: str = "pairs",
     if mode != "pairs":
         raise ValueError(f"unknown expand mode {mode!r}")
 
-    # within-group cliques: group members by rep, triu over [rep]+members
+    # within-group cliques: group members by rep, all i<j pairs over
+    # [rep]+members.  NO (m,m) index mask (np.triu_indices builds one —
+    # ~90 GB at m=300k before a single output row): the pair arrays are
+    # generated in O(output) via repeat/arange arithmetic.  Pairs-mode
+    # output is inherently C(m,2) per group, so a group whose clique alone
+    # exceeds ``max_clique_pairs`` (default ~3 GB of pair rows per group)
+    # raises a LOUD, actionable error instead of OOM-killing a worker —
+    # component consumers (drop list, clusters) use expand_exact="star",
+    # which is O(m) and component-identical.
     def group_clique(t: pa.Table) -> pa.Table:
         rep = np.asarray(t["rep_id"].combine_chunks(), dtype=np.int64)
         mem = np.asarray(t["member_id"].combine_chunks(), dtype=np.int64)
         g = np.concatenate([[rep[0]], np.sort(mem)])
-        ia, ib = np.triu_indices(g.size, 1)
+        m = g.size
+        n_pairs = m * (m - 1) // 2
+        if n_pairs > max_clique_pairs:
+            raise ValueError(
+                f"expand_exact='pairs' would emit {n_pairs:,} rows for ONE "
+                f"exact-duplicate group of {m:,} docs (rep {g[0]}); this is "
+                "inherent to pairs-mode output, not a planning artifact — "
+                "use expand_exact='star' (O(m) rows, connected components "
+                "identical) for duplicate-heavy corpora.")
+        counts = np.arange(m - 1, 0, -1)
+        ia = np.repeat(np.arange(m - 1), counts)
+        off = np.cumsum(counts) - counts
+        ib = np.arange(n_pairs) - off[ia] + ia + 1
         return _with_fills(pa.table({
             "id_a": pa.array(g[ia], pa.int64()),
             "id_b": pa.array(g[ib], pa.int64()),
@@ -1314,6 +1357,13 @@ def _expand_exact_pairs(verified, members, dup, *, mode: str = "pairs",
         pa.table({"id_b": pa.array([], pa.int64()),
                   "xb": pa.array([], pa.int64())}))
     j = verified.join(ra, "left_outer", nparts, on=("id_a",))
+    # the FIRST join's aggregators can themselves emit schemaless zero-row
+    # blocks, which crash the second join's acero key resolution ("No match
+    # ... for key field id_b") — scrub the intermediate too, not just the
+    # inputs (review finding r5: observed flaky ArrowInvalid here)
+    j = drop_schemaless_empty_blocks(j, pa.table(
+        {**{c: pa.array([], pa.int64()) for c in out_cols},
+         "xa": pa.array([], pa.int64())}))
     j = j.join(rb, "left_outer", nparts, on=("id_b",))
 
     def finish(t: pa.Table) -> pa.Table:
@@ -1719,7 +1769,14 @@ def simhash_dup_pairs(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 ia = np.zeros(m - 1, np.int64)
                 ib = np.arange(1, m, dtype=np.int64)
             else:
-                ia, ib = np.triu_indices(m, 1)
+                # mask-free i<j expansion (no (m,m) triu mask): with the
+                # default cap=None, exact-dup pre-collapse already bounds m
+                # for identical texts, but distinct-text collisions are
+                # unbounded — keep memory O(output)
+                cnts = np.arange(m - 1, 0, -1)
+                ia = np.repeat(np.arange(m - 1), cnts)
+                ib = (np.arange(m * (m - 1) // 2)
+                      - (np.cumsum(cnts) - cnts)[ia] + ia + 1)
             sa, sb = sim[st + ia], sim[st + ib]
             ham = _popcount64(np.bitwise_xor(sa, sb).view(np.uint64))
             ok = ham <= max_hamming

@@ -117,9 +117,13 @@ def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
     every key in the bucket."""
     # Output island_start/island_end mirror the INPUT type (ADVICE r4:
     # plain-int64 intervals used to come back silently coerced to
-    # timestamp[us]).  The probe is metadata-only (fetch_if_missing=False,
-    # never a hidden plan execution); an unknown schema keeps the historic
-    # timestamp output.
+    # timestamp[us]).  The type decision travels WITH the data: ``prep``
+    # stamps a constant ts_flag column from the batch's ACTUAL dtype, so a
+    # lazy (map_batches-built) upstream whose driver-side schema probe
+    # returns None still mirrors correctly (review finding r5: the
+    # metadata-only probe silently fell back to timestamps there).  The
+    # driver probe below only decides the schema of an all-empty result,
+    # where no batch exists to consult.
     ts_out = True
     try:
         sch = ds.schema(fetch_if_missing=False)
@@ -131,9 +135,9 @@ def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
     except Exception:
         pass
 
-    def _isl(arr: np.ndarray) -> pa.Array:
+    def _isl(arr: np.ndarray, as_ts: bool) -> pa.Array:
         a = pa.array(arr, pa.int64())
-        return a.cast(pa.timestamp("us")) if ts_out else a
+        return a.cast(pa.timestamp("us")) if as_ts else a
 
     def prep(t: pa.Table) -> pa.Table:
         from ..util import knuth_bucket
@@ -142,20 +146,23 @@ def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
         part = knuth_bucket(key, num_buckets)
         s = t[start_col]
         e = t[end_col]
-        if pa.types.is_timestamp(s.type):
+        was_ts = pa.types.is_timestamp(s.type)
+        if was_ts:
             s = pc.cast(pc.cast(s, pa.timestamp("us")), pa.int64())
             e = pc.cast(pc.cast(e, pa.timestamp("us")), pa.int64())
         return pa.table(
             {key_col: t[key_col], "s": s, "e": e,
-             "part": pa.array(part, pa.int64())}
+             "part": pa.array(part, pa.int64()),
+             "ts_flag": pa.array(
+                 np.full(t.num_rows, int(was_ts), np.int64), pa.int64())}
         )
 
     out_empty = pa.table(
         {
             key_col: pa.array([], pa.int64()),
             "island_id": pa.array([], pa.int64()),
-            "island_start": _isl(np.empty(0, np.int64)),
-            "island_end": _isl(np.empty(0, np.int64)),
+            "island_start": _isl(np.empty(0, np.int64), ts_out),
+            "island_end": _isl(np.empty(0, np.int64), ts_out),
             "n_events": pa.array([], pa.int64()),
         }
     )
@@ -163,6 +170,8 @@ def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
     def per_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return out_empty
+        # input schema is uniform, so every row agrees on the flag
+        as_ts = bool(t["ts_flag"][0].as_py())
         key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
         s = np.asarray(t["s"].combine_chunks(), dtype=np.int64)
         e = np.asarray(t["e"].combine_chunks(), dtype=np.int64)
@@ -205,8 +214,8 @@ def merge_intervals(ds, *, key_col: str = "user_id", start_col: str = "s",
             {
                 key_col: pa.array(isl_key, pa.int64()),
                 "island_id": pa.array(island_id, pa.int64()),
-                "island_start": _isl(isl_start),
-                "island_end": _isl(isl_end),
+                "island_start": _isl(isl_start, as_ts),
+                "island_end": _isl(isl_end, as_ts),
                 "n_events": pa.array(counts, pa.int64()),
             }
         )

@@ -32,6 +32,19 @@ def _fp(*parts) -> str:
 
 
 def _file_fp(path: str) -> str:
+    """Input fingerprint.  For a DIRECTORY input (sharded parquet), hash
+    the sorted entries' (name, size, mtime): POSIX directory mtime changes
+    only on entry create/delete/rename, so a shard rewritten in place
+    would otherwise sail through as 'unchanged' and a resumed run would
+    silently reuse a stale checkpoint (review finding r5)."""
+    if os.path.isdir(path):
+        parts = []
+        for f in sorted(os.listdir(path)):
+            p = os.path.join(path, f)
+            if os.path.isfile(p):
+                st = os.stat(p)
+                parts.append(f"{f}:{st.st_size}:{int(st.st_mtime)}")
+        return f"{path}:[{'|'.join(parts)}]"
     st = os.stat(path)
     return f"{path}:{st.st_size}:{int(st.st_mtime)}"
 

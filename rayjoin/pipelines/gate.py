@@ -3816,13 +3816,19 @@ def q_merge_intervals(sf_dir: str):
     )
 
     def spans(t: pa.Table) -> pa.Table:
+        # spans ARE timestamps — emit them typed as such; merge_intervals
+        # mirrors the input type from the data itself (int64 in -> int64
+        # out), so leaning on the old lazy-schema timestamp fallback here
+        # would be depending on the exact coercion bug it fixed
         s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
         dur = pc.multiply(
             pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()),
             pa.scalar(1_000_000, pa.int64()),
         )
         return pa.table(
-            {"user_id": t["user_id"], "s": s, "e": pc.add(s, dur)}
+            {"user_id": t["user_id"],
+             "s": pc.cast(s, pa.timestamp("us")),
+             "e": pc.cast(pc.add(s, dur), pa.timestamp("us"))}
         )
 
     return merge_intervals(ev.map_batches(spans, batch_format="pyarrow"))

@@ -33,14 +33,39 @@ def _marker(outdir: str, tag: str) -> str:
     return os.path.join(outdir, f".complete_{tag}")
 
 
+def _source_fp(path: str) -> str:
+    """Input fingerprint for the idempotence marker: a regenerated source
+    (same path, new contents) must invalidate the export.  Files hash by
+    (size, mtime); a directory source hashes its sorted parquet ENTRIES'
+    (name, size, mtime) — the directory's own stat doesn't change when a
+    shard is rewritten in place."""
+    import hashlib
+
+    def one(p):
+        st = os.stat(p)
+        return f"{os.path.basename(p)}:{st.st_size}:{int(st.st_mtime)}"
+
+    if os.path.isdir(path):
+        parts = sorted(
+            one(os.path.join(path, f)) for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+    else:
+        parts = [one(path)]
+    return hashlib.sha256("|".join(parts).encode()).hexdigest()[:12]
+
+
 def write_jsonl_shards(sf_dir: str, outdir: str, num_shards: int = 8) -> str:
     """Export ``documents`` (doc_id, lang, text) as ``num_shards`` JSONL
     shards, one Ray task per shard (task i keeps rows with
     ``doc_id % num_shards == i``).  Idempotent per (sf_dir, num_shards):
-    a completion marker skips the rewrite so gate reruns are read-only."""
+    a completion marker (keyed on the SOURCE fingerprint too — a
+    regenerated documents.parquet invalidates it) skips the rewrite so
+    gate reruns are read-only."""
     import ray
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{num_shards}"
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}_{num_shards}_"
+           f"{_source_fp(os.path.join(sf_dir, 'documents.parquet'))}")
     if os.path.exists(_marker(outdir, tag)):
         return outdir
     import shutil
@@ -92,10 +117,12 @@ def write_csv_shards(sf_dir: str, outdir: str, num_shards: int = 8) -> str:
     """Export ``events`` as CSV shards, one Ray task per shard.  Floats
     are floored to integer cents and timestamps cast to int64 micros AT
     EXPORT (see module docstring); strings are quoted by the writer, so
-    embedded commas/newlines survive."""
+    embedded commas/newlines survive.  The completion marker is keyed on
+    the source fingerprint (like the JSONL writer)."""
     import ray
 
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{num_shards}"
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}_{num_shards}_"
+           f"{_source_fp(os.path.join(sf_dir, 'events.parquet'))}")
     if os.path.exists(_marker(outdir, tag)):
         return outdir
     import shutil

@@ -1914,3 +1914,68 @@ def test_extract_links_edge_cases():
     got = extract_links_batch(html, ids).to_pandas()
     rows = list(zip(got.doc_id, got.link_idx, got.href))
     assert rows == [(10, 0, "u1"), (10, 1, "u2"), (40, 0, ""), (40, 1, "u3")]
+
+
+def test_merge_intervals_lazy_input_mirrors_type(ray_session):
+    """Type mirroring must come from the DATA, not the driver-side schema
+    probe: a lazy map_batches-built upstream has schema None, and int64
+    intervals must still come back int64 (review finding r5 — the
+    metadata-only probe silently fell back to timestamp[us] there)."""
+    import ray.data
+
+    from rayjoin.functions.stream import merge_intervals
+
+    t = pa.table({
+        "user_id": pa.array([1, 1, 2], pa.int64()),
+        "s": pa.array([0, 5, 100], pa.int64()),
+        "e": pa.array([10, 20, 110], pa.int64()),
+    })
+    lazy = ray.data.from_arrow(t).map_batches(lambda b: b,
+                                              batch_format="pyarrow")
+    out = merge_intervals(lazy, num_buckets=4).to_pandas()
+    assert out["island_start"].dtype.kind == "i"  # int64 in -> int64 out
+    assert sorted(out["n_events"]) == [1, 2]
+
+    ts = pa.table({
+        "user_id": t["user_id"],
+        "s": pa.compute.cast(t["s"], pa.timestamp("us")),
+        "e": pa.compute.cast(t["e"], pa.timestamp("us")),
+    })
+    lazy_ts = ray.data.from_arrow(ts).map_batches(lambda b: b,
+                                                  batch_format="pyarrow")
+    out_ts = merge_intervals(lazy_ts, num_buckets=4).to_pandas()
+    assert out_ts["island_start"].dtype.kind == "M"  # ts in -> ts out
+
+
+def test_expand_exact_pairs_clique_guard(ray_session):
+    """pairs-mode expansion of an exact-dup group whose clique exceeds
+    max_clique_pairs raises a loud, actionable error (review finding r5:
+    np.triu_indices used to OOM the worker instead), while star mode
+    handles the same group in O(m)."""
+    import ray.data
+
+    from rayjoin.functions.dedup import _expand_exact_pairs
+
+    empty_pairs = ray.data.from_arrow(pa.table({
+        "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64()),
+    }))
+    members = ray.data.from_arrow(pa.table({
+        "rep_id": pa.array([0] * 50, pa.int64()),
+        "member_id": pa.array(range(1, 51), pa.int64()),
+    }))
+    dup = ray.data.from_arrow(pa.table({
+        "content_hash": pa.array([7], pa.int64()),
+        "rep_id": pa.array([0], pa.int64()),
+    })).materialize()
+
+    with pytest.raises(Exception, match="expand_exact='star'"):
+        _expand_exact_pairs(empty_pairs, members, dup, mode="pairs",
+                            max_clique_pairs=100).to_pandas()
+
+    ok = _expand_exact_pairs(empty_pairs, members, dup, mode="pairs",
+                             max_clique_pairs=10_000).to_pandas()
+    assert len(ok) == 51 * 50 // 2  # full clique incl. the rep
+
+    star = _expand_exact_pairs(empty_pairs, members, dup,
+                               mode="star").to_pandas()
+    assert len(star) == 50  # O(m) rows
