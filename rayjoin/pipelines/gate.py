@@ -2838,6 +2838,95 @@ def q_ann_ivf(sf_dir: str):
     return ann_ivf_topk(ds, q, qids, k=5, n_lists=8, nprobe=4)
 
 
+KMEANS_K = 4
+KMEANS_ITERS = 2
+KMEANS_QUANT_BITS = 20
+SEMDEDUP_THRESHOLD = 0.5
+
+
+def q_kmeans_assign(sf_dir: str):
+    """Distributed Lloyd k-means (k lowest-id init, quantized centroid
+    updates, ties to the lower cluster id) — integer-only output
+    ``(vec_id, cluster)`` so the DuckDB twin hash-checks the full fit."""
+    import ray.data
+
+    from ..functions.kmeans import kmeans_assign
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return kmeans_assign(
+        ds, k=KMEANS_K, iters=KMEANS_ITERS, quant_bits=KMEANS_QUANT_BITS)
+
+
+def q_semdedup_drop(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023): k-means clusters, then drop every
+    vector with a smaller-id cosine>=threshold neighbour in its cluster."""
+    import ray.data
+
+    from ..functions.kmeans import semdedup_drop_list
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return semdedup_drop_list(
+        ds, threshold=SEMDEDUP_THRESHOLD, k=KMEANS_K, iters=KMEANS_ITERS,
+        quant_bits=KMEANS_QUANT_BITS)
+
+
+def sql_kmeans_cte(*, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+                   dim: int = 64, quant_bits: int = KMEANS_QUANT_BITS) -> str:
+    """WITH-clause twin of ``functions.kmeans.kmeans_fit``/``kmeans_assign``:
+    init = k lowest-id vectors; per round, assignment = row_number over
+    (distance, cluster) so ties go to the lower cluster id, update = per-
+    dimension AVG quantized onto the same binary grid as the engine
+    (``FLOOR(x*2^bits + 0.5)/2^bits``), empty clusters vanish via GROUP BY.
+    The final assignment lives in CTE ``a{iters}``."""
+    q = 1 << quant_bits
+    parts = [
+        f"""init AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+         CAST(embedding AS DOUBLE[]) AS cv
+  FROM embeddings ORDER BY vec_id LIMIT {k})"""
+    ]
+    prev = "init"
+    for it in range(iters + 1):
+        parts.append(f"""d{it} AS (
+  SELECT e.vec_id, i.c,
+         list_distance(CAST(e.embedding AS DOUBLE[]), i.cv) AS d
+  FROM embeddings e CROSS JOIN {prev} i)""")
+        parts.append(
+            f"a{it} AS (SELECT vec_id, c FROM (SELECT vec_id, c, "
+            f"row_number() OVER (PARTITION BY vec_id ORDER BY d, c) rn "
+            f"FROM d{it}) WHERE rn = 1)")
+        if it < iters:
+            parts.append(f"""u{it + 1} AS (
+  SELECT a{it}.c AS c, r.i AS ord,
+         FLOOR(AVG(CAST(e.embedding[r.i] AS DOUBLE)) * {q} + 0.5) / {q} AS val
+  FROM a{it} JOIN embeddings e USING (vec_id), range(1, {dim + 1}) AS r(i)
+  GROUP BY a{it}.c, r.i)""")
+            parts.append(
+                f"c{it + 1} AS (SELECT c, list(val ORDER BY ord) AS cv "
+                f"FROM u{it + 1} GROUP BY c)")
+            prev = f"c{it + 1}"
+    return "WITH " + ",\n".join(parts)
+
+
+def sql_kmeans_assign() -> str:
+    return (sql_kmeans_cte()
+            + f"\nSELECT vec_id, c AS cluster FROM a{KMEANS_ITERS}")
+
+
+def sql_semdedup_drop() -> str:
+    a = f"a{KMEANS_ITERS}"
+    return (sql_kmeans_cte() + f"""
+SELECT DISTINCT y.vec_id AS vec_id
+FROM {a} x JOIN {a} y ON x.c = y.c AND x.vec_id < y.vec_id
+JOIN embeddings ea ON ea.vec_id = x.vec_id
+JOIN embeddings eb ON eb.vec_id = y.vec_id
+WHERE list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                             CAST(eb.embedding AS DOUBLE[]))
+      >= {SEMDEDUP_THRESHOLD}""")
+
+
 def q_ann_ivf_exhaustive(sf_dir: str):
     """IVF with nprobe == n_lists scans every list — algebraically equal to
     the brute-force top-k, so the brute-force SQL oracle hash-checks the
@@ -4834,6 +4923,8 @@ def build_queries():
         "exact_substr_cut": q_exact_substr_cut,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "kmeans_assign": q_kmeans_assign,
+        "semdedup_drop": q_semdedup_drop,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
@@ -4958,6 +5049,8 @@ def build_queries():
         "exact_substr_cut": SQL_EXACT_SUBSTR_CUT,
         "fingerprint": sql_fingerprint(),
         "ann_cosine": SQL_ANN,
+        "kmeans_assign": sql_kmeans_assign(),
+        "semdedup_drop": sql_semdedup_drop(),
         "ann_ivf_exhaustive": SQL_ANN,
         "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
         "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,

@@ -29,7 +29,15 @@ def to_pandas(result):
         return result
     if isinstance(result, pa.Table):
         return result.to_pandas()
-    return result.to_pandas()  # ray Dataset
+    df = result.to_pandas()  # ray Dataset
+    if df.empty and not len(df.columns):
+        # Ray quirk: Dataset.to_pandas() loses columns on 0-row datasets
+        # even when ds.schema() is pinned; rebuild from the schema
+        schema = result.schema()
+        df = pd.DataFrame({n: pd.Series(dtype="object") for n in schema.names})
+        for n, t in zip(schema.names, schema.types):
+            df[n] = df[n].astype(pa.table({n: pa.array([], t)}).to_pandas()[n].dtype)
+    return df
 
 
 def canonical(df):
