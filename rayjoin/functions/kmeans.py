@@ -80,12 +80,25 @@ def _init_centroids(ds, *, k: int, id_col: str, vec_col: str):
     return labels, vecs[order]
 
 
+_FAST_ASSIGN_K = 32
+
+
 def _assign(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
-    """Argmin squared-euclidean row index (ties -> lowest index).  The
-    direct (x - c)^2 form — not the ||x||^2 - 2xc + ||c||^2 expansion —
-    keeps rounding behaviour closest to a scalar distance oracle."""
+    """Argmin squared-euclidean row index (ties -> lowest index).
+
+    Small k (the SQL-oracled configs): the direct (x - c)^2 form — not the
+    ||x||^2 - 2xc + ||c||^2 expansion — keeps rounding behaviour closest to
+    a scalar distance oracle.  Large k: the expansion via one matmul (the
+    per-centroid loop would make assignment O(k) passes over X); identical
+    argmin except at ties within float rounding, which real embeddings
+    don't produce — scale path only, never under an exactness oracle."""
     n = X.shape[0]
     kk = centroids.shape[0]
+    if kk > _FAST_ASSIGN_K:
+        d2 = (np.einsum("ij,ij->i", X, X)[:, None]
+              - 2.0 * (X @ centroids.T)
+              + np.einsum("ij,ij->i", centroids, centroids)[None, :])
+        return np.argmin(d2, axis=1)
     d2 = np.empty((n, kk), np.float64)
     for j in range(kk):
         diff = X - centroids[j]
@@ -182,10 +195,54 @@ def kmeans_assign(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
     return ds.select_columns(cols).map_batches(assign, batch_format="pyarrow")
 
 
+def _scan_drops(X: np.ndarray, *, threshold: float, chunk_rows: int,
+                max_rows, depth: int = 0) -> np.ndarray:
+    """Drop mask over rows of unit-normalized ``X`` IN ID ORDER: row j drops
+    iff some earlier row has cosine >= threshold.  Chunked matmul (chunk x m
+    sims in memory, never m x m).  When ``max_rows`` is set and m exceeds
+    it, a LOCAL deterministic k-means splits the rows and each sub-cluster
+    recurses — SemDeDup applied at depth 2+ (an approximation: pairs split
+    across sub-clusters are missed, exactly like the top-level clustering
+    misses cross-cluster pairs).  A no-progress split (every row in one
+    sub-cluster) falls through to the direct scan."""
+    m = len(X)
+    if max_rows is not None and m > max_rows and depth < 8:
+        sub_k = min(m, 2 * -(-m // max_rows))
+        cents = X[:sub_k].copy()  # lowest-id rows, like the top-level init
+        for _ in range(2):
+            a = _assign(X, cents)
+            alive = np.unique(a)
+            sums = np.zeros((len(alive), X.shape[1]))
+            remap = np.searchsorted(alive, a)
+            np.add.at(sums, remap, X)
+            cnt = np.bincount(remap).astype(np.float64)
+            cents = sums / cnt[:, None]
+        a = _assign(X, cents)
+        labs = np.unique(a)
+        if len(labs) > 1:
+            drop = np.zeros(m, bool)
+            for lab in labs:
+                sel = a == lab
+                drop[sel] = _scan_drops(
+                    X[sel], threshold=threshold, chunk_rows=chunk_rows,
+                    max_rows=max_rows, depth=depth + 1)
+            return drop
+    drop = np.zeros(m, bool)
+    cols = np.arange(m)
+    for lo in range(0, m, chunk_rows):
+        hi = min(lo + chunk_rows, m)
+        sims = X[lo:hi] @ X.T  # (chunk, m)
+        # row with global index g drops if any column < g matches
+        # (rows are in id order, so column order == id order)
+        earlier = cols[None, :] < np.arange(lo, hi)[:, None]
+        drop[lo:hi] |= (earlier & (sims >= threshold)).any(axis=1)
+    return drop
+
+
 def semdedup_drop_list(ds, *, threshold: float = 0.5, k: int = 4,
                        iters: int = 2, id_col: str = "vec_id",
                        vec_col: str = "embedding", quant_bits: int = 20,
-                       chunk_rows: int = 1024):
+                       chunk_rows: int = 1024, max_cluster_rows=None):
     """SemDeDup: cluster embeddings, then drop every vector that has a
     SMALLER-id near-duplicate (cosine >= threshold) in its own cluster.
     Returns a Dataset with one ``{id_col}`` column (the drop list).
@@ -193,7 +250,19 @@ def semdedup_drop_list(ds, *, threshold: float = 0.5, k: int = 4,
     The keep-lowest-id rule is the deterministic stand-in for SemDeDup's
     "keep one per duplicate group"; restricting pairs to a cluster is the
     algorithm's defining approximation (cross-cluster near-dups are missed
-    by design — that is the price of linearizing the pair search)."""
+    by design — that is the price of linearizing the pair search).
+
+    Mega-duplicate safety (the minhash pre-collapse, applied here): BYTE-
+    EQUAL vectors inside a cluster are collapsed to their lowest-id
+    representative before the quadratic scan — every other member drops
+    unconditionally (equal vectors have cosine 1 up to rounding; exact for
+    any threshold not within ~1e-12 of 1), and representative-only scanning
+    preserves the drop rule (a's representative has id <= a, so "some
+    earlier rep matches" iff "some earlier row matches").  A boilerplate
+    page embedded 10^5 times costs one lexsort, not O(m^2) sims.
+    ``max_cluster_rows`` additionally sub-splits oversized clusters with a
+    local k-means (a further approximation — off by default and in the
+    SQL-oracled registry query)."""
     assigned = kmeans_assign(
         ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
         quant_bits=quant_bits, carry_vec=True)
@@ -207,17 +276,21 @@ def semdedup_drop_list(ds, *, threshold: float = 0.5, k: int = 4,
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         X = vec_matrix(t[vec_col].combine_chunks()).astype(np.float64)[order]
-        X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-300)
         m = len(ids)
         drop = np.zeros(m, bool)
-        cols = np.arange(m)
-        for lo in range(0, m, chunk_rows):
-            hi = min(lo + chunk_rows, m)
-            sims = X[lo:hi] @ X.T  # (chunk, m)
-            # row with global index g drops if any column < g matches
-            # (ids are sorted, so column order == id order)
-            earlier = cols[None, :] < np.arange(lo, hi)[:, None]
-            drop[lo:hi] |= (earlier & (sims >= threshold)).any(axis=1)
+        # exact collapse: rows are id-sorted, so each byte-equal group's
+        # first occurrence is its lowest-id representative; the rest drop
+        _, first, inv = np.unique(
+            X, axis=0, return_index=True, return_inverse=True)
+        if len(first) < m:
+            drop[first[inv] != np.arange(m)] = True
+        rep_idx = np.sort(first)  # representatives back in id order
+        Xr = X[rep_idx]
+        Xr = Xr / np.maximum(np.linalg.norm(Xr, axis=1, keepdims=True), 1e-300)
+        if len(rep_idx) >= 2:
+            drop[rep_idx] |= _scan_drops(
+                Xr, threshold=threshold, chunk_rows=chunk_rows,
+                max_rows=max_cluster_rows)
         if not drop.any():
             return empty
         return pa.table({id_col: pa.array(ids[drop], pa.int64())})

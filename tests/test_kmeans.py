@@ -122,6 +122,53 @@ def test_semdedup_drops_planted_within_cluster_dups_only():
 
 
 @pytest.mark.usefixtures("ray_session")
+def test_semdedup_exact_collapse_megadup_and_subsplit():
+    """A cluster dominated by byte-identical copies must cost a sort, not a
+    quadratic scan, and the drop list must be unchanged: every copy except
+    the lowest id drops.  With max_cluster_rows forcing a sub-split, exact
+    copies still all land together (assignment is a function of the vector)
+    so the planted truth is preserved."""
+    import ray.data
+
+    from rayjoin.functions.kmeans import semdedup_drop_list
+
+    vecs, _ = _planted(seed=31, per=20, dim=8)
+    n = len(vecs)
+    copies = np.repeat(vecs[[3]], 500, axis=0)  # 500 byte-equal copies
+    all_vecs = np.concatenate([vecs, copies])
+    ds = ray.data.from_arrow(_emb_table(all_vecs)).repartition(4)
+    kw = dict(threshold=0.9999, k=3, iters=2)
+    base = sorted(semdedup_drop_list(ds, **kw).to_pandas()["vec_id"])
+    # all 500 planted copies drop (row 3 keeps, being the lowest id)
+    assert set(range(n, n + 500)) <= set(base)
+    assert 3 not in base
+    # sub-split path: same planted copies recovered; drops form a subset
+    # of the unsplit drops ONLY for near-dups — exact copies never split
+    split = sorted(
+        semdedup_drop_list(ds, max_cluster_rows=64, **kw)
+        .to_pandas()["vec_id"])
+    assert set(range(n, n + 500)) <= set(split)
+    assert set(split) <= set(base)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_semdedup_all_identical_cluster_no_progress_guard():
+    """Every vector identical: the local sub-k-means cannot split (one
+    sub-cluster), the guard falls through to the collapsed scan, and all
+    but the lowest id drop."""
+    import ray.data
+
+    from rayjoin.functions.kmeans import semdedup_drop_list
+
+    vecs = np.repeat([[1.0, 2.0, 3.0, 4.0]], 300, axis=0)
+    ds = ray.data.from_arrow(_emb_table(vecs)).repartition(3)
+    got = sorted(
+        semdedup_drop_list(ds, threshold=0.9, k=2, iters=1,
+                           max_cluster_rows=16).to_pandas()["vec_id"])
+    assert got == list(range(1, 300))
+
+
+@pytest.mark.usefixtures("ray_session")
 def test_semdedup_chunked_matches_unchunked_and_is_deterministic():
     import ray.data
 
