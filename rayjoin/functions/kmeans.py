@@ -16,11 +16,16 @@ exhaustive cosine sweep cannot afford at corpus scale.
   counts per block) in the same kernel, so only tiny partials reach the
   driver — never vectors, never assignments.  No shuffle at all during
   fitting; ``iters`` passes total plus one final assignment pass.
-* The driver-side reduce is O(k * dim * num_blocks) bytes (k=256, dim=1024,
-  10k blocks -> ~20 GB is too big; at that scale raise ``partial_fanin`` so
-  partials pre-combine in a Ray task tree — here the knob exists and the
-  default covers any single-table testdata size).  Partials are reduced in
-  sorted block order so refits are bit-deterministic across runs.
+* The driver-side reduce is O(k * dim * num_blocks) bytes.  At extreme
+  scale (k=256, dim=1024, 100k+ blocks) the partials themselves need a
+  pre-combine ``map_batches`` tier before the pull — straightforward to
+  add since partial tables sum cluster-wise, at the cost of the bit-exact
+  refit guarantee (Ray's batching of partials is not order-stable; the
+  quantized update absorbs the last-bit wobble, so only exact-refit
+  reproducibility weakens, not correctness).  Not wired here: every
+  in-sandbox workload is orders of magnitude below that line.  Partials
+  are reduced in sorted block order (vectorized segmented left fold) so
+  refits are bit-deterministic across runs.
 * Centroid updates are quantized to a fixed binary grid
   (``floor(avg * 2^quant_bits + 0.5) / 2^quant_bits``): float averages
   summed in different orders (Ray blocks vs any SQL oracle's internal
@@ -95,10 +100,16 @@ def _assign(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
     n = X.shape[0]
     kk = centroids.shape[0]
     if kk > _FAST_ASSIGN_K:
-        d2 = (np.einsum("ij,ij->i", X, X)[:, None]
-              - 2.0 * (X @ centroids.T)
-              + np.einsum("ij,ij->i", centroids, centroids)[None, :])
-        return np.argmin(d2, axis=1)
+        # row-chunked so the (chunk, k) distance matrix stays ~32 MB
+        step = max(1, (4 << 20) // kk)
+        cc = np.einsum("ij,ij->i", centroids, centroids)[None, :]
+        out = np.empty(n, np.int64)
+        for lo in range(0, n, step):
+            Xc = X[lo:lo + step]
+            d2 = (np.einsum("ij,ij->i", Xc, Xc)[:, None]
+                  - 2.0 * (Xc @ centroids.T) + cc)
+            out[lo:lo + step] = np.argmin(d2, axis=1)
+        return out
     d2 = np.empty((n, kk), np.float64)
     for j in range(kk):
         diff = X - centroids[j]
@@ -107,11 +118,17 @@ def _assign(X: np.ndarray, centroids: np.ndarray) -> np.ndarray:
 
 
 def kmeans_fit(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
-               vec_col: str = "embedding", quant_bits: int = 20):
+               vec_col: str = "embedding", quant_bits: int = 20,
+               batch_size=None):
     """Lloyd's k-means over ``ds[vec_col]``; returns ``(labels, centroids)``
     where ``labels[i]`` is the original cluster id of ``centroids[i]``
     (clusters that went empty in any round are gone).  ``iters`` update
-    rounds; one streaming pass per round, no shuffle."""
+    rounds; one streaming pass per round, no shuffle.  ``batch_size=None``
+    (the default) feeds whole Ray blocks to the kernel — no splitting or
+    coalescing — so per-batch Python/Arrow overhead amortizes over the
+    BLAS-heavy assignment (Ray's small 1024-row default made the fit
+    launch-bound at scale); the row-chunked ``_assign`` bounds the
+    distance-matrix memory regardless of block size."""
     import ray
 
     labels, cents = _init_centroids(ds, k=k, id_col=id_col, vec_col=vec_col)
@@ -144,26 +161,28 @@ def kmeans_fit(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
                 "key": pa.array(np.full(kk, ids.min(), np.int64), pa.int64()),
             })
 
-        parts = slim.map_batches(partial, batch_format="pyarrow")
+        parts = slim.map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size)
         tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
         pt = pa.concat_tables(tabs)
-        # deterministic reduce: accumulate in (key, c) sorted order
-        order = pa.compute.sort_indices(
-            pt, sort_keys=[("key", "ascending"), ("c", "ascending")]
-        )
-        pt = pt.take(order)
         cs = np.asarray(pt["c"].combine_chunks(), np.int64)
         cnts = np.asarray(pt["cnt"].combine_chunks(), np.int64)
         vs = vec_matrix(pt["vsum"].combine_chunks())
         kk, dim = cents.shape
-        pos = np.searchsorted(labels, cs)
+        # deterministic reduce: re-sort per-cluster (cluster major, block
+        # key minor) and left-fold each cluster segment with reduceat —
+        # np.add.at would sum in unspecified order, breaking bit-exact
+        # refits (float addition is not associative)
+        order2 = np.lexsort((np.asarray(pt["key"].combine_chunks(),
+                                        np.int64), cs))
+        cs, cnts, vs = cs[order2], cnts[order2], vs[order2]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        seg_c = cs[starts]
         sums = np.zeros((kk, dim), np.float64)
         counts = np.zeros(kk, np.int64)
-        # np.add.at is unordered within one call; loop blocks of equal key
-        # instead so addition order is exactly the sorted partial order
-        for i in range(len(cs)):
-            sums[pos[i]] += vs[i]
-            counts[pos[i]] += cnts[i]
+        pos = np.searchsorted(labels, seg_c)
+        sums[pos] = np.add.reduceat(vs, starts, axis=0)
+        counts[pos] = np.add.reduceat(cnts, starts)
         alive = counts > 0
         labels = labels[alive]
         cents = _quantize(sums[alive] / counts[alive, None], quant_bits)
@@ -172,13 +191,15 @@ def kmeans_fit(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
 
 def kmeans_assign(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
                   vec_col: str = "embedding", quant_bits: int = 20,
-                  carry_vec: bool = False):
-    """Fit k-means, then one final streaming pass appending an int64
+                  carry_vec: bool = False, batch_size=None,
+                  fitted=None):
+    """Fit k-means (or reuse a ``fitted=(labels, centroids)`` pair from a
+    prior ``kmeans_fit``), then one final streaming pass appending an int64
     ``cluster`` column.  Returns a Dataset of ``(id_col, cluster)``
     (plus ``vec_col`` when ``carry_vec``)."""
-    labels, cents = kmeans_fit(
+    labels, cents = fitted if fitted is not None else kmeans_fit(
         ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        quant_bits=quant_bits)
+        quant_bits=quant_bits, batch_size=batch_size)
 
     def assign(t: pa.Table) -> pa.Table:
         cols = {id_col: t[id_col]}
@@ -192,7 +213,8 @@ def kmeans_assign(ds, *, k: int = 4, iters: int = 2, id_col: str = "vec_id",
         return pa.table(cols)
 
     cols = [id_col, vec_col]
-    return ds.select_columns(cols).map_batches(assign, batch_format="pyarrow")
+    return ds.select_columns(cols).map_batches(
+        assign, batch_format="pyarrow", batch_size=batch_size)
 
 
 def _scan_drops(X: np.ndarray, *, threshold: float, chunk_rows: int,
@@ -242,7 +264,8 @@ def _scan_drops(X: np.ndarray, *, threshold: float, chunk_rows: int,
 def semdedup_drop_list(ds, *, threshold: float = 0.5, k: int = 4,
                        iters: int = 2, id_col: str = "vec_id",
                        vec_col: str = "embedding", quant_bits: int = 20,
-                       chunk_rows: int = 1024, max_cluster_rows=None):
+                       chunk_rows: int = 1024, max_cluster_rows=None,
+                       batch_size=None, fitted=None):
     """SemDeDup: cluster embeddings, then drop every vector that has a
     SMALLER-id near-duplicate (cosine >= threshold) in its own cluster.
     Returns a Dataset with one ``{id_col}`` column (the drop list).
@@ -265,7 +288,8 @@ def semdedup_drop_list(ds, *, threshold: float = 0.5, k: int = 4,
     SQL-oracled registry query)."""
     assigned = kmeans_assign(
         ds, k=k, iters=iters, id_col=id_col, vec_col=vec_col,
-        quant_bits=quant_bits, carry_vec=True)
+        quant_bits=quant_bits, carry_vec=True, batch_size=batch_size,
+        fitted=fitted)
 
     empty = pa.table({id_col: pa.array([], pa.int64())})
 

@@ -220,6 +220,81 @@ def stress_megadup(n_copies: int = 300_000, n_unique: int = 50_000) -> dict:
             "driver_private_peak_gib": round(mem.peak_private / 2**30, 2)}
 
 
+def stress_semdedup(n: int = 2_000_000) -> dict:
+    """SemDeDup at scale: n random 64-dim vectors + 1000 BYTE-IDENTICAL
+    copies of vector 0 (the mega-dup edge: exact collapse must cost a sort,
+    not 10^6 sims) + 500 near-dup copies (cosine ~0.9996).  k=512 clusters
+    (matmul assign path), hot clusters sub-split at 8192 rows.  Asserts the
+    exact copies are ALL dropped and nothing unplanted is (natural max
+    cosine for random 64-dim at this pair count is ~0.94 < 0.99); near-dup
+    recall is reported (a pair split across clusters is missed by design —
+    SemDeDup's documented approximation)."""
+    import ray
+    import ray.data
+
+    from rayjoin.functions.kmeans import kmeans_fit, semdedup_drop_list
+
+    rng = np.random.default_rng(17)
+    dim, n_exact, n_near = 64, 1000, 500
+    # mixture-of-Gaussians base (real embedding geometry — isotropic noise
+    # is SemDeDup's worst case: concentration of measure puts every point
+    # near a Voronoi boundary and cluster-restricted recall collapses, an
+    # inherent property of the algorithm, not of this implementation)
+    n_true = 256
+    centers = rng.standard_normal((n_true, dim)).astype(np.float32)
+    which = rng.integers(0, n_true, n)
+    M = (centers[which]
+         + 0.35 * rng.standard_normal((n, dim))).astype(np.float32)
+    exact = np.repeat(M[[0]], n_exact, axis=0)
+    # near-dups: a ~1.7-degree angular perturbation of the ORIGINAL vector
+    # (cosine ~0.9996, euclidean offset ~3% of the norm — the "same doc,
+    # slightly different embedding" case, which stays inside its cell)
+    src = M[1:1 + n_near].astype(np.float64)
+    noise = rng.standard_normal((n_near, dim))
+    noise /= np.linalg.norm(noise, axis=1, keepdims=True)
+    near = (src + 0.03 * np.linalg.norm(src, axis=1, keepdims=True)
+            * noise).astype(np.float32)
+    off = max(10_000_000, 2 * n)
+    ids = np.concatenate([
+        np.arange(n), np.arange(n_exact) + off,
+        np.arange(n_near) + 2 * off]).astype(np.int64)
+    V = np.vstack([M, exact, near])
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, V.size + 1, dim, dtype=np.int32)),
+        pa.array(V.ravel(), pa.float32()),
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"vec_id": pa.array(ids), "embedding": emb})
+    ).repartition(64).materialize()
+    k, iters = 512, 2
+    with _MemSampler() as mem:
+        t0 = time.time()
+        fitted = kmeans_fit(ds, k=k, iters=iters)
+        fit_sec = time.time() - t0
+        t0 = time.time()
+        drop = semdedup_drop_list(
+            ds, threshold=0.99, k=k, iters=iters, fitted=fitted,
+            max_cluster_rows=8192, chunk_rows=2048).materialize()
+        dt = time.time() - t0
+    got = np.sort(np.concatenate([
+        np.asarray(t["vec_id"], dtype=np.int64)
+        for t in ray.get(drop.to_arrow_refs()) if t.num_rows
+    ] or [np.empty(0, np.int64)]))
+    exact_rec = int(((got >= off) & (got < off + n_exact)).sum())
+    near_rec = int((got >= 2 * off).sum())
+    false_pos = int((got < n).sum())
+    assert exact_rec == n_exact, exact_rec
+    assert false_pos == 0, false_pos
+    total = n + n_exact + n_near
+    return {"stress": "semdedup", "vecs": total, "k": k,
+            "exact_recovered": exact_rec, "exact_planted": n_exact,
+            "near_recovered": near_rec, "near_planted": n_near,
+            "false_positives": false_pos,
+            "fit_sec": round(fit_sec, 1), "dedup_sec": round(dt, 1),
+            "fit_vecs_per_sec": round(total * (iters + 1) / fit_sec),
+            "driver_private_peak_gib": round(mem.peak_private / 2**30, 2)}
+
+
 def stress_simdup(n: int = 200_000) -> dict:
     """simhash_dup_pairs at scale: token-soup corpus + 2000 planted exact
     twins (hamming 0 -> must all be recovered) and 2000 one-token-append
@@ -981,6 +1056,7 @@ STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "pillbox": stress_pillbox,
             "temporal": stress_temporal, "knnjoin": stress_knnjoin,
             "simdup": stress_simdup, "megadup": stress_megadup,
+            "semdedup": stress_semdedup,
             "substr": stress_substr,
             "fuzzy": stress_fuzzy, "simjoin": stress_simjoin,
             "hh": stress_hh, "simjoin_bigdf": stress_simjoin_bigdf}
@@ -1025,7 +1101,7 @@ def main(argv=None):
     fn = STRESSES[args.which]
     kwargs = {"n": args.n} if args.n and args.which in (
         "embedding", "corpus", "corpus_resume", "pillbox", "temporal",
-        "knnjoin", "dbscan", "geodesic") else {}
+        "knnjoin", "dbscan", "geodesic", "semdedup") else {}
     print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
