@@ -2872,6 +2872,36 @@ def q_semdedup_drop(sf_dir: str):
         quant_bits=KMEANS_QUANT_BITS)
 
 
+GRAM_QUANT_BITS = 10
+
+
+def q_embedding_gram(sf_dir: str):
+    """Distributed Gram matrix (the sufficient statistic behind PCA /
+    covariance analytics): per-block X^T X partials, ordered driver
+    reduce, output floored onto a fixed binary grid as int64 so the SQL
+    twin's own summation order lands on identical integers (measured
+    boundary margin ~1e-4 at every sf — five orders above double
+    rounding)."""
+    import ray.data
+
+    from ..functions.pca import gram_quantized
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return gram_quantized(ds, quant_bits=GRAM_QUANT_BITS)
+
+
+def sql_embedding_gram() -> str:
+    q = 1 << GRAM_QUANT_BITS
+    return f"""
+SELECT i.i AS i, j.i AS j,
+       CAST(FLOOR(SUM(CAST(e.embedding[i.i] AS DOUBLE)
+                      * CAST(e.embedding[j.i] AS DOUBLE)) * {q} + 0.5)
+            AS BIGINT) AS gram_q
+FROM embeddings e, range(1, 65) i(i), range(1, 65) j(i)
+GROUP BY 1, 2"""
+
+
 def sql_kmeans_cte(*, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
                    dim: int = 64, quant_bits: int = KMEANS_QUANT_BITS) -> str:
     """WITH-clause twin of ``functions.kmeans.kmeans_fit``/``kmeans_assign``:
@@ -4925,6 +4955,7 @@ def build_queries():
         "ann_cosine": q_ann_cosine,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_drop": q_semdedup_drop,
+        "embedding_gram": q_embedding_gram,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
@@ -5051,6 +5082,7 @@ def build_queries():
         "ann_cosine": SQL_ANN,
         "kmeans_assign": sql_kmeans_assign(),
         "semdedup_drop": sql_semdedup_drop(),
+        "embedding_gram": sql_embedding_gram(),
         "ann_ivf_exhaustive": SQL_ANN,
         "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
         "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,
