@@ -2872,6 +2872,68 @@ def q_semdedup_drop(sf_dir: str):
         quant_bits=KMEANS_QUANT_BITS)
 
 
+DSIR_BUCKETS = 256
+DSIR_K = 100
+
+
+def q_dsir_scores(sf_dir: str):
+    """DSIR importance scores (Xie et al. 2023): hashed-token unigram
+    models for target (lang='en') vs raw corpus, fixed-point log-ratio
+    score per doc — fit is one histogram pass, scoring one LUT pass."""
+    import ray.data
+
+    from ..functions.dsir import dsir_scores
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return dsir_scores(docs, target_value="en", n_buckets=DSIR_BUCKETS)
+
+
+def q_dsir_select(sf_dir: str):
+    """Top-k documents by DSIR importance weight (deterministic stand-in
+    for the Gumbel resample: rank by score DESC, doc_id ASC)."""
+    import ray.data
+
+    from ..functions.dsir import dsir_select
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return dsir_select(docs, k=DSIR_K, target_value="en",
+                       n_buckets=DSIR_BUCKETS)
+
+
+def sql_dsir_scores() -> str:
+    m = DSIR_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents),
+tb AS (SELECT doc_id, lang,
+              CAST({_sql_fnv('w')} % {m} AS BIGINT) AS b FROM tok),
+raw AS (SELECT b, COUNT(*) AS c FROM tb GROUP BY b),
+tgt AS (SELECT b, COUNT(*) AS c FROM tb WHERE lang = 'en' GROUP BY b),
+nr AS (SELECT SUM(c) + {m} AS n FROM raw),
+nt AS (SELECT SUM(c) + {m} AS n FROM tgt),
+lut AS (
+  SELECT r.b,
+         CAST(FLOOR(1000000 * (LN((COALESCE(t.c, 0) + 1.0) / nt.n)
+                               - LN((r.c + 1.0) / nr.n))) AS BIGINT) AS lam
+  FROM raw r LEFT JOIN tgt t ON r.b = t.b, nt, nr),
+sc AS (SELECT tb.doc_id, COUNT(*) AS n_tokens,
+              CAST(SUM(lut.lam) AS BIGINT) AS dsir_micro
+       FROM tb JOIN lut ON tb.b = lut.b GROUP BY tb.doc_id)
+SELECT doc_id, n_tokens, dsir_micro FROM sc"""
+
+
+def sql_dsir_select() -> str:
+    return (sql_dsir_scores().replace(
+        "SELECT doc_id, n_tokens, dsir_micro FROM sc", "") + f"""
+SELECT doc_id, dsir_micro, rn - 1 AS rank
+FROM (SELECT doc_id, dsir_micro,
+             row_number() OVER (ORDER BY dsir_micro DESC, doc_id) AS rn
+      FROM sc)
+WHERE rn <= {DSIR_K}""")
+
+
 GRAM_QUANT_BITS = 10
 
 
@@ -4956,6 +5018,8 @@ def build_queries():
         "kmeans_assign": q_kmeans_assign,
         "semdedup_drop": q_semdedup_drop,
         "embedding_gram": q_embedding_gram,
+        "dsir_scores": q_dsir_scores,
+        "dsir_select": q_dsir_select,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
@@ -5083,6 +5147,8 @@ def build_queries():
         "kmeans_assign": sql_kmeans_assign(),
         "semdedup_drop": sql_semdedup_drop(),
         "embedding_gram": sql_embedding_gram(),
+        "dsir_scores": sql_dsir_scores(),
+        "dsir_select": sql_dsir_select(),
         "ann_ivf_exhaustive": SQL_ANN,
         "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
         "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,
