@@ -1246,6 +1246,74 @@ GROUP BY t.doc_id
 """
 
 
+def q_perplexity_buckets(sf_dir: str):
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per-doc
+    LM surprise (fixed-point milli-nats per token, integer floor division)
+    terciled by the no-sort exact-quantile machinery — a pure composition
+    of two gate-checked operators (``unigram_lm_scores`` +
+    ``global_quantiles_no_sort``), so the whole selection pipeline is
+    hash-exact.  Lower surprise = more in-distribution = 'head'."""
+    import ray.data
+
+    from ..functions.stats import global_quantiles_no_sort
+    from ..functions.text import unigram_lm_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    scores = unigram_lm_scores(docs)
+
+    def metric(t: pa.Table) -> pa.Table:
+        lpm = np.asarray(t["logprob_micro"].combine_chunks(), np.int64)
+        ntok = np.asarray(t["n_tokens"].combine_chunks(), np.int64)
+        assert (lpm <= 0).all()  # ln(cnt/N) <= 0: trunc == floor division
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "surprise_milli": pa.array((-lpm * 1000) // ntok, pa.int64()),
+        })
+
+    m = scores.map_batches(metric, batch_format="pyarrow").materialize()
+    mf = m.map_batches(
+        lambda t: pa.table({"v": pc.cast(t["surprise_milli"], pa.float64())}),
+        batch_format="pyarrow")
+    th = global_quantiles_no_sort(mf, value_col="v", qs=(1 / 3, 2 / 3))
+    t1, t2 = (int(v) for v in th["value"].to_pylist())
+
+    def bucket(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["surprise_milli"].combine_chunks(), np.int64)
+        lab = np.where(s <= t1, "head", np.where(s <= t2, "middle", "tail"))
+        return t.append_column("bucket", pa.array(lab.astype(object),
+                                                  pa.string()))
+
+    return m.map_batches(bucket, batch_format="pyarrow")
+
+
+def sql_perplexity_buckets() -> str:
+    q1, q2 = repr(1 / 3), repr(2 / 3)
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+vocab AS (SELECT token, CAST(SUM(tf) AS BIGINT) AS cnt FROM tf GROUP BY token),
+nn AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n FROM vocab),
+lp AS (SELECT token,
+       CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE) / (SELECT n FROM nn)))
+            AS BIGINT) AS lp
+       FROM vocab),
+sc AS (SELECT t.doc_id, CAST(SUM(t.tf) AS BIGINT) AS ntok,
+              CAST(SUM(t.tf * l.lp) AS BIGINT) AS lpm
+       FROM tf t JOIN lp l USING (token) GROUP BY t.doc_id),
+m AS (SELECT doc_id,
+             CAST((-lpm * 1000) // ntok AS BIGINT) AS surprise_milli
+      FROM sc),
+th AS (SELECT quantile_disc(surprise_milli, {q1}) AS t1,
+              quantile_disc(surprise_milli, {q2}) AS t2 FROM m)
+SELECT m.doc_id, m.surprise_milli,
+       CASE WHEN m.surprise_milli <= th.t1 THEN 'head'
+            WHEN m.surprise_milli <= th.t2 THEN 'middle'
+            ELSE 'tail' END AS bucket
+FROM m, th"""
+
+
 _BM25_TERMS = ("join", "hash", "scan", "window")
 
 
@@ -5020,6 +5088,7 @@ def build_queries():
         "embedding_gram": q_embedding_gram,
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
+        "perplexity_buckets": q_perplexity_buckets,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
@@ -5149,6 +5218,7 @@ def build_queries():
         "embedding_gram": sql_embedding_gram(),
         "dsir_scores": sql_dsir_scores(),
         "dsir_select": sql_dsir_select(),
+        "perplexity_buckets": sql_perplexity_buckets(),
         "ann_ivf_exhaustive": SQL_ANN,
         "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
         "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,
