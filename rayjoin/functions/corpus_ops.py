@@ -485,3 +485,90 @@ def redact_text(ds, *, text_col: str = "text",
         return t.append_column(count_col, pa.array(total, pa.int64()))
 
     return ds.map_batches(run, batch_format="pyarrow")
+
+
+def chunk_documents(ds, *, window: int = 64, stride: int = 48,
+                    text_col: str = "text", id_col: str = "doc_id"):
+    """Split each document into fixed token windows with overlap — the
+    standard long-document preparation for LLM training/retrieval (e.g.
+    RAG chunking; windows of ``window`` whitespace tokens every ``stride``
+    tokens, so consecutive chunks overlap by ``window - stride``).
+
+    Chunk c of a doc covers tokens [c*stride, min(c*stride + window, n));
+    chunks exist for every c >= 0 with c*stride < n (an empty text has one
+    token — DuckDB ``string_split`` parity — hence exactly one chunk).
+    Returns Dataset[id_col, chunk_idx, n_tokens, chunk_text].
+
+    Fully vectorized and doc-local (flat_map shape, zero shuffle): chunk
+    texts are BYTE SPANS of the original string gathered straight out of
+    the Arrow value buffer (tokens are split on ASCII space, so spans cut
+    at code-point boundaries; no re-join, no per-row Python).  Output
+    bytes ~= window/stride x input bytes."""
+    if window < 1 or stride < 1:
+        raise ValueError("chunk_documents: window and stride must be >= 1")
+
+    from ..geom.primitives import repeat_expand
+
+    def chunk(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            id_col: pa.array([], pa.int64()),
+            "chunk_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "chunk_text": pa.array([], pa.string()),
+        })
+        if t.num_rows == 0:
+            return empty
+        text = t[text_col].combine_chunks()
+        ids = np.asarray(t[id_col].combine_chunks(), np.int64)
+        toks = pc.split_pattern(text, pattern=" ")
+        ntok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        # token byte offsets inside each doc, from the flat token buffer
+        flat = pc.list_flatten(toks)
+        tlen = np.asarray(pc.binary_length(flat), dtype=np.int64)
+        doc_off = np.concatenate([[0], np.cumsum(ntok)])
+        # start byte of token k within its doc: cumsum(len+1) reset per doc
+        pos = np.concatenate([[0], np.cumsum(tlen + 1)])
+        tok_start = pos[:-1] - pos[doc_off[:-1]].repeat(ntok)
+        tok_end = tok_start + tlen
+        # chunk expansion
+        n_chunks = (ntok + stride - 1) // stride
+        n_chunks = np.maximum(n_chunks, 1)
+        did, cidx = repeat_expand(n_chunks)
+        first = cidx * stride
+        last = np.minimum(first + window, ntok[did]) - 1  # inclusive
+        keep = first < ntok[did]
+        did, cidx, first, last = did[keep], cidx[keep], first[keep], last[keep]
+        gfirst = doc_off[did] + first
+        glast = doc_off[did] + last
+        span_a = tok_start[gfirst]
+        span_b = tok_end[glast]
+        # doc byte starts in the original string buffer
+        sbuf = text.buffers()
+        s_off_dtype = np.int64 if pa.types.is_large_string(text.type) else np.int32
+        s_offsets = np.frombuffer(
+            sbuf[1], dtype=s_off_dtype, count=len(text) + 1 + text.offset
+        )[text.offset:text.offset + len(text) + 1].astype(np.int64)
+        sdata = np.frombuffer(sbuf[2], dtype=np.uint8) if sbuf[2] is not None \
+            else np.empty(0, np.uint8)
+        abs_a = s_offsets[did] + span_a
+        abs_b = s_offsets[did] + span_b
+        lens = abs_b - abs_a
+        gid, k = repeat_expand(lens)
+        starts = np.concatenate([[0], np.cumsum(lens)])
+        vals = sdata[abs_a[gid] + k] if lens.sum() else np.empty(0, np.uint8)
+        out_text = pa.Array.from_buffers(
+            pa.string(), len(lens),
+            [None, pa.py_buffer(starts.astype(np.int32).tobytes()),
+             pa.py_buffer(vals.tobytes())],
+        ) if starts[-1] < 2**31 else pa.array(
+            [bytes(vals[starts[i]:starts[i + 1]]).decode("utf-8")
+             for i in range(len(lens))], pa.string())
+        return pa.table({
+            id_col: pa.array(ids[did], pa.int64()),
+            "chunk_idx": pa.array(cidx, pa.int64()),
+            "n_tokens": pa.array(last - first + 1, pa.int64()),
+            "chunk_text": out_text,
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        chunk, batch_format="pyarrow")

@@ -1246,6 +1246,39 @@ GROUP BY t.doc_id
 """
 
 
+CHUNK_WINDOW = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_documents(sf_dir: str):
+    """Overlapping fixed-token-window document chunking (the standard
+    long-doc preparation for training/RAG): windows of 64 whitespace
+    tokens every 48, chunk text gathered as byte spans of the original
+    string (functions/corpus_ops.py:chunk_documents)."""
+    import ray.data
+
+    from ..functions.corpus_ops import chunk_documents
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+
+def sql_chunk_documents() -> str:
+    w, s = CHUNK_WINDOW, CHUNK_STRIDE
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+g AS (SELECT doc_id, tk,
+             unnest(generate_series(
+                 0, CAST(CEIL(len(tk) * 1.0 / {s}) AS BIGINT) - 1)) AS i
+      FROM toks)
+SELECT doc_id, i AS chunk_idx,
+       LEAST(i * {s} + {w}, len(tk)) - i * {s} AS n_tokens,
+       array_to_string(tk[i * {s} + 1 : LEAST(i * {s} + {w}, len(tk))],
+                       ' ') AS chunk_text
+FROM g WHERE i * {s} < len(tk)"""
+
+
 def q_perplexity_buckets(sf_dir: str):
     """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per-doc
     LM surprise (fixed-point milli-nats per token, integer floor division)
@@ -5089,6 +5122,7 @@ def build_queries():
         "dsir_scores": q_dsir_scores,
         "dsir_select": q_dsir_select,
         "perplexity_buckets": q_perplexity_buckets,
+        "chunk_documents": q_chunk_documents,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
@@ -5219,6 +5253,7 @@ def build_queries():
         "dsir_scores": sql_dsir_scores(),
         "dsir_select": sql_dsir_select(),
         "perplexity_buckets": sql_perplexity_buckets(),
+        "chunk_documents": sql_chunk_documents(),
         "ann_ivf_exhaustive": SQL_ANN,
         "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
         "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,
