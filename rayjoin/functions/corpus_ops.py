@@ -572,3 +572,84 @@ def chunk_documents(ds, *, window: int = 64, stride: int = 48,
 
     return ds.select_columns([id_col, text_col]).map_batches(
         chunk, batch_format="pyarrow")
+
+
+def weighted_sample(ds, *, k: int = 100, id_col: str = "doc_id",
+                    text_col: str = "text"):
+    """Weighted sampling WITHOUT replacement, inclusion probability
+    proportional to whitespace-token count (Efraimidis-Spirakis,
+    "Weighted random sampling with a reservoir", IPL 2006, Algorithm A) —
+    fully deterministic and integer-exact.
+
+    ES draws u_i ~ U(0,1) per item and keeps the k LARGEST keys
+    u_i^(1/w_i).  For an integer weight w, u^(1/w) is distributed as the
+    MAX of w iid uniforms, so ES's selection is distributionally identical
+    to: give every item w independent uniform draws and keep the k items
+    whose MINIMUM draw is smallest.  We realize the per-copy draws with
+    the Kirsch-Mitzenmacher double hash h_j = h1 + j*h2 (mod 2^64) for
+    j in [0, w) — the same family as ``functions/sketch._double_hashes``,
+    which DuckDB rebuilds bit-exactly in HUGEINT arithmetic — so the whole
+    sampler needs NO ln() and NO float anywhere: selection order is a pure
+    integer function of (id, token count), immune to libm differences.
+
+    Weights: w = len(string_split(text, ' ')) >= 1 (empty text has one
+    empty token — the repo-wide DuckDB parity convention), so every doc
+    has a nonzero chance and the weight needs no separate pass.
+
+    100 TB shape: ONE streaming pass.  The per-block kernel materializes
+    w hash values per doc (8 bytes x token count — the same order as the
+    token stream already in flight) and reduces with minimum.reduceat;
+    each block forwards only its k best (prio, id) rows and the driver
+    merges k-row partials.  No corpus-wide sort, no shuffle; the merge
+    input is k x num_blocks tiny rows.
+
+    Returns pyarrow Table (id_col, prio_i64, rank): prio_i64 is the
+    winning hash in DuckDB's signed-BIGINT view of the uint64 value,
+    rank is the dense 0-based selection order (prio ASC, id ASC).
+    """
+    import ray
+
+    from ..stages.geocode import fnv1a64
+
+    if k < 1:
+        raise ValueError("weighted_sample: k must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "prio": pa.array([], pa.uint64())})
+        ids_arr = t[id_col].combine_chunks()
+        ids = np.asarray(ids_arr, np.int64)
+        s = pc.cast(ids_arr, pa.string())
+        h1 = fnv1a64(s)
+        h2 = fnv1a64(pc.binary_join_element_wise(s, "#", ""))
+        text = pc.fill_null(t[text_col].combine_chunks(), "")
+        w = np.asarray(pc.list_value_length(
+            pc.split_pattern(text, pattern=" ")), np.int64)
+        starts = np.zeros(len(w) + 1, np.int64)
+        np.cumsum(w, out=starts[1:])
+        j = (np.arange(starts[-1], dtype=np.uint64)
+             - np.repeat(starts[:-1].astype(np.uint64), w))
+        with np.errstate(over="ignore"):
+            draws = np.repeat(h1, w) + j * np.repeat(h2, w)
+        prio = np.minimum.reduceat(draws, starts[:-1])
+        order = np.lexsort((ids, prio))[:k]
+        return pa.table({id_col: pa.array(ids[order], pa.int64()),
+                         "prio": pa.array(prio[order], pa.uint64())})
+
+    parts = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=None)
+    tabs = [t for t in ray.get(parts.to_arrow_refs()) if t.num_rows]
+    if not tabs:
+        return pa.table({id_col: pa.array([], pa.int64()),
+                         "prio_i64": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64())})
+    t = pa.concat_tables(tabs)
+    prio = np.asarray(t["prio"].combine_chunks(), np.uint64)
+    ids = np.asarray(t[id_col].combine_chunks(), np.int64)
+    order = np.lexsort((ids, prio))[:k]
+    return pa.table({
+        id_col: pa.array(ids[order], pa.int64()),
+        "prio_i64": pa.array(prio[order].view(np.int64), pa.int64()),
+        "rank": pa.array(np.arange(len(order), dtype=np.int64), pa.int64()),
+    })

@@ -1279,6 +1279,44 @@ SELECT doc_id, i AS chunk_idx,
 FROM g WHERE i * {s} < len(tk)"""
 
 
+WEIGHTED_SAMPLE_K = 100
+
+
+def q_weighted_sample(sf_dir: str):
+    """Weighted sampling without replacement, inclusion odds proportional
+    to token count (Efraimidis-Spirakis via the max-of-w-uniforms identity
+    — integer min over w double-hash draws, no ln/float anywhere; see
+    functions/corpus_ops.py:weighted_sample)."""
+    import ray.data
+
+    from ..functions.corpus_ops import weighted_sample
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return weighted_sample(docs, k=WEIGHTED_SAMPLE_K)
+
+
+def sql_weighted_sample() -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_id_s = _sql_fnv("(CAST(doc_id AS VARCHAR) || '#')")
+    signed = _SQL_U64_TO_I64.format(v="prio")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {fnv_id} AS h1, {fnv_id_s} AS h2,
+         length(string_split(text, ' ')) AS w
+  FROM documents),
+p AS (
+  SELECT doc_id,
+         MIN((h1 + j::HUGEINT * h2) % 18446744073709551616::HUGEINT) AS prio
+  FROM h, LATERAL (SELECT unnest(range(h.w)) AS j) u
+  GROUP BY doc_id),
+s AS (SELECT doc_id, prio FROM p ORDER BY prio, doc_id
+      LIMIT {WEIGHTED_SAMPLE_K})
+SELECT doc_id, {signed} AS prio_i64,
+       CAST(ROW_NUMBER() OVER (ORDER BY prio, doc_id) - 1 AS BIGINT) AS rank
+FROM s"""
+
+
 def q_perplexity_buckets(sf_dir: str):
     """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per-doc
     LM surprise (fixed-point milli-nats per token, integer floor division)
@@ -5123,6 +5161,7 @@ def build_queries():
         "dsir_select": q_dsir_select,
         "perplexity_buckets": q_perplexity_buckets,
         "chunk_documents": q_chunk_documents,
+        "weighted_sample": q_weighted_sample,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
@@ -5254,6 +5293,7 @@ def build_queries():
         "dsir_select": sql_dsir_select(),
         "perplexity_buckets": sql_perplexity_buckets(),
         "chunk_documents": sql_chunk_documents(),
+        "weighted_sample": sql_weighted_sample(),
         "ann_ivf_exhaustive": SQL_ANN,
         "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
         "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,
