@@ -137,3 +137,87 @@ def pca_project(ds, *, n_components: int = 8, id_col: str = "vec_id",
 
     return ds.select_columns([id_col, vec_col]).map_batches(
         project, batch_format="pyarrow", batch_size=None)
+
+
+_JL_SIGN_CACHE: dict = {}
+
+
+def _jl_signs(dim: int, out_dims: int) -> np.ndarray:
+    """(dim, out_dims) ±1 int64 sign matrix, a pure function of position:
+    sign[j, i] = +1 iff the top bit of
+    fmix64(fnv1a64('jl:' + str(j*out_dims + i))) is set.
+
+    Two pitfalls this construction dodges, both found by the
+    distance-preservation test: (a) an affine double-hash h1 + idx*h2 has
+    PERIODIC bit patterns in idx — with an even out_dims its bit 0 makes
+    every column constant and the projection rank-1; (b) raw FNV-1a high
+    bits barely avalanche on short near-identical strings ('jl:0' vs
+    'jl:1' differ only below bit ~30), biasing the raw top bit to -0.95
+    mean.  fmix64 restores iid-grade bits (see stages/geocode.fmix64),
+    and DuckDB rebuilds every entry byte-exactly.  Cached per worker
+    process — dim*out_dims scalar hashes, computed once, never shipped."""
+    key = (dim, out_dims)
+    m = _JL_SIGN_CACHE.get(key)
+    if m is None:
+        import pyarrow.compute as _pc
+
+        from ..stages.geocode import fmix64, fnv1a64
+
+        idx = np.arange(dim * out_dims, dtype=np.int64)
+        s = _pc.binary_join_element_wise(
+            pa.array(np.full(len(idx), "jl:"), pa.string()),
+            _pc.cast(pa.array(idx, pa.int64()), pa.string()), "")
+        h = fmix64(fnv1a64(s))
+        m = np.where((h >> np.uint64(63)).astype(bool),
+                     np.int64(1), np.int64(-1)).reshape(dim, out_dims)
+        _JL_SIGN_CACHE[key] = m
+    return m
+
+
+def random_projection(ds, *, out_dims: int = 16, scale_bits: int = 20,
+                      id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Johnson–Lindenstrauss random projection of an embedding column onto
+    ``out_dims`` signed-sum coordinates (Achlioptas 2003, "Database-friendly
+    random projections": entries drawn ±1 preserve pairwise distances in
+    expectation like Gaussian JL, up to the constant 1/sqrt(out_dims) scale
+    which we omit — the projection is used for bucketing/ANN preprocessing
+    where only relative geometry matters).
+
+    Integer-exact end to end: each float32 coordinate is quantized to
+    v_int = floor(v * 2**scale_bits) (exact — a float32 mantissa times a
+    power of two is exactly representable in float64, and int64 holds it),
+    and proj[i] = sum_j sign[j,i] * v_int[j] is an int64 matmul, so the
+    result is independent of summation order and bit-identical to the
+    DuckDB twin's SUM regardless of either engine's reduction tree.
+
+    100 TB shape: embarrassingly parallel — ONE map_batches pass, the
+    (dim x out_dims) sign matrix is rebuilt per worker from two scalar
+    hashes (nothing broadcast), the per-block work is a single int64
+    matmul, and no shuffle exists anywhere.  Output is long-format
+    Dataset[(id, out_dim, proj)] ready for groupby-free downstream use.
+    """
+    from .ann import vec_matrix
+
+    if out_dims < 1:
+        raise ValueError("random_projection: out_dims must be >= 1")
+    scale = float(1 << scale_bits)
+
+    def project(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "out_dim": pa.array([], pa.int64()),
+                             "proj": pa.array([], pa.int64())})
+        ids = np.asarray(t[id_col].combine_chunks(), np.int64)
+        m = vec_matrix(t[vec_col])
+        v_int = np.floor(m * scale).astype(np.int64)
+        proj = v_int @ _jl_signs(m.shape[1], out_dims)
+        n = len(ids)
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, out_dims), pa.int64()),
+            "out_dim": pa.array(np.tile(np.arange(out_dims, dtype=np.int64), n),
+                                pa.int64()),
+            "proj": pa.array(proj.reshape(-1), pa.int64()),
+        })
+
+    return ds.select_columns([id_col, vec_col]).map_batches(
+        project, batch_format="pyarrow", batch_size=None)

@@ -1317,6 +1317,44 @@ SELECT doc_id, {signed} AS prio_i64,
 FROM s"""
 
 
+JL_OUT_DIMS = 16
+JL_SCALE_BITS = 20
+
+
+def q_random_projection(sf_dir: str):
+    """Johnson–Lindenstrauss ±1 random projection of the embedding column
+    (Achlioptas 2003), integer-exact: float32 coords floor-quantized to
+    2^-20 grid, signs from the top FNV bit of the flat (j, i) position,
+    int64 matmul per block — order-free, shuffle-free
+    (functions/pca.py:random_projection)."""
+    import ray.data
+
+    from ..functions.pca import random_projection
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return random_projection(emb, out_dims=JL_OUT_DIMS,
+                             scale_bits=JL_SCALE_BITS)
+
+
+def sql_random_projection() -> str:
+    mixed = _sql_fmix64("fh")
+    fnv_pos = _sql_fnv(
+        f"('jl:' || CAST(j * {JL_OUT_DIMS} + i AS VARCHAR))")
+    return f"""
+WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                  CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                             * {1 << JL_SCALE_BITS}) AS BIGINT) AS v
+           FROM embeddings),
+x AS (SELECT vec_id, v, i, {fnv_pos} AS fh
+      FROM e, range({JL_OUT_DIMS}) t(i))
+SELECT vec_id, i AS out_dim,
+       SUM(CASE WHEN {mixed} >= 9223372036854775808::HUGEINT
+                THEN v ELSE -v END)::BIGINT AS proj
+FROM x
+GROUP BY vec_id, i"""
+
+
 def q_perplexity_buckets(sf_dir: str):
     """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): per-doc
     LM surprise (fixed-point milli-nats per token, integer floor division)
@@ -2593,11 +2631,15 @@ def q_fingerprint(sf_dir: str):
 # codepoints == bytes on this ASCII corpus; h*prime < 2^104 fits int128,
 # reduced mod 2^64 each round; final value mapped to the engine's signed
 # int64 view).  Verified bit-exact against rayjoin.stages.geocode.fnv1a64.
+# The lambda parameter is deliberately obscure: DuckDB lambda params shadow
+# same-named outer columns INSIDE the lambda body, so a caller whose `var`
+# expression referenced a column named `i` used to get the position index
+# spliced into its own string (every row hashed 'jl:4').
 def _sql_fnv(var: str) -> str:
     return (
         "list_reduce(list_concat([14695981039346656037::HUGEINT], "
         f"list_transform(generate_series(1, length({var})), "
-        f"i -> ord(substring({var}, i, 1))::HUGEINT)), "
+        f"__fnv_pos -> ord(substring({var}, __fnv_pos, 1))::HUGEINT)), "
         "(h, b) -> (xor(h, b) * 1099511628211::HUGEINT) "
         "% 18446744073709551616::HUGEINT)"
     )
@@ -2607,6 +2649,29 @@ _SQL_U64_TO_I64 = (
     "CAST(CASE WHEN {v} >= 9223372036854775808::HUGEINT "
     "THEN {v} - 18446744073709551616::HUGEINT ELSE {v} END AS BIGINT)"
 )
+
+
+def _sql_fmix64(var: str) -> str:
+    """MurmurHash3 fmix64 finalizer over a HUGEINT-valued u64 expression —
+    mirrors stages/geocode.fmix64 bit-for-bit.  The two 64-bit multiplies
+    are split hi*2^32+lo so no intermediate exceeds ~2^96 (INT128-safe):
+    (z*C) mod 2^64 = (z*lo + ((z mod 2^32)*hi mod 2^32)*2^32) mod 2^64."""
+    m = "18446744073709551616::HUGEINT"
+
+    def xs(z: str) -> str:  # z ^ (z >> 33)
+        return f"xor({z}, ({z}) // 8589934592)"
+
+    def mul(z: str, c: int) -> str:
+        hi, lo = c >> 32, c & 0xFFFFFFFF
+        return (f"((({z}) * {lo}::HUGEINT + "
+                f"(((({z}) % 4294967296) * {hi}::HUGEINT) % 4294967296) "
+                f"* 4294967296::HUGEINT) % {m})")
+
+    z1 = xs(var)
+    z2 = mul(z1, 0xFF51AFD7ED558CCD)
+    z3 = xs(z2)
+    z4 = mul(z3, 0xC4CEB9FE1A85EC53)
+    return xs(z4)
 
 
 def sql_fingerprint() -> str:
@@ -5162,6 +5227,7 @@ def build_queries():
         "perplexity_buckets": q_perplexity_buckets,
         "chunk_documents": q_chunk_documents,
         "weighted_sample": q_weighted_sample,
+        "random_projection": q_random_projection,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_exhaustive": q_ann_ivf_exhaustive,
         "embedding_dups_exhaustive": q_embedding_dups_exhaustive,
@@ -5294,6 +5360,7 @@ def build_queries():
         "perplexity_buckets": sql_perplexity_buckets(),
         "chunk_documents": sql_chunk_documents(),
         "weighted_sample": sql_weighted_sample(),
+        "random_projection": sql_random_projection(),
         "ann_ivf_exhaustive": SQL_ANN,
         "embedding_dups_exhaustive": SQL_EMB_DUPS_EXH,
         "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,
