@@ -369,6 +369,51 @@ FROM pts p WHERE p.row_id NOT IN (SELECT id FROM assigned)
 """
 
 
+def q_local_moran(sf_dir: str):
+    """Local Moran's I numerators (Anselin 1995 LISA) over the clustered
+    customer points with val = c_custkey % 97 and a 3.0-unit binary
+    d-band weight matrix: neighbor pairs from the SAME PBSM proximity
+    self-join DBSCAN uses, values broadcast as a sorted plasma array,
+    (cnt, sum) partials pre-aggregated per block before the one groupby.
+    Integer-exact: z_num = n*val - S, lag_num = n*lag_sum - nbrs*S
+    (functions/spatial_stats.py)."""
+    import ray.data
+
+    from ..functions.spatial_stats import local_moran
+    from ..geom.encode import points_geom
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    x, y = _dbscan_pts_np(k)
+    pts = _from_arrow(points_geom(k, x, y))
+    vals = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(k, pa.int64()),
+        "val": pa.array(k % 97, pa.int64()),
+    })).repartition(4)
+    return local_moran(pts, vals, max_distance=3.0, target_cells=64)
+
+
+def sql_local_moran() -> str:
+    x = f"((c_custkey%23)*15.0 - 165.0) + (((c_custkey*{LON_MULT})%4000)/1000.0 - 2.0)"
+    y = f"((c_custkey%11)*15.0 - 75.0) + (((c_custkey*{LAT_MULT})%4000)/1000.0 - 2.0)"
+    return f"""
+WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS row_id, {x} AS x, {y} AS y,
+                    CAST(c_custkey % 97 AS BIGINT) AS val FROM customer),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(val) AS BIGINT) AS s
+       FROM pts),
+pr AS (SELECT a.row_id AS ra, b.val AS vb FROM pts a, pts b
+       WHERE a.row_id <> b.row_id
+         AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 3.0),
+ag AS (SELECT ra, CAST(COUNT(*) AS BIGINT) AS nbrs,
+              CAST(SUM(vb) AS BIGINT) AS sv
+       FROM pr GROUP BY ra)
+SELECT p.row_id,
+       COALESCE(ag.nbrs, 0) AS nbrs,
+       st.n * p.val - st.s AS z_num,
+       st.n * COALESCE(ag.sv, 0) - COALESCE(ag.nbrs, 0) * st.s AS lag_num
+FROM pts p CROSS JOIN st LEFT JOIN ag ON ag.ra = p.row_id
+"""
+
+
 def q_dbscan_geodesic(sf_dir: str):
     """Same DBSCAN machinery with the GEODESIC metric: eps = 300 km on the
     sphere, edges from the pole/antimeridian-safe geodesic grid self-join;
@@ -5161,6 +5206,7 @@ def build_queries():
         "geodesic_knn": q_geodesic_knn,
         "nearest_polyline": q_nearest_polyline,
         "dbscan_points": q_dbscan_points,
+        "local_moran": q_local_moran,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -5294,6 +5340,7 @@ def build_queries():
         "geodesic_knn": SQL_GEODESIC_KNN.format(big=pts_cust, small=pts_supp),
         "nearest_polyline": sql_nearest_polyline(),
         "dbscan_points": sql_dbscan_points(),
+        "local_moran": sql_local_moran(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

@@ -1,0 +1,81 @@
+"""spatial_lag / local_moran differential tests vs brute-force O(n^2)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from rayjoin.functions.spatial_stats import local_moran, spatial_lag
+from rayjoin.geom.encode import points_geom
+
+
+def brute_lag(ids, x, y, vals, d):
+    dist = np.sqrt((x[:, None] - x[None, :]) ** 2
+                   + (y[:, None] - y[None, :]) ** 2)
+    adj = (dist <= d) & ~np.eye(len(ids), dtype=bool)
+    return adj.sum(1).astype(np.int64), (adj * vals[None, :]).sum(1).astype(np.int64)
+
+
+def synth(n, seed):
+    rng = np.random.default_rng(seed)
+    ids = np.arange(100, 100 + n, dtype=np.int64)
+    x = rng.uniform(-50, 50, n)
+    y = rng.uniform(-30, 30, n)
+    vals = rng.integers(0, 97, n).astype(np.int64)
+    return ids, x, y, vals
+
+
+def run_lag(ids, x, y, vals, d, **kw):
+    import ray.data
+
+    pts = ray.data.from_arrow(points_geom(ids, x, y)).repartition(3)
+    vt = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(ids, pa.int64()),
+        "val": pa.array(vals, pa.int64())})).repartition(2)
+    out = spatial_lag(pts, vt, max_distance=d, target_cells=16, **kw).to_pandas()
+    return out.sort_values("row_id").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("tier_kw", [{}, {"broadcast_rows": 0}],
+                         ids=["broadcast", "join"])
+def test_spatial_lag_matches_brute(ray_session, tier_kw):
+    ids, x, y, vals = synth(80, 7)
+    d = 9.0
+    nbrs, lag = brute_lag(ids, x, y, vals, d)
+    out = run_lag(ids, x, y, vals, d, **tier_kw)
+    assert len(out) == len(ids)
+    assert np.array_equal(out["nbrs"].to_numpy(), nbrs)
+    assert np.array_equal(out["lag_sum"].to_numpy(), lag)
+    assert np.array_equal(out["val"].to_numpy(), vals)
+
+
+def test_isolated_points_have_zero_lag(ray_session):
+    # three far-apart points: every one isolated at d=1
+    ids = np.array([1, 2, 3], dtype=np.int64)
+    x = np.array([0.0, 100.0, 200.0])
+    y = np.array([0.0, 0.0, 0.0])
+    vals = np.array([5, 7, 11], dtype=np.int64)
+    out = run_lag(ids, x, y, vals, 1.0)
+    assert np.array_equal(out["nbrs"].to_numpy(), [0, 0, 0])
+    assert np.array_equal(out["lag_sum"].to_numpy(), [0, 0, 0])
+
+
+def test_local_moran_matches_brute(ray_session):
+    import ray.data
+
+    ids, x, y, vals = synth(60, 13)
+    d = 12.0
+    n = len(ids)
+    s = int(vals.sum())
+    nbrs, lag = brute_lag(ids, x, y, vals, d)
+    want_z = n * vals - s
+    want_lag = n * lag - nbrs * s
+
+    pts = ray.data.from_arrow(points_geom(ids, x, y)).repartition(3)
+    vt = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(ids, pa.int64()),
+        "val": pa.array(vals, pa.int64())}))
+    out = (local_moran(pts, vt, max_distance=d, target_cells=16)
+           .to_pandas().sort_values("row_id").reset_index(drop=True))
+    assert np.array_equal(out["nbrs"].to_numpy(), nbrs)
+    assert np.array_equal(out["z_num"].to_numpy(), want_z)
+    assert np.array_equal(out["lag_num"].to_numpy(), want_lag)
