@@ -1,0 +1,103 @@
+"""Trajectory segmentation over per-key ping streams (events with lon/lat).
+
+``track_speed`` turns (key, ts, seq, lon, lat) pings into per-segment
+speed rows — the building block for GPS track analytics (speed profiles,
+moving/stationary splits, stay-point detection downstream).
+
+Plan shape (the sessionize lesson, functions/stream.py): keys hash into
+``num_buckets`` shuffle buckets and EACH BUCKET processes all its keys with
+one lexsort + vectorized segment kernels — never a per-key Python call.
+One groupby(part) shuffle total; everything else is map_batches.
+
+Exactness contract (engine == SQL under any plan):
+  * ordering per key is (ts, seq) — total, so deterministic;
+  * segment distance is the great-circle CHORD in fixed-point micro-meters,
+    floor(1e6 * 2R*sqrt(hav)) — the polyline_chord_length kernel
+    (join/geodesic.py), bit-exact vs the SQL twin's identical expression;
+  * speed_mm_s = (dist_micro * 1000) // max(dt_us, 1) — integer division,
+    zero-gap (duplicate-timestamp) segments clamp the divisor to 1 rather
+    than raising; dist*1000 <= 2e16 for any terrestrial segment, no
+    overflow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def track_speed(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                seq_col: str = "event_id", lon_col: str = "lon",
+                lat_col: str = "lat", moving_mm_s: int = 1000,
+                num_buckets: int = 256):
+    """Per-key consecutive-ping segments with chord distance and speed.
+
+    Returns Dataset[<key_col>, seg_idx, dt_us, dist_micro, speed_mm_s,
+    moving] — seg_idx 1-based per key (segment i joins ping i and i+1 in
+    (ts, seq) order), ``moving`` = speed_mm_s >= ``moving_mm_s``.
+    Keys with a single ping emit nothing.
+    """
+    from ..join.geodesic import EARTH_RADIUS_M, _hav
+    from ..util import knuth_bucket
+
+    out_empty = pa.table({
+        key_col: pa.array([], pa.int64()),
+        "seg_idx": pa.array([], pa.int64()),
+        "dt_us": pa.array([], pa.int64()),
+        "dist_micro": pa.array([], pa.int64()),
+        "speed_mm_s": pa.array([], pa.int64()),
+        "moving": pa.array([], pa.bool_()),
+    })
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            ts_col: pc.cast(t[ts_col], pa.timestamp("us")),
+            seq_col: t[seq_col],
+            lon_col: pc.cast(t[lon_col], pa.float64()),
+            lat_col: pc.cast(t[lat_col], pa.float64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    thr = np.int64(moving_mm_s)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return out_empty
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t[ts_col].combine_chunks().cast(pa.int64()),
+                        dtype=np.int64)
+        sq = np.asarray(t[seq_col].combine_chunks(), dtype=np.int64)
+        lon = np.asarray(t[lon_col].combine_chunks(), dtype=np.float64)
+        lat = np.asarray(t[lat_col].combine_chunks(), dtype=np.float64)
+        o = np.lexsort((sq, ts, key))
+        key, ts, lon, lat = key[o], ts[o], lon[o], lat[o]
+        same = key[1:] == key[:-1]  # segment i joins row i and i+1
+        if not same.any():
+            return out_empty
+        a = np.flatnonzero(same)
+        h = _hav(lat[a], lon[a], lat[a + 1], lon[a + 1])
+        dist = np.floor(
+            1_000_000 * ((2.0 * EARTH_RADIUS_M) * np.sqrt(h))
+        ).astype(np.int64)
+        dt = ts[a + 1] - ts[a]
+        speed = (dist * np.int64(1000)) // np.maximum(dt, np.int64(1))
+        # 1-based segment index within each key (a is sorted; key[a] groups)
+        grp_start = np.concatenate([[True], key[a][1:] != key[a][:-1]])
+        idx = np.arange(a.size, dtype=np.int64)
+        seg_idx = idx - np.repeat(idx[grp_start], np.diff(
+            np.concatenate([np.flatnonzero(grp_start), [a.size]]))) + 1
+        return pa.table({
+            key_col: pa.array(key[a], pa.int64()),
+            "seg_idx": pa.array(seg_idx, pa.int64()),
+            "dt_us": pa.array(dt, pa.int64()),
+            "dist_micro": pa.array(dist, pa.int64()),
+            "speed_mm_s": pa.array(speed, pa.int64()),
+            "moving": pa.array(speed >= thr),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pyarrow"))

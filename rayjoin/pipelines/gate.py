@@ -4087,6 +4087,65 @@ FROM seg GROUP BY doc_id
 """
 
 
+def q_track_speed(sf_dir: str):
+    """Per-user trajectory segments with great-circle chord distance and
+    integer speed: events become lon/lat pings (FNV of event_id, the track
+    synthesis convention), then ONE groupby(bucket) shuffle + lexsort +
+    vectorized hav per bucket (functions/trajectory.py).  speed_mm_s is
+    (dist_micro*1000) // max(dt_us,1) — exact integer division, so the SQL
+    window twin hash-matches."""
+    import ray.data
+
+    from ..functions.trajectory import track_speed
+    from ..stages.geocode import fnv1a64
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def ping(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["event_id"], pa.string()))
+        lon = (h % np.uint64(360000)).astype(np.float64) / 1000.0 - 180.0
+        lat = ((h >> np.uint64(8)) % np.uint64(160000)).astype(np.float64) / 1000.0 - 80.0
+        t = t.append_column("lon", pa.array(lon, pa.float64()))
+        return t.append_column("lat", pa.array(lat, pa.float64()))
+
+    return track_speed(ev.map_batches(ping, batch_format="pyarrow"),
+                       moving_mm_s=1000)
+
+
+def sql_track_speed() -> str:
+    fnv = _sql_fnv("CAST(event_id AS VARCHAR)")
+    hav = ("sin(radians(lat - plat)/2)*sin(radians(lat - plat)/2)"
+           " + (cos(radians(plat))*cos(radians(lat)))"
+           " * (sin(radians(lon - plon)/2)*sin(radians(lon - plon)/2))")
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST({fnv} % 360000::HUGEINT AS DOUBLE)/1000.0 - 180.0 AS lon,
+         CAST(({fnv} // 256::HUGEINT) % 160000::HUGEINT AS DOUBLE)/1000.0 - 80.0 AS lat
+  FROM events
+),
+o AS (
+  SELECT user_id, ts, lon, lat,
+         LAG(ts) OVER w AS pts, LAG(lon) OVER w AS plon,
+         LAG(lat) OVER w AS plat,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT user_id, rn - 1 AS seg_idx,
+         epoch_us(ts) - epoch_us(pts) AS dt_us,
+         CAST(FLOOR(1000000 * ((2.0*6371000.0)*sqrt({hav}))) AS BIGINT)
+           AS dist_micro
+  FROM o WHERE pts IS NOT NULL
+)
+SELECT user_id, seg_idx, dt_us, dist_micro,
+       (dist_micro * 1000) // GREATEST(dt_us, 1) AS speed_mm_s,
+       ((dist_micro * 1000) // GREATEST(dt_us, 1)) >= 1000 AS moving
+FROM seg
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -5207,6 +5266,7 @@ def build_queries():
         "nearest_polyline": q_nearest_polyline,
         "dbscan_points": q_dbscan_points,
         "local_moran": q_local_moran,
+        "track_speed": q_track_speed,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -5341,6 +5401,7 @@ def build_queries():
         "nearest_polyline": sql_nearest_polyline(),
         "dbscan_points": sql_dbscan_points(),
         "local_moran": sql_local_moran(),
+        "track_speed": sql_track_speed(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

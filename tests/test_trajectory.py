@@ -1,0 +1,67 @@
+"""track_speed differential tests vs a per-key brute-force reference."""
+
+import numpy as np
+import pyarrow as pa
+
+from rayjoin.functions.trajectory import track_speed
+from rayjoin.join.geodesic import EARTH_RADIUS_M, _hav
+
+
+def brute(key, ts, seq, lon, lat):
+    rows = []
+    for k in np.unique(key):
+        m = key == k
+        o = np.lexsort((seq[m], ts[m]))
+        t, lo, la = ts[m][o], lon[m][o], lat[m][o]
+        for i in range(len(t) - 1):
+            h = _hav(np.array([la[i]]), np.array([lo[i]]),
+                     np.array([la[i + 1]]), np.array([lo[i + 1]]))[0]
+            dist = int(np.floor(1_000_000 * (2.0 * EARTH_RADIUS_M) * np.sqrt(h)))
+            dt = int(t[i + 1] - t[i])
+            speed = (dist * 1000) // max(dt, 1)
+            rows.append((int(k), i + 1, dt, dist, speed, speed >= 1000))
+    return sorted(rows)
+
+
+def test_track_speed_matches_brute(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    n = 400
+    key = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 10_000_000_000, n).astype(np.int64)
+    seq = np.arange(n, dtype=np.int64)
+    lon = rng.uniform(-179, 179, n)
+    lat = rng.uniform(-79, 79, n)
+    # force duplicate timestamps within one key (dt == 0 clamps to 1)
+    key[:4] = 99
+    ts[:4] = 42
+
+    t = pa.table({
+        "user_id": pa.array(key, pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array(seq, pa.int64()),
+        "lon": pa.array(lon, pa.float64()),
+        "lat": pa.array(lat, pa.float64()),
+    })
+    out = (track_speed(ray.data.from_arrow(t).repartition(4), num_buckets=8)
+           .to_pandas())
+    got = sorted(
+        (int(r.user_id), int(r.seg_idx), int(r.dt_us), int(r.dist_micro),
+         int(r.speed_mm_s), bool(r.moving))
+        for r in out.itertuples())
+    assert got == brute(key, ts, seq, lon, lat)
+
+
+def test_single_ping_keys_emit_nothing(ray_session):
+    import ray.data
+
+    t = pa.table({
+        "user_id": pa.array([1, 2, 3], pa.int64()),
+        "ts": pa.array([10, 20, 30], pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([0, 1, 2], pa.int64()),
+        "lon": pa.array([0.0, 1.0, 2.0]),
+        "lat": pa.array([0.0, 1.0, 2.0]),
+    })
+    out = track_speed(ray.data.from_arrow(t), num_buckets=4).to_pandas()
+    assert len(out) == 0
