@@ -291,3 +291,143 @@ def _wedge_filter(t: pa.Table) -> pa.Table:
         "x": pa.array(bl[keep], pa.int64()),
         "y": pa.array(br[keep], pa.int64()),
     })
+
+
+def bfs_hops(edges, sources, *, n_nodes: int, max_rounds: int,
+             broadcast_threshold: int = 50_000_000,
+             src_col: str = "src", dst_col: str = "dst"):
+    """Multi-source BFS over a directed edge list: hop distance from the
+    nearest source, the "distance to a seed set" primitive (crawl-frontier
+    depth, distance-to-landing-page, k-hop reach).
+
+    Returns Dataset[node, dist] covering ALL nodes 0..n_nodes-1; dist is
+    the minimum hop count from any source (0 for the sources themselves),
+    -1 for nodes not reached within ``max_rounds`` hops.  ``max_rounds``
+    is part of the RESULT CONTRACT (not a tuning knob): the SQL twin's
+    recursive CTE carries the same bound, which is what keeps it finite on
+    cyclic graphs.
+
+    Two plans, bit-identical (pytest-pinned parity; BFS assigns each node
+    exactly one distance, so there are no ties to break):
+
+    - n_nodes <= broadcast_threshold: the frontier rides as a ray.put
+      sorted array per round; workers emit per-batch UNIQUE reached dsts,
+      the driver owns the O(n_nodes) dist array (bounded by the threshold,
+      same contract as _pagerank_broadcast).  One map per round, no joins.
+    - beyond: per-round hash joins — frontier x edges (inner on src),
+      per-batch dedup + groupby(node) dedup of candidates, then one
+      left_anti join against the visited set.  O(1) driver memory; each
+      round's labels are materialized so round k+1 never re-executes
+      rounds 1..k.  Early exit when a round's frontier is empty.
+    """
+    import ray
+
+    srcs = np.unique(np.asarray(sources, dtype=np.int64))
+    if srcs.size and (srcs.min() < 0 or srcs.max() >= n_nodes):
+        raise ValueError("sources outside [0, n_nodes)")
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    if n_nodes <= broadcast_threshold:
+        return _bfs_broadcast(edges, srcs, n_nodes=n_nodes,
+                              max_rounds=max_rounds,
+                              src_col=src_col, dst_col=dst_col)
+    return _bfs_join(edges, srcs, n_nodes=n_nodes, max_rounds=max_rounds,
+                     src_col=src_col, dst_col=dst_col)
+
+
+def _bfs_broadcast(edges, srcs, *, n_nodes: int, max_rounds: int,
+                   src_col: str, dst_col: str):
+    import ray
+    import ray.data
+
+    dist = np.full(n_nodes, -1, np.int64)
+    dist[srcs] = 0
+    frontier = srcs
+    for r in range(1, max_rounds + 1):
+        if frontier.size == 0:
+            break
+        fref = ray.put(frontier)  # sorted (np.unique / np.flatnonzero)
+
+        def reached(t: pa.Table, fref=fref) -> pa.Table:
+            f = ray.get(fref)
+            src = np.asarray(t[src_col].combine_chunks(), dtype=np.int64)
+            dst = np.asarray(t[dst_col].combine_chunks(), dtype=np.int64)
+            pos = np.searchsorted(f, src)
+            pos_c = np.minimum(pos, max(f.size - 1, 0))
+            hit = f[pos_c] == src if f.size else np.zeros(src.size, bool)
+            return pa.table({"node": pa.array(np.unique(dst[hit]), pa.int64())})
+
+        cand_refs = ray.get(
+            edges.map_batches(reached, batch_format="pyarrow").to_arrow_refs())
+        cand = np.unique(np.concatenate(
+            [np.asarray(t["node"], dtype=np.int64) for t in cand_refs]
+            + [np.empty(0, np.int64)]))
+        new = cand[dist[cand] == -1] if cand.size else cand
+        dist[new] = r
+        frontier = new
+    out = pa.table({"node": pa.array(np.arange(n_nodes), pa.int64()),
+                    "dist": pa.array(dist, pa.int64())})
+    return ray.data.from_arrow(out)
+
+
+def _bfs_join(edges, srcs, *, n_nodes: int, max_rounds: int,
+              src_col: str, dst_col: str):
+    import ray.data
+
+    from ..util import drop_schemaless_empty_blocks
+    from .dedup import _num_join_partitions
+
+    nparts = _num_join_partitions()
+    node_schema = pa.table({"node": pa.array([], pa.int64())})
+
+    if srcs.size == 0:
+        # no sources: everything unreached.  (Short-circuit matters beyond
+        # taste — a left_anti join whose right side is an EMPTY dataset
+        # shuffles schemaless blocks and dies inside acero.)
+        minus1 = pa.scalar(-1, pa.int64())
+        return ray.data.range(n_nodes).map_batches(
+            lambda t: pa.table({"node": t["id"].cast(pa.int64()),
+                                "dist": pa.repeat(minus1, t.num_rows)}),
+            batch_format="pyarrow")
+
+    def with_dist(ds, d):
+        dd = pa.scalar(int(d), pa.int64())
+        return ds.map_batches(
+            lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                                "dist": pa.repeat(dd, t.num_rows)}),
+            batch_format="pyarrow")
+
+    src_tbl = pa.table({"node": pa.array(srcs, pa.int64())})
+    frontier = ray.data.from_arrow(src_tbl).materialize()
+    labels = with_dist(frontier, 0).materialize()
+
+    def dedup_nodes(t: pa.Table) -> pa.Table:
+        dst = np.asarray(t[dst_col].combine_chunks(), dtype=np.int64)
+        return pa.table({"node": pa.array(np.unique(dst), pa.int64())})
+
+    for r in range(1, max_rounds + 1):
+        if frontier.count() == 0:
+            break
+        j = edges.join(frontier, "inner", nparts,
+                       on=(src_col,), right_on=("node",))
+        cand = (j.map_batches(dedup_nodes, batch_format="pyarrow")
+                .groupby("node").count()
+                .map_batches(lambda t: t.select(["node"]),
+                             batch_format="pyarrow"))
+        cand = drop_schemaless_empty_blocks(cand, node_schema)
+        new = cand.join(labels, "left_anti", nparts, on=("node",))
+        new = drop_schemaless_empty_blocks(new.materialize(), node_schema)
+        frontier = new.materialize()
+        labels = labels.union(with_dist(frontier, r)).materialize()
+
+    unreached = (
+        ray.data.range(n_nodes)
+        .map_batches(lambda t: t.rename_columns(["node"]),
+                     batch_format="pyarrow")
+        .join(labels, "left_anti", nparts, on=("node",)))
+    minus1 = pa.scalar(-1, pa.int64())
+    unreached = unreached.map_batches(
+        lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                            "dist": pa.repeat(minus1, t.num_rows)}),
+        batch_format="pyarrow")
+    return labels.union(unreached)

@@ -1094,6 +1094,47 @@ SELECT node, "rank" FROM {prev}
 """
 
 
+_BFS_MAX_ROUNDS = 6
+
+
+def q_bfs_hops(sf_dir: str):
+    """Multi-source BFS hop distance over the deterministic doc link graph
+    (sources: doc_id % 97 == 0, 6-round bound).  Iterative frontier
+    expansion — broadcast frontier + driver dist array under the node cap,
+    per-round hash joins above it (functions/graph.py:bfs_hops); the bound
+    is part of the result contract, which is what keeps the recursive-CTE
+    twin finite on this cyclic graph."""
+    from ..functions.graph import bfs_hops, synth_link_graph
+
+    edges, n = synth_link_graph(sf_dir)
+    k = _read_keys(sf_dir, "documents", "doc_id")
+    return bfs_hops(edges.materialize(), k[k % 97 == 0], n_nodes=n,
+                    max_rounds=_BFS_MAX_ROUNDS)
+
+
+def sql_bfs_hops(max_rounds: int = _BFS_MAX_ROUNDS) -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % 3::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, 2) AS g(j) WHERE g.j < outdeg),
+reach(node, d) AS (
+  SELECT doc_id AS node, CAST(0 AS BIGINT) AS d FROM documents
+  WHERE doc_id % 97 = 0
+  UNION
+  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {max_rounds}),
+b AS (SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM reach GROUP BY node)
+SELECT doc.doc_id AS node, COALESCE(b.dist, CAST(-1 AS BIGINT)) AS dist
+FROM documents doc LEFT JOIN b ON b.node = doc.doc_id
+"""
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-node triangle counts via the degree-oriented forward algorithm
     (functions/graph.py:triangle_counts) over a denser deterministic link
@@ -5286,6 +5327,7 @@ def build_queries():
         "bloom_user_bits": q_bloom_user_bits,
         "bloom_member_custkeys": q_bloom_member_custkeys,
         "pagerank_docs": q_pagerank_docs,
+        "bfs_hops": q_bfs_hops,
         "link_components": q_link_components,
         "triangle_counts": q_triangle_counts,
         "inverted_index": q_inverted_index,
@@ -5421,6 +5463,7 @@ def build_queries():
         "bloom_user_bits": sql_bloom_user_bits(),
         "bloom_member_custkeys": sql_bloom_member_custkeys(),
         "pagerank_docs": sql_pagerank_docs(),
+        "bfs_hops": sql_bfs_hops(),
         "link_components": sql_link_components(),
         "triangle_counts": sql_triangle_counts(),
         "inverted_index": SQL_INVERTED_INDEX,
