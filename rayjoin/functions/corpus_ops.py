@@ -653,3 +653,58 @@ def weighted_sample(ds, *, k: int = 100, id_col: str = "doc_id",
         "prio_i64": pa.array(prio[order].view(np.int64), pa.int64()),
         "rank": pa.array(np.arange(len(order), dtype=np.int64), pa.int64()),
     })
+
+
+DEFAULT_LINE_BLOCKLIST = ("data", "join", "window")
+
+
+def line_filter(ds, *, text_col: str = "text", sep: str = "\n",
+                min_chars: int = 4, blocklist=DEFAULT_LINE_BLOCKLIST,
+                max_drop_pct: int = 50):
+    """Line-wise corrections (the RefinedWeb/CCNet line-filter shape,
+    Penedo et al. 2023 §3.3): drop lines shorter than ``min_chars``
+    characters or exactly matching the ``blocklist`` (nav/boilerplate
+    tokens); survivors re-join with ``sep`` in original order.  A document
+    whose dropped-line share STRICTLY exceeds ``max_drop_pct`` percent is
+    flagged ``doc_dropped`` (the "too much of this page was boilerplate"
+    whole-doc rule) — flagged, not removed, so callers decide (and the
+    gate can check the flag itself).
+
+    Doc-local — no shuffle; one split + vectorized length/set-membership
+    masks + offset-arithmetic list rebuild per batch (the doc_line_dedup
+    machinery).  The drop-share test is integer-exact:
+    (n_lines - n_kept) * 100 > max_drop_pct * n_lines.
+
+    Returns Dataset[<passthrough>, text, n_lines, n_kept, doc_dropped].
+    """
+    block = pa.array(list(blocklist), pa.string())
+    mc = np.int64(min_chars)
+    pct = np.int64(max_drop_pct)
+
+    def per_batch(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        lines = pc.split_pattern(text, pattern=sep)
+        nl = np.asarray(pc.list_value_length(lines), dtype=np.int64)
+        flat = pc.cast(lines.flatten(), pa.string())
+        ok = (
+            (np.asarray(pc.utf8_length(flat), dtype=np.int64) >= mc)
+            & ~pc.is_in(flat, value_set=block).to_numpy(zero_copy_only=False)
+        )
+        nb = nl.size
+        doc = np.repeat(np.arange(nb, dtype=np.int64), nl)
+        n_kept = (np.bincount(doc[ok], minlength=nb).astype(np.int64)
+                  if doc.size else np.zeros(nb, np.int64))
+        new_off = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        rebuilt = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(new_off, pa.int32()),
+                                     flat.filter(pa.array(ok, pa.bool_()))),
+            sep,
+        )
+        dropped = (nl - n_kept) * np.int64(100) > pct * nl
+        out = t.drop_columns([text_col])
+        out = out.append_column(text_col, pc.cast(rebuilt, pa.large_string()))
+        out = out.append_column("n_lines", pa.array(nl, pa.int64()))
+        out = out.append_column("n_kept", pa.array(n_kept, pa.int64()))
+        return out.append_column("doc_dropped", pa.array(dropped, pa.bool_()))
+
+    return ds.map_batches(per_batch, batch_format="pyarrow")

@@ -3939,6 +3939,53 @@ FROM first GROUP BY doc_id
 """
 
 
+def q_line_filter(sf_dir: str):
+    """RefinedWeb-style line-wise corrections over word-lines (space ->
+    newline, the doc_line_dedup gate convention): drop lines under 4 chars
+    or in the boilerplate blocklist, flag docs whose dropped share exceeds
+    50% (integer-exact test).  Doc-local, no shuffle
+    (functions/corpus_ops.py:line_filter)."""
+    import ray.data
+
+    from ..functions.corpus_ops import line_filter
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"],
+             "text": pc.replace_substring(t["text"], pattern=" ",
+                                          replacement="\n")}
+        )
+
+    return line_filter(docs.map_batches(to_lines, batch_format="pyarrow"))
+
+
+SQL_LINE_FILTER = """
+WITH lines AS (
+  SELECT doc_id,
+         unnest(string_split(replace(text, ' ', chr(10)), chr(10))) AS line,
+         unnest(range(len(string_split(replace(text, ' ', chr(10)), chr(10)))))
+           AS i,
+         len(string_split(replace(text, ' ', chr(10)), chr(10))) AS nl
+  FROM documents
+),
+k AS (SELECT doc_id, line, i FROM lines
+      WHERE len(line) >= 4 AND line NOT IN ('data', 'join', 'window')),
+ag AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS text,
+              CAST(COUNT(*) AS BIGINT) AS n_kept
+       FROM k GROUP BY doc_id),
+base AS (SELECT doc_id, CAST(ANY_VALUE(nl) AS BIGINT) AS n_lines
+         FROM lines GROUP BY doc_id)
+SELECT b.doc_id, COALESCE(ag.text, '') AS text, b.n_lines,
+       COALESCE(ag.n_kept, 0) AS n_kept,
+       (b.n_lines - COALESCE(ag.n_kept, 0)) * 100 > 50 * b.n_lines
+         AS doc_dropped
+FROM base b LEFT JOIN ag ON ag.doc_id = b.doc_id
+"""
+
+
 def q_extract_links(sf_dir: str):
     """Link-graph construction from raw html: pages synthesized with
     doc_id%5 anchor tags (urls a pure formula of doc_id), engine extracts
@@ -5401,6 +5448,7 @@ def build_queries():
         "frame_sample": q_frame_sample,
         "token_entropy": q_token_entropy,
         "doc_line_dedup": q_doc_line_dedup,
+        "line_filter": q_line_filter,
         "extract_links": q_extract_links,
         "geodesic_track_length": q_geodesic_track_length,
         "semi_join_lineitem": q_semi_join_lineitem,
@@ -5535,6 +5583,7 @@ def build_queries():
         "frame_sample": SQL_FRAME_SAMPLE,
         "token_entropy": SQL_TOKEN_ENTROPY,
         "doc_line_dedup": SQL_DOC_LINE_DEDUP,
+        "line_filter": SQL_LINE_FILTER,
         "extract_links": SQL_EXTRACT_LINKS,
         "geodesic_track_length": sql_geodesic_track_length(),
         "semi_join_lineitem": SQL_SEMI_JOIN,

@@ -333,3 +333,27 @@ def test_mixture_sample_temperature_allocation():
     with pytest.raises(ValueError):
         mixture_sample(ds, key_col="src", id_col="doc_id",
                        target_total=10, temperature=3.0)
+
+
+def test_line_filter_rules_and_flag(ray_session):
+    import ray.data
+    import pyarrow as pa
+
+    from rayjoin.functions.corpus_ops import line_filter
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha\nxy\ndata\nbravo",      # keeps alpha,bravo (2/4)
+            "a\nb\ndata",                   # keeps nothing (3 dropped)
+            "charlie\ndelta\necho",         # keeps all
+        ]),
+    })
+    out = (line_filter(ray.data.from_arrow(docs), min_chars=4,
+                       blocklist=("data",), max_drop_pct=50)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["text"].tolist() == ["alpha\nbravo", "", "charlie\ndelta\necho"]
+    assert out["n_lines"].tolist() == [4, 3, 3]
+    assert out["n_kept"].tolist() == [2, 0, 3]
+    # doc 1 drops exactly 50% -> NOT flagged (strict >); doc 2 flagged
+    assert out["doc_dropped"].tolist() == [False, True, False]
