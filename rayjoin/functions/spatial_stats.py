@@ -192,6 +192,128 @@ def spatial_lag(points, values, *, max_distance: float,
     return out.map_batches(finish_j, batch_format="pyarrow")
 
 
+def ripley_k(points, *, radii, target_cells: int = 256):
+    """Unnormalized Ripley's K pair counts (Ripley 1976): for each radius
+    r in ``radii`` (ascending), the number of ORDERED pairs (i, j), i != j,
+    with dist(i, j) <= r (inclusive — the proximity_map predicate).  The
+    K estimate itself is |A| * pairs / n^2, derivable downstream; emitting
+    the exact integer numerator keeps the SQL twin hash-exact.
+
+    One PBSM proximity SELF-join at max(radii) produces every candidate
+    pair once (with its bit-exact ``distance`` — the same sqrt expression
+    the SQL oracle uses, parity established by the prox_points rows); each
+    batch then collapses to ONE row per radius (a <=-threshold histogram),
+    so the only shuffle after the join carries len(radii) rows per block.
+    A zeros base rides along in the union so radii with no pairs still
+    come back as 0 (the LEFT JOIN semantics of the twin) with no driver
+    materialization.
+
+    Returns Dataset[r_code:int64 (1-based index), radius:float64,
+    pairs:int64].
+    """
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..config import Config
+    from ..join.partitioned import partitioned_proximity_map
+
+    rr = [float(r) for r in radii]
+    if not rr or sorted(rr) != rr:
+        raise ValueError("radii must be a non-empty ascending sequence")
+    r_codes = np.arange(1, len(rr) + 1, dtype=np.int64)
+    r_arr = np.asarray(rr, dtype=np.float64)
+
+    pts = ray.data.from_arrow(points) if isinstance(points, pa.Table) else points
+    pts = pts.materialize()
+    pairs = partitioned_proximity_map(
+        pts, pts, Config(max_distance=rr[-1]), target_cells=target_cells)
+
+    def partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"r_code": pa.array([], pa.int64()),
+                             "pairs": pa.array([], pa.int64())})
+        big = np.asarray(t["big_row_id"].combine_chunks(), np.int64)
+        small = np.asarray(t["small_row_id"].combine_chunks(), np.int64)
+        d = np.asarray(t["distance"].combine_chunks(), np.float64)
+        d = d[big != small]
+        # counts per radius: searchsorted on the sorted distances gives
+        # #{d <= r} for every r in one shot (side="right" = inclusive)
+        cnt = np.searchsorted(np.sort(d), r_arr, side="right").astype(np.int64)
+        return pa.table({"r_code": pa.array(r_codes, pa.int64()),
+                         "pairs": pa.array(cnt, pa.int64())})
+
+    zeros = ray.data.from_arrow(pa.table({
+        "r_code": pa.array(r_codes, pa.int64()),
+        "pairs": pa.array(np.zeros(len(rr), np.int64), pa.int64()),
+    }))
+    agg = (pairs.map_batches(partial, batch_format="pyarrow")
+           .union(zeros)
+           .groupby("r_code")
+           .aggregate(Sum("pairs", alias_name="pairs")))
+
+    lut = {int(c): r for c, r in zip(r_codes, rr)}
+
+    def finish(t: pa.Table) -> pa.Table:
+        codes = np.asarray(t["r_code"].combine_chunks(), np.int64)
+        return pa.table({
+            "r_code": pa.array(codes, pa.int64()),
+            "radius": pa.array([lut[int(c)] for c in codes], pa.float64()),
+            "pairs": t["pairs"].cast(pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def getis_ord(points, values, *, max_distance: float,
+              target_cells: int = 256,
+              broadcast_rows: int = 16_000_000):
+    """Integer-exact Getis-Ord Gi* hot-spot numerators (Getis & Ord 1992;
+    Ord & Getis 1995) under the same binary d-band weights as
+    ``local_moran``, INCLUDING self (the * variant).  With n = #points and
+    S = sum(val), the z-score numerator sum_j w*_ij val_j - mean * W*_i
+    scales by n to the exact int64
+
+        g_num_i = n * (lag_sum_i + val_i) - (nbrs_i + 1) * S
+
+    (W*_i = nbrs_i + 1 is emitted too — the denominator's only
+    data-dependent term besides the global S, S2 scalars).  Same
+    no-overflow contract and 100 TB shape as local_moran: one proximity
+    shuffle + one partial-aggregated groupby via ``spatial_lag``.
+
+    Returns Dataset[row_id, w_star, g_num].
+    """
+    import ray.data
+
+    vals = ray.data.from_arrow(values) if isinstance(values, pa.Table) else values
+    vals = vals.materialize()
+    from ray.data.aggregate import Count, Sum
+    stats = vals.aggregate(Count(alias_name="n"), Sum("val", alias_name="s"))
+    n = int(stats["n"])
+    s = int(stats["s"] or 0)
+
+    lag = spatial_lag(points, vals, max_distance=max_distance,
+                      target_cells=target_cells,
+                      broadcast_rows=broadcast_rows)
+    nn = pa.scalar(n, pa.int64())
+    ss = pa.scalar(s, pa.int64())
+    one = pa.scalar(1, pa.int64())
+
+    def score(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        w_star = pc.add_checked(t["nbrs"].cast(pa.int64()), one)
+        inc = pc.add_checked(t["lag_sum"].cast(pa.int64()),
+                             t["val"].cast(pa.int64()))
+        return pa.table({
+            "row_id": t["row_id"].cast(pa.int64()),
+            "w_star": w_star,
+            "g_num": pc.subtract_checked(pc.multiply_checked(inc, nn),
+                                         pc.multiply_checked(w_star, ss)),
+        })
+
+    return lag.map_batches(score, batch_format="pyarrow")
+
+
 def local_moran(points, values, *, max_distance: float,
                 target_cells: int = 256,
                 broadcast_rows: int = 16_000_000):

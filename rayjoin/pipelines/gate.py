@@ -414,6 +414,81 @@ FROM pts p CROSS JOIN st LEFT JOIN ag ON ag.ra = p.row_id
 """
 
 
+def q_ripley_k(sf_dir: str):
+    """Ripley's K pair counts over the clustered customer points at the
+    radius ladder (0.5, 1.0, 2.0, 3.0): ONE PBSM proximity self-join at
+    the largest radius, per-batch <=-threshold histograms (searchsorted
+    on sorted distances), a len(radii)-row groupby, zeros base for empty
+    radii (functions/spatial_stats.py:ripley_k)."""
+    from ..functions.spatial_stats import ripley_k
+    from ..geom.encode import points_geom
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    x, y = _dbscan_pts_np(k)
+    pts = _from_arrow(points_geom(k, x, y))
+    return ripley_k(pts, radii=(0.5, 1.0, 2.0, 3.0), target_cells=64)
+
+
+def sql_ripley_k() -> str:
+    x = f"((c_custkey%23)*15.0 - 165.0) + (((c_custkey*{LON_MULT})%4000)/1000.0 - 2.0)"
+    y = f"((c_custkey%11)*15.0 - 75.0) + (((c_custkey*{LAT_MULT})%4000)/1000.0 - 2.0)"
+    return f"""
+WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS row_id, {x} AS x, {y} AS y
+             FROM customer),
+r AS (SELECT CAST(c0 AS BIGINT) AS r_code, CAST(c1 AS DOUBLE) AS radius
+      FROM (VALUES (1, 0.5), (2, 1.0), (3, 2.0), (4, 3.0)) v(c0, c1)),
+p AS (SELECT sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) AS d
+      FROM pts a, pts b
+      WHERE a.row_id <> b.row_id
+        AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 3.0)
+SELECT r.r_code, r.radius, CAST(COUNT(p.d) AS BIGINT) AS pairs
+FROM r LEFT JOIN p ON p.d <= r.radius
+GROUP BY r.r_code, r.radius
+"""
+
+
+def q_getis_ord(sf_dir: str):
+    """Getis-Ord Gi* hot-spot numerators over the same clustered customer
+    points and val = c_custkey % 97 as the LISA row, d-band 3.0 including
+    self: w_star = nbrs + 1, g_num = n*(lag_sum + val) - w_star*S, all
+    int64-exact (functions/spatial_stats.py:getis_ord)."""
+    import ray.data
+
+    from ..functions.spatial_stats import getis_ord
+    from ..geom.encode import points_geom
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    x, y = _dbscan_pts_np(k)
+    pts = _from_arrow(points_geom(k, x, y))
+    vals = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(k, pa.int64()),
+        "val": pa.array(k % 97, pa.int64()),
+    })).repartition(4)
+    return getis_ord(pts, vals, max_distance=3.0, target_cells=64)
+
+
+def sql_getis_ord() -> str:
+    x = f"((c_custkey%23)*15.0 - 165.0) + (((c_custkey*{LON_MULT})%4000)/1000.0 - 2.0)"
+    y = f"((c_custkey%11)*15.0 - 75.0) + (((c_custkey*{LAT_MULT})%4000)/1000.0 - 2.0)"
+    return f"""
+WITH pts AS (SELECT CAST(c_custkey AS BIGINT) AS row_id, {x} AS x, {y} AS y,
+                    CAST(c_custkey % 97 AS BIGINT) AS val FROM customer),
+st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(val) AS BIGINT) AS s
+       FROM pts),
+pr AS (SELECT a.row_id AS ra, b.val AS vb FROM pts a, pts b
+       WHERE a.row_id <> b.row_id
+         AND sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 3.0),
+ag AS (SELECT ra, CAST(COUNT(*) AS BIGINT) AS nbrs,
+              CAST(SUM(vb) AS BIGINT) AS sv
+       FROM pr GROUP BY ra)
+SELECT p.row_id,
+       COALESCE(ag.nbrs, 0) + 1 AS w_star,
+       st.n * (COALESCE(ag.sv, 0) + p.val)
+         - (COALESCE(ag.nbrs, 0) + 1) * st.s AS g_num
+FROM pts p CROSS JOIN st LEFT JOIN ag ON ag.ra = p.row_id
+"""
+
+
 def q_dbscan_geodesic(sf_dir: str):
     """Same DBSCAN machinery with the GEODESIC metric: eps = 300 km on the
     sphere, edges from the pole/antimeridian-safe geodesic grid self-join;
@@ -5354,6 +5429,8 @@ def build_queries():
         "nearest_polyline": q_nearest_polyline,
         "dbscan_points": q_dbscan_points,
         "local_moran": q_local_moran,
+        "ripley_k": q_ripley_k,
+        "getis_ord": q_getis_ord,
         "track_speed": q_track_speed,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
@@ -5491,6 +5568,8 @@ def build_queries():
         "nearest_polyline": sql_nearest_polyline(),
         "dbscan_points": sql_dbscan_points(),
         "local_moran": sql_local_moran(),
+        "ripley_k": sql_ripley_k(),
+        "getis_ord": sql_getis_ord(),
         "track_speed": sql_track_speed(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),

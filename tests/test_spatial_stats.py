@@ -79,3 +79,59 @@ def test_local_moran_matches_brute(ray_session):
     assert np.array_equal(out["nbrs"].to_numpy(), nbrs)
     assert np.array_equal(out["z_num"].to_numpy(), want_z)
     assert np.array_equal(out["lag_num"].to_numpy(), want_lag)
+
+
+def test_getis_ord_matches_brute(ray_session):
+    import ray.data
+
+    from rayjoin.functions.spatial_stats import getis_ord
+
+    ids, x, y, vals = synth(70, 29)
+    d = 10.0
+    n = len(ids)
+    s = int(vals.sum())
+    nbrs, lag = brute_lag(ids, x, y, vals, d)
+    w_star = nbrs + 1
+    g_num = n * (lag + vals) - w_star * s
+
+    pts = ray.data.from_arrow(points_geom(ids, x, y)).repartition(3)
+    vt = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(ids, pa.int64()),
+        "val": pa.array(vals, pa.int64())}))
+    out = (getis_ord(pts, vt, max_distance=d, target_cells=16)
+           .to_pandas().sort_values("row_id").reset_index(drop=True))
+    assert np.array_equal(out["w_star"].to_numpy(), w_star)
+    assert np.array_equal(out["g_num"].to_numpy(), g_num)
+
+
+def test_ripley_k_matches_brute_and_zero_radii(ray_session):
+    import ray.data
+
+    from rayjoin.functions.spatial_stats import ripley_k
+
+    ids, x, y, _ = synth(60, 41)
+    radii = (0.001, 4.0, 8.0, 15.0)
+    dist = np.sqrt((x[:, None] - x[None, :]) ** 2
+                   + (y[:, None] - y[None, :]) ** 2)
+    off = ~np.eye(len(ids), dtype=bool)
+    want = [int(((dist <= r) & off).sum()) for r in radii]
+
+    pts = ray.data.from_arrow(points_geom(ids, x, y)).repartition(3)
+    out = (ripley_k(pts, radii=radii, target_cells=16)
+           .to_pandas().sort_values("r_code").reset_index(drop=True))
+    assert out["r_code"].tolist() == [1, 2, 3, 4]
+    assert out["radius"].tolist() == list(radii)
+    assert out["pairs"].tolist() == want
+    # the 0.001 radius almost surely has zero pairs -> zeros base covered
+    assert want[0] == 0
+
+
+def test_ripley_k_rejects_unsorted_radii(ray_session):
+    import ray.data
+
+    from rayjoin.functions.spatial_stats import ripley_k
+
+    ids, x, y, _ = synth(5, 3)
+    pts = ray.data.from_arrow(points_geom(ids, x, y))
+    with pytest.raises(ValueError):
+        ripley_k(pts, radii=(3.0, 1.0))
