@@ -162,6 +162,167 @@ def _pagerank_join(edges, *, n_nodes: int, iters: int, r0: int):
         )
     return ranks
 
+def hits_int(edges, *, n_nodes: int, iters: int = 2, h0: int = 1,
+             shift: int = 0, broadcast_threshold: int = 50_000_000):
+    """k rounds of INTEGER HITS (Kleinberg 1999, hubs & authorities) over
+    Dataset[src, dst]; nodes are 0..n_nodes-1.  Each round is
+
+        auth'(v) = (sum over in-edges (u,v) of hub(u))  >> shift
+        hub'(u)  = (sum over out-edges (u,v) of auth'(v)) >> shift
+
+    starting from hub = h0 everywhere.  Kleinberg's L2 normalization is a
+    positive per-round scalar, so it never changes the RANKING; dropping it
+    for a floor right-shift keeps every value int64 and lets the chained-CTE
+    SQL twin hash-match bit-exactly (same contract as pagerank_int above).
+    Overflow bound: values grow by <= max_indeg * max_outdeg (>> shift) per
+    round — keep h0 * (max_indeg * max_outdeg / 2^(2*shift))^iters * n < 2^63.
+
+    Two plans, bit-identical (pytest-pinned parity):
+    - n_nodes <= broadcast_threshold: hub/auth vectors ride as ray.put numpy
+      arrays (one map + one sparse groupby per half-round, no join).
+    - beyond: two hash joins per round, O(1) driver memory; the final
+      full-coverage table comes from a zeros base in the last groupby (a
+      no-in-edge node has auth 0, a no-out-edge node hub 0).
+
+    Returns Dataset[node, hub, auth].
+    """
+    if iters < 1:
+        raise ValueError("need iters >= 1")
+    if n_nodes <= broadcast_threshold:
+        return _hits_broadcast(edges, n_nodes=n_nodes, iters=iters, h0=h0,
+                               shift=shift)
+    return _hits_join(edges, n_nodes=n_nodes, iters=iters, h0=h0, shift=shift)
+
+
+def _sparse_sum(edges, key_col: str, val, ref_getter):
+    """One half-round of the broadcast plan: per-batch int64 partial sums of
+    a broadcast vector gathered through ``val`` indices, grouped on the
+    compact touched-``key_col`` set, then ONE groupby shuffle of those
+    partials."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    def contrib(t: pa.Table) -> pa.Table:
+        vec = ref_getter()
+        k = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        v = np.asarray(t[val].combine_chunks(), dtype=np.int64)
+        part = vec[v]
+        uniq, inv = np.unique(k, return_inverse=True)
+        agg = np.zeros(uniq.size, np.int64)
+        np.add.at(agg, inv, part)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "part": pa.array(agg, pa.int64())})
+
+    return (edges.map_batches(contrib, batch_format="pyarrow")
+            .groupby("node").aggregate(Sum("part", alias_name="part")))
+
+
+def _hits_broadcast(edges, *, n_nodes: int, iters: int, h0: int, shift: int):
+    import ray
+    import ray.data
+
+    hub = np.full(n_nodes, h0, np.int64)
+    auth = np.zeros(n_nodes, np.int64)
+    for _ in range(iters):
+        href = ray.put(hub)
+        auth = np.zeros(n_nodes, np.int64)
+        sums = _sparse_sum(edges, "dst", "src", lambda r=href: ray.get(r))
+        for tbl in ray.get(sums.to_arrow_refs()):
+            if tbl.num_rows:
+                auth[np.asarray(tbl["node"], dtype=np.int64)] += np.asarray(
+                    tbl["part"], dtype=np.int64)
+        auth >>= shift
+        aref = ray.put(auth)
+        hub = np.zeros(n_nodes, np.int64)
+        sums = _sparse_sum(edges, "src", "dst", lambda r=aref: ray.get(r))
+        for tbl in ray.get(sums.to_arrow_refs()):
+            if tbl.num_rows:
+                hub[np.asarray(tbl["node"], dtype=np.int64)] += np.asarray(
+                    tbl["part"], dtype=np.int64)
+        hub >>= shift
+    out = pa.table({"node": pa.array(np.arange(n_nodes), pa.int64()),
+                    "hub": pa.array(hub, pa.int64()),
+                    "auth": pa.array(auth, pa.int64())})
+    return ray.data.from_arrow(out)
+
+
+def _hits_join(edges, *, n_nodes: int, iters: int, h0: int, shift: int):
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import drop_schemaless_empty_blocks
+    from .dedup import _num_join_partitions
+
+    nparts = _num_join_partitions()
+    nodes = ray.data.range(n_nodes)
+    empty = pa.table({"node": pa.array([], pa.int64()),
+                      "part": pa.array([], pa.int64())})
+
+    def init(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t["id"],
+                         "part": pa.repeat(pa.scalar(h0, pa.int64()), len(t))})
+
+    hubs = nodes.map_batches(init, batch_format="pyarrow")
+    sh = np.int64(shift)
+
+    def make_half(out_key: str):
+        def half(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t[out_key].combine_chunks(),
+                "part": t["part"].combine_chunks(),
+            })
+        return half
+
+    def shifted(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["part"].combine_chunks(), dtype=np.int64) >> sh
+        return pa.table({"node": t["node"].combine_chunks(),
+                         "part": pa.array(v, pa.int64())})
+
+    # Each half-round MATERIALIZES its node-sized aggregate (O(n_nodes)
+    # light rows, never the edge list) so at most ONE Dataset.join operator
+    # is live per execution: every join spins up its own aggregator-actor
+    # pool, and 2*iters of them stacked in one lazy DAG deadlock a session
+    # whose CPU count is below the summed pool sizes (measured: 4 chained
+    # joins hang at num_cpus=4; pagerank's 2 survive).  Same per-round
+    # barrier discipline as dup_clusters' pointer doubling.  Callers on the
+    # join path should pass a materialized ``edges`` so the barrier doesn't
+    # recompute the edge pipeline each round (the gate query does).
+    auths = None
+    for _ in range(iters):
+        j = edges.join(hubs, "inner", nparts, on=("src",), right_on=("node",))
+        auths = (j.map_batches(make_half("dst"), batch_format="pyarrow")
+                 .groupby("node").aggregate(Sum("part", alias_name="part")))
+        if shift:
+            auths = auths.map_batches(shifted, batch_format="pyarrow")
+        auths = drop_schemaless_empty_blocks(auths.materialize(), empty)
+        j = edges.join(auths, "inner", nparts, on=("dst",), right_on=("node",))
+        hubs = (j.map_batches(make_half("src"), batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("part", alias_name="part")))
+        if shift:
+            hubs = hubs.map_batches(shifted, batch_format="pyarrow")
+        hubs = drop_schemaless_empty_blocks(hubs.materialize(), empty)
+
+    def as_hub(t: pa.Table) -> pa.Table:
+        z = pa.repeat(pa.scalar(0, pa.int64()), len(t))
+        return pa.table({"node": t["node"].combine_chunks(),
+                         "hub": t["part"].combine_chunks(), "auth": z})
+
+    def as_auth(t: pa.Table) -> pa.Table:
+        z = pa.repeat(pa.scalar(0, pa.int64()), len(t))
+        return pa.table({"node": t["node"].combine_chunks(),
+                         "hub": z, "auth": t["part"].combine_chunks()})
+
+    def zeros(t: pa.Table) -> pa.Table:
+        z = pa.repeat(pa.scalar(0, pa.int64()), len(t))
+        return pa.table({"node": t["id"], "hub": z, "auth": z})
+
+    full = (hubs.map_batches(as_hub, batch_format="pyarrow")
+            .union(auths.map_batches(as_auth, batch_format="pyarrow"))
+            .union(nodes.map_batches(zeros, batch_format="pyarrow")))
+    return full.groupby("node").aggregate(
+        Sum("hub", alias_name="hub"), Sum("auth", alias_name="auth"))
+
+
 def triangle_counts(edges, *, src_col: str = "src", dst_col: str = "dst"):
     """Per-node triangle counts over a directed multigraph — EXACT, via the
     degree-oriented "forward" algorithm (Schank & Wagner 2005; the same

@@ -1169,6 +1169,49 @@ SELECT node, "rank" FROM {prev}
 """
 
 
+def q_hits_docs(sf_dir: str):
+    """2 rounds of integer HITS (hubs & authorities) over the same
+    deterministic doc link graph as pagerank: the L2 normalization (a
+    positive scalar, ranking-invariant) is dropped so the chained-CTE twin
+    hash-matches bit-exactly (functions/graph.py:hits_int)."""
+    from ..functions.graph import hits_int, synth_link_graph
+
+    edges, n = synth_link_graph(sf_dir)
+    return hits_int(edges.materialize(), n_nodes=n, iters=2)
+
+
+def sql_hits_docs(iters: int = 2, h0: int = 1) -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    its = []
+    prev_h = "h0"
+    for i in range(1, iters + 1):
+        its.append(
+            f"a{i} AS (SELECT e.dst AS node, CAST(SUM(h.hub) AS BIGINT) AS auth\n"
+            f"  FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        its.append(
+            f"h{i} AS (SELECT e.src AS node, CAST(SUM(a.auth) AS BIGINT) AS hub\n"
+            f"  FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        prev_h = f"h{i}"
+    joined = ",\n".join(its)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % 3::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, 2) AS g(j) WHERE g.j < outdeg),
+h0 AS (SELECT doc_id AS node, CAST({h0} AS BIGINT) AS hub FROM documents),
+{joined}
+SELECT d.doc_id AS node, COALESCE(h.hub, 0) AS hub, COALESCE(a.auth, 0) AS auth
+FROM documents d
+LEFT JOIN h{iters} h ON h.node = d.doc_id
+LEFT JOIN a{iters} a ON a.node = d.doc_id
+"""
+
+
 _BFS_MAX_ROUNDS = 6
 
 
@@ -5451,6 +5494,7 @@ def build_queries():
         "bloom_user_bits": q_bloom_user_bits,
         "bloom_member_custkeys": q_bloom_member_custkeys,
         "pagerank_docs": q_pagerank_docs,
+        "hits_docs": q_hits_docs,
         "bfs_hops": q_bfs_hops,
         "link_components": q_link_components,
         "triangle_counts": q_triangle_counts,
@@ -5590,6 +5634,7 @@ def build_queries():
         "bloom_user_bits": sql_bloom_user_bits(),
         "bloom_member_custkeys": sql_bloom_member_custkeys(),
         "pagerank_docs": sql_pagerank_docs(),
+        "hits_docs": sql_hits_docs(),
         "bfs_hops": sql_bfs_hops(),
         "link_components": sql_link_components(),
         "triangle_counts": sql_triangle_counts(),

@@ -106,3 +106,72 @@ def test_triangle_counts_exact_vs_bruteforce():
 
     out = triangle_counts(ray.data.from_arrow(t).repartition(4)).to_pandas().sort_values("node")
     assert list(zip(out.node.tolist(), out.n_tri.tolist())) == exp
+
+
+def _hits_ref(src, dst, n, iters, h0=1, shift=0):
+    hub = np.full(n, h0, np.int64)
+    auth = np.zeros(n, np.int64)
+    for _ in range(iters):
+        auth = np.zeros(n, np.int64)
+        np.add.at(auth, dst, hub[src])
+        auth >>= shift
+        hub = np.zeros(n, np.int64)
+        np.add.at(hub, src, auth[dst])
+        hub >>= shift
+    return hub, auth
+
+
+def _hits_synth(seed=57, n=150):
+    rng = np.random.default_rng(seed)
+    src = np.repeat(np.arange(n), rng.integers(1, 4, n))
+    dst = rng.integers(0, n, src.size)
+    return src, dst
+
+
+def test_hits_matches_reference(ray_session):
+    from rayjoin.functions.graph import hits_int
+
+    src, dst = _hits_synth()
+    n = 150
+    hub, auth = _hits_ref(src, dst, n, iters=2)
+    out = _ranks(hits_int(_edges_ds(src, dst), n_nodes=n, iters=2))
+    assert np.array_equal(out["hub"].to_numpy(), hub)
+    assert np.array_equal(out["auth"].to_numpy(), auth)
+
+
+def test_hits_join_path_parity(ray_session):
+    from rayjoin.functions.graph import _hits_join, hits_int
+
+    src, dst = _hits_synth(seed=11)
+    n = 150
+    want = _ranks(hits_int(_edges_ds(src, dst), n_nodes=n, iters=2, shift=1))
+    got = _ranks(_hits_join(_edges_ds(src, dst, blocks=4), n_nodes=n,
+                            iters=2, h0=1, shift=1))
+    assert np.array_equal(want["hub"].to_numpy(), got["hub"].to_numpy())
+    assert np.array_equal(want["auth"].to_numpy(), got["auth"].to_numpy())
+    # shift=1 reference parity too
+    hub, auth = _hits_ref(src, dst, n, iters=2, shift=1)
+    assert np.array_equal(want["hub"].to_numpy(), hub)
+    assert np.array_equal(want["auth"].to_numpy(), auth)
+
+
+def test_hits_sink_and_source_nodes(ray_session):
+    from rayjoin.functions.graph import _hits_join, hits_int
+
+    # node 0 -> 1 -> 2; node 3 isolated
+    src = np.array([0, 1], np.int64)
+    dst = np.array([1, 2], np.int64)
+    for fn in (lambda e: hits_int(e, n_nodes=4, iters=1),
+               lambda e: _hits_join(e, n_nodes=4, iters=1, h0=1, shift=0)):
+        out = _ranks(fn(_edges_ds(src, dst, blocks=1)))
+        assert out["node"].tolist() == [0, 1, 2, 3]
+        # a1 = indeg (hub0=1): [0,1,1,0]; h1(u) = sum auth over targets
+        assert out["auth"].tolist() == [0, 1, 1, 0]
+        assert out["hub"].tolist() == [1, 1, 0, 0]
+
+
+def test_hits_bad_iters(ray_session):
+    from rayjoin.functions.graph import hits_int
+
+    with pytest.raises(ValueError):
+        hits_int(_edges_ds([0], [1]), n_nodes=2, iters=0)
