@@ -592,3 +592,193 @@ def _bfs_join(edges, srcs, *, n_nodes: int, max_rounds: int,
                             "dist": pa.repeat(minus1, t.num_rows)}),
         batch_format="pyarrow")
     return labels.union(unreached)
+
+
+def simple_undirected_edges(edges, *, n_nodes: int,
+                            src_col: str = "src", dst_col: str = "dst"):
+    """Collapse a directed multi-edge list into the SIMPLE UNDIRECTED edge
+    set: self-loops dropped, (a,b)/(b,a)/repeats collapsed to one canonical
+    (u, v) with u < v.  Per-batch local dedup shrinks the shuffle payload;
+    one groupby((u, v)) hash shuffle makes it globally distinct.  Returns a
+    materialized Dataset[u, v] (callers iterate over it round after round).
+    """
+    import ray.data
+    from ray.data.aggregate import Count
+
+    def canon(t: pa.Table) -> pa.Table:
+        a = np.asarray(t[src_col].combine_chunks(), dtype=np.int64)
+        b = np.asarray(t[dst_col].combine_chunks(), dtype=np.int64)
+        keep = a != b
+        a, b = a[keep], b[keep]
+        u = np.minimum(a, b)
+        v = np.maximum(a, b)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.concatenate([[True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])]) \
+            if u.size else np.zeros(0, bool)
+        return pa.table({"u": pa.array(u[first], pa.int64()),
+                         "v": pa.array(v[first], pa.int64())})
+
+    return (edges.map_batches(canon, batch_format="pyarrow")
+            .groupby(["u", "v"]).aggregate(Count(alias_name="_n"))
+            .select_columns(["u", "v"])
+            .materialize())
+
+
+def kcore_nodes(edges, *, n_nodes: int, k: int, max_rounds: int,
+                broadcast_threshold: int = 50_000_000,
+                src_col: str = "src", dst_col: str = "dst"):
+    """Bounded-round k-core peeling over a directed edge list viewed as a
+    SIMPLE UNDIRECTED graph (self-loops dropped, parallel/reverse edges
+    collapsed; degree = number of distinct neighbors).  Round i keeps the
+    nodes with >= k surviving neighbors among round i-1's survivors; after
+    ``max_rounds`` rounds the survivors are flagged 1, the peeled 0.
+
+    ``max_rounds`` is part of the RESULT CONTRACT exactly like bfs_hops:
+    the SQL twin runs the same chained rounds.  Peeling is monotone (the
+    alive set only shrinks), so a round that removes nothing is a fixed
+    point — the engine early-exits there and any larger bound returns the
+    identical table; with max_rounds >= n the result is the true k-core.
+
+    Two plans, bit-identical (pytest-pinned parity; survival is a set
+    property, no ties exist):
+    - n_nodes <= broadcast_threshold: the alive bitmap is driver-owned;
+      each round is one map over the simple edges (both-alive filter +
+      per-batch compact degree partials) and one node-sized groupby.
+    - beyond: the alive set is a Dataset; each round is two hash joins
+      (edges x alive on u, then on v), a degree groupby, and a >= k
+      filter, materialized per round (the same per-round barrier as
+      _bfs_join / _hits_join: chained join aggregator pools deadlock).
+
+    Returns Dataset[node, in_core] over ALL nodes 0..n_nodes-1.
+    """
+    if k < 0:
+        raise ValueError("need k >= 0")
+    if max_rounds < 0:
+        raise ValueError("need max_rounds >= 0")
+    simple = simple_undirected_edges(edges, n_nodes=n_nodes,
+                                     src_col=src_col, dst_col=dst_col)
+    if n_nodes <= broadcast_threshold:
+        return _kcore_broadcast(simple, n_nodes=n_nodes, k=k,
+                                max_rounds=max_rounds)
+    return _kcore_join(simple, n_nodes=n_nodes, k=k, max_rounds=max_rounds)
+
+
+def _kcore_broadcast(simple, *, n_nodes: int, k: int, max_rounds: int):
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    alive = np.ones(n_nodes, bool)
+    for _ in range(max_rounds):
+        aref = ray.put(alive)
+
+        def deg_parts(t: pa.Table, aref=aref) -> pa.Table:
+            a = ray.get(aref)
+            u = np.asarray(t["u"].combine_chunks(), dtype=np.int64)
+            v = np.asarray(t["v"].combine_chunks(), dtype=np.int64)
+            live = a[u] & a[v]
+            ends = np.concatenate([u[live], v[live]])
+            uniq, counts = np.unique(ends, return_counts=True)
+            return pa.table({"node": pa.array(uniq, pa.int64()),
+                             "part": pa.array(counts.astype(np.int64),
+                                              pa.int64())})
+
+        sums = (simple.map_batches(deg_parts, batch_format="pyarrow")
+                .groupby("node").aggregate(Sum("part", alias_name="part")))
+        deg = np.zeros(n_nodes, np.int64)
+        for tbl in ray.get(sums.to_arrow_refs()):
+            if tbl.num_rows:
+                deg[np.asarray(tbl["node"], dtype=np.int64)] += np.asarray(
+                    tbl["part"], dtype=np.int64)
+        new = alive & (deg >= k)
+        if np.array_equal(new, alive):
+            break
+        alive = new
+    out = pa.table({"node": pa.array(np.arange(n_nodes), pa.int64()),
+                    "in_core": pa.array(alive.astype(np.int64), pa.int64())})
+    return ray.data.from_arrow(out)
+
+
+def _kcore_join(simple, *, n_nodes: int, k: int, max_rounds: int):
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import drop_schemaless_empty_blocks
+    from .dedup import _num_join_partitions
+
+    nparts = _num_join_partitions()
+    node_schema = pa.table({"node": pa.array([], pa.int64())})
+    kk = np.int64(k)
+
+    def all_nodes():
+        return ray.data.range(n_nodes).map_batches(
+            lambda t: pa.table({"node": t["id"].cast(pa.int64())}),
+            batch_format="pyarrow")
+
+    alive = all_nodes().materialize()
+    n_alive = n_nodes
+
+    def both_ends(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"].combine_chunks(), dtype=np.int64)
+        v = np.asarray(t["v"].combine_chunks(), dtype=np.int64)
+        ends = np.concatenate([u, v])
+        uniq, counts = np.unique(ends, return_counts=True)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "part": pa.array(counts.astype(np.int64), pa.int64())})
+
+    def ge_k(t: pa.Table) -> pa.Table:
+        deg = np.asarray(t["part"].combine_chunks(), dtype=np.int64)
+        keep = deg >= kk
+        return pa.table({
+            "node": pa.array(
+                np.asarray(t["node"].combine_chunks(), dtype=np.int64)[keep],
+                pa.int64())})
+
+    uv_schema = pa.table({"u": pa.array([], pa.int64()),
+                          "v": pa.array([], pa.int64())})
+
+    def select_uv(t: pa.Table) -> pa.Table:
+        return t.select(["u", "v"])
+
+    for _ in range(max_rounds):
+        if k == 0 or n_alive == 0:
+            break
+        j = simple.join(alive, "inner", nparts, on=("u",), right_on=("node",))
+        # scrub between the chained joins: join #1 emits zero-row blocks
+        # with an EMPTY schema, and those reach join #2's acero with
+        # "No match for key field v" (zero-row blocks bypass map UDFs, so
+        # a schema-pinning map can't fix them)
+        j = drop_schemaless_empty_blocks(
+            j.map_batches(select_uv, batch_format="pyarrow").materialize(),
+            uv_schema)
+        j = j.join(alive, "inner", nparts, on=("v",), right_on=("node",))
+        new = (j.map_batches(both_ends, batch_format="pyarrow")
+               .groupby("node").aggregate(Sum("part", alias_name="part"))
+               .map_batches(ge_k, batch_format="pyarrow"))
+        new = drop_schemaless_empty_blocks(new.materialize(), node_schema)
+        n_new = new.count()
+        if n_new == n_alive:
+            break
+        alive, n_alive = new, n_new
+
+    one = pa.scalar(1, pa.int64())
+    zero = pa.scalar(0, pa.int64())
+    if n_alive == 0:
+        # left_anti against an EMPTY right side shuffles schemaless blocks
+        # and dies inside acero (same short-circuit as _bfs_join's no-source
+        # path): emit the all-zeros table directly.
+        return all_nodes().map_batches(
+            lambda t: pa.table({"node": t["node"],
+                                "in_core": pa.repeat(zero, t.num_rows)}),
+            batch_format="pyarrow")
+    ins = alive.map_batches(
+        lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                            "in_core": pa.repeat(one, t.num_rows)}),
+        batch_format="pyarrow")
+    outs = all_nodes().join(alive, "left_anti", nparts, on=("node",))
+    outs = outs.map_batches(
+        lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                            "in_core": pa.repeat(zero, t.num_rows)}),
+        batch_format="pyarrow")
+    return ins.union(outs)

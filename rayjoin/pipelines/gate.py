@@ -1212,6 +1212,58 @@ LEFT JOIN a{iters} a ON a.node = d.doc_id
 """
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def q_kcore_docs(sf_dir: str):
+    """Bounded-round k-core peeling (k=3, 6 rounds — enough to converge at
+    gate scale: survivors 363 -> 346 of 500, multiple real peels) over the
+    deterministic doc link graph viewed as a simple undirected graph
+    (functions/graph.py:kcore_nodes).  Survival is a set property, so the
+    chained-CTE twin hash-matches bit-exactly."""
+    from ..functions.graph import kcore_nodes, synth_link_graph
+
+    edges, n = synth_link_graph(sf_dir)
+    return kcore_nodes(edges.materialize(), n_nodes=n, k=_KCORE_K,
+                       max_rounds=_KCORE_ROUNDS)
+
+
+def sql_kcore_docs(k: int = _KCORE_K, rounds: int = _KCORE_ROUNDS) -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    its = []
+    prev = "a0"
+    for i in range(1, rounds + 1):
+        its.append(
+            f"a{i} AS (SELECT node FROM (\n"
+            f"  SELECT x.node, COUNT(*) AS c FROM halves x\n"
+            f"  JOIN {prev} p ON x.node = p.node\n"
+            f"  JOIN {prev} q ON x.other = q.node\n"
+            f"  GROUP BY x.node) WHERE c >= {k})"
+        )
+        prev = f"a{i}"
+    joined = ",\n".join(its)
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % 3::HUGEINT AS BIGINT) AS outdeg FROM documents),
+raw AS (SELECT src,
+        CAST({fnv_tgt} % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT) AS dst
+        FROM deg CROSS JOIN generate_series(0, 2) AS g(j) WHERE g.j < outdeg),
+simple AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+           FROM raw WHERE src <> dst),
+halves AS (SELECT u AS node, v AS other FROM simple
+           UNION ALL SELECT v AS node, u AS other FROM simple),
+a0 AS (SELECT doc_id AS node FROM documents),
+{joined}
+SELECT d.doc_id AS node,
+       CAST(CASE WHEN a.node IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core
+FROM documents d
+LEFT JOIN a{rounds} a ON a.node = d.doc_id
+"""
+
+
 _BFS_MAX_ROUNDS = 6
 
 
@@ -5495,6 +5547,7 @@ def build_queries():
         "bloom_member_custkeys": q_bloom_member_custkeys,
         "pagerank_docs": q_pagerank_docs,
         "hits_docs": q_hits_docs,
+        "kcore_docs": q_kcore_docs,
         "bfs_hops": q_bfs_hops,
         "link_components": q_link_components,
         "triangle_counts": q_triangle_counts,
@@ -5635,6 +5688,7 @@ def build_queries():
         "bloom_member_custkeys": sql_bloom_member_custkeys(),
         "pagerank_docs": sql_pagerank_docs(),
         "hits_docs": sql_hits_docs(),
+        "kcore_docs": sql_kcore_docs(),
         "bfs_hops": sql_bfs_hops(),
         "link_components": sql_link_components(),
         "triangle_counts": sql_triangle_counts(),

@@ -175,3 +175,72 @@ def test_hits_bad_iters(ray_session):
 
     with pytest.raises(ValueError):
         hits_int(_edges_ds([0], [1]), n_nodes=2, iters=0)
+
+
+def _kcore_ref(src, dst, n, k, rounds):
+    pairs = {(min(a, b), max(a, b)) for a, b in zip(src, dst) if a != b}
+    alive = np.ones(n, bool)
+    for _ in range(rounds):
+        deg = np.zeros(n, np.int64)
+        for a, b in pairs:
+            if alive[a] and alive[b]:
+                deg[a] += 1
+                deg[b] += 1
+        new = alive & (deg >= k)
+        if np.array_equal(new, alive):
+            break
+        alive = new
+    return alive.astype(np.int64)
+
+
+def test_kcore_matches_reference(ray_session):
+    from rayjoin.functions.graph import kcore_nodes
+
+    rng = np.random.default_rng(3)
+    n = 200
+    src = rng.integers(0, n, 600)
+    dst = rng.integers(0, n, 600)
+    for k, rounds in [(3, 8), (4, 8), (0, 2)]:
+        want = _kcore_ref(src, dst, n, k, rounds)
+        out = _ranks(kcore_nodes(_edges_ds(src, dst), n_nodes=n, k=k,
+                                 max_rounds=rounds))
+        assert np.array_equal(out["in_core"].to_numpy(), want), (k, rounds)
+
+
+def test_kcore_join_path_parity(ray_session):
+    from rayjoin.functions.graph import (_kcore_join, kcore_nodes,
+                                         simple_undirected_edges)
+
+    rng = np.random.default_rng(5)
+    n = 120
+    src = rng.integers(0, n, 360)
+    dst = rng.integers(0, n, 360)
+    ds = _edges_ds(src, dst, blocks=4)
+    simple = simple_undirected_edges(ds, n_nodes=n)
+    for k in (3, 50):  # 50 empties the core: exercises the all-zeros path
+        want = _ranks(kcore_nodes(ds, n_nodes=n, k=k, max_rounds=6))
+        got = _ranks(_kcore_join(simple, n_nodes=n, k=k, max_rounds=6))
+        assert np.array_equal(want["in_core"].to_numpy(),
+                              got["in_core"].to_numpy()), k
+        assert np.array_equal(want["in_core"].to_numpy(),
+                              _kcore_ref(src, dst, n, k, 6)), k
+
+
+def test_kcore_self_loops_and_multiedges_ignored(ray_session):
+    from rayjoin.functions.graph import kcore_nodes
+
+    # triangle 0-1-2 wired with duplicates + self-loops; node 3 pendant.
+    src = np.array([0, 0, 1, 1, 2, 2, 2, 3], np.int64)
+    dst = np.array([1, 1, 2, 1, 0, 0, 2, 0], np.int64)
+    out = _ranks(kcore_nodes(_edges_ds(src, dst, blocks=1), n_nodes=4,
+                             k=2, max_rounds=5))
+    assert out["in_core"].tolist() == [1, 1, 1, 0]
+
+
+def test_kcore_bad_args(ray_session):
+    from rayjoin.functions.graph import kcore_nodes
+
+    with pytest.raises(ValueError):
+        kcore_nodes(_edges_ds([0], [1]), n_nodes=2, k=-1, max_rounds=2)
+    with pytest.raises(ValueError):
+        kcore_nodes(_edges_ds([0], [1]), n_nodes=2, k=1, max_rounds=-1)
