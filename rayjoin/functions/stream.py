@@ -299,3 +299,105 @@ def funnel(ds, *, steps=("view", "click", "purchase"), key_col: str = "user_id",
         .groupby("bucket")
         .map_groups(resolve, batch_format="pyarrow")
     )
+
+
+def cohort_retention(ds, *, anchor_us: int, bucket_us: int,
+                     user_col: str = "user_id", ts_col: str = "ts",
+                     broadcast_rows: int = 20_000_000):
+    """Cohort retention matrix over an event log: users are grouped into
+    cohorts by the time bucket of their FIRST event, and each (cohort,
+    buckets-since-cohort) cell counts the distinct users from that cohort
+    active in that bucket.  The classic warehouse retention query, kept
+    integer-exact: bucket = (epoch_us - anchor_us) // bucket_us with a
+    non-negative anchor below min(ts) (floor vs truncate never diverges).
+
+    Plan (never materializes the raw log):
+    1. distinct (user, bucket) pairs — per-batch local dedup shrinks the
+       payload, ONE groupby((user, bucket)) hash shuffle makes it global;
+    2. cohort per user = groupby(user).min(bucket) over those pairs
+       (user-sized, i.e. orders of magnitude lighter than the log);
+    3. pairs x cohort: the cohort table broadcasts as two sorted numpy
+       arrays (ray.put once, searchsorted per batch) up to
+       ``broadcast_rows`` users, hash-joining above — the same tiering as
+       near_dup_drop_list; each distinct (user, bucket) contributes
+       exactly one row to its (cohort, delta) cell, so the final count is
+       a Sum over per-batch partials, no count-distinct shuffle.
+
+    Returns Dataset[cohort, delta, n_users].
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    if bucket_us <= 0:
+        raise ValueError("need bucket_us > 0")
+    a0 = np.int64(anchor_us)
+    bw = np.int64(bucket_us)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        u = np.asarray(t[user_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(
+            pc.cast(t[ts_col].combine_chunks(), pa.int64()), dtype=np.int64)
+        b = (ts - a0) // bw
+        order = np.lexsort((b, u))
+        u, b = u[order], b[order]
+        first = np.concatenate([[True], (u[1:] != u[:-1]) | (b[1:] != b[:-1])]) \
+            if u.size else np.zeros(0, bool)
+        return pa.table({"user": pa.array(u[first], pa.int64()),
+                         "bucket": pa.array(b[first], pa.int64())})
+
+    pairs = (ds.map_batches(to_pairs, batch_format="pyarrow")
+             .groupby(["user", "bucket"]).aggregate(Count(alias_name="_n"))
+             .select_columns(["user", "bucket"])
+             .materialize())
+
+    cohort = (pairs.groupby("user")
+              .aggregate(Min("bucket", alias_name="cohort"))
+              .materialize())
+
+    if cohort.count() <= broadcast_rows:
+        import ray
+
+        @ray.remote
+        def prep(tabs):
+            tabs = ray.get(list(tabs))  # refs nested in a list don't auto-resolve
+            t = pa.concat_tables([x for x in tabs if x.num_rows])
+            u = np.asarray(t["user"], dtype=np.int64)
+            c = np.asarray(t["cohort"], dtype=np.int64)
+            order = np.argsort(u)
+            return u[order], c[order]
+
+        ref = prep.remote(cohort.to_arrow_refs())
+
+        def cell_parts(t: pa.Table) -> pa.Table:
+            us, cs = ray.get(ref)
+            u = np.asarray(t["user"].combine_chunks(), dtype=np.int64)
+            b = np.asarray(t["bucket"].combine_chunks(), dtype=np.int64)
+            coh = cs[np.searchsorted(us, u)]  # every user has a cohort row
+            key = np.stack([coh, b - coh], axis=1)
+            uniq, counts = np.unique(key, axis=0, return_counts=True)
+            return pa.table({"cohort": pa.array(uniq[:, 0], pa.int64()),
+                             "delta": pa.array(uniq[:, 1], pa.int64()),
+                             "part": pa.array(counts.astype(np.int64),
+                                              pa.int64())})
+
+        return (pairs.map_batches(cell_parts, batch_format="pyarrow")
+                .groupby(["cohort", "delta"])
+                .aggregate(Sum("part", alias_name="n_users")))
+
+    from .dedup import _num_join_partitions
+
+    j = pairs.join(cohort, "inner", _num_join_partitions(pairs, cohort),
+                   on=("user",))
+
+    def cell_rows(t: pa.Table) -> pa.Table:
+        b = np.asarray(t["bucket"].combine_chunks(), dtype=np.int64)
+        c = np.asarray(t["cohort"].combine_chunks(), dtype=np.int64)
+        one = np.ones(b.size, np.int64)
+        return pa.table({"cohort": pa.array(c, pa.int64()),
+                         "delta": pa.array(b - c, pa.int64()),
+                         "part": pa.array(one, pa.int64())})
+
+    return (j.map_batches(cell_rows, batch_format="pyarrow")
+            .groupby(["cohort", "delta"])
+            .aggregate(Sum("part", alias_name="n_users")))

@@ -4038,6 +4038,38 @@ def sql_zonal_stats() -> str:
     )
 
 
+_COHORT_ANCHOR_US = 1_704_067_200_000_000  # 2024-01-01, below min(events.ts)
+_COHORT_BUCKET_US = 3_600_000_000  # hourly: 32 cohorts / ~7k cells at sf0.01
+
+
+def q_cohort_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by the hour bucket of their
+    first event; each (cohort, hours-since) cell counts distinct active
+    users (functions/stream.py:cohort_retention).  Integer bucket
+    arithmetic end to end, so the twin hash-matches bit-exactly."""
+    import ray.data
+
+    from ..functions.stream import cohort_retention
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return cohort_retention(ev, anchor_us=_COHORT_ANCHOR_US,
+                            bucket_us=_COHORT_BUCKET_US)
+
+
+def sql_cohort_retention() -> str:
+    return f"""
+WITH pw AS (
+  SELECT DISTINCT user_id,
+         (epoch_us(ts) - {_COHORT_ANCHOR_US}) // {_COHORT_BUCKET_US} AS b
+  FROM events),
+coh AS (SELECT user_id, MIN(b) AS cohort FROM pw GROUP BY user_id)
+SELECT c.cohort, p.b - c.cohort AS delta, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pw p JOIN coh c USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Session windows per user (gap > 30 min starts a new session)."""
     import ray.data
@@ -5613,6 +5645,7 @@ def build_queries():
         "topk_per_segment": q_topk_per_segment,
         "zonal_stats": q_zonal_stats,
         "sessionize_events": q_sessionize_events,
+        "cohort_retention": q_cohort_retention,
         "merge_intervals": q_merge_intervals,
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
@@ -5752,6 +5785,7 @@ def build_queries():
         "topk_per_segment": SQL_TOPK_SEGMENT,
         "zonal_stats": sql_zonal_stats().format(tri=tri),
         "sessionize_events": SQL_SESSIONIZE,
+        "cohort_retention": sql_cohort_retention(),
         "merge_intervals": SQL_MERGE_INTERVALS,
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,

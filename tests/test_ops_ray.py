@@ -1979,3 +1979,58 @@ def test_expand_exact_pairs_clique_guard(ray_session):
     star = _expand_exact_pairs(empty_pairs, members, dup,
                                mode="star").to_pandas()
     assert len(star) == 50  # O(m) rows
+
+
+def _cohort_ref(users, ts_us, anchor, bw):
+    pairs = {(u, (t - anchor) // bw) for u, t in zip(users, ts_us)}
+    coh = {}
+    for u, b in pairs:
+        coh[u] = min(coh.get(u, b), b)
+    cells = {}
+    for u, b in pairs:
+        key = (coh[u], b - coh[u])
+        cells[key] = cells.get(key, 0) + 1
+    return sorted((c, d, n) for (c, d), n in cells.items())
+
+
+def test_cohort_retention_vs_python_reference(ray_session):
+    import ray.data
+
+    from rayjoin.functions.stream import cohort_retention
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    users = rng.integers(0, 40, n).astype(np.int64)
+    ts_us = rng.integers(0, 50 * 3600, n).astype(np.int64) * 1_000_000
+    t = pa.table({"user_id": pa.array(users),
+                  "ts": pa.array(ts_us).cast(pa.timestamp("us"))})
+    ds = ray.data.from_arrow(t).repartition(5).materialize()
+    want = _cohort_ref(users, ts_us, 0, 3_600_000_000)
+
+    for bcast in (20_000_000, 0):  # broadcast tier, then forced join tier
+        out = cohort_retention(ds, anchor_us=0, bucket_us=3_600_000_000,
+                               broadcast_rows=bcast).to_pandas()
+        got = sorted(zip(out.cohort.astype(int), out.delta.astype(int),
+                         out.n_users.astype(int)))
+        assert got == want, f"broadcast_rows={bcast}"
+
+
+def test_cohort_retention_hand_case(ray_session):
+    import ray.data
+
+    from rayjoin.functions.stream import cohort_retention
+
+    # user 1: first in bucket 0, returns bucket 2 (twice -> one pair);
+    # user 2: first in bucket 1; user 3: first in bucket 0, returns 1 and 2.
+    users = [1, 1, 1, 2, 3, 3, 3]
+    buckets = [0, 2, 2, 1, 0, 1, 2]
+    ts = pa.array([b * 10 for b in buckets], pa.int64()).cast(pa.timestamp("us"))
+    ds = ray.data.from_arrow(pa.table({"user_id": pa.array(users, pa.int64()),
+                                       "ts": ts}))
+    out = cohort_retention(ds, anchor_us=0, bucket_us=10).to_pandas()
+    got = sorted(zip(out.cohort.astype(int), out.delta.astype(int),
+                     out.n_users.astype(int)))
+    assert got == [(0, 0, 2), (0, 1, 1), (0, 2, 2), (1, 0, 1)]
+
+    with pytest.raises(ValueError):
+        cohort_retention(ds, anchor_us=0, bucket_us=0)
