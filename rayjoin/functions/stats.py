@@ -448,3 +448,123 @@ def global_rank(ds, *, value_col: str, max_distinct: int = 50_000_000):
         return t.append_column("cume_cnt", pa.array(cume[pos], pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def _skyline_block(X: np.ndarray, chunk: int = 2048) -> np.ndarray:
+    """Indices of the Pareto frontier of ``X`` (all columns oriented
+    MAXIMIZE): rows no other row dominates, where b dominates a iff
+    b >= a on every column and b > a on at least one.  Byte-equal rows
+    never dominate each other, so duplicates of a frontier point all
+    survive — the same semantics as the SQL NOT-EXISTS twin.
+
+    Sorted by column-sum descending so dominators are met early, then each
+    chunk is refuted against the surviving frontier and against itself
+    with broadcast compares — O(k * |frontier| * d) bytes per chunk, never
+    a full k x k matrix."""
+    n = X.shape[0]
+    if n == 0:
+        return np.empty(0, np.int64)
+    order = np.argsort(-X.sum(axis=1, dtype=np.float64), kind="stable")
+    Xs = X[order]
+    sky_rows = []
+    sky = np.empty((0, X.shape[1]), X.dtype)
+    for s in range(0, n, chunk):
+        C = Xs[s:s + chunk]
+        alive = np.ones(C.shape[0], bool)
+        for t in range(0, sky.shape[0], 4096):
+            S = sky[t:t + 4096]
+            ge = (S[None, :, :] >= C[:, None, :]).all(axis=2)
+            gt = (S[None, :, :] > C[:, None, :]).any(axis=2)
+            alive &= ~(ge & gt).any(axis=1)
+            if not alive.any():
+                break
+        if not alive.any():
+            continue
+        C = C[alive]
+        keep_idx = np.flatnonzero(alive)
+        ge = (C[None, :, :] >= C[:, None, :]).all(axis=2)
+        gt = (C[None, :, :] > C[:, None, :]).any(axis=2)
+        dominated = (ge & gt).any(axis=1)
+        sel = keep_idx[~dominated]
+        sky_rows.append(order[s + sel])
+        sky = np.concatenate([sky, C[~dominated]])
+    if not sky_rows:
+        return np.empty(0, np.int64)
+    idx = np.concatenate(sky_rows)
+    # a later chunk can dominate earlier survivors (sum order is a
+    # heuristic, not a topological guarantee): one exact pass over the
+    # collected frontier candidates settles it.
+    F = X[idx]
+    alive = np.ones(idx.size, bool)
+    for t in range(0, idx.size, 4096):
+        S = F[t:t + 4096]
+        ge = (S[None, :, :] >= F[:, None, :]).all(axis=2)
+        gt = (S[None, :, :] > F[:, None, :]).any(axis=2)
+        alive &= ~(ge & gt).any(axis=1)
+    return np.sort(idx[alive])
+
+
+def skyline(ds, *, cols, maximize, cap: int = 5_000_000,
+            shrink_rounds: int = 3):
+    """Distributed Pareto frontier (skyline) over ``cols``: the rows no
+    other row dominates (>= everywhere and > somewhere, after orienting
+    column i to MAXIMIZE when ``maximize[i]`` else minimize).  Returns the
+    surviving rows with their full schema.
+
+    Plan: block-LOCAL skylines first (any globally non-dominated row is
+    locally non-dominated, so the filter is lossless); candidates then
+    shrink through up to ``shrink_rounds`` coarser local passes (halving
+    the partition count each round) until they fit ``cap`` rows, and one
+    Ray task computes the exact frontier of the survivors.  On typical
+    (even mildly correlated) data the local pass removes ~everything, so
+    the exact task sees a tiny set; fully anti-correlated data — where the
+    frontier IS the dataset — exceeds ``cap`` and raises rather than
+    silently OOMing a worker (same loud-cap contract as the dedup paths).
+    """
+    import ray
+    import ray.data
+
+    if len(cols) != len(maximize) or not cols:
+        raise ValueError("need one maximize flag per skyline column")
+    sign = np.array([1.0 if m else -1.0 for m in maximize])
+
+    def oriented(t: pa.Table) -> np.ndarray:
+        X = np.stack([
+            np.asarray(t[c].combine_chunks(), dtype=np.float64)
+            for c in cols], axis=1)
+        return X * sign
+
+    def local(t: pa.Table) -> pa.Table:
+        idx = _skyline_block(oriented(t))
+        return t.take(pa.array(idx, pa.int64()))
+
+    cand = ds.map_batches(local, batch_size=None,
+                          batch_format="pyarrow").materialize()
+    for _ in range(shrink_rounds):
+        n = cand.count()
+        if n <= cap:
+            break
+        nb = max(cand.num_blocks() // 2, 1)
+        cand = (cand.repartition(nb)
+                .map_batches(local, batch_size=None, batch_format="pyarrow")
+                .materialize())
+    if cand.count() > cap:
+        raise ValueError(
+            f"skyline candidates ({cand.count()}) exceed cap ({cap}): the "
+            "frontier itself is near the data size (anti-correlated "
+            "columns); raise cap or reduce dimensions")
+
+    @ray.remote
+    def final(tabs):
+        tabs = ray.get(list(tabs))
+        tabs = [x for x in tabs if x.num_rows]
+        if not tabs:
+            return None
+        t = pa.concat_tables(tabs).combine_chunks()
+        idx = _skyline_block(oriented(t))
+        return t.take(pa.array(idx, pa.int64()))
+
+    out = ray.get(final.remote(cand.to_arrow_refs()))
+    if out is None:
+        return cand  # empty in == empty out, schema preserved
+    return ray.data.from_arrow(out)

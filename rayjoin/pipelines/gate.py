@@ -4038,6 +4038,54 @@ def sql_zonal_stats() -> str:
     )
 
 
+def q_skyline_users(sf_dir: str):
+    """Pareto frontier over per-user activity profiles: users not dominated
+    on (sum of milli-fixed-point values MAX, event count MAX, first-seen
+    time MIN) — the multi-criteria "best users" query no single ORDER BY
+    expresses (functions/stats.py:skyline).  Comparisons only, no float
+    arithmetic, so the NOT-EXISTS twin hash-matches bit-exactly."""
+    import ray.data
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..functions.stats import skyline
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vm = pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64())
+        return pa.table({
+            "user_id": t["user_id"],
+            "vm": vm,
+            "ts_us": pc.cast(t["ts"], pa.int64()),
+        })
+
+    prof = (ev.map_batches(prep, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Sum("vm", alias_name="sum_vm"),
+                       Count(alias_name="n_events"),
+                       Min("ts_us", alias_name="first_ts_us")))
+    return skyline(prof, cols=["sum_vm", "n_events", "first_ts_us"],
+                   maximize=[True, True, False])
+
+
+SQL_SKYLINE_USERS = """
+WITH prof AS (
+  SELECT user_id,
+         CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) AS BIGINT) AS sum_vm,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         MIN(epoch_us(ts)) AS first_ts_us
+  FROM events GROUP BY user_id)
+SELECT user_id, sum_vm, n_events, first_ts_us FROM prof a
+WHERE NOT EXISTS (
+  SELECT 1 FROM prof b
+  WHERE b.sum_vm >= a.sum_vm AND b.n_events >= a.n_events
+    AND b.first_ts_us <= a.first_ts_us
+    AND (b.sum_vm > a.sum_vm OR b.n_events > a.n_events
+         OR b.first_ts_us < a.first_ts_us))
+"""
+
+
 _COHORT_ANCHOR_US = 1_704_067_200_000_000  # 2024-01-01, below min(events.ts)
 _COHORT_BUCKET_US = 3_600_000_000  # hourly: 32 cohorts / ~7k cells at sf0.01
 
@@ -5646,6 +5694,7 @@ def build_queries():
         "zonal_stats": q_zonal_stats,
         "sessionize_events": q_sessionize_events,
         "cohort_retention": q_cohort_retention,
+        "skyline_users": q_skyline_users,
         "merge_intervals": q_merge_intervals,
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
@@ -5786,6 +5835,7 @@ def build_queries():
         "zonal_stats": sql_zonal_stats().format(tri=tri),
         "sessionize_events": SQL_SESSIONIZE,
         "cohort_retention": sql_cohort_retention(),
+        "skyline_users": SQL_SKYLINE_USERS,
         "merge_intervals": SQL_MERGE_INTERVALS,
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,

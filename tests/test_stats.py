@@ -117,3 +117,64 @@ def test_grouped_regression_and_slope():
     r = regression_slope(stats)
     n, a, b, c, d = 3_000_000_000, 4_000_000_000, 5_000_000_000, 8_000_000_000, 7_000_000_000
     assert r["slope"].to_pylist()[0] == (n * d - a * b) / (n * c - a * a)
+
+
+def _brute_skyline(X, maximize):
+    Y = X * np.where(maximize, 1.0, -1.0)
+    keep = []
+    for i in range(len(Y)):
+        dom = ((Y >= Y[i]).all(axis=1) & (Y > Y[i]).any(axis=1)).any()
+        if not dom:
+            keep.append(i)
+    return set(keep)
+
+
+def _sky_table(A):
+    d = A.shape[1]
+    cols = {f"c{i}": pa.array(A[:, i]) for i in range(d)}
+    cols["rid"] = pa.array(np.arange(len(A)), pa.int64())
+    return pa.table(cols)
+
+
+def test_skyline_vs_bruteforce(ray_session):
+    from rayjoin.functions.stats import skyline
+
+    rng = np.random.default_rng(7)
+    for n, d, corr in [(3000, 2, 0.0), (2000, 3, 0.0), (1500, 3, -0.9)]:
+        A = rng.normal(size=(n, d))
+        if corr:
+            A[:, 1] = corr * A[:, 0] + (1 - abs(corr)) * A[:, 1]
+        A = np.round(A, 3)  # induce duplicates and per-column ties
+        maxi = [True] * (d - 1) + [False]
+        out = skyline(_ds(_sky_table(A), 6),
+                      cols=[f"c{i}" for i in range(d)],
+                      maximize=maxi).to_pandas()
+        assert set(out.rid.astype(int)) == _brute_skyline(A, np.array(maxi))
+
+
+def test_skyline_duplicates_all_survive(ray_session):
+    from rayjoin.functions.stats import skyline
+
+    # three byte-equal frontier points + one dominated point
+    A = np.array([[5.0, 5.0], [5.0, 5.0], [5.0, 5.0], [1.0, 1.0]])
+    out = skyline(_ds(_sky_table(A), 2), cols=["c0", "c1"],
+                  maximize=[True, True]).to_pandas()
+    assert sorted(out.rid.astype(int)) == [0, 1, 2]
+
+
+def test_skyline_cap_raises_on_anticorrelated(ray_session):
+    from rayjoin.functions.stats import skyline
+
+    # a pure diagonal: every point is on the frontier, cap must fire loudly
+    n = 64
+    A = np.stack([np.arange(n, dtype=np.float64),
+                  -np.arange(n, dtype=np.float64)], axis=1)
+    with pytest.raises(ValueError, match="cap"):
+        skyline(_ds(_sky_table(A), 4), cols=["c0", "c1"],
+                maximize=[True, True], cap=8, shrink_rounds=2)
+    ok = skyline(_ds(_sky_table(A), 4), cols=["c0", "c1"],
+                 maximize=[True, True]).to_pandas()
+    assert len(ok) == n
+
+    with pytest.raises(ValueError, match="maximize"):
+        skyline(_ds(_sky_table(A), 1), cols=["c0"], maximize=[True, False])
