@@ -789,3 +789,58 @@ def cooccurrence_pmi(ds, *, text_col: str = "text", window: int = 2,
         return t.append_column("pmi_micro", pa.array(lut[inv], pa.int64()))
 
     return pairs.map_batches(score, batch_format="pyarrow")
+
+
+def bpe_pair_counts(ds, *, k: int = 64, text_col: str = "text"):
+    """Adjacent CHARACTER-pair frequencies within whitespace tokens — the
+    counting step of one BPE tokenizer-training merge round (Sennrich et
+    al. 2016): the top pair is the next merge.  Tokenization matches
+    vocab_topk (split on ' ', same as the twin's string_split), pairs are
+    2-char substrings so the SQL twin's substr(tok, i, 2) agrees exactly.
+
+    Per batch the token set is joined into ONE buffer with a NUL
+    separator and decoded to UTF-32 code points; pair keys are the
+    vectorized (hi<<21 | lo) over adjacent non-separator code points —
+    zero Python per token.  Partial (key, count) tables take one
+    groupby(key) shuffle; only the top-k result is stringified.  (A
+    literal NUL inside a document would act as an extra token boundary;
+    NUL never appears in text corpora.)
+
+    Returns Dataset[pair, n] — top k by count desc, pair asc.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        toks = pc.split_pattern(text, pattern=" ")
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        lst = pa.ListArray.from_arrays(
+            np.array([0, len(flat)], np.int32), flat)
+        joined = pc.binary_join(lst, "\x00")[0].as_py() or ""
+        cp = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+        if cp.size < 2:
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "n_partial": pa.array([], pa.int64())})
+        a, b = cp[:-1], cp[1:]
+        live = (a != 0) & (b != 0)
+        keys = ((a[live].astype(np.int64)) << 21) | b[live].astype(np.int64)
+        uniq, counts = np.unique(keys, return_counts=True)
+        return pa.table({"key": pa.array(uniq, pa.int64()),
+                         "n_partial": pa.array(counts.astype(np.int64),
+                                               pa.int64())})
+
+    def stringify(t: pa.Table) -> pa.Table:
+        key = np.asarray(t["key"].combine_chunks(), dtype=np.int64)
+        pairs = [chr(int(x) >> 21) + chr(int(x) & ((1 << 21) - 1))
+                 for x in key]  # top-k rows only, never the corpus
+        return pa.table({"pair": pa.array(pairs, pa.string()),
+                         "n": t["n"].combine_chunks()})
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby("key").aggregate(Sum("n_partial", alias_name="n")))
+    # code points < 2^21 and UTF-8 order == code-point order, so sorting
+    # the packed key ascending is exactly "pair" ascending in the twin
+    return (counts.sort(["n", "key"], descending=[True, False]).limit(k)
+            .map_batches(stringify, batch_format="pyarrow"))

@@ -5051,6 +5051,29 @@ GROUP BY token ORDER BY n DESC, token LIMIT 50
 """
 
 
+def q_bpe_pairs(sf_dir: str):
+    """Top-64 adjacent character pairs within whitespace tokens — the
+    counting step of one BPE tokenizer-training merge
+    (functions/text.py:bpe_pair_counts).  Pure integer counts; ties break
+    (n desc, pair asc) in both engines."""
+    import ray.data
+
+    from ..functions.text import bpe_pair_counts
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    return bpe_pair_counts(docs, k=64)
+
+
+SQL_BPE_PAIRS = """
+WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+pos AS (SELECT tok, unnest(generate_series(1, length(tok) - 1)) AS i
+        FROM toks WHERE length(tok) >= 2),
+pairs AS (SELECT substr(tok, CAST(i AS INTEGER), 2) AS pair FROM pos)
+SELECT pair, CAST(COUNT(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 64
+"""
+
+
 _SAMPLE_RATES = {"en": 500, "de": 300, "fr": 300, "es": 200, "pt": 200, "zh": 100}
 
 
@@ -5719,6 +5742,7 @@ def build_queries():
         "band_pairs_events": q_band_pairs_events,
         "repetition_ratio": q_repetition_ratio,
         "vocab_topk": q_vocab_topk,
+        "bpe_pairs": q_bpe_pairs,
         "stratified_sample": q_stratified_sample,
         "sample_exact_k": q_sample_exact_k,
         "domain_cap": q_domain_cap,
@@ -5860,6 +5884,7 @@ def build_queries():
         "band_pairs_events": SQL_BAND,
         "repetition_ratio": SQL_REPETITION,
         "vocab_topk": SQL_VOCAB,
+        "bpe_pairs": SQL_BPE_PAIRS,
         "stratified_sample": sql_stratified_sample(),
         "sample_exact_k": sql_sample_exact_k(),
         "domain_cap": SQL_DOMAIN_CAP,

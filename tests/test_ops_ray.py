@@ -2034,3 +2034,23 @@ def test_cohort_retention_hand_case(ray_session):
 
     with pytest.raises(ValueError):
         cohort_retention(ds, anchor_us=0, bucket_us=0)
+
+
+def test_bpe_pair_counts_vs_python_reference(ray_session):
+    import ray.data
+
+    from rayjoin.functions.text import bpe_pair_counts
+
+    docs = ["the cat sat", "chat château 日本語 the", "", "a bb ccc the the"]
+    from collections import Counter
+    ref = Counter()
+    for d in docs:
+        for tok in d.split(" "):
+            for i in range(len(tok) - 1):
+                ref[tok[i:i + 2]] += 1
+    want = sorted(ref.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    ds = ray.data.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    out = bpe_pair_counts(ds.repartition(2), k=10).to_pandas()
+    got = list(zip(out.pair.tolist(), out.n.astype(int).tolist()))
+    assert got == want  # includes multibyte chars and tie ordering
