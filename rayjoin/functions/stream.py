@@ -401,3 +401,95 @@ def cohort_retention(ds, *, anchor_us: int, bucket_us: int,
     return (j.map_batches(cell_rows, batch_format="pyarrow")
             .groupby(["cohort", "delta"])
             .aggregate(Sum("part", alias_name="n_users")))
+
+
+def resample_locf(ds, *, anchor_us: int, bucket_us: int,
+                  key_col: str = "user_id", ts_col: str = "ts",
+                  value_col: str = "value", num_buckets: int = 256):
+    """Per-key time-series resampling with forward fill (LOCF, "last
+    observation carried forward"): each key gets one row per time bucket
+    from its first to its last observed bucket; a bucket's value is the
+    LAST event in it (ordered by ts, event_id — the sessionize ordering
+    contract), and empty buckets carry the previous bucket's value.
+    The gap-fill step every feature-store / metrics pipeline runs before
+    windowed aggregation.
+
+    Keys hash into ``num_buckets`` shuffle buckets (ONE groupby shuffle of
+    light 5-column rows); inside a bucket all keys resolve with one
+    lexsort + segment arithmetic and the fill is a searchsorted gather —
+    zero Python per key or per grid cell.  Grid size is data-bounded:
+    sum over keys of (observed span / bucket_us).
+
+    Returns Dataset[key, bucket, vm, filled] — vm the milli-fixed-point
+    carried value, filled=1 on gap-filled rows.
+    """
+    if bucket_us <= 0:
+        raise ValueError("need bucket_us > 0")
+    a0 = np.int64(anchor_us)
+    bw = np.int64(bucket_us)
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(
+            pc.cast(t[ts_col].combine_chunks(), pa.int64()), dtype=np.int64)
+        vm = pc.cast(pc.floor(pc.multiply(t[value_col], 1000.0)), pa.int64())
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "b": pa.array((ts - a0) // bw, pa.int64()),
+            "ts_us": pa.array(ts, pa.int64()),
+            "event_id": t["event_id"],
+            "vm": vm,
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({
+        key_col: pa.array([], pa.int64()), "bucket": pa.array([], pa.int64()),
+        "vm": pa.array([], pa.int64()), "filled": pa.array([], pa.int64()),
+    })
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = np.asarray(t["key"].combine_chunks(), dtype=np.int64)
+        b = np.asarray(t["b"].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        ev = np.asarray(t["event_id"].combine_chunks(), dtype=np.int64)
+        vm = np.asarray(t["vm"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ev, ts, b, key))
+        key, b, vm = key[order], b[order], vm[order]
+        # last row of each (key, bucket) run is the bucket's value
+        last = np.concatenate([(key[1:] != key[:-1]) | (b[1:] != b[:-1]),
+                               [True]])
+        okey, ob, ovm = key[last], b[last], vm[last]
+        # per-key spans over the observed-bucket rows (sorted by key)
+        new_key = np.concatenate([[True], okey[1:] != okey[:-1]])
+        kstart = np.flatnonzero(new_key)
+        kend = np.concatenate([kstart[1:], [okey.size]]) - 1
+        spans = ob[kend] - ob[kstart] + 1
+        from ..geom.primitives import repeat_expand
+
+        gid, off = repeat_expand(spans)  # grid row -> key index, offset
+        gkey = okey[kstart][gid]
+        gb = ob[kstart][gid] + off
+        # LOCF: map each grid cell to the latest observed bucket <= it.
+        # ob is sorted within a key; make it globally sorted by pairing
+        # with the key index, then one searchsorted over the packed pair.
+        pk = (gid.astype(np.int64) << 40) | (gb - ob[kstart][gid])
+        kidx = np.repeat(np.arange(kstart.size, dtype=np.int64),
+                         kend - kstart + 1)
+        ok = (kidx << 40) | (ob - ob[kstart][kidx])
+        src = np.searchsorted(ok, pk, side="right") - 1
+        gvm = ovm[src]
+        filled = (ok[src] != pk).astype(np.int64)
+        return pa.table({
+            key_col: pa.array(gkey, pa.int64()),
+            "bucket": pa.array(gb, pa.int64()),
+            "vm": pa.array(gvm, pa.int64()),
+            "filled": pa.array(filled, pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pyarrow"))

@@ -4118,6 +4118,44 @@ GROUP BY 1, 2
 """
 
 
+def q_resample_locf(sf_dir: str):
+    """Hourly per-user resampling with forward fill: one row per hour from
+    each user's first to last event, gap hours carrying the previous
+    hour's last value (functions/stream.py:resample_locf)."""
+    import ray.data
+
+    from ..functions.stream import resample_locf
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "value"])
+    return resample_locf(ev, anchor_us=_COHORT_ANCHOR_US,
+                         bucket_us=_COHORT_BUCKET_US)
+
+
+def sql_resample_locf() -> str:
+    return f"""
+WITH e AS (
+  SELECT user_id, (epoch_us(ts) - {_COHORT_ANCHOR_US}) // {_COHORT_BUCKET_US} AS b,
+         ts, event_id, CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm
+  FROM events),
+lastv AS (
+  SELECT user_id, b, vm FROM (
+    SELECT user_id, b, vm, ROW_NUMBER() OVER (
+      PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1),
+span AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM e GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM span),
+f AS (SELECT g.user_id, g.b, l.vm AS ov
+      FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.b = g.b)
+SELECT user_id, b AS bucket,
+       last_value(ov IGNORE NULLS) OVER (
+         PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS vm,
+       CAST(CASE WHEN ov IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+FROM f
+"""
+
+
 def q_sessionize_events(sf_dir: str):
     """Session windows per user (gap > 30 min starts a new session)."""
     import ray.data
@@ -5718,6 +5756,7 @@ def build_queries():
         "sessionize_events": q_sessionize_events,
         "cohort_retention": q_cohort_retention,
         "skyline_users": q_skyline_users,
+        "resample_locf": q_resample_locf,
         "merge_intervals": q_merge_intervals,
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
@@ -5860,6 +5899,7 @@ def build_queries():
         "sessionize_events": SQL_SESSIONIZE,
         "cohort_retention": sql_cohort_retention(),
         "skyline_users": SQL_SKYLINE_USERS,
+        "resample_locf": sql_resample_locf(),
         "merge_intervals": SQL_MERGE_INTERVALS,
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,

@@ -2054,3 +2054,47 @@ def test_bpe_pair_counts_vs_python_reference(ray_session):
     out = bpe_pair_counts(ds.repartition(2), k=10).to_pandas()
     got = list(zip(out.pair.tolist(), out.n.astype(int).tolist()))
     assert got == want  # includes multibyte chars and tie ordering
+
+
+def test_resample_locf_vs_python_reference(ray_session):
+    import ray.data
+
+    from rayjoin.functions.stream import resample_locf
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    users = rng.integers(0, 25, n).astype(np.int64)
+    ts_us = rng.integers(0, 40 * 10, n).astype(np.int64)  # bucket width 10
+    vals = np.round(rng.normal(size=n), 3)
+    eid = np.arange(n, dtype=np.int64)
+    bw = 10
+
+    ref = {}
+    for u in np.unique(users):
+        m = users == u
+        b = ts_us[m] // bw
+        vm = np.floor(vals[m] * 1000.0).astype(np.int64)
+        order = np.lexsort((eid[m], ts_us[m]))
+        lastv = {}
+        for i in order:
+            lastv[b[i]] = vm[i]
+        cur = None
+        for bb in range(int(b.min()), int(b.max()) + 1):
+            if bb in lastv:
+                cur = lastv[bb]
+                ref[(u, bb)] = (cur, 0)
+            else:
+                ref[(u, bb)] = (cur, 1)
+
+    t = pa.table({"user_id": pa.array(users),
+                  "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+                  "event_id": pa.array(eid),
+                  "value": pa.array(vals)})
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = resample_locf(ds, anchor_us=0, bucket_us=bw).to_pandas()
+    got = {(int(r.user_id), int(r.bucket)): (int(r.vm), int(r.filled))
+           for r in out.itertuples()}
+    assert got == ref
+
+    with pytest.raises(ValueError):
+        resample_locf(ds, anchor_us=0, bucket_us=0)
