@@ -493,3 +493,67 @@ def resample_locf(ds, *, anchor_us: int, bucket_us: int,
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def transition_counts(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type", num_buckets: int = 256):
+    """First-order Markov transition counts over per-key event sequences:
+    for each key ordered by (ts, event_id) — the sessionize ordering
+    contract — every adjacent (state, next state) pair contributes one
+    count.  The contingency table behind next-event prediction features
+    and sequence-model corpus stats.
+
+    Keys hash into ``num_buckets`` shuffle buckets so each key's whole
+    sequence lands in one group; inside a bucket states dictionary-encode
+    to int32 codes, adjacency is one shifted compare (masked at key
+    boundaries), and pairs pack into int64 keys for a np.unique partial
+    count.  A second tiny groupby sums partials across buckets.
+
+    Returns Dataset[from_type, to_type, n].
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "event_id": t["event_id"],
+            "state": t[type_col],
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({"from_type": pa.array([], pa.string()),
+                      "to_type": pa.array([], pa.string()),
+                      "n_partial": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        key = np.asarray(t["key"].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        ev = np.asarray(t["event_id"].combine_chunks(), dtype=np.int64)
+        st = t["state"].combine_chunks().dictionary_encode()
+        codes = np.asarray(st.indices, dtype=np.int64)
+        order = np.lexsort((ev, ts, key))
+        key, codes = key[order], codes[order]
+        same = key[1:] == key[:-1]
+        pk = (codes[:-1][same] << 32) | codes[1:][same]
+        if not pk.size:
+            return empty
+        uniq, counts = np.unique(pk, return_counts=True)
+        dic = st.dictionary
+        return pa.table({
+            "from_type": dic.take(pa.array(uniq >> 32, pa.int64())),
+            "to_type": dic.take(pa.array(uniq & 0xFFFFFFFF, pa.int64())),
+            "n_partial": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
+            .groupby(["from_type", "to_type"])
+            .aggregate(Sum("n_partial", alias_name="n")))

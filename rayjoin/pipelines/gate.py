@@ -4118,6 +4118,30 @@ GROUP BY 1, 2
 """
 
 
+def q_transition_counts(sf_dir: str):
+    """First-order Markov transition counts over per-user event sequences,
+    ordered by (ts, event_id) (functions/stream.py:transition_counts)."""
+    import ray.data
+
+    from ..functions.stream import transition_counts
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_id", "event_type"])
+    return transition_counts(ev)
+
+
+SQL_TRANSITION_COUNTS = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events)
+SELECT event_type AS from_type, nxt AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_resample_locf(sf_dir: str):
     """Hourly per-user resampling with forward fill: one row per hour from
     each user's first to last event, gap hours carrying the previous
@@ -5757,6 +5781,7 @@ def build_queries():
         "cohort_retention": q_cohort_retention,
         "skyline_users": q_skyline_users,
         "resample_locf": q_resample_locf,
+        "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
@@ -5900,6 +5925,7 @@ def build_queries():
         "cohort_retention": sql_cohort_retention(),
         "skyline_users": SQL_SKYLINE_USERS,
         "resample_locf": sql_resample_locf(),
+        "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,

@@ -2098,3 +2098,33 @@ def test_resample_locf_vs_python_reference(ray_session):
 
     with pytest.raises(ValueError):
         resample_locf(ds, anchor_us=0, bucket_us=0)
+
+
+def test_transition_counts_vs_python_reference(ray_session):
+    import ray.data
+
+    from rayjoin.functions.stream import transition_counts
+
+    rng = np.random.default_rng(31)
+    n = 1500
+    users = rng.integers(0, 30, n).astype(np.int64)
+    ts_us = rng.integers(0, 10_000, n).astype(np.int64)
+    eid = np.arange(n, dtype=np.int64)
+    types = np.array(["view", "click", "buy", "share"])[rng.integers(0, 4, n)]
+
+    from collections import Counter
+    ref = Counter()
+    for u in np.unique(users):
+        m = np.flatnonzero(users == u)
+        m = m[np.lexsort((eid[m], ts_us[m]))]
+        for a, b in zip(types[m[:-1]], types[m[1:]]):
+            ref[(a, b)] += 1
+
+    t = pa.table({"user_id": pa.array(users),
+                  "ts": pa.array(ts_us).cast(pa.timestamp("us")),
+                  "event_id": pa.array(eid),
+                  "event_type": pa.array(types.tolist(), pa.string())})
+    out = transition_counts(
+        ray.data.from_arrow(t).repartition(6)).to_pandas()
+    got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
+    assert got == dict(ref)
