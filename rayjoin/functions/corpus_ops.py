@@ -708,3 +708,111 @@ def line_filter(ds, *, text_col: str = "text", sep: str = "\n",
         return out.append_column("doc_dropped", pa.array(dropped, pa.bool_()))
 
     return ds.map_batches(per_batch, batch_format="pyarrow")
+
+
+def reassemble_chunks(ds, *, window: int = 64, stride: int = 48,
+                      id_col: str = "doc_id", text_col: str = "chunk_text",
+                      idx_col: str = "chunk_idx", num_buckets: int = 256):
+    """EXACT inverse of ``chunk_documents``: rebuild each document from its
+    overlapping fixed-token-window chunks.  Chunk 0 contributes all its
+    tokens; chunk c >= 1 contributes its tokens from position
+    ``window - stride`` on (everything before that is the overlap the
+    previous chunk already carried); a trailing chunk fully covered by its
+    predecessor contributes nothing.  Round-tripping
+    chunk_documents -> reassemble_chunks is byte-identity on any corpus —
+    the gate row certifies it against the raw documents table.
+
+    One groupby(hash bucket) shuffle co-locates each doc's chunks; inside
+    a bucket everything is byte-span arithmetic on the flat string buffer:
+    the per-chunk cut point is the byte after the (window-stride)-th ASCII
+    space (one vectorized scan over the buffer), and output docs assemble
+    with a single gather — no per-row Python, no token re-join.
+
+    Returns Dataset[id_col, text].
+    """
+    if window < 1 or stride < 1 or stride > window:
+        raise ValueError("reassemble_chunks: need 1 <= stride <= window")
+    kdrop_tail = np.int64(window - stride)
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        key = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(key, pa.int64()),
+            idx_col: t[idx_col],
+            text_col: t[text_col],
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      "text": pa.array([], pa.string())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        doc = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        cidx = np.asarray(t[idx_col].combine_chunks(), dtype=np.int64)
+        txt = t[text_col].combine_chunks()
+        order = np.lexsort((cidx, doc))
+        doc, cidx = doc[order], cidx[order]
+        txt = txt.take(pa.array(order, pa.int64()))
+
+        bufs = txt.buffers()
+        off_dtype = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+        offs = np.frombuffer(
+            bufs[1], dtype=off_dtype, count=len(txt) + 1 + txt.offset
+        )[txt.offset:txt.offset + len(txt) + 1].astype(np.int64)
+        buf = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+            else np.empty(0, np.uint8)
+
+        ntok = np.asarray(
+            pc.count_substring(txt, " "), dtype=np.int64) + 1
+        kdrop = np.where(cidx > 0, kdrop_tail, 0)
+        ct = np.maximum(ntok - kdrop, 0)  # contributed tokens
+
+        # byte cut point: after the kdrop-th space of each string (rows
+        # with ct > 0 and kdrop > 0 are guaranteed that many spaces)
+        abs_a = offs[:-1].copy()
+        need = (kdrop > 0) & (ct > 0)
+        if need.any():
+            spaces = np.flatnonzero(buf[offs[0]:offs[-1]] == 32) + offs[0]
+            seg = np.searchsorted(offs[1:], spaces, side="right")
+            first_in_seg = np.searchsorted(spaces, offs[:-1], side="left")
+            rank = np.arange(spaces.size, dtype=np.int64) - first_in_seg[seg]
+            hit = need[seg] & (rank == kdrop[seg] - 1)
+            abs_a[seg[hit]] = spaces[hit] + 1
+        abs_b = offs[1:]
+
+        keep = ct > 0
+        new_doc = np.concatenate([[True], doc[1:] != doc[:-1]])
+        sep = (keep & ~new_doc).astype(np.int64)
+        # a doc's FIRST kept row never takes a separator; chunk 0 always
+        # has ct >= 1, so "first kept" == "first row of doc" exactly
+        blen = np.where(keep, abs_b - abs_a, 0)
+        row_len = blen + sep
+        starts = np.concatenate([[0], np.cumsum(row_len)])
+        total = int(starts[-1])
+        vals = np.empty(total, np.uint8)
+        vals[starts[:-1][sep.astype(bool)]] = 32
+        from ..geom.primitives import repeat_expand
+
+        gid, k = repeat_expand(blen)
+        if gid.size:
+            vals[starts[gid] + sep[gid] + k] = buf[abs_a[gid] + k]
+
+        doc_rows = np.flatnonzero(new_doc)
+        out_ids = doc[doc_rows]
+        doc_offs = np.concatenate([starts[doc_rows], [total]])
+        out_text = pa.Array.from_buffers(
+            pa.string(), out_ids.size,
+            [None, pa.py_buffer(doc_offs.astype(np.int32).tobytes()),
+             pa.py_buffer(vals.tobytes())],
+        ) if total < 2**31 else pa.array(
+            [bytes(vals[doc_offs[i]:doc_offs[i + 1]]).decode("utf-8")
+             for i in range(out_ids.size)], pa.string())
+        return pa.table({id_col: pa.array(out_ids, pa.int64()),
+                         "text": out_text})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))

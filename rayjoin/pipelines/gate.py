@@ -1520,6 +1520,24 @@ def q_chunk_documents(sf_dir: str):
     return chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
 
 
+def q_reassemble_chunks(sf_dir: str):
+    """chunk_documents -> reassemble_chunks round trip: rebuilding every
+    document from its overlapping 64/48 token windows must be BYTE
+    identity, so the oracle is simply the raw documents table
+    (functions/corpus_ops.py:reassemble_chunks)."""
+    import ray.data
+
+    from ..functions.corpus_ops import chunk_documents, reassemble_chunks
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    chunks = chunk_documents(docs, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+    return reassemble_chunks(chunks, window=CHUNK_WINDOW, stride=CHUNK_STRIDE)
+
+
+SQL_REASSEMBLE_CHUNKS = "SELECT doc_id, text FROM documents"
+
+
 def sql_chunk_documents() -> str:
     w, s = CHUNK_WINDOW, CHUNK_STRIDE
     return f"""
@@ -5760,6 +5778,7 @@ def build_queries():
         "dsir_select": q_dsir_select,
         "perplexity_buckets": q_perplexity_buckets,
         "chunk_documents": q_chunk_documents,
+        "reassemble_chunks": q_reassemble_chunks,
         "weighted_sample": q_weighted_sample,
         "random_projection": q_random_projection,
         "ann_ivf": q_ann_ivf,
@@ -5906,6 +5925,7 @@ def build_queries():
         "dsir_select": sql_dsir_select(),
         "perplexity_buckets": sql_perplexity_buckets(),
         "chunk_documents": sql_chunk_documents(),
+        "reassemble_chunks": SQL_REASSEMBLE_CHUNKS,
         "weighted_sample": sql_weighted_sample(),
         "random_projection": sql_random_projection(),
         "ann_ivf_exhaustive": SQL_ANN,

@@ -67,3 +67,37 @@ def test_chunking_overlap_and_small_strides():
     # overlap property: consecutive chunks share window - stride tokens
     for a, b in zip(want, want[1:]):
         assert a[2].split(" ")[2:] == b[2].split(" ")[:2]
+
+
+def test_reassemble_chunks_round_trip(ray_session):
+    import ray.data
+
+    from rayjoin.functions.corpus_ops import chunk_documents, reassemble_chunks
+
+    rng = np.random.default_rng(5)
+    docs = [" ".join(f"tok{rng.integers(0, 50)}"
+                     for _ in range(int(rng.integers(0, 200))))
+            for _ in range(300)]
+    docs += ["", " ", "  ", "one", "a  b", " lead", "trail "]
+    ids = np.arange(len(docs), dtype=np.int64)
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    for w, s in [(64, 48), (8, 8), (8, 3), (5, 1)]:
+        back = (reassemble_chunks(chunk_documents(ds, window=w, stride=s),
+                                  window=w, stride=s)
+                .to_pandas().sort_values("doc_id"))
+        assert back.doc_id.tolist() == ids.tolist(), (w, s)
+        assert back.text.tolist() == docs, (w, s)
+
+
+def test_reassemble_chunks_bad_args(ray_session):
+    import ray.data
+
+    from rayjoin.functions.corpus_ops import reassemble_chunks
+
+    ds = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([0], pa.int64()),
+        "chunk_idx": pa.array([0], pa.int64()),
+        "chunk_text": pa.array(["x"], pa.string())}))
+    with pytest.raises(ValueError):
+        reassemble_chunks(ds, window=4, stride=5)  # stride > window
