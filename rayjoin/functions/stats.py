@@ -568,3 +568,66 @@ def skyline(ds, *, cols, maximize, cap: int = 5_000_000,
     if out is None:
         return cand  # empty in == empty out, schema preserved
     return ray.data.from_arrow(out)
+
+
+def rrf_fuse(ds, *, rank_cols, k: int = 60, scale: int = 1_000_000,
+             max_distinct: int = 50_000_000):
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009):
+    fuse several rankings of the same rows into one score,
+    ``rrf = sum_i scale // (k + rank_i)``, integer-exact so the
+    ROW_NUMBER SQL twin hash-matches bit-exactly.
+
+    Each ranking is an int64 column whose ASCENDING order is the ranking;
+    callers pack tiebreaks (e.g. the row id) into the key so every value
+    is unique and rank == row number.  Same scale shape as global_rank:
+    per-ranking distinct-value shuffles (bounded by ``max_distinct``,
+    loud failure beyond), sorted prefix-count LUTs broadcast once, one
+    streaming attach pass — the raw table never sorts or re-shuffles.
+
+    Returns ``ds`` with an appended int64 ``rrf`` column.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if not rank_cols:
+        raise ValueError("need at least one ranking column")
+    kk = np.int64(k)
+    sc = np.int64(scale)
+
+    luts = []
+    for col in rank_cols:
+        def partial(t: pa.Table, col=col) -> pa.Table:
+            vc = t[col].combine_chunks().value_counts()
+            return pa.table({"v": vc.field("values").cast(pa.int64()),
+                             "_c": vc.field("counts").cast(pa.int64())})
+
+        dist = (ds.map_batches(partial, batch_format="pyarrow")
+                .groupby("v").aggregate(Sum("_c", alias_name="_c"))
+                .materialize())
+        if dist.count() > max_distinct:
+            raise ValueError(
+                f"rrf_fuse: ranking column {col!r} has more than "
+                f"{max_distinct} distinct values; pack coarser keys")
+
+        @ray.remote
+        def lut(tabs):
+            tabs = ray.get(list(tabs))
+            t = pa.concat_tables([x for x in tabs if x.num_rows])
+            vals = np.asarray(t["v"], dtype=np.int64)
+            cnts = np.asarray(t["_c"], dtype=np.int64)
+            order = np.argsort(vals)
+            return vals[order], np.cumsum(cnts[order])
+
+        luts.append(lut.remote(dist.to_arrow_refs()))
+
+    def attach(t: pa.Table) -> pa.Table:
+        tables = ray.get(luts)  # list of refs resolves in one call
+        rrf = np.zeros(t.num_rows, np.int64)
+        for col, (vals, cume) in zip(rank_cols, tables):
+            v = np.asarray(t[col].combine_chunks(), dtype=np.int64)
+            pos = np.searchsorted(vals, v)
+            rank = np.where(pos > 0, cume[np.maximum(pos - 1, 0)], 0) + 1
+            rrf += sc // (kk + rank)
+        return t.append_column("rrf", pa.array(rrf, pa.int64()))
+
+    return ds.map_batches(attach, batch_format="pyarrow")

@@ -1538,6 +1538,48 @@ def q_reassemble_chunks(sf_dir: str):
 SQL_REASSEMBLE_CHUNKS = "SELECT doc_id, text FROM documents"
 
 
+def q_rrf_fuse(sf_dir: str):
+    """Reciprocal Rank Fusion of two document rankings — by length
+    (n_chars desc) and by a deterministic hash pseudo-relevance — into one
+    integer score (functions/stats.py:rrf_fuse).  Ranking keys pack the
+    tiebreak (doc_id) so rank == row number in both engines."""
+    import ray.data
+
+    from ..functions.stats import rrf_fuse
+    from ..stages.geocode import fnv1a64
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+
+    def keys(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        nch = np.asarray(t["n_chars"].combine_chunks(), dtype=np.int64)
+        h = (fnv1a64(pc.cast(pa.array(did), pa.string()))
+             % np.uint64(2**31)).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(did, pa.int64()),
+            "k_len": pa.array(((2**31 - nch) << 32) | did, pa.int64()),
+            "k_hash": pa.array((h << 32) | did, pa.int64()),
+        })
+
+    fused = rrf_fuse(docs.map_batches(keys, batch_format="pyarrow"),
+                     rank_cols=["k_len", "k_hash"])
+    return fused.select_columns(["doc_id", "rrf"])
+
+
+def sql_rrf_fuse() -> str:
+    fnv = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH r1 AS (SELECT doc_id, ROW_NUMBER() OVER (
+              ORDER BY n_chars DESC, doc_id) AS r FROM documents),
+r2 AS (SELECT doc_id, ROW_NUMBER() OVER (
+         ORDER BY ({fnv} % 2147483648::HUGEINT), doc_id) AS r FROM documents)
+SELECT d.doc_id,
+       CAST(1000000 // (60 + r1.r) + 1000000 // (60 + r2.r) AS BIGINT) AS rrf
+FROM documents d JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
+"""
+
+
 def sql_chunk_documents() -> str:
     w, s = CHUNK_WINDOW, CHUNK_STRIDE
     return f"""
@@ -5779,6 +5821,7 @@ def build_queries():
         "perplexity_buckets": q_perplexity_buckets,
         "chunk_documents": q_chunk_documents,
         "reassemble_chunks": q_reassemble_chunks,
+        "rrf_fuse": q_rrf_fuse,
         "weighted_sample": q_weighted_sample,
         "random_projection": q_random_projection,
         "ann_ivf": q_ann_ivf,
@@ -5926,6 +5969,7 @@ def build_queries():
         "perplexity_buckets": sql_perplexity_buckets(),
         "chunk_documents": sql_chunk_documents(),
         "reassemble_chunks": SQL_REASSEMBLE_CHUNKS,
+        "rrf_fuse": sql_rrf_fuse(),
         "weighted_sample": sql_weighted_sample(),
         "random_projection": sql_random_projection(),
         "ann_ivf_exhaustive": SQL_ANN,

@@ -178,3 +178,27 @@ def test_skyline_cap_raises_on_anticorrelated(ray_session):
 
     with pytest.raises(ValueError, match="maximize"):
         skyline(_ds(_sky_table(A), 1), cols=["c0"], maximize=[True, False])
+
+
+def test_rrf_fuse_vs_python_reference(ray_session):
+    from rayjoin.functions.stats import rrf_fuse
+
+    rng = np.random.default_rng(13)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    a = rng.permutation(n).astype(np.int64)
+    b = rng.permutation(n).astype(np.int64)
+    # pack tiebreak-free unique keys directly
+    t = pa.table({"rid": pa.array(ids), "ka": pa.array(a), "kb": pa.array(b)})
+    out = rrf_fuse(_ds(t, 5), rank_cols=["ka", "kb"]).to_pandas()
+
+    ra = np.argsort(np.argsort(a)) + 1  # rank of each row under key a
+    rb = np.argsort(np.argsort(b)) + 1
+    want = 1_000_000 // (60 + ra) + 1_000_000 // (60 + rb)
+    got = out.sort_values("rid").rrf.to_numpy()
+    assert np.array_equal(got, want)
+
+    with pytest.raises(ValueError):
+        rrf_fuse(_ds(t, 1), rank_cols=[])
+    with pytest.raises(ValueError, match="distinct"):
+        rrf_fuse(_ds(t, 1), rank_cols=["ka"], max_distinct=10)
