@@ -844,3 +844,184 @@ def bpe_pair_counts(ds, *, k: int = 64, text_col: str = "text"):
     # the packed key ascending is exactly "pair" ascending in the twin
     return (counts.sort(["n", "key"], descending=[True, False]).limit(k)
             .map_batches(stringify, batch_format="pyarrow"))
+
+
+def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
+                     broadcast_model_rows: int = 1_000_000):
+    """Per-doc BIGRAM language-model score with add-one (Laplace)
+    smoothing — one modeling step up from ``unigram_lm_scores`` toward the
+    CCNet 5-gram quality signal: for each adjacent whitespace-token pair
+    (w1, w2), lp = floor(1e6 * ln((cnt2(w1,w2) + 1) / (cnt1(w1) + V)))
+    where cnt1(w1) is the context count (bigrams starting with w1) and V
+    the corpus vocabulary size; score(d) = int64 sum of lp over d's
+    bigram occurrences.  Docs with < 2 tokens have no bigrams and no row
+    (same in the twin).
+
+    Scale shape: per-batch partial bigram counts (packed "w1\\x1fw2" key)
+    -> ONE groupby over distinct bigrams; context counts roll up FROM the
+    bigram model (cnt1 = sum of n2 over the w1 group — model-sized, never
+    a second corpus pass); V from the distinct-token groupby; lp via
+    math.log per DISTINCT (n2, n1) pair (the tfidf libm-parity contract);
+    scoring via broadcast sorted-key lookup under
+    ``broadcast_model_rows``, hash join beyond; one final groupby(doc).
+
+    Returns Dataset[doc_id, n_bigrams, logprob_micro].
+    """
+    import math
+
+    import ray
+    from ray.data.aggregate import Sum
+
+    from .dedup import _num_join_partitions
+
+    SEP = "\x1f"
+
+    def _doc_bigrams(t: pa.Table):
+        text = t[text_col].combine_chunks()
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        toks = pc.split_pattern(text, pattern=" ")
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        flat = pc.list_flatten(toks)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) < 2:
+            return None
+        w1 = flat.slice(0, len(flat) - 1)
+        w2 = flat.slice(1)
+        key = pc.binary_join_element_wise(w1, w2, SEP)
+        # mask the seam pairs that straddle two docs
+        ends = np.cumsum(lens) - 1  # last-token index per doc
+        valid = np.ones(len(flat) - 1, bool)
+        valid[ends[ends < len(flat) - 1]] = False
+        did = np.repeat(np.arange(ids.size, dtype=np.int64), lens)[:-1]
+        return ids, key, w1, did, valid
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        empty = pa.table({"bkey": pa.array([], pa.string()),
+                          "n_partial": pa.array([], pa.int64())})
+        r = _doc_bigrams(t)
+        if r is None:
+            return empty
+        _, key, w1, _, valid = r
+        key = key.filter(pa.array(valid))
+        if not len(key):
+            return empty
+        vc = key.value_counts()
+        return pa.table({
+            "bkey": vc.field("values"),
+            "n_partial": vc.field("counts").cast(pa.int64()),
+        })
+
+    def rekey(t: pa.Table) -> pa.Table:
+        # w1 of a packed key = bytes before the separator
+        w1d = pc.split_pattern(t["bkey"].combine_chunks(), pattern=SEP,
+                               max_splits=1)
+        return pa.table({"bkey": t["bkey"].combine_chunks(),
+                         "w1": pc.list_element(w1d, 0),
+                         "n2": t["n2"].combine_chunks()})
+
+    model2 = (ds.map_batches(pair_partial, batch_format="pyarrow")
+              .groupby("bkey")
+              .aggregate(Sum("n_partial", alias_name="n2"))
+              .map_batches(rekey, batch_format="pyarrow")
+              .materialize())
+    model1 = (model2.groupby("w1")
+              .aggregate(Sum("n2", alias_name="n1"))
+              .materialize())
+
+    def tok_partial(t: pa.Table) -> pa.Table:
+        text = t[text_col].combine_chunks()
+        flat = pc.list_flatten(pc.split_pattern(text, pattern=" "))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        vc = flat.value_counts()
+        return pa.table({"token": vc.field("values"),
+                         "_c": pa.repeat(pa.scalar(1, pa.int64()), len(vc))})
+
+    vocab_size = (ds.map_batches(tok_partial, batch_format="pyarrow")
+                  .groupby("token").aggregate(Sum("_c", alias_name="_c"))
+                  .count())
+
+    def _lp_of(n2: np.ndarray, n1: np.ndarray) -> np.ndarray:
+        pair = np.stack([n2.astype(np.int64), n1.astype(np.int64)], axis=1)
+        uniq, inv = np.unique(pair, axis=0, return_inverse=True)
+        vv = np.float64(vocab_size)
+        lut = np.array([
+            np.floor(1_000_000 * math.log(
+                np.float64(a + 1) / (np.float64(b) + vv)))
+            for a, b in uniq], np.float64).astype(np.int64)
+        return lut[inv]
+
+    nparts = _num_join_partitions(model2, model1)
+    model = model2.join(model1, "inner", nparts, on=("w1",)).materialize()
+
+    def occ_rows(t: pa.Table) -> pa.Table:
+        empty = pa.table({id_col: pa.array([], pa.int64()),
+                          "bkey": pa.array([], pa.string()),
+                          "occ": pa.array([], pa.int64())})
+        r = _doc_bigrams(t)
+        if r is None:
+            return empty
+        ids, key, _, did, valid = r
+        key = key.filter(pa.array(valid))
+        did = did[valid]
+        # per-batch partial: one row per (doc, bigram)
+        tb = pa.table({"d": pa.array(ids[did], pa.int64()), "k": key})
+        g = tb.group_by(["d", "k"]).aggregate([("d", "count")])
+        return pa.table({id_col: g["d"], "bkey": g["k"],
+                         "occ": g["d_count"].cast(pa.int64())})
+
+    occ = ds.map_batches(occ_rows, batch_format="pyarrow")
+
+    def _to_scores(t: pa.Table, lp: np.ndarray) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        oc = np.asarray(t["occ"].combine_chunks(), dtype=np.int64)
+        uniq, inv = np.unique(ids, return_inverse=True)
+        nbg = np.zeros(uniq.size, np.int64)
+        lps = np.zeros(uniq.size, np.int64)
+        np.add.at(nbg, inv, oc)
+        np.add.at(lps, inv, oc * lp)
+        return pa.table({id_col: pa.array(uniq, pa.int64()),
+                         "nbg": pa.array(nbg, pa.int64()),
+                         "lpsum": pa.array(lps, pa.int64())})
+
+    if model.count() <= broadcast_model_rows:
+        @ray.remote
+        def prep(tabs):
+            tabs = ray.get(list(tabs))
+            t = pa.concat_tables([x for x in tabs if x.num_rows])
+            keys = t["bkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(object)
+            order = np.argsort(keys)
+            n2 = np.asarray(t["n2"], dtype=np.int64)[order]
+            n1 = np.asarray(t["n1"], dtype=np.int64)[order]
+            return keys[order], _lp_of(n2, n1)
+
+        ref = prep.remote(model.to_arrow_refs())
+
+        def probe(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 "nbg": pa.array([], pa.int64()),
+                                 "lpsum": pa.array([], pa.int64())})
+            keys_sorted, lp_sorted = ray.get(ref)
+            kk = t["bkey"].combine_chunks().to_numpy(
+                zero_copy_only=False).astype(object)
+            pos = np.clip(np.searchsorted(keys_sorted, kk), 0,
+                          keys_sorted.size - 1)
+            if keys_sorted.size == 0 or not (keys_sorted[pos] == kk).all():
+                raise KeyError("bigram_lm_scores: bigram missing from model")
+            return _to_scores(t, lp_sorted[pos])
+
+        parts = occ.map_batches(probe, batch_format="pyarrow")
+    else:
+        j = occ.join(model, "inner", _num_join_partitions(), on=("bkey",))
+        parts = j.map_batches(
+            lambda t: _to_scores(
+                t, _lp_of(np.asarray(t["n2"].combine_chunks(), dtype=np.int64),
+                          np.asarray(t["n1"].combine_chunks(), dtype=np.int64))),
+            batch_format="pyarrow")
+
+    return (parts.groupby(id_col)
+            .aggregate(Sum("nbg", alias_name="n_bigrams"),
+                       Sum("lpsum", alias_name="logprob_micro")))

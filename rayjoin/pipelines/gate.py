@@ -1502,6 +1502,37 @@ GROUP BY t.doc_id
 """
 
 
+def q_bigram_lm(sf_dir: str):
+    """Bigram LM quality scores with add-one smoothing
+    (functions/text.py:bigram_lm_scores): bigram + context models built
+    distributed, docs scored in fixed-point micro-nats."""
+    import ray.data
+
+    from ..functions.text import bigram_lm_scores
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return bigram_lm_scores(docs)
+
+
+SQL_BIGRAM_LM = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+seq AS (SELECT doc_id, unnest(l) AS tok,
+               unnest(generate_series(1, len(l))) AS i FROM toks),
+big AS (SELECT a.doc_id, a.tok AS w1, b.tok AS w2
+        FROM seq a JOIN seq b ON a.doc_id = b.doc_id AND b.i = a.i + 1),
+c2 AS (SELECT w1, w2, COUNT(*) AS n2 FROM big GROUP BY 1, 2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1),
+vv AS (SELECT COUNT(DISTINCT tok) AS v FROM seq)
+SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(FLOOR(1000000 * ln(
+           (c2.n2 + 1.0) / (c1.n1 + vv.v))) AS BIGINT)) AS BIGINT)
+         AS logprob_micro
+FROM big g JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN vv
+GROUP BY g.doc_id
+"""
+
+
 CHUNK_WINDOW = 64
 CHUNK_STRIDE = 48
 
@@ -5779,6 +5810,7 @@ def build_queries():
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
         "lm_score": q_lm_score,
+        "bigram_lm": q_bigram_lm,
         "bm25_docs": q_bm25,
         "url_normalize": q_url_normalize,
         "url_edit_pairs": q_url_edit_pairs,
@@ -5927,6 +5959,7 @@ def build_queries():
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
         "lm_score": SQL_LM_SCORE,
+        "bigram_lm": SQL_BIGRAM_LM,
         "bm25_docs": sql_bm25(),
         "url_normalize": SQL_URL_NORMALIZE,
         "url_edit_pairs": SQL_URL_EDIT_PAIRS,

@@ -2128,3 +2128,40 @@ def test_transition_counts_vs_python_reference(ray_session):
         ray.data.from_arrow(t).repartition(6)).to_pandas()
     got = {(r.from_type, r.to_type): int(r.n) for r in out.itertuples()}
     assert got == dict(ref)
+
+
+def test_bigram_lm_scores_vs_python_reference(ray_session):
+    import math
+
+    import ray.data
+
+    from rayjoin.functions.text import bigram_lm_scores
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [" ".join(vocab[j] for j in rng.integers(0, 30, rng.integers(0, 15)))
+            for _ in range(200)]
+    toks = [d.split(" ") for d in docs]
+    V = len({tok for ts in toks for tok in ts})
+    from collections import Counter
+    c2, c1 = Counter(), Counter()
+    for ts in toks:
+        for a, b in zip(ts[:-1], ts[1:]):
+            c2[(a, b)] += 1
+            c1[a] += 1
+    ref = {}
+    for i, ts in enumerate(toks):
+        if len(ts) < 2:
+            continue
+        s = sum(int(np.floor(1_000_000 * math.log((c2[(a, b)] + 1) / (c1[a] + V))))
+                for a, b in zip(ts[:-1], ts[1:]))
+        ref[i] = (len(ts) - 1, s)
+
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+                  "text": pa.array(docs, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5)
+    for tier in (1_000_000, 0):  # broadcast LUT, then forced join tier
+        out = bigram_lm_scores(ds, broadcast_model_rows=tier).to_pandas()
+        got = {int(r.doc_id): (int(r.n_bigrams), int(r.logprob_micro))
+               for r in out.itertuples()}
+        assert got == ref, tier
