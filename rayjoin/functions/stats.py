@@ -631,3 +631,94 @@ def rrf_fuse(ds, *, rank_cols, k: int = 60, scale: int = 1_000_000,
         return t.append_column("rrf", pa.array(rrf, pa.int64()))
 
     return ds.map_batches(attach, batch_format="pyarrow")
+
+
+def grouped_mad(ds, *, key_col: str, val_col: str,
+                broadcast_rows: int = 20_000_000, num_buckets: int = 256):
+    """Per-key MEDIAN and MAD (median absolute deviation) of an int64
+    value column — the robust location/scale pair outlier filters use
+    where mean/std are skew-poisoned.  quantile_disc semantics throughout
+    (grouped_quantiles' contract), so values stay integer-exact.
+
+    Two grouped-quantile passes composed scale-safely: medians (key-sized)
+    come back per key, broadcast as sorted arrays up to ``broadcast_rows``
+    keys (hash join beyond — the cohort_retention tiering), the residual
+    pass re-shuffles |v - med| through the same bucketed-merge quantile
+    kernel.
+
+    Returns Dataset[key_col, n, med, mad].
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    med = grouped_quantiles(ds, key_col=key_col, val_col=val_col,
+                            qs=(0.5,), num_buckets=num_buckets).materialize()
+
+    def _resid_bcast(ref):
+        def resid(t: pa.Table) -> pa.Table:
+            ks, ms = ray.get(ref)
+            k = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+            v = np.asarray(t[val_col].combine_chunks(), dtype=np.int64)
+            m = ms[np.searchsorted(ks, k)]  # every key has a median row
+            return pa.table({key_col: pa.array(k, pa.int64()),
+                             "_r": pa.array(np.abs(v - m), pa.int64())})
+        return resid
+
+    if med.count() <= broadcast_rows:
+        @ray.remote
+        def prep(tabs):
+            tabs = ray.get(list(tabs))
+            t = pa.concat_tables([x for x in tabs if x.num_rows])
+            k = np.asarray(t[key_col], dtype=np.int64)
+            m = np.asarray(t["q50"], dtype=np.int64)
+            order = np.argsort(k)
+            return k[order], m[order]
+
+        resid = _resid_bcast(prep.remote(med.to_arrow_refs()))
+        rds = ds.map_batches(resid, batch_format="pyarrow")
+    else:
+        from .dedup import _num_join_partitions
+
+        j = ds.join(med, "inner", _num_join_partitions(ds, med),
+                    on=(key_col,))
+
+        def resid(t: pa.Table) -> pa.Table:
+            k = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+            v = np.asarray(t[val_col].combine_chunks(), dtype=np.int64)
+            m = np.asarray(t["q50"].combine_chunks(), dtype=np.int64)
+            return pa.table({key_col: pa.array(k, pa.int64()),
+                             "_r": pa.array(np.abs(v - m), pa.int64())})
+
+        rds = j.map_batches(resid, batch_format="pyarrow")
+
+    mad = grouped_quantiles(rds, key_col=key_col, val_col="_r",
+                            qs=(0.5,), num_buckets=num_buckets)
+
+    def label_mad(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t[key_col], "n": t["n"],
+                         "mad": t["q50"]})
+
+    def label_med(t: pa.Table) -> pa.Table:
+        return pa.table({key_col: t[key_col], "med": t["q50"]})
+
+    # scrub before the join: map_batches downstream of the quantile
+    # shuffle can emit zero-row schemaless blocks that break acero's
+    # key resolution (see util.drop_schemaless_empty_blocks)
+    from ..util import drop_schemaless_empty_blocks
+    from .dedup import _num_join_partitions
+
+    mad_schema = pa.table({key_col: pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64()),
+                           "mad": pa.array([], pa.int64())})
+    med_schema = pa.table({key_col: pa.array([], pa.int64()),
+                           "med": pa.array([], pa.int64())})
+    mad = drop_schemaless_empty_blocks(
+        mad.map_batches(label_mad, batch_format="pyarrow").materialize(),
+        mad_schema)
+    medl = drop_schemaless_empty_blocks(
+        med.map_batches(label_med, batch_format="pyarrow").materialize(),
+        med_schema)
+
+    out = medl.join(mad, "inner", _num_join_partitions(medl, mad),
+                    on=(key_col,))
+    return out.select_columns([key_col, "n", "med", "mad"])

@@ -4129,6 +4129,42 @@ def sql_zonal_stats() -> str:
     )
 
 
+def q_user_mad(sf_dir: str):
+    """Per-user robust location/scale: median and MAD of the milli
+    fixed-point event value (functions/stats.py:grouped_mad), composed
+    from two exact grouped-quantile passes with a broadcast median
+    lookup between them."""
+    import ray.data
+
+    from ..functions.stats import grouped_mad
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": t["user_id"],
+            "vm": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                          pa.int64()),
+        })
+
+    return grouped_mad(ev.map_batches(prep, batch_format="pyarrow"),
+                       key_col="user_id", val_col="vm")
+
+
+SQL_USER_MAD = """
+WITH e AS (SELECT user_id,
+                  CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm FROM events),
+med AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(quantile_disc(vm, 0.5) AS BIGINT) AS med
+        FROM e GROUP BY user_id)
+SELECT m.user_id, m.n, m.med,
+       CAST(quantile_disc(abs(e.vm - m.med), 0.5) AS BIGINT) AS mad
+FROM e JOIN med m USING (user_id)
+GROUP BY m.user_id, m.n, m.med
+"""
+
+
 def q_skyline_users(sf_dir: str):
     """Pareto frontier over per-user activity profiles: users not dominated
     on (sum of milli-fixed-point values MAX, event count MAX, first-seen
@@ -5874,6 +5910,7 @@ def build_queries():
         "sessionize_events": q_sessionize_events,
         "cohort_retention": q_cohort_retention,
         "skyline_users": q_skyline_users,
+        "user_mad": q_user_mad,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6021,6 +6058,7 @@ def build_queries():
         "sessionize_events": SQL_SESSIONIZE,
         "cohort_retention": sql_cohort_retention(),
         "skyline_users": SQL_SKYLINE_USERS,
+        "user_mad": SQL_USER_MAD,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,

@@ -202,3 +202,29 @@ def test_rrf_fuse_vs_python_reference(ray_session):
         rrf_fuse(_ds(t, 1), rank_cols=[])
     with pytest.raises(ValueError, match="distinct"):
         rrf_fuse(_ds(t, 1), rank_cols=["ka"], max_distinct=10)
+
+
+def test_grouped_mad_vs_bruteforce_both_tiers(ray_session):
+    from rayjoin.functions.stats import grouped_mad
+
+    rng = np.random.default_rng(21)
+    n = 4000
+    key = rng.integers(0, 29, n).astype(np.int64)
+    val = rng.integers(-500, 500, n).astype(np.int64)
+    t = pa.table({"k": pa.array(key), "v": pa.array(val)})
+
+    got = (grouped_mad(_ds(t), key_col="k", val_col="v")
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # forced hash-join tier must produce the identical table
+    forced = (grouped_mad(_ds(t), key_col="k", val_col="v",
+                          broadcast_rows=0)
+              .to_pandas().sort_values("k").reset_index(drop=True))
+    assert got.astype("int64").equals(forced.astype("int64"))
+
+    assert got["k"].tolist() == sorted(set(key.tolist()))
+    for _, row in got.iterrows():
+        g = val[key == row["k"]]
+        med = _disc(g, 0.5)
+        assert row["n"] == g.size
+        assert row["med"] == med
+        assert row["mad"] == _disc(np.abs(g - med), 0.5), row["k"]

@@ -1049,6 +1049,145 @@ def stress_geodesic(n: int = 5_000_000, ns: int = 200_000) -> dict:
             "sec": round(dt, 1), "bigs_per_sec": round(n / dt)}
 
 
+def stress_stream(n: int = 20_000_000) -> dict:
+    """Round-5 event-stream operators at scale with an EXACT DuckDB oracle:
+    a Ray-task-sharded synthetic log (pure function of event id) runs
+    through resample_locf (hourly LOCF grid), transition_counts (Markov
+    pairs) and cohort_retention (hourly cohort matrix); DuckDB computes
+    each twin on the same parquet and every value must match exactly
+    (full-table compare for the two small outputs, count+sum checksums for
+    the multi-million-row LOCF grid)."""
+    import os
+    import shutil
+    import time
+
+    import duckdb
+    import ray
+    import ray.data
+
+    from rayjoin.functions.stream import (cohort_retention, resample_locf,
+                                          transition_counts)
+
+    n_users = max(1, n // 50)
+    span_us = 30 * 86_400 * 1_000_000
+    base_us = 1_704_067_200_000_000
+    hour_us = 3_600_000_000
+    ev_dir = "/tmp/stress_stream_in"
+    shutil.rmtree(ev_dir, ignore_errors=True)
+    os.makedirs(ev_dir)
+
+    @ray.remote
+    def gen(path, lo, hi):
+        import pyarrow.parquet as pq
+
+        from rayjoin.functions.dedup import _mix64
+
+        ids = np.arange(lo, hi, dtype=np.int64)
+        u = ids.astype(np.uint64)
+        users = (_mix64(u) % np.uint64(n_users)).astype(np.int64)
+        ts = (base_us + (_mix64(u * np.uint64(31) + np.uint64(5))
+                         % np.uint64(span_us)).astype(np.int64))
+        et = np.array(["view", "click", "buy", "share"])[
+            (_mix64(u + np.uint64(99)) % np.uint64(4)).astype(np.int64)]
+        vm = ((_mix64(u + np.uint64(7)) % np.uint64(2_000_000))
+              .astype(np.int64) - 1_000_000)
+        t = pa.table({
+            "event_id": pa.array(ids),
+            "user_id": pa.array(users),
+            "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+            "event_type": pa.array(et.tolist(), pa.string()),
+            "value": pa.array(vm.astype(np.float64) / 1000.0),
+        })
+        pq.write_table(t, path, row_group_size=262_144)
+        return t.num_rows
+
+    shard = 1_048_576
+    assert sum(ray.get([
+        gen.remote(f"{ev_dir}/part-{i:04d}.parquet", lo, min(lo + shard, n))
+        for i, lo in enumerate(range(0, n, shard))
+    ])) == n
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{ev_dir}/*.parquet'")
+    results = {"stress": "stream", "events": n, "users": n_users}
+
+    import pyarrow.compute as pc
+
+    def load():
+        return ray.data.read_parquet(ev_dir)
+
+    # 1) resample_locf: engine grid vs twin, compared by count + checksums
+    t0 = time.time()
+    grid = resample_locf(load(), anchor_us=base_us, bucket_us=hour_us)
+    agg = grid.map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "svm": pa.array([pc.sum(t["vm"]).as_py() or 0], pa.int64()),
+            "sfill": pa.array([pc.sum(t["filled"]).as_py() or 0], pa.int64()),
+            "sb": pa.array([pc.sum(pc.multiply(t["bucket"],
+                                               t["user_id"])).as_py()
+                            or 0], pa.int64()),
+        }), batch_format="pyarrow").to_pandas().sum()
+    results["locf_sec"] = round(time.time() - t0, 1)
+    oracle = con.execute(f"""
+WITH e AS (SELECT user_id, (epoch_us(ts) - {base_us}) // {hour_us} AS b,
+                  ts, event_id, CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm
+           FROM events),
+lastv AS (SELECT user_id, b, vm FROM (
+    SELECT user_id, b, vm, ROW_NUMBER() OVER (
+      PARTITION BY user_id, b ORDER BY ts DESC, event_id DESC) AS rn
+    FROM e) WHERE rn = 1),
+span AS (SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM e GROUP BY user_id),
+grid AS (SELECT user_id, unnest(generate_series(b0, b1)) AS b FROM span),
+f AS (SELECT g.user_id, g.b, l.vm AS ov
+      FROM grid g LEFT JOIN lastv l ON l.user_id = g.user_id AND l.b = g.b),
+w AS (SELECT user_id, b, ov,
+             last_value(ov IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY b ROWS UNBOUNDED PRECEDING) AS vm
+      FROM f)
+SELECT COUNT(*), SUM(vm), SUM(CASE WHEN ov IS NULL THEN 1 ELSE 0 END),
+       SUM(b * user_id)
+FROM w
+""").fetchone()
+    assert int(agg["rows"]) == int(oracle[0]), (agg, oracle)
+    assert int(agg["svm"]) == int(oracle[1])
+    assert int(agg["sfill"]) == int(oracle[2])
+    assert int(agg["sb"]) == int(oracle[3])
+    results["locf_rows"] = int(agg["rows"])
+    results["locf_filled"] = int(agg["sfill"])
+
+    # 2) transition_counts: full-table exact compare
+    t0 = time.time()
+    tc = transition_counts(load()).to_pandas()
+    results["transition_sec"] = round(time.time() - t0, 1)
+    want = dict(((a, b), int(c)) for a, b, c in con.execute("""
+WITH o AS (SELECT user_id, event_type, LEAD(event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events)
+SELECT event_type, nxt, COUNT(*) FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+""").fetchall())
+    got = {(r.from_type, r.to_type): int(r.n) for r in tc.itertuples()}
+    assert got == want
+    results["transition_cells"] = len(got)
+
+    # 3) cohort_retention: full-table exact compare
+    t0 = time.time()
+    cr = cohort_retention(load(), anchor_us=base_us,
+                          bucket_us=hour_us).to_pandas()
+    results["cohort_sec"] = round(time.time() - t0, 1)
+    want = dict(((int(a), int(b)), int(c)) for a, b, c in con.execute(f"""
+WITH pw AS (SELECT DISTINCT user_id,
+        (epoch_us(ts) - {base_us}) // {hour_us} AS b FROM events),
+coh AS (SELECT user_id, MIN(b) AS cohort FROM pw GROUP BY user_id)
+SELECT c.cohort, p.b - c.cohort, COUNT(*)
+FROM pw p JOIN coh c USING (user_id) GROUP BY 1, 2
+""").fetchall())
+    got = {(int(r.cohort), int(r.delta)): int(r.n_users)
+           for r in cr.itertuples()}
+    assert got == want
+    results["cohort_cells"] = len(got)
+    shutil.rmtree(ev_dir, ignore_errors=True)
+    return results
+
+
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "dbscan": stress_dbscan, "geodesic": stress_geodesic,
             "embedding": stress_embedding, "minhash": stress_minhash,
@@ -1059,7 +1198,8 @@ STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "semdedup": stress_semdedup,
             "substr": stress_substr,
             "fuzzy": stress_fuzzy, "simjoin": stress_simjoin,
-            "hh": stress_hh, "simjoin_bigdf": stress_simjoin_bigdf}
+            "hh": stress_hh, "simjoin_bigdf": stress_simjoin_bigdf,
+            "stream": stress_stream}
 
 
 def main(argv=None):
@@ -1101,7 +1241,7 @@ def main(argv=None):
     fn = STRESSES[args.which]
     kwargs = {"n": args.n} if args.n and args.which in (
         "embedding", "corpus", "corpus_resume", "pillbox", "temporal",
-        "knnjoin", "dbscan", "geodesic", "semdedup") else {}
+        "knnjoin", "dbscan", "geodesic", "semdedup", "stream") else {}
     print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
