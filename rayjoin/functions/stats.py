@@ -722,3 +722,67 @@ def grouped_mad(ds, *, key_col: str, val_col: str,
     out = medl.join(mad, "inner", _num_join_partitions(medl, mad),
                     on=(key_col,))
     return out.select_columns([key_col, "n", "med", "mad"])
+
+
+def mad_outliers(ds, *, key_col: str, val_col: str, k_milli: int = 3000,
+                 broadcast_rows: int = 20_000_000, num_buckets: int = 256):
+    """Robust per-key outlier filter: keep rows whose value deviates from
+    the key's MEDIAN by strictly more than ``k_milli/1000`` MADs — the
+    skew-safe replacement for mean±k·std quality gates (a handful of spam
+    megadocs poisons a mean; the median/MAD pair shrugs).
+
+    Integer-exact throughout: the test is ``1000*|v - med| > k_milli*mad``
+    over int64, so there is no float tolerance anywhere (mad == 0 degrades
+    to "any deviation is an outlier", matching the SQL twin).
+
+    Stats come from :func:`grouped_mad` (two exact grouped-quantile
+    shuffles); the row-level pass broadcasts the (key, med, mad) table as
+    sorted arrays up to ``broadcast_rows`` keys and hash-joins beyond —
+    the same tiering every small-side attach in this repo uses.
+
+    Returns Dataset[input columns..., med, mad] — flagged rows only.
+    """
+    import ray
+
+    stats = grouped_mad(ds, key_col=key_col, val_col=val_col,
+                        broadcast_rows=broadcast_rows,
+                        num_buckets=num_buckets).materialize()
+    k_milli = int(k_milli)
+
+    if stats.count() <= broadcast_rows:
+        @ray.remote
+        def prep(*tabs):
+            t = pa.concat_tables([x for x in tabs if x.num_rows])
+            k = np.asarray(t[key_col], dtype=np.int64)
+            order = np.argsort(k)
+            return (k[order],
+                    np.asarray(t["med"], dtype=np.int64)[order],
+                    np.asarray(t["mad"], dtype=np.int64)[order])
+
+        ref = prep.remote(*stats.to_arrow_refs())
+
+        def flag(t: pa.Table) -> pa.Table:
+            ks, med, mad = ray.get(ref)
+            k = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+            v = np.asarray(t[val_col].combine_chunks(), dtype=np.int64)
+            pos = np.searchsorted(ks, k)  # every key has a stats row
+            m, s = med[pos], mad[pos]
+            keep = 1000 * np.abs(v - m) > k_milli * s
+            out = t.filter(pa.array(keep))
+            return (out.append_column("med", pa.array(m[keep], pa.int64()))
+                       .append_column("mad", pa.array(s[keep], pa.int64())))
+
+        return ds.map_batches(flag, batch_format="pyarrow")
+
+    from .dedup import _num_join_partitions
+
+    j = ds.join(stats.select_columns([key_col, "med", "mad"]), "inner",
+                _num_join_partitions(ds, stats), on=(key_col,))
+
+    def flag_joined(t: pa.Table) -> pa.Table:
+        v = np.asarray(t[val_col].combine_chunks(), dtype=np.int64)
+        m = np.asarray(t["med"].combine_chunks(), dtype=np.int64)
+        s = np.asarray(t["mad"].combine_chunks(), dtype=np.int64)
+        return t.filter(pa.array(1000 * np.abs(v - m) > k_milli * s))
+
+    return j.map_batches(flag_joined, batch_format="pyarrow")

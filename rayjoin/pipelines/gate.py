@@ -4165,6 +4165,44 @@ GROUP BY m.user_id, m.n, m.med
 """
 
 
+def q_user_outliers(sf_dir: str):
+    """Robust per-user outlier events: |vm - median| > 3 MADs, integer-exact
+    (functions/stats.py:mad_outliers — grouped_mad stats broadcast back onto
+    the row stream, strict 1000*|v-med| > 3000*mad test)."""
+    import ray.data
+
+    from ..functions.stats import mad_outliers
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "vm": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                          pa.int64()),
+        })
+
+    out = mad_outliers(ev.map_batches(prep, batch_format="pyarrow"),
+                       key_col="user_id", val_col="vm", k_milli=3000)
+    return out.select_columns(["event_id", "user_id", "vm", "med", "mad"])
+
+
+SQL_USER_OUTLIERS = """
+WITH e AS (SELECT event_id, user_id,
+                  CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm FROM events),
+med AS (SELECT user_id, CAST(quantile_disc(vm, 0.5) AS BIGINT) AS med
+        FROM e GROUP BY user_id),
+st AS (SELECT e.user_id, m.med,
+              CAST(quantile_disc(abs(e.vm - m.med), 0.5) AS BIGINT) AS mad
+       FROM e JOIN med m USING (user_id) GROUP BY e.user_id, m.med)
+SELECT e.event_id, e.user_id, e.vm, s.med, s.mad
+FROM e JOIN st s USING (user_id)
+WHERE 1000 * abs(e.vm - s.med) > 3000 * s.mad
+"""
+
+
 def q_skyline_users(sf_dir: str):
     """Pareto frontier over per-user activity profiles: users not dominated
     on (sum of milli-fixed-point values MAX, event count MAX, first-seen
@@ -5911,6 +5949,7 @@ def build_queries():
         "cohort_retention": q_cohort_retention,
         "skyline_users": q_skyline_users,
         "user_mad": q_user_mad,
+        "user_outliers": q_user_outliers,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6059,6 +6098,7 @@ def build_queries():
         "cohort_retention": sql_cohort_retention(),
         "skyline_users": SQL_SKYLINE_USERS,
         "user_mad": SQL_USER_MAD,
+        "user_outliers": SQL_USER_OUTLIERS,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,

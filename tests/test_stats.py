@@ -228,3 +228,38 @@ def test_grouped_mad_vs_bruteforce_both_tiers(ray_session):
         assert row["n"] == g.size
         assert row["med"] == med
         assert row["mad"] == _disc(np.abs(g - med), 0.5), row["k"]
+
+
+def test_mad_outliers_vs_bruteforce_both_tiers(ray_session):
+    from rayjoin.functions.stats import mad_outliers
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    key = rng.integers(0, 17, n).astype(np.int64)
+    # heavy-tailed: a tight core plus ~3% far spikes so MAD stays small
+    # while real outliers exist
+    val = rng.integers(-50, 50, n).astype(np.int64)
+    spikes = rng.random(n) < 0.03
+    val[spikes] *= 100
+    rid = np.arange(n, dtype=np.int64)
+    t = pa.table({"rid": pa.array(rid), "k": pa.array(key),
+                  "v": pa.array(val)})
+
+    got = (mad_outliers(_ds(t), key_col="k", val_col="v", k_milli=3000)
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    forced = (mad_outliers(_ds(t), key_col="k", val_col="v", k_milli=3000,
+                           broadcast_rows=0)
+              .to_pandas().sort_values("rid").reset_index(drop=True))
+    assert got.astype("int64").equals(
+        forced[got.columns].astype("int64"))
+
+    want = set()
+    for kk in np.unique(key):
+        g = val[key == kk]
+        med = _disc(g, 0.5)
+        mad = _disc(np.abs(g - med), 0.5)
+        for r, v in zip(rid[key == kk], g):
+            if 1000 * abs(int(v) - int(med)) > 3000 * int(mad):
+                want.add(int(r))
+    assert set(got["rid"].tolist()) == want
+    assert want  # the fixture actually flags something
