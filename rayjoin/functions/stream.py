@@ -557,3 +557,62 @@ def transition_counts(ds, *, key_col: str = "user_id", ts_col: str = "ts",
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
             .groupby(["from_type", "to_type"])
             .aggregate(Sum("n_partial", alias_name="n")))
+
+
+def running_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                id_col: str = "event_id", value_col: str = "value",
+                num_buckets: int = 256):
+    """Segmented prefix sum: every row gets the CUMULATIVE milli
+    fixed-point value of its key up to and including itself, ordered by
+    (ts, id) — ``SUM(vm) OVER (PARTITION BY key ORDER BY ts, id)``, the
+    running-balance primitive.
+
+    One (key, ts, id, vm) projection shuffles into ``num_buckets`` hash
+    buckets (every row of a key lands in one bucket); each bucket scans ALL
+    its keys with one lexsort + one np.cumsum + a per-segment base subtract
+    — zero Python per key, the sessionize pattern.  Output is row-sized but
+    4 int64 columns, never the input table.
+
+    Returns Dataset[id_col, key_col, vm, run_vm].
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            id_col: t[id_col],
+            "vm": pc.cast(pc.floor(pc.multiply(t[value_col], 1000.0)),
+                          pa.int64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      key_col: pa.array([], pa.int64()),
+                      "vm": pa.array([], pa.int64()),
+                      "run_vm": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        ev = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        vm = np.asarray(t["vm"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ev, ts, key))
+        key, ev, vm = key[order], ev[order], vm[order]
+        run = np.cumsum(vm)
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        counts = np.diff(np.concatenate([starts, [key.size]]))
+        base = run[starts] - vm[starts]
+        run -= np.repeat(base, counts)
+        return pa.table({id_col: pa.array(ev, pa.int64()),
+                         key_col: pa.array(key, pa.int64()),
+                         "vm": pa.array(vm, pa.int64()),
+                         "run_vm": pa.array(run, pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))

@@ -4203,6 +4203,31 @@ WHERE 1000 * abs(e.vm - s.med) > 3000 * s.mad
 """
 
 
+def q_running_sum(sf_dir: str):
+    """Per-user running balance: SUM(vm) OVER (PARTITION BY user ORDER BY
+    ts, event_id) via the bucketed segmented-cumsum kernel
+    (functions/stream.py:running_sum) — one 4-int64-column shuffle, one
+    lexsort + np.cumsum per bucket."""
+    import ray.data
+
+    from ..functions.stream import running_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    return running_sum(ev)
+
+
+SQL_RUNNING_SUM = """
+SELECT event_id, user_id,
+       CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm,
+       CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_vm
+FROM events
+"""
+
+
 def q_skyline_users(sf_dir: str):
     """Pareto frontier over per-user activity profiles: users not dominated
     on (sum of milli-fixed-point values MAX, event count MAX, first-seen
@@ -5950,6 +5975,7 @@ def build_queries():
         "skyline_users": q_skyline_users,
         "user_mad": q_user_mad,
         "user_outliers": q_user_outliers,
+        "running_sum": q_running_sum,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6099,6 +6125,7 @@ def build_queries():
         "skyline_users": SQL_SKYLINE_USERS,
         "user_mad": SQL_USER_MAD,
         "user_outliers": SQL_USER_OUTLIERS,
+        "running_sum": SQL_RUNNING_SUM,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,

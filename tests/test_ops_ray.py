@@ -2165,3 +2165,38 @@ def test_bigram_lm_scores_vs_python_reference(ray_session):
         got = {int(r.doc_id): (int(r.n_bigrams), int(r.logprob_micro))
                for r in out.itertuples()}
         assert got == ref, tier
+
+
+def test_running_sum_vs_pandas_oracle(ray_session):
+    import ray.data
+
+    from rayjoin.functions.stream import running_sum
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    users = rng.integers(0, 60, n).astype(np.int64)
+    # deliberate ts ties within users: the (ts, event_id) tie-break must
+    # decide the prefix order
+    ts = rng.integers(0, 500, n).astype(np.int64) * 1_000_000
+    ev = rng.permutation(n).astype(np.int64)
+    val = (rng.integers(-5000, 5000, n).astype(np.int64) / 1000.0)
+    t = pa.table({
+        "event_id": pa.array(ev),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "value": pa.array(val, pa.float64()),
+    })
+    ds = ray.data.from_arrow(t).repartition(5)
+    out = running_sum(ds, num_buckets=7).to_pandas()
+
+    import pandas as pd
+
+    df = pd.DataFrame({"event_id": ev, "user_id": users, "ts": ts,
+                       "vm": np.floor(val * 1000.0).astype(np.int64)})
+    df = df.sort_values(["user_id", "ts", "event_id"])
+    df["run_vm"] = df.groupby("user_id")["vm"].cumsum()
+    want = {int(r.event_id): (int(r.vm), int(r.run_vm))
+            for r in df.itertuples()}
+    got = {int(r.event_id): (int(r.vm), int(r.run_vm))
+           for r in out.itertuples()}
+    assert got == want
