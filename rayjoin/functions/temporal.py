@@ -302,3 +302,100 @@ def band_join(left, right, *, key_col, left_ts_col="ts", right_ts_col="ts",
         .groupby("part")
         .map_groups(per_bucket, batch_format="pyarrow")
     )
+
+
+def interval_join(a, b, *, id_col: str = "id", start_col: str = "start_us",
+                  end_col: str = "end_us", cell_us: int, num_buckets: int = 256):
+    """Keyless interval OVERLAP join: all (a, b) pairs whose closed
+    intervals intersect — ``s_a <= e_b AND s_b <= e_a`` over int64
+    microseconds.  Returns Dataset[id_a, id_b].
+
+    This is the 1-D PBSM plan (same shape as the 2-D spatial partitioned
+    join): each interval replicates to every time cell of width ``cell_us``
+    it touches (``e//cell - s//cell + 1`` copies — pick ``cell_us`` at or
+    above the typical duration so replication stays ~2), cells hash into
+    ``num_buckets`` shuffle groups, and a pair is emitted ONLY in its
+    reference cell (the one containing ``max(s_a, s_b)``) so no
+    dedup shuffle is needed afterwards.  In-bucket resolution is the
+    band_join rank-packing kernel: B rows sort once by (cell, start-rank);
+    each A row's candidates — same cell, ``s_b <= e_a`` — are one packed
+    ``searchsorted`` window, then the ``e_b >= s_a`` half and the
+    reference-cell rule filter the emitted candidates.  Candidate volume is
+    per-cell bounded (never global all-pairs); the skew unit is one cell.
+    """
+    cell = np.int64(cell_us)
+    if cell <= 0:
+        raise ValueError("cell_us must be positive")
+
+    def mk_prep(isr: int):
+        def prep(t: pa.Table) -> pa.Table:
+            s = np.asarray(t[start_col].combine_chunks(), dtype=np.int64)
+            e = np.asarray(t[end_col].combine_chunks(), dtype=np.int64)
+            if np.any(e < s):
+                raise ValueError("interval_join: end < start row present")
+            ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+            c0 = np.floor_divide(s, cell)
+            rep = (np.floor_divide(e, cell) - c0 + 1)
+            total = int(rep.sum())
+            idx = np.repeat(np.arange(s.size, dtype=np.int64), rep)
+            offs = (np.arange(total, dtype=np.int64)
+                    - np.repeat(np.cumsum(rep) - rep, rep))
+            cells = c0[idx] + offs
+            return pa.table({
+                "part": pa.array(knuth_bucket(cells, num_buckets), pa.int64()),
+                "CELL": pa.array(cells, pa.int64()),
+                "S": pa.array(s[idx], pa.int64()),
+                "E": pa.array(e[idx], pa.int64()),
+                "ID": pa.array(ids[idx], pa.int64()),
+                "ISR": pa.array(np.full(total, isr, np.int8), pa.int8()),
+            })
+        return prep
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        cells = np.asarray(t["CELL"].combine_chunks(), dtype=np.int64)
+        s = np.asarray(t["S"].combine_chunks(), dtype=np.int64)
+        e = np.asarray(t["E"].combine_chunks(), dtype=np.int64)
+        ids = np.asarray(t["ID"].combine_chunks(), dtype=np.int64)
+        isr = np.asarray(t["ISR"].combine_chunks(), dtype=np.int8) == 1
+        _, g = np.unique(cells, return_inverse=True)
+        g = g.astype(np.int64, copy=False)
+        a_pos = np.flatnonzero(~isr)
+        b_pos = np.flatnonzero(isr)
+        if a_pos.size == 0 or b_pos.size == 0:
+            return empty
+        s_b = s[b_pos]
+        us = np.unique(s_b)
+        W = np.int64(us.size + 1)
+        packed_b = g[b_pos] * W + np.searchsorted(us, s_b)
+        order_b = np.argsort(packed_b, kind="stable")
+        pb = packed_b[order_b]
+        # candidates for a: same cell, s_b <= e_a  (every true pair has
+        # s_b <= e_a, so the one-sided prefix loses nothing)
+        qlo = g[a_pos] * W
+        qhi = g[a_pos] * W + np.searchsorted(us, e[a_pos], "right")
+        lo = np.searchsorted(pb, qlo, "left")
+        hi = np.searchsorted(pb, qhi, "left")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(a_pos.size, dtype=np.int64), counts)
+        offs = (np.arange(total, dtype=np.int64)
+                - np.repeat(np.cumsum(counts) - counts, counts))
+        arows = a_pos[a_idx]
+        brows = b_pos[order_b[np.repeat(lo, counts) + offs]]
+        # second overlap half + reference-cell dedup
+        ref = np.floor_divide(np.maximum(s[arows], s[brows]), cell)
+        keep = (e[brows] >= s[arows]) & (ref == cells[arows])
+        return pa.table({"id_a": pa.array(ids[arows[keep]], pa.int64()),
+                         "id_b": pa.array(ids[brows[keep]], pa.int64())})
+
+    return (a.map_batches(mk_prep(0), batch_format="pyarrow")
+            .union(b.map_batches(mk_prep(1), batch_format="pyarrow"))
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pyarrow"))

@@ -4228,6 +4228,49 @@ FROM events
 """
 
 
+def q_interval_overlaps(sf_dir: str):
+    """Keyless interval overlap join (functions/temporal.py:interval_join —
+    1-D PBSM over 2h time cells with reference-cell dedup): click intervals
+    x purchase intervals, each [ts, ts + (event_id % 7200 + 1) sec]."""
+    import ray.data
+
+    from ..functions.temporal import interval_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type"])
+
+    def mk_prep(et):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], et))
+            s = np.asarray(
+                t["ts"].combine_chunks().cast(pa.timestamp("us"))
+                .cast(pa.int64()), dtype=np.int64)
+            eid = np.asarray(t["event_id"].combine_chunks(), dtype=np.int64)
+            dur = (eid % 7200 + 1) * 1_000_000
+            return pa.table({"event_id": pa.array(eid, pa.int64()),
+                             "start_us": pa.array(s, pa.int64()),
+                             "end_us": pa.array(s + dur, pa.int64())})
+        return prep
+
+    a = ev.map_batches(mk_prep("click"), batch_format="pyarrow")
+    b = ev.map_batches(mk_prep("purchase"), batch_format="pyarrow")
+    return interval_join(a, b, id_col="event_id",
+                         cell_us=7_200_000_000)
+
+
+SQL_INTERVAL_OVERLAPS = """
+WITH a AS (SELECT event_id AS id_a, epoch_us(ts) AS s,
+                  epoch_us(ts) + (event_id % 7200 + 1) * 1000000 AS e
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT event_id AS id_b, epoch_us(ts) AS s,
+             epoch_us(ts) + (event_id % 7200 + 1) * 1000000 AS e
+      FROM events WHERE event_type = 'purchase')
+SELECT a.id_a, b.id_b
+FROM a, b
+WHERE a.s <= b.e AND b.s <= a.e
+"""
+
+
 def q_skyline_users(sf_dir: str):
     """Pareto frontier over per-user activity profiles: users not dominated
     on (sum of milli-fixed-point values MAX, event count MAX, first-seen
@@ -5976,6 +6019,7 @@ def build_queries():
         "user_mad": q_user_mad,
         "user_outliers": q_user_outliers,
         "running_sum": q_running_sum,
+        "interval_overlaps": q_interval_overlaps,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6126,6 +6170,7 @@ def build_queries():
         "user_mad": SQL_USER_MAD,
         "user_outliers": SQL_USER_OUTLIERS,
         "running_sum": SQL_RUNNING_SUM,
+        "interval_overlaps": SQL_INTERVAL_OVERLAPS,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,

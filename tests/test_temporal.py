@@ -134,3 +134,46 @@ def test_band_join_no_matches(ray_session):
         right_cols={"event_id": "b_id"}, num_buckets=4,
     ).to_pandas()
     assert len(got) == 0
+
+
+def test_interval_join_vs_bruteforce(ray_session):
+    import ray.data
+
+    from rayjoin.functions.temporal import interval_join
+
+    rng = np.random.default_rng(3)
+    na, nb = 400, 350
+    cell = 1000  # small cell so most intervals span several cells
+
+    def mk(n, seed_off):
+        s = rng.integers(0, 20_000, n).astype(np.int64)
+        dur = rng.integers(0, 5_000, n).astype(np.int64)  # 0-length allowed
+        ids = np.arange(n, dtype=np.int64) + seed_off
+        return ids, s, s + dur
+
+    ida, sa, ea = mk(na, 0)
+    idb, sb, eb = mk(nb, 10_000)
+
+    def ds_of(ids, s, e):
+        return ray.data.from_arrow(pa.table({
+            "id": pa.array(ids), "start_us": pa.array(s),
+            "end_us": pa.array(e)})).repartition(4)
+
+    out = interval_join(ds_of(ida, sa, ea), ds_of(idb, sb, eb),
+                        cell_us=cell, num_buckets=13).to_pandas()
+    got = set(zip(out["id_a"].tolist(), out["id_b"].tolist()))
+
+    want = set()
+    for i in range(na):
+        hit = (sb <= ea[i]) & (eb >= sa[i])
+        for j in np.flatnonzero(hit):
+            want.add((int(ida[i]), int(idb[j])))
+    assert got == want
+    assert len(out) == len(got)  # reference-cell dedup: no pair twice
+    assert want  # fixture overlaps exist
+
+    # Ray wraps the UDF's ValueError in RayTaskError — match the message
+    with pytest.raises(Exception, match="end < start"):
+        interval_join(ds_of(ida[:2], sa[:2], sa[:2] - 1),
+                      ds_of(idb[:2], sb[:2], eb[:2]),
+                      cell_us=cell).materialize()
