@@ -4108,6 +4108,61 @@ SELECT segment, o_orderkey, price_cents, rk FROM r WHERE rk <= 3
 """
 
 
+def q_union_area(sf_dir: str):
+    """Dissolve-by-attribute: EXACT union area (overlaps counted once) of
+    integer rects per group via the strip-parallel coordinate-compression
+    sweep (functions/spatial_stats.py:union_area_rects).  Rects synthesized
+    from supplier keys in a deliberately crowded 2000x2000 domain so
+    overlap is heavy."""
+    import ray.data
+
+    from ..functions.spatial_stats import union_area_rects
+
+    k = _read_keys(sf_dir, "supplier", "s_suppkey")
+    x0 = (k * 48271) % 2000
+    y0 = (k * 69621) % 2000
+    t = pa.table({
+        "grp": pa.array(k % 12, pa.int64()),
+        "x0": pa.array(x0, pa.int64()),
+        "x1": pa.array(x0 + (k % 500 + 1), pa.int64()),
+        "y0": pa.array(y0, pa.int64()),
+        "y1": pa.array(y0 + (k % 773 + 1), pa.int64()),
+    })
+    return union_area_rects(ray.data.from_arrow(t).repartition(4),
+                            strip_w=256)
+
+
+SQL_UNION_AREA = """
+WITH r AS (SELECT s_suppkey % 12 AS grp,
+                  (s_suppkey * 48271) % 2000 AS x0,
+                  (s_suppkey * 48271) % 2000 + (s_suppkey % 500 + 1) AS x1,
+                  (s_suppkey * 69621) % 2000 AS y0,
+                  (s_suppkey * 69621) % 2000 + (s_suppkey % 773 + 1) AS y1
+           FROM supplier),
+xs AS (SELECT DISTINCT grp, x0 AS x FROM r
+       UNION SELECT DISTINCT grp, x1 FROM r),
+sl AS (SELECT grp, x AS xa,
+              LEAD(x) OVER (PARTITION BY grp ORDER BY x) AS xb FROM xs),
+cov AS (SELECT s.grp, s.xa, s.xb, r.y0, r.y1
+        FROM sl s JOIN r ON r.grp = s.grp AND r.x0 <= s.xa AND r.x1 >= s.xb
+        WHERE s.xb IS NOT NULL),
+mk AS (SELECT grp, xa, xb, y0, y1,
+              CASE WHEN y0 > COALESCE(MAX(y1) OVER (
+                     PARTITION BY grp, xa ORDER BY y0, y1
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   -4611686018427387904) THEN 1 ELSE 0 END AS brk
+       FROM cov),
+isl AS (SELECT grp, xa, xb, y0, y1,
+               SUM(brk) OVER (PARTITION BY grp, xa ORDER BY y0, y1
+                              ROWS UNBOUNDED PRECEDING) AS iid
+        FROM mk),
+per AS (SELECT grp, xa, xb, iid, MAX(y1) - MIN(y0) AS clen
+        FROM isl GROUP BY grp, xa, xb, iid)
+SELECT grp, CAST(SUM((xb - xa) * clen) AS BIGINT) AS area
+FROM per GROUP BY grp
+"""
+
+
 def q_zonal_stats(sf_dir: str):
     """Zonal statistics (raster->vector composition): rasterize triangles,
     then per-geometry tile count + min tile id in one groupby."""
@@ -6013,6 +6068,7 @@ def build_queries():
         "sliding_window": q_sliding_window,
         "topk_per_segment": q_topk_per_segment,
         "zonal_stats": q_zonal_stats,
+        "union_area": q_union_area,
         "sessionize_events": q_sessionize_events,
         "cohort_retention": q_cohort_retention,
         "skyline_users": q_skyline_users,
@@ -6164,6 +6220,7 @@ def build_queries():
         "sliding_window": SQL_SLIDING,
         "topk_per_segment": SQL_TOPK_SEGMENT,
         "zonal_stats": sql_zonal_stats().format(tri=tri),
+        "union_area": SQL_UNION_AREA,
         "sessionize_events": SQL_SESSIONIZE,
         "cohort_retention": sql_cohort_retention(),
         "skyline_users": SQL_SKYLINE_USERS,

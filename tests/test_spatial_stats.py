@@ -135,3 +135,42 @@ def test_ripley_k_rejects_unsorted_radii(ray_session):
     pts = ray.data.from_arrow(points_geom(ids, x, y))
     with pytest.raises(ValueError):
         ripley_k(pts, radii=(3.0, 1.0))
+
+
+def test_union_area_rects_vs_grid_bruteforce(ray_session):
+    import ray.data
+
+    from rayjoin.functions.spatial_stats import union_area_rects
+
+    rng = np.random.default_rng(2)
+    n = 600
+    g = rng.integers(0, 5, n).astype(np.int64)
+    x0 = rng.integers(0, 300, n).astype(np.int64)
+    w = rng.integers(0, 60, n).astype(np.int64)  # zero-width rects included
+    y0 = rng.integers(0, 300, n).astype(np.int64)
+    h = rng.integers(0, 60, n).astype(np.int64)
+    t = pa.table({"grp": pa.array(g), "x0": pa.array(x0),
+                  "x1": pa.array(x0 + w), "y0": pa.array(y0),
+                  "y1": pa.array(y0 + h)})
+    ds = ray.data.from_arrow(t).repartition(5)
+    # strip_w=37 forces heavy clipping; tiny bucket count forces several
+    # (group, strip) cells to share one map_groups bucket
+    out = union_area_rects(ds, strip_w=37, num_buckets=11).to_pandas()
+    got = dict(zip(out["grp"].astype(int), out["area"].astype(int)))
+
+    want = {}
+    for gg in np.unique(g):
+        m = np.zeros((400, 400), bool)
+        for i in np.flatnonzero(g == gg):
+            m[x0[i]:x0[i] + w[i], y0[i]:y0[i] + h[i]] = True
+        if m.sum():
+            want[int(gg)] = int(m.sum())
+    assert got == want
+
+    with pytest.raises(Exception, match="inverted rect"):
+        bad = pa.table({"grp": pa.array([0], pa.int64()),
+                        "x0": pa.array([5], pa.int64()),
+                        "x1": pa.array([4], pa.int64()),
+                        "y0": pa.array([0], pa.int64()),
+                        "y1": pa.array([1], pa.int64())})
+        union_area_rects(ray.data.from_arrow(bad), strip_w=8).materialize()
