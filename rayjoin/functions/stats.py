@@ -786,3 +786,81 @@ def mad_outliers(ds, *, key_col: str, val_col: str, k_milli: int = 3000,
         return t.filter(pa.array(1000 * np.abs(v - m) > k_milli * s))
 
     return j.map_batches(flag_joined, batch_format="pyarrow")
+
+
+def rollup_sums(ds, *, cat_col: str, bucket_col: str, vm_col: str,
+                all_label: str = "ALL", sentinel: int = -1):
+    """ROLLUP / GROUPING SETS ((cat, bucket), (cat), ()) of count + sum in
+    ONE input scan: each batch pre-aggregates to finest-level partials, one
+    small shuffle reduces them, and the two coarser levels are derived from
+    the FINEST AGGREGATE (never a rescan of the input — at 100 TB the
+    input streams once and the re-aggregation runs over a keys-sized
+    table).
+
+    Returns Dataset[cat_col, bucket_col, n, sum_vm] with the coarser
+    levels encoded as ``all_label`` / ``sentinel`` (the COALESCE encoding
+    a SQL GROUPING SETS twin emits).
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({cat_col: t[cat_col], bucket_col: t[bucket_col],
+                       "vm": t[vm_col]})
+             .group_by([cat_col, bucket_col])
+             .aggregate([([], "count_all"), ("vm", "sum")]))
+        g = g.select([cat_col, bucket_col, "count_all", "vm_sum"])
+        return g.rename_columns([cat_col, bucket_col, "n_p", "s_p"])
+
+    fine = (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby([cat_col, bucket_col])
+            .aggregate(Sum("n_p", alias_name="n"),
+                       Sum("s_p", alias_name="sum_vm"))
+            .materialize())
+
+    def relabel_l2(t: pa.Table) -> pa.Table:
+        return t.select([cat_col, bucket_col, "n", "sum_vm"])
+
+    l2 = fine.map_batches(relabel_l2, batch_format="pyarrow")
+
+    def pre_l1(t: pa.Table) -> pa.Table:
+        g = (t.select([cat_col, "n", "sum_vm"])
+             .group_by(cat_col).aggregate([("n", "sum"), ("sum_vm", "sum")]))
+        g = g.select([cat_col, "n_sum", "sum_vm_sum"])
+        return g.rename_columns([cat_col, "n_p", "s_p"])
+
+    def finish_l1(t: pa.Table) -> pa.Table:
+        return pa.table({
+            cat_col: t[cat_col],
+            bucket_col: pa.array(
+                np.full(t.num_rows, sentinel, np.int64), pa.int64()),
+            "n": t["n"], "sum_vm": t["sum_vm"]})
+
+    l1 = (fine.map_batches(pre_l1, batch_format="pyarrow")
+          .groupby(cat_col)
+          .aggregate(Sum("n_p", alias_name="n"),
+                     Sum("s_p", alias_name="sum_vm"))
+          .map_batches(finish_l1, batch_format="pyarrow"))
+
+    def pre_l0(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return pa.table({
+            "k": pa.array([0], pa.int64()),
+            "n_p": pa.array([_pc.sum(t["n"]).as_py() or 0], pa.int64()),
+            "s_p": pa.array([_pc.sum(t["sum_vm"]).as_py() or 0], pa.int64()),
+        })
+
+    def finish_l0(t: pa.Table) -> pa.Table:
+        return pa.table({
+            cat_col: pa.array([all_label] * t.num_rows, pa.string()),
+            bucket_col: pa.array(
+                np.full(t.num_rows, sentinel, np.int64), pa.int64()),
+            "n": t["n"], "sum_vm": t["sum_vm"]})
+
+    l0 = (fine.map_batches(pre_l0, batch_format="pyarrow")
+          .groupby("k")
+          .aggregate(Sum("n_p", alias_name="n"),
+                     Sum("s_p", alias_name="sum_vm"))
+          .map_batches(finish_l0, batch_format="pyarrow"))
+
+    return l2.union(l1).union(l0)

@@ -4108,6 +4108,43 @@ SELECT segment, o_orderkey, price_cents, rk FROM r WHERE rk <= 3
 """
 
 
+def q_rollup_events(sf_dir: str):
+    """GROUPING SETS ((type, ubucket), (type), ()) of count + milli-value
+    sum in one scan (functions/stats.py:rollup_sums) — coarser levels
+    derived from the finest aggregate, never a rescan."""
+    import ray.data
+
+    from ..functions.stats import rollup_sums
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "user_id", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "event_type": t["event_type"],
+            "ubucket": pa.array(uid % 8, pa.int64()),
+            "vm": pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)),
+                          pa.int64()),
+        })
+
+    return rollup_sums(ev.map_batches(prep, batch_format="pyarrow"),
+                       cat_col="event_type", bucket_col="ubucket",
+                       vm_col="vm")
+
+
+SQL_ROLLUP_EVENTS = """
+WITH e AS (SELECT event_type, user_id % 8 AS ubucket,
+                  CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm FROM events)
+SELECT COALESCE(event_type, 'ALL') AS event_type,
+       COALESCE(ubucket, -1) AS ubucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(vm) AS BIGINT) AS sum_vm
+FROM e
+GROUP BY GROUPING SETS ((event_type, ubucket), (event_type), ())
+"""
+
+
 def q_union_area(sf_dir: str):
     """Dissolve-by-attribute: EXACT union area (overlaps counted once) of
     integer rects per group via the strip-parallel coordinate-compression
@@ -6069,6 +6106,7 @@ def build_queries():
         "topk_per_segment": q_topk_per_segment,
         "zonal_stats": q_zonal_stats,
         "union_area": q_union_area,
+        "rollup_events": q_rollup_events,
         "sessionize_events": q_sessionize_events,
         "cohort_retention": q_cohort_retention,
         "skyline_users": q_skyline_users,
@@ -6221,6 +6259,7 @@ def build_queries():
         "topk_per_segment": SQL_TOPK_SEGMENT,
         "zonal_stats": sql_zonal_stats().format(tri=tri),
         "union_area": SQL_UNION_AREA,
+        "rollup_events": SQL_ROLLUP_EVENTS,
         "sessionize_events": SQL_SESSIONIZE,
         "cohort_retention": sql_cohort_retention(),
         "skyline_users": SQL_SKYLINE_USERS,

@@ -263,3 +263,33 @@ def test_mad_outliers_vs_bruteforce_both_tiers(ray_session):
                 want.add(int(r))
     assert set(got["rid"].tolist()) == want
     assert want  # the fixture actually flags something
+
+
+def test_rollup_sums_vs_pandas_oracle(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rayjoin.functions.stats import rollup_sums
+
+    rng = np.random.default_rng(9)
+    n = 5000
+    cat = np.array(["a", "b", "c"])[rng.integers(0, 3, n)]
+    bk = rng.integers(0, 6, n).astype(np.int64)
+    vm = rng.integers(-1000, 1000, n).astype(np.int64)
+    t = pa.table({"cat": pa.array(cat.tolist(), pa.string()),
+                  "bk": pa.array(bk), "vm": pa.array(vm)})
+    out = rollup_sums(_ds(t, 6), cat_col="cat", bucket_col="bk",
+                      vm_col="vm").to_pandas()
+    got = {(r.cat, int(r.bk)): (int(r.n), int(r.sum_vm))
+           for r in out.itertuples()}
+
+    df = pd.DataFrame({"cat": cat, "bk": bk, "vm": vm})
+    want = {}
+    g2 = df.groupby(["cat", "bk"])["vm"].agg(["count", "sum"])
+    for (c, b), row in g2.iterrows():
+        want[(c, int(b))] = (int(row["count"]), int(row["sum"]))
+    g1 = df.groupby("cat")["vm"].agg(["count", "sum"])
+    for c, row in g1.iterrows():
+        want[(c, -1)] = (int(row["count"]), int(row["sum"]))
+    want[("ALL", -1)] = (n, int(vm.sum()))
+    assert got == want
