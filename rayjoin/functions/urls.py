@@ -73,3 +73,80 @@ def normalize_urls(batch: pa.Table, *, url_col: str = "url",
     dom = pc.extract_regex(host, _DOM_RE)
     domain = pc.if_else(pc.is_valid(dom), pc.struct_field(dom, "dom"), host)
     return batch.append_column(out_col, norm).append_column(domain_col, domain)
+
+
+def prefix_match(urls, rules, *, url_col: str = "url",
+                 id_col: str = "doc_id", rule_id_col: str = "rule_id",
+                 prefix_col: str = "prefix",
+                 broadcast_rows: int = 50_000_000,
+                 max_lengths: int = 512):
+    """LONGEST-prefix rule match: for every url, the rule whose ``prefix``
+    is the longest string-prefix of it (ties at equal length — i.e. the
+    same prefix string listed twice — resolve to the smallest rule id).
+    The blocklist/routing-table join every corpus filter needs; inner
+    semantics (unmatched urls drop out).
+
+    Scale plan: the rule table is the SMALL side by nature (even a
+    100M-entry blocklist is GBs against a 100 TB corpus) — it broadcasts
+    once via ``ray.put`` as per-length sorted dictionaries, and each batch
+    resolves every url with one ``pc.utf8_slice_codeunits`` +
+    ``pc.index_in`` (Arrow hash lookup) per DISTINCT prefix length,
+    longest first, stopping per-url at the first hit.  Rules above
+    ``broadcast_rows`` or with more than ``max_lengths`` distinct lengths
+    raise loudly (a per-host shuffle tier is the documented growth path,
+    not a silent fallback).
+
+    Returns Dataset[id_col, rule_id].
+    """
+    import ray
+
+    @ray.remote
+    def prep(*tabs):
+        t = pa.concat_tables([x for x in tabs if x.num_rows])
+        pfx = t[prefix_col].combine_chunks().cast(pa.string())
+        rid = np.asarray(t[rule_id_col].combine_chunks(), dtype=np.int64)
+        # dedup identical prefixes to their min rule id
+        d = pa.table({"p": pfx, "r": pa.array(rid, pa.int64())}) \
+            .group_by("p").aggregate([("r", "min")])
+        pfx = d["p"].combine_chunks()
+        rid = np.asarray(d["r_min"].combine_chunks(), dtype=np.int64)
+        lens = np.asarray(pc.utf8_length(pfx), dtype=np.int64)
+        out = []
+        for L in sorted(set(lens.tolist()), reverse=True):
+            m = lens == L
+            out.append((int(L), pfx.filter(pa.array(m)),
+                        rid[m]))
+        if len(out) > max_lengths:
+            raise ValueError(
+                f"prefix_match: {len(out)} distinct prefix lengths "
+                f"(> {max_lengths}); add a per-host shuffle tier")
+        return out
+
+    n_rules = rules.count()
+    if n_rules > broadcast_rows:
+        raise ValueError(
+            f"prefix_match: rule table has {n_rules} rows "
+            f"(> broadcast_rows={broadcast_rows}); add a shuffle tier")
+    ref = prep.remote(*rules.to_arrow_refs())
+
+    def match(t: pa.Table) -> pa.Table:
+        tables = ray.get(ref)
+        url = t[url_col].combine_chunks().cast(pa.string())
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        out = np.full(len(url), -1, np.int64)
+        todo = np.ones(len(url), bool)
+        for L, pfx_L, rid_L in tables:
+            if not todo.any():
+                break
+            sl = pc.utf8_slice_codeunits(url, 0, L)
+            pos = pc.index_in(sl, value_set=pfx_L)
+            pos_np = np.asarray(pos.cast(pa.int64()).fill_null(-1),
+                                dtype=np.int64)
+            hit = (pos_np >= 0) & todo
+            out[hit] = rid_L[pos_np[hit]]
+            todo &= ~hit
+        keep = out >= 0
+        return pa.table({id_col: pa.array(ids[keep], pa.int64()),
+                         "rule_id": pa.array(out[keep], pa.int64())})
+
+    return urls.map_batches(match, batch_format="pyarrow")

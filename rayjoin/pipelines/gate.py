@@ -4108,6 +4108,73 @@ SELECT segment, o_orderkey, price_cents, rk FROM r WHERE rk <= 3
 """
 
 
+def q_prefix_match(sf_dir: str):
+    """Longest-prefix blocklist match (functions/urls.py:prefix_match):
+    documents' synthesized clean urls against supplier-derived rule
+    prefixes at three depths (host / path1 / full), longest prefix wins,
+    equal-prefix ties to the min rule id."""
+    import ray.data
+
+    from ..functions.urls import prefix_match
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def mk_urls(t: pa.Table) -> pa.Table:
+        did = t["doc_id"].combine_chunks()
+
+        def s(a):
+            return pc.cast(a, pa.string())
+
+        d = np.asarray(did, dtype=np.int64)
+        url = pc.binary_join_element_wise(
+            "http://site", s(pa.array(d % 97)), ".example/p",
+            s(pa.array(d % 13)), "/q", s(pa.array(d % 5)), "")
+        return pa.table({"doc_id": did, "url": url})
+
+    k = _read_keys(sf_dir, "supplier", "s_suppkey")
+
+    def pfx_of(kk):
+        h = f"http://site{kk % 97}.example/"
+        if kk % 3 == 0:
+            return h
+        if kk % 3 == 1:
+            return f"{h}p{kk % 13}/"
+        return f"{h}p{kk % 13}/q{kk % 5}"
+
+    rules = ray.data.from_arrow(pa.table({
+        "rule_id": pa.array(k, pa.int64()),
+        "prefix": pa.array([pfx_of(int(x)) for x in k], pa.string()),
+    })).repartition(2)
+    return prefix_match(docs.map_batches(mk_urls, batch_format="pyarrow"),
+                        rules)
+
+
+SQL_PREFIX_MATCH = """
+WITH u AS (SELECT doc_id,
+                  'http://site' || CAST(doc_id % 97 AS VARCHAR) ||
+                  '.example/p' || CAST(doc_id % 13 AS VARCHAR) ||
+                  '/q' || CAST(doc_id % 5 AS VARCHAR) AS url
+           FROM documents),
+r AS (SELECT s_suppkey AS rule_id,
+             'http://site' || CAST(s_suppkey % 97 AS VARCHAR) ||
+             '.example/' ||
+             CASE WHEN s_suppkey % 3 = 0 THEN ''
+                  WHEN s_suppkey % 3 = 1
+                    THEN 'p' || CAST(s_suppkey % 13 AS VARCHAR) || '/'
+                  ELSE 'p' || CAST(s_suppkey % 13 AS VARCHAR) || '/q'
+                       || CAST(s_suppkey % 5 AS VARCHAR)
+             END AS prefix
+      FROM supplier),
+m AS (SELECT u.doc_id, r.rule_id,
+             ROW_NUMBER() OVER (PARTITION BY u.doc_id
+                                ORDER BY length(r.prefix) DESC, r.rule_id)
+               AS rn
+      FROM u JOIN r ON starts_with(u.url, r.prefix))
+SELECT doc_id, rule_id FROM m WHERE rn = 1
+"""
+
+
 def q_rollup_events(sf_dir: str):
     """GROUPING SETS ((type, ubucket), (type), ()) of count + milli-value
     sum in one scan (functions/stats.py:rollup_sums) — coarser levels
@@ -6107,6 +6174,7 @@ def build_queries():
         "zonal_stats": q_zonal_stats,
         "union_area": q_union_area,
         "rollup_events": q_rollup_events,
+        "prefix_match": q_prefix_match,
         "sessionize_events": q_sessionize_events,
         "cohort_retention": q_cohort_retention,
         "skyline_users": q_skyline_users,
@@ -6260,6 +6328,7 @@ def build_queries():
         "zonal_stats": sql_zonal_stats().format(tri=tri),
         "union_area": SQL_UNION_AREA,
         "rollup_events": SQL_ROLLUP_EVENTS,
+        "prefix_match": SQL_PREFIX_MATCH,
         "sessionize_events": SQL_SESSIONIZE,
         "cohort_retention": sql_cohort_retention(),
         "skyline_users": SQL_SKYLINE_USERS,

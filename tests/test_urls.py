@@ -58,3 +58,37 @@ def test_idempotent():
     once, _ = _norm(urls)
     twice, _ = _norm(once)
     assert once == twice
+
+
+def test_prefix_match_longest_wins(ray_session):
+    import ray.data
+
+    from rayjoin.functions.urls import prefix_match
+
+    urls = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "url": pa.array([
+            "http://a.example/x/y/z",   # matches /x/ and /x/y (longest)
+            "http://a.example/x/q",     # matches /x/ only
+            "http://b.example/",        # host-level rule, two ids -> min
+            "http://c.example/none",    # no rule
+            "http://a.example/x/y",     # exact == prefix boundary
+        ], pa.string()),
+    })).repartition(2)
+    rules = ray.data.from_arrow(pa.table({
+        "rule_id": pa.array([10, 11, 20, 21, 30], pa.int64()),
+        "prefix": pa.array([
+            "http://a.example/x/",
+            "http://a.example/x/y",
+            "http://b.example/",
+            "http://b.example/",        # duplicate prefix, larger id
+            "http://zzz.example/",
+        ], pa.string()),
+    }))
+    out = prefix_match(urls, rules).to_pandas()
+    got = dict(zip(out["doc_id"].astype(int), out["rule_id"].astype(int)))
+    assert got == {1: 11, 2: 10, 3: 20, 5: 11}
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="broadcast_rows"):
+        prefix_match(urls, rules, broadcast_rows=2)
