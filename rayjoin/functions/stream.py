@@ -616,3 +616,61 @@ def running_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def event_paths(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                type_col: str = "event_type", id_col: str = "event_id",
+                sep: str = ">", num_buckets: int = 256):
+    """Ordered per-key path strings: each key's event types concatenated in
+    (ts, id) order — ``string_agg(type, sep ORDER BY ts, id)``, the
+    clickstream-mining projection.
+
+    Same bucketed segmented kernel as running_sum, but the per-bucket
+    concat is pure Arrow: the lexsorted type column becomes ONE
+    ``ListArray`` (zero-copy over group offsets) and ``pc.binary_join``
+    emits every key's joined path in a single kernel call — no Python
+    string building anywhere.
+
+    Returns Dataset[key_col, n_events, path].
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            id_col: t[id_col],
+            "typ": t[type_col].combine_chunks().cast(pa.string()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "n_events": pa.array([], pa.int64()),
+                      "path": pa.array([], pa.string())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        ev = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        typ = t["typ"].combine_chunks()
+        order = np.lexsort((ev, ts, key))
+        key = key[order]
+        typ = typ.take(pa.array(order, pa.int64()))
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        offsets = np.concatenate([starts, [key.size]]).astype(np.int64)
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), typ.cast(pa.large_string()))
+        joined = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+        return pa.table({
+            key_col: pa.array(key[starts], pa.int64()),
+            "n_events": pa.array(np.diff(offsets), pa.int64()),
+            "path": joined.cast(pa.string()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))

@@ -4387,6 +4387,27 @@ FROM events
 """
 
 
+def q_event_paths(sf_dir: str):
+    """Per-user ordered event-type path (string_agg ORDER BY ts, event_id)
+    via the bucketed ListArray + binary_join kernel
+    (functions/stream.py:event_paths) — no Python string building."""
+    import ray.data
+
+    from ..functions.stream import event_paths
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "event_type"])
+    return event_paths(ev)
+
+
+SQL_EVENT_PATHS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+FROM events GROUP BY user_id
+"""
+
+
 def q_interval_overlaps(sf_dir: str):
     """Keyless interval overlap join (functions/temporal.py:interval_join —
     1-D PBSM over 2h time cells with reference-cell dedup): click intervals
@@ -6182,6 +6203,7 @@ def build_queries():
         "user_outliers": q_user_outliers,
         "running_sum": q_running_sum,
         "interval_overlaps": q_interval_overlaps,
+        "event_paths": q_event_paths,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6336,6 +6358,7 @@ def build_queries():
         "user_outliers": SQL_USER_OUTLIERS,
         "running_sum": SQL_RUNNING_SUM,
         "interval_overlaps": SQL_INTERVAL_OVERLAPS,
+        "event_paths": SQL_EVENT_PATHS,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,

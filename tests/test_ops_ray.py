@@ -2200,3 +2200,34 @@ def test_running_sum_vs_pandas_oracle(ray_session):
     got = {int(r.event_id): (int(r.vm), int(r.run_vm))
            for r in out.itertuples()}
     assert got == want
+
+
+def test_event_paths_vs_pandas_oracle(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rayjoin.functions.stream import event_paths
+
+    rng = np.random.default_rng(17)
+    n = 3000
+    users = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 200, n).astype(np.int64) * 1_000_000  # heavy ties
+    ev = rng.permutation(n).astype(np.int64)
+    et = np.array(["v", "c", "b"])[rng.integers(0, 3, n)]
+    t = pa.table({
+        "event_id": pa.array(ev),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "event_type": pa.array(et.tolist(), pa.string()),
+    })
+    out = event_paths(ray.data.from_arrow(t).repartition(5),
+                      num_buckets=9).to_pandas()
+
+    df = pd.DataFrame({"event_id": ev, "user_id": users, "ts": ts,
+                       "et": et}).sort_values(["user_id", "ts", "event_id"])
+    want = df.groupby("user_id")["et"].agg([("n_events", "size"),
+                                            ("path", ">".join)])
+    got = out.set_index("user_id").sort_index()
+    assert got["n_events"].astype(int).tolist() == \
+        want["n_events"].astype(int).tolist()
+    assert got["path"].tolist() == want["path"].tolist()
