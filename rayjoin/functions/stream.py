@@ -674,3 +674,122 @@ def event_paths(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def rolling_active_counts(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                          window_days: int = 7, num_buckets: int = 256,
+                          max_days: int = 5_000_000):
+    """EXACT rolling-window distinct counts (the WAU/MAU curve): for every
+    ACTIVE day d, how many keys had at least one event in
+    ``[d - window_days + 1, d]``.
+
+    Rolling COUNT DISTINCT does not decompose into partials — the trick is
+    coverage algebra: a key active on day a covers days ``[a, a+w-1]``, so
+    the answer at d is "how many keys' coverage unions contain d".  Each
+    key's union is computed vectorized inside one hash bucket (lexsort +
+    the segment-cummax island kernel over per-day windows; only OVERLAPPING
+    windows merge — adjacent ones may stay split because their +1/-1 diffs
+    telescope away), every island emits two diff rows, and ONE small
+    groupby(day) reduces them.  The cumulative scan then runs over the
+    days-cardinality diff table (<= ``max_days`` rows — loudly capped, the
+    calendar is not big data) in a single Ray task whose sorted
+    (day, coverage) arrays broadcast back to score each active day.
+
+    Returns Dataset[d, n_active] over active days only.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import knuth_bucket
+
+    w = np.int64(window_days)
+    if w <= 0:
+        raise ValueError("window_days must be positive")
+    day_us = np.int64(86_400_000_000)
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(
+            t[ts_col].combine_chunks().cast(pa.timestamp("us"))
+            .cast(pa.int64()), dtype=np.int64)
+        d = np.floor_divide(ts, day_us)
+        # batch-local dedup before the shuffle: (key, day) repeats heavily
+        kb = np.empty((key.size, 2), np.int64)
+        kb[:, 0] = key
+        kb[:, 1] = d
+        uv = np.unique(
+            np.ascontiguousarray(kb).view([("a", "<i8"), ("b", "<i8")]).ravel())
+        key, d = uv["a"], uv["b"]
+        return pa.table({
+            "K": pa.array(key, pa.int64()),
+            "D": pa.array(d, pa.int64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    diff_empty = pa.table({"d": pa.array([], pa.int64()),
+                           "delta": pa.array([], pa.int64()),
+                           "active": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return diff_empty
+        key = np.asarray(t["K"].combine_chunks(), dtype=np.int64)
+        d = np.asarray(t["D"].combine_chunks(), dtype=np.int64)
+        kb = np.empty((key.size, 2), np.int64)
+        kb[:, 0] = key
+        kb[:, 1] = d
+        uv = np.unique(
+            np.ascontiguousarray(kb).view([("a", "<i8"), ("b", "<i8")]).ravel())
+        key, d = uv["a"], uv["b"]  # sorted by (key, day), distinct
+        # islands of OVERLAPPING per-day windows [d, d+w-1] within a key:
+        # window end running max is monotone here (d sorted, w constant),
+        # so a new island starts when d > prev_d + w - 1
+        new_key = np.concatenate([[True], key[1:] != key[:-1]])
+        gap = np.concatenate([[True], d[1:] > d[:-1] + w - 1])
+        new_isl = new_key | gap
+        starts = np.flatnonzero(new_isl)
+        ends = np.concatenate([starts[1:], [key.size]]) - 1
+        # diffs: +1 at island start day, -1 one past island end coverage
+        dd = np.concatenate([d[starts], d[ends] + w])
+        delta = np.concatenate([np.ones(starts.size, np.int64),
+                                np.full(starts.size, -1, np.int64)])
+        # active-day marker rows ride the same shuffle (delta 0)
+        ud = np.unique(d)
+        return pa.table({
+            "d": pa.array(np.concatenate([dd, ud]), pa.int64()),
+            "delta": pa.array(
+                np.concatenate([delta, np.zeros(ud.size, np.int64)]),
+                pa.int64()),
+            "active": pa.array(
+                np.concatenate([np.zeros(dd.size, np.int64),
+                                np.ones(ud.size, np.int64)]), pa.int64()),
+        })
+
+    diffs = (ds.map_batches(prep, batch_format="pyarrow")
+             .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
+             .groupby("d")
+             .aggregate(Sum("delta", alias_name="delta"),
+                        Sum("active", alias_name="active"))
+             .materialize())
+    n_days = diffs.count()
+    if n_days > max_days:
+        raise ValueError(
+            f"rolling_active_counts: {n_days} distinct diff days "
+            f"(> max_days={max_days}) — not a calendar; check ts units")
+
+    @ray.remote
+    def scan(*tabs):
+        t = pa.concat_tables([x for x in tabs if x.num_rows])
+        d = np.asarray(t["d"], dtype=np.int64)
+        delta = np.asarray(t["delta"], dtype=np.int64)
+        act = np.asarray(t["active"], dtype=np.int64)
+        order = np.argsort(d)
+        d, delta, act = d[order], delta[order], act[order]
+        cov = np.cumsum(delta)
+        keep = act > 0
+        return pa.table({"d": pa.array(d[keep], pa.int64()),
+                         "n_active": pa.array(cov[keep], pa.int64())})
+
+    out = ray.get(scan.remote(*diffs.to_arrow_refs()))
+    return ray.data.from_arrow(out)

@@ -4387,6 +4387,32 @@ FROM events
 """
 
 
+def q_rolling_active(sf_dir: str):
+    """Exact 7-day rolling distinct users per active day (the WAU curve)
+    via coverage algebra (functions/stream.py:rolling_active_counts):
+    per-user window-union islands -> +-1 diff rows -> one groupby(day)
+    -> days-cardinality scan.  Rolling COUNT DISTINCT with no
+    window-sized shuffle."""
+    import ray.data
+
+    from ..functions.stream import rolling_active_counts
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return rolling_active_counts(ev, window_days=7)
+
+
+SQL_ROLLING_ACTIVE = """
+WITH act AS (SELECT DISTINCT user_id,
+                    CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d
+             FROM events),
+days AS (SELECT DISTINCT d FROM act)
+SELECT days.d, CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+FROM days JOIN act a ON a.d BETWEEN days.d - 6 AND days.d
+GROUP BY days.d
+"""
+
+
 def q_event_paths(sf_dir: str):
     """Per-user ordered event-type path (string_agg ORDER BY ts, event_id)
     via the bucketed ListArray + binary_join kernel
@@ -6204,6 +6230,7 @@ def build_queries():
         "running_sum": q_running_sum,
         "interval_overlaps": q_interval_overlaps,
         "event_paths": q_event_paths,
+        "rolling_active": q_rolling_active,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6359,6 +6386,7 @@ def build_queries():
         "running_sum": SQL_RUNNING_SUM,
         "interval_overlaps": SQL_INTERVAL_OVERLAPS,
         "event_paths": SQL_EVENT_PATHS,
+        "rolling_active": SQL_ROLLING_ACTIVE,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,

@@ -2231,3 +2231,29 @@ def test_event_paths_vs_pandas_oracle(ray_session):
     assert got["n_events"].astype(int).tolist() == \
         want["n_events"].astype(int).tolist()
     assert got["path"].tolist() == want["path"].tolist()
+
+
+def test_rolling_active_counts_vs_bruteforce(ray_session):
+    import ray.data
+
+    from rayjoin.functions.stream import rolling_active_counts
+
+    rng = np.random.default_rng(23)
+    n = 4000
+    users = rng.integers(0, 80, n).astype(np.int64)
+    day = rng.integers(0, 60, n).astype(np.int64)
+    ts = day * 86_400_000_000 + rng.integers(0, 86_400_000_000, n)
+    t = pa.table({
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+    })
+    for w in (1, 7, 30):
+        out = rolling_active_counts(
+            ray.data.from_arrow(t).repartition(5), window_days=w,
+            num_buckets=9).to_pandas()
+        got = dict(zip(out["d"].astype(int), out["n_active"].astype(int)))
+        want = {}
+        for d in np.unique(day):
+            m = (day >= d - w + 1) & (day <= d)
+            want[int(d)] = len(np.unique(users[m]))
+        assert got == want, w

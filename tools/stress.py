@@ -1188,6 +1188,118 @@ FROM pw p JOIN coh c USING (user_id) GROUP BY 1, 2
     return results
 
 
+
+
+def stress_sweep(n: int = 2_000_000) -> dict:
+    """Round-5 sweep operators at scale with EXACT DuckDB oracles:
+    interval_join (1-D PBSM overlap join) pair-count + id checksums vs
+    DuckDB's range join, and union_area_rects (strip-parallel dissolve)
+    vs the slab-decomposition SQL on a crowded integer domain, plus a
+    strip-width self-consistency pass (strips 251 vs 65536 must agree
+    bit-exactly — different clipping, same areas)."""
+    import time
+
+    import duckdb
+    import ray
+    import ray.data
+
+    from rayjoin.functions.dedup import _mix64
+    from rayjoin.functions.spatial_stats import union_area_rects
+    from rayjoin.functions.temporal import interval_join
+
+    results = {"stress": "sweep", "n": n}
+    con = duckdb.connect()
+
+    # ---- interval_join: n/2 x n/2 variable-length intervals ----------
+    half = n // 2
+    span_us = 365 * 86_400 * 1_000_000
+
+    def mk(seed):
+        u = (np.arange(half, dtype=np.int64) + seed).astype(np.uint64)
+        s = (_mix64(u) % np.uint64(span_us)).astype(np.int64)
+        dur = (_mix64(u + np.uint64(7)) % np.uint64(60_000_000)
+               ).astype(np.int64)  # 0..60s over a year: ~2 pairs/interval
+        ids = np.arange(half, dtype=np.int64) + seed
+        return pa.table({"id": pa.array(ids), "start_us": pa.array(s),
+                         "end_us": pa.array(s + dur)})
+
+    ta, tb = mk(0), mk(10_000_000)
+    a = ray.data.from_arrow(ta).repartition(32)
+    b = ray.data.from_arrow(tb).repartition(32)
+    t0 = time.time()
+    out = interval_join(a, b, cell_us=120_000_000)
+    import pyarrow.compute as pc
+
+    agg = out.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "sa": pa.array([pc.sum(t["id_a"]).as_py() or 0], pa.int64()),
+            "sb": pa.array([pc.sum(t["id_b"]).as_py() or 0], pa.int64()),
+        }), batch_format="pyarrow").to_pandas().sum()
+    results["interval_sec"] = round(time.time() - t0, 1)
+    con.register("ia", ta)
+    con.register("ib", tb)
+    want = con.execute(
+        "SELECT COUNT(*), SUM(a.id), SUM(b.id) FROM ia a, ib b "
+        "WHERE a.start_us <= b.end_us AND b.start_us <= a.end_us"
+    ).fetchone()
+    assert int(agg["n"]) == int(want[0]), (agg, want)
+    assert int(agg["sa"]) == int(want[1]) and int(agg["sb"]) == int(want[2])
+    results["interval_pairs"] = int(agg["n"])
+
+    # ---- union_area_rects: n rects, 64 groups, crowded domain --------
+    u = np.arange(n, dtype=np.int64).astype(np.uint64)
+    g = (_mix64(u) % np.uint64(64)).astype(np.int64)
+    x0 = (_mix64(u + np.uint64(3)) % np.uint64(1_000_000)).astype(np.int64)
+    y0 = (_mix64(u + np.uint64(5)) % np.uint64(1_000_000)).astype(np.int64)
+    w = (_mix64(u + np.uint64(9)) % np.uint64(3000)).astype(np.int64)
+    h = (_mix64(u + np.uint64(11)) % np.uint64(3000)).astype(np.int64)
+    tr = pa.table({"grp": pa.array(g), "x0": pa.array(x0),
+                   "x1": pa.array(x0 + w), "y0": pa.array(y0),
+                   "y1": pa.array(y0 + h)})
+    ds = ray.data.from_arrow(tr).repartition(32)
+    t0 = time.time()
+    a1 = union_area_rects(ds, strip_w=65_536).to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    results["union_sec"] = round(time.time() - t0, 1)
+    a2 = union_area_rects(ds, strip_w=251).to_pandas() \
+        .sort_values("grp").reset_index(drop=True)
+    assert a1.astype("int64").equals(a2.astype("int64"))
+    # DuckDB slab oracle on a subsample (full slab SQL is O(edges x rects)
+    # per group — exact but quadratic; 200k rows keeps it honest + fast)
+    sub = min(n, 200_000)
+    con.register("r0", tr.slice(0, sub))
+    want = dict(con.execute("""
+WITH r AS (SELECT * FROM r0 WHERE x1 > x0),
+xs AS (SELECT DISTINCT grp, x0 AS x FROM r
+       UNION SELECT DISTINCT grp, x1 FROM r),
+sl AS (SELECT grp, x AS xa, LEAD(x) OVER (PARTITION BY grp ORDER BY x) AS xb
+       FROM xs),
+cov AS (SELECT s.grp, s.xa, s.xb, r.y0, r.y1
+        FROM sl s JOIN r ON r.grp = s.grp AND r.x0 <= s.xa AND r.x1 >= s.xb
+        WHERE s.xb IS NOT NULL),
+mk AS (SELECT grp, xa, xb, y0, y1,
+              CASE WHEN y0 > COALESCE(MAX(y1) OVER (
+                     PARTITION BY grp, xa ORDER BY y0, y1
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                   -4611686018427387904) THEN 1 ELSE 0 END AS brk FROM cov),
+isl AS (SELECT grp, xa, xb, y0, y1,
+               SUM(brk) OVER (PARTITION BY grp, xa ORDER BY y0, y1
+                              ROWS UNBOUNDED PRECEDING) AS iid FROM mk),
+per AS (SELECT grp, xa, xb, iid, MAX(y1) - MIN(y0) AS clen
+        FROM isl GROUP BY grp, xa, xb, iid)
+SELECT grp, CAST(SUM((xb - xa) * clen) AS BIGINT) FROM per GROUP BY grp
+""").fetchall())
+    gotsub = union_area_rects(
+        ray.data.from_arrow(tr.slice(0, sub)).repartition(8),
+        strip_w=4096).to_pandas()
+    got = dict(zip(gotsub["grp"].astype(int), gotsub["area"].astype(int)))
+    assert got == {int(k): int(v) for k, v in want.items()}
+    results["union_groups"] = len(a1)
+    results["union_total_area"] = int(a1["area"].sum())
+    return results
+
+
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "dbscan": stress_dbscan, "geodesic": stress_geodesic,
             "embedding": stress_embedding, "minhash": stress_minhash,
@@ -1199,7 +1311,7 @@ STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "substr": stress_substr,
             "fuzzy": stress_fuzzy, "simjoin": stress_simjoin,
             "hh": stress_hh, "simjoin_bigdf": stress_simjoin_bigdf,
-            "stream": stress_stream}
+            "stream": stress_stream, "sweep": stress_sweep}
 
 
 def main(argv=None):
@@ -1241,7 +1353,8 @@ def main(argv=None):
     fn = STRESSES[args.which]
     kwargs = {"n": args.n} if args.n and args.which in (
         "embedding", "corpus", "corpus_resume", "pillbox", "temporal",
-        "knnjoin", "dbscan", "geodesic", "semdedup", "stream") else {}
+        "knnjoin", "dbscan", "geodesic", "semdedup", "stream",
+        "sweep") else {}
     print(json.dumps(fn(**kwargs)))
     ray.shutdown()
 
