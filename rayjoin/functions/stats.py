@@ -864,3 +864,59 @@ def rollup_sums(ds, *, cat_col: str, bucket_col: str, vm_col: str,
           .map_batches(finish_l0, batch_format="pyarrow"))
 
     return l2.union(l1).union(l0)
+
+
+def grouped_mode(ds, *, key_col: str, cat_col: str, num_buckets: int = 256):
+    """Per-key MODE of a categorical column: the most frequent category,
+    ties broken to the lexicographically smallest category — deterministic,
+    so a ROW_NUMBER SQL twin hash-matches.
+
+    Pre-aggregates (key, cat) counts inside every batch, reduces them with
+    ONE groupby shuffle (the wide step carries counts, not rows), then a
+    bucketed argmax resolves every key with one lexsort over
+    (key, -count, cat-rank) — no Python per key.
+
+    Returns Dataset[key_col, top, n].
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({key_col: t[key_col], "cat": t[cat_col]})
+             .group_by([key_col, "cat"]).aggregate([([], "count_all")]))
+        return (g.select([key_col, "cat", "count_all"])
+                .rename_columns([key_col, "cat", "n_p"]))
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby([key_col, "cat"])
+              .aggregate(Sum("n_p", alias_name="n")))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return t.append_column(
+            "part", pa.array(knuth_bucket(key, num_buckets), pa.int64()))
+
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "top": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        n = np.asarray(t["n"].combine_chunks(), dtype=np.int64)
+        cat = t["cat"].combine_chunks().cast(pa.string())
+        # rank categories by byte order so the tie-break is vectorized
+        ucat, code = np.unique(np.asarray(cat, dtype=object), return_inverse=True)
+        order = np.lexsort((code, -n, key))
+        key, n, code = key[order], n[order], code[order]
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        return pa.table({
+            key_col: pa.array(key[starts], pa.int64()),
+            "top": pa.array(ucat[code[starts]].tolist(), pa.string()),
+            "n": pa.array(n[starts], pa.int64()),
+        })
+
+    return (counts.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))

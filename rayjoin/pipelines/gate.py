@@ -4387,6 +4387,30 @@ FROM events
 """
 
 
+def q_user_top_event(sf_dir: str):
+    """Per-user modal event type (functions/stats.py:grouped_mode):
+    batch-local (user, type) count partials, one count shuffle, bucketed
+    vectorized argmax with lexicographic tie-break."""
+    import ray.data
+
+    from ..functions.stats import grouped_mode
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+    return grouped_mode(ev, key_col="user_id", cat_col="event_type")
+
+
+SQL_USER_TOP_EVENT = """
+WITH c AS (SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT user_id, event_type AS top, n
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM c)
+WHERE rn = 1
+"""
+
+
 def q_rolling_active(sf_dir: str):
     """Exact 7-day rolling distinct users per active day (the WAU curve)
     via coverage algebra (functions/stream.py:rolling_active_counts):
@@ -6231,6 +6255,7 @@ def build_queries():
         "interval_overlaps": q_interval_overlaps,
         "event_paths": q_event_paths,
         "rolling_active": q_rolling_active,
+        "user_top_event": q_user_top_event,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6387,6 +6412,7 @@ def build_queries():
         "interval_overlaps": SQL_INTERVAL_OVERLAPS,
         "event_paths": SQL_EVENT_PATHS,
         "rolling_active": SQL_ROLLING_ACTIVE,
+        "user_top_event": SQL_USER_TOP_EVENT,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,

@@ -293,3 +293,29 @@ def test_rollup_sums_vs_pandas_oracle(ray_session):
         want[(c, -1)] = (int(row["count"]), int(row["sum"]))
     want[("ALL", -1)] = (n, int(vm.sum()))
     assert got == want
+
+
+def test_grouped_mode_vs_pandas_oracle(ray_session):
+    import pandas as pd
+
+    from rayjoin.functions.stats import grouped_mode
+
+    rng = np.random.default_rng(31)
+    n = 4000
+    key = rng.integers(0, 50, n).astype(np.int64)
+    cat = np.array(["zz", "ab", "aa", "b"])[rng.integers(0, 4, n)]
+    t = pa.table({"k": pa.array(key),
+                  "c": pa.array(cat.tolist(), pa.string())})
+    out = grouped_mode(_ds(t, 6), key_col="k", cat_col="c",
+                       num_buckets=9).to_pandas()
+    got = {int(r.k): (r.top, int(r.n)) for r in out.itertuples()}
+
+    df = pd.DataFrame({"k": key, "c": cat})
+    want = {}
+    for kk, grp in df.groupby("k"):
+        vc = grp["c"].value_counts()
+        top_n = int(vc.max())
+        # tie-break: smallest category string among the max-count ones
+        top = min(c for c, v in vc.items() if v == top_n)
+        want[int(kk)] = (top, top_n)
+    assert got == want
