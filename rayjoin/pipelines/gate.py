@@ -3755,6 +3755,68 @@ def _segment_of(ref, keys: np.ndarray) -> pa.Array:
     return pc.cast(seg, pa.string())
 
 
+def q_star_revenue(sf_dir: str):
+    """TPC-H-style 3-way star join: lineitem -> orders -> customer, revenue
+    per customer nation, integer-exact (cents x (100 - discount pct)).
+    Column pruning at every read; the fact table streams through two
+    Dataset.join hash shuffles sized by _num_join_partitions; per-batch
+    partial sums keep the final groupby counts-sized."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import _num_join_partitions
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             dpct))
+        # batch-local partial: collapse to per-orderkey sums pre-join
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+             .group_by("l_orderkey").aggregate([("rev", "sum")]))
+        return (g.select(["l_orderkey", "rev_sum"])
+                .rename_columns(["l_orderkey", "rev"]))
+
+    li = li.map_batches(prep_li, batch_format="pyarrow")
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    j1 = li.join(orders, "inner", _num_join_partitions(li, orders),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    j1 = j1.select_columns(["o_custkey", "rev"])
+    j2 = j1.join(cust, "inner", _num_join_partitions(j1, cust),
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"c_nationkey": t["c_nationkey"], "rev": t["rev"]})
+             .group_by("c_nationkey").aggregate([("rev", "sum")]))
+        return (g.select(["c_nationkey", "rev_sum"])
+                .rename_columns(["c_nationkey", "rev_p"]))
+
+    return (j2.map_batches(partial, batch_format="pyarrow")
+            .groupby("c_nationkey")
+            .aggregate(Sum("rev_p", alias_name="revenue")))
+
+
+SQL_STAR_REVENUE = """
+SELECT c.c_nationkey,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100.0) AS BIGINT)))
+            AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_nationkey
+"""
+
+
 def q_join_orders_customer(sf_dir: str):
     """Broadcast hash join: orders enriched with customer market segment,
     aggregated per segment."""
@@ -6235,6 +6297,7 @@ def build_queries():
         "embedding_dups": q_embedding_dups,
         "agg_lineitem": q_agg_lineitem,
         "join_orders_customer": q_join_orders_customer,
+        "star_revenue": q_star_revenue,
         "join_orders_customer_shuffle": q_join_orders_customer_shuffle,
         "corpus_clean": q_corpus_clean,
         "window_events": q_window_events,
@@ -6392,6 +6455,7 @@ def build_queries():
         "emb_knn_join_exhaustive": SQL_EMB_KNN_JOIN,
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_orders_customer": SQL_JOIN_ORDERS,
+        "star_revenue": SQL_STAR_REVENUE,
         "join_orders_customer_shuffle": SQL_JOIN_ORDERS,
         "corpus_clean": SQL_CORPUS_CLEAN,
         "window_events": SQL_WINDOW,
