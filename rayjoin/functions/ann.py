@@ -365,3 +365,67 @@ def knn_join_embeddings(left_ds, right_ds, *, k: int = 10, n_lists: int = 16,
         per_list, batch_format="pyarrow"
     )
     return _bucketed_final_topk(partials, k)
+
+
+def quantize_embeddings(ds, *, id_col: str = "vec_id",
+                        vec_col: str = "embedding", bits_max: int = 127):
+    """Symmetric int8 vector quantization, INTEGER-exact end to end (the
+    ANN-index compression step): values fix to micro units
+    (``floor(x * 1e6)`` in float64 — identical on both engine and SQL
+    sides since float32 widens exactly), per-dimension max-abs scales come
+    from one partial-max pass (each batch contributes a dim-sized row, the
+    shuffle is dims-sized), and ``q = trunc(vm * bits_max / maxabs)`` uses
+    TRUNCATING integer division to mirror SQL's ``//`` on signed ints.
+    An all-zero dimension quantizes to 0.
+
+    Returns Dataset[id_col, dim, q] exploded rows — zero-copy off the flat
+    Arrow list buffer, no per-row Python.
+    """
+    import ray
+    import ray.data
+    from ray.data.aggregate import Max
+
+    def micro(t: pa.Table) -> np.ndarray:
+        return np.floor(vec_matrix(t[vec_col]) * 1e6).astype(np.int64)
+
+    def partial_max(t: pa.Table) -> pa.Table:
+        vm = micro(t)
+        ma = np.abs(vm).max(axis=0)
+        return pa.table({
+            "dim": pa.array(np.arange(vm.shape[1], dtype=np.int64)),
+            "ma_p": pa.array(ma, pa.int64()),
+        })
+
+    scales = (ds.map_batches(partial_max, batch_format="pyarrow")
+              .groupby("dim").aggregate(Max("ma_p", alias_name="ma"))
+              .materialize())
+
+    @ray.remote
+    def prep(*tabs):
+        t = pa.concat_tables([x for x in tabs if x.num_rows])
+        d = np.asarray(t["dim"], dtype=np.int64)
+        ma = np.asarray(t["ma"], dtype=np.int64)
+        out = np.zeros(int(d.max()) + 1, np.int64)
+        out[d] = ma
+        return out
+
+    ref = prep.remote(*scales.to_arrow_refs())
+    bm = np.int64(bits_max)
+
+    def quantize(t: pa.Table) -> pa.Table:
+        ma = ray.get(ref)
+        vm = micro(t)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        n, dims = vm.shape
+        denom = np.where(ma == 0, 1, ma)
+        p = vm * bm
+        q = np.sign(p) * (np.abs(p) // denom)  # trunc division, SQL's //
+        q[:, ma == 0] = 0
+        return pa.table({
+            id_col: pa.array(np.repeat(ids, dims), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(dims, dtype=np.int64), n),
+                            pa.int64()),
+            "q": pa.array(q.ravel(), pa.int64()),
+        })
+
+    return ds.map_batches(quantize, batch_format="pyarrow")

@@ -3335,6 +3335,33 @@ SELECT query_id, vec_id, rn - 1 AS rank FROM r WHERE rn <= 5
 """
 
 
+def q_quantize_embeddings(sf_dir: str):
+    """Int8 symmetric vector quantization (functions/ann.py:
+    quantize_embeddings): dims-sized partial-max shuffle for the scales,
+    truncating integer division mirrors SQL's // bit-exactly."""
+    import ray.data
+
+    from ..functions.ann import quantize_embeddings
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return quantize_embeddings(emb)
+
+
+SQL_QUANTIZE_EMB = """
+WITH ex AS (SELECT vec_id,
+                   unnest(CAST(embedding AS DOUBLE[])) AS x,
+                   unnest(generate_series(1, len(embedding))) AS i
+            FROM embeddings),
+v AS (SELECT vec_id, i - 1 AS dim,
+             CAST(FLOOR(x * 1000000.0) AS BIGINT) AS vm FROM ex),
+mx AS (SELECT dim, MAX(ABS(vm)) AS ma FROM v GROUP BY dim)
+SELECT v.vec_id, v.dim,
+       CASE WHEN mx.ma = 0 THEN 0 ELSE (v.vm * 127) // mx.ma END AS q
+FROM v JOIN mx USING (dim)
+"""
+
+
 PLANTED_DUP_OFFSET = 10_000_000
 PLANTED_DUPS = 10
 
@@ -6279,6 +6306,7 @@ def build_queries():
         "exact_substr_cut": q_exact_substr_cut,
         "fingerprint": q_fingerprint,
         "ann_cosine": q_ann_cosine,
+        "quantize_embeddings": q_quantize_embeddings,
         "kmeans_assign": q_kmeans_assign,
         "semdedup_drop": q_semdedup_drop,
         "embedding_gram": q_embedding_gram,
@@ -6439,6 +6467,7 @@ def build_queries():
         "exact_substr_cut": SQL_EXACT_SUBSTR_CUT,
         "fingerprint": sql_fingerprint(),
         "ann_cosine": SQL_ANN,
+        "quantize_embeddings": SQL_QUANTIZE_EMB,
         "kmeans_assign": sql_kmeans_assign(),
         "semdedup_drop": sql_semdedup_drop(),
         "embedding_gram": sql_embedding_gram(),

@@ -2257,3 +2257,36 @@ def test_rolling_active_counts_vs_bruteforce(ray_session):
             m = (day >= d - w + 1) & (day <= d)
             want[int(d)] = len(np.unique(users[m]))
         assert got == want, w
+
+
+def test_quantize_embeddings_vs_numpy_oracle(ray_session):
+    import ray.data
+
+    from rayjoin.functions.ann import quantize_embeddings
+
+    rng = np.random.default_rng(41)
+    n, d = 300, 8
+    M = rng.normal(size=(n, d)).astype(np.float32)
+    M[:, 3] = 0.0  # all-zero dim must quantize to 0
+    ids = np.arange(n, dtype=np.int64)
+    t = pa.table({
+        "vec_id": pa.array(ids),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(M.ravel(), pa.float32()), d).cast(pa.list_(pa.float32())),
+    })
+    out = quantize_embeddings(
+        ray.data.from_arrow(t).repartition(4)).to_pandas()
+    got = {(int(r.vec_id), int(r.dim)): int(r.q) for r in out.itertuples()}
+
+    vm = np.floor(M.astype(np.float64) * 1e6).astype(np.int64)
+    ma = np.abs(vm).max(axis=0)
+    want = {}
+    for i in range(n):
+        for j in range(d):
+            if ma[j] == 0:
+                want[(i, j)] = 0
+            else:
+                p = int(vm[i, j]) * 127
+                want[(i, j)] = int(abs(p) // int(ma[j])) * (1 if p >= 0 else -1)
+    assert got == want
+    assert max(abs(v) for v in got.values()) <= 127
