@@ -793,3 +793,79 @@ def rolling_active_counts(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     out = ray.get(scan.remote(*diffs.to_arrow_refs()))
     return ray.data.from_arrow(out)
+
+
+def daily_deltas(ds, *, cat_col: str = "event_type", ts_col: str = "ts",
+                 num_buckets: int = 64):
+    """Day-over-day trending: per category, the per-day event count and
+    its delta vs the category's PREVIOUS ACTIVE day (first day's delta is
+    the count itself) — ``n - LAG(n) OVER (PARTITION BY cat ORDER BY d)``.
+
+    Counts pre-aggregate per batch so the shuffle is (cat, day)-sized;
+    the LAG resolves per hash bucket with one lexsort + a shifted
+    same-category mask (no Python per category).
+
+    Returns Dataset[cat_col, d, n, delta].
+    """
+    from ray.data.aggregate import Sum
+
+    day_us = np.int64(86_400_000_000)
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts = np.asarray(
+            t[ts_col].combine_chunks().cast(pa.timestamp("us"))
+            .cast(pa.int64()), dtype=np.int64)
+        d = np.floor_divide(ts, day_us)
+        g = (pa.table({"cat": t[cat_col], "d": pa.array(d, pa.int64())})
+             .group_by(["cat", "d"]).aggregate([([], "count_all")]))
+        return (g.select(["cat", "d", "count_all"])
+                .rename_columns(["cat", "d", "n_p"]))
+
+    counts = (ds.map_batches(partial, batch_format="pyarrow")
+              .groupby(["cat", "d"])
+              .aggregate(Sum("n_p", alias_name="n")))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        # bucket by a CONTENT hash of the category string (dictionary codes
+        # are batch-local and would split a category across buckets):
+        # crc32 over the few DISTINCT strings, gathered to rows
+        s = t["cat"].combine_chunks().cast(pa.string())
+        de = s.dictionary_encode()
+        import zlib
+
+        hu = np.array([zlib.crc32(u.encode())
+                       for u in de.dictionary.to_pylist()], dtype=np.int64)
+        codes = np.asarray(de.indices.cast(pa.int64()), dtype=np.int64)
+        return t.append_column(
+            "part", pa.array(knuth_bucket(hu[codes], num_buckets),
+                             pa.int64()))
+
+    empty = pa.table({cat_col: pa.array([], pa.string()),
+                      "d": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64()),
+                      "delta": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        s = t["cat"].combine_chunks().cast(pa.string())
+        d = np.asarray(t["d"].combine_chunks(), dtype=np.int64)
+        n = np.asarray(t["n"].combine_chunks(), dtype=np.int64)
+        ucat, code = np.unique(np.asarray(s, dtype=object),
+                               return_inverse=True)
+        order = np.lexsort((d, code))
+        code, d, n = code[order], d[order], n[order]
+        prev_same = np.concatenate([[False], code[1:] == code[:-1]])
+        delta = n.copy()
+        delta[prev_same] = n[prev_same] - n[np.flatnonzero(prev_same) - 1]
+        return pa.table({
+            cat_col: pa.array(ucat[code].tolist(), pa.string()),
+            "d": pa.array(d, pa.int64()),
+            "n": pa.array(n, pa.int64()),
+            "delta": pa.array(delta, pa.int64()),
+        })
+
+    return (counts.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))

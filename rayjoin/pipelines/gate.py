@@ -4476,6 +4476,32 @@ FROM events
 """
 
 
+def q_daily_deltas(sf_dir: str):
+    """Day-over-day trending counts per event type
+    (functions/stream.py:daily_deltas): batch partials, (cat, day)-sized
+    shuffle, bucketed vectorized LAG; first active day's delta is its
+    count."""
+    import ray.data
+
+    from ..functions.stream import daily_deltas
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "ts"])
+    return daily_deltas(ev, cat_col="event_type")
+
+
+SQL_DAILY_DELTAS = """
+WITH c AS (SELECT event_type,
+                  CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS d,
+                  CAST(COUNT(*) AS BIGINT) AS n
+           FROM events GROUP BY 1, 2)
+SELECT event_type, d, n,
+       COALESCE(n - LAG(n) OVER (PARTITION BY event_type ORDER BY d), n)
+         AS delta
+FROM c
+"""
+
+
 def q_user_top_event(sf_dir: str):
     """Per-user modal event type (functions/stats.py:grouped_mode):
     batch-local (user, type) count partials, one count shuffle, bucketed
@@ -6347,6 +6373,7 @@ def build_queries():
         "event_paths": q_event_paths,
         "rolling_active": q_rolling_active,
         "user_top_event": q_user_top_event,
+        "daily_deltas": q_daily_deltas,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6506,6 +6533,7 @@ def build_queries():
         "event_paths": SQL_EVENT_PATHS,
         "rolling_active": SQL_ROLLING_ACTIVE,
         "user_top_event": SQL_USER_TOP_EVENT,
+        "daily_deltas": SQL_DAILY_DELTAS,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,
