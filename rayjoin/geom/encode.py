@@ -80,6 +80,12 @@ def rects_geom(row_id, xmin, ymin, xmax, ymax) -> pa.Table:
     return _geom_table(row_id, RECT, pack_single_rings(flat, 4))
 
 
+def lines_geom(row_id, sx, sy, ex, ey) -> pa.Table:
+    """Line-segment geometry table ([sx,sy,ex,ey] ring) from arrays."""
+    flat = np.column_stack([sx, sy, ex, ey]).ravel()
+    return _geom_table(row_id, LINE, pack_single_rings(flat, 4))
+
+
 def tris_geom(row_id, ax, ay, bx, by, cx, cy) -> pa.Table:
     """Triangle geometry table from vertex arrays."""
     flat = np.column_stack([ax, ay, bx, by, cx, cy]).ravel()
