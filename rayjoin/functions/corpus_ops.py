@@ -816,3 +816,47 @@ def reassemble_chunks(ds, *, window: int = 64, stride: int = 48,
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def multiset_diff(a, b, *, text_col: str = "text"):
+    """Dataset reconciliation: EXCEPT ALL in BOTH directions in one
+    shuffle — for every content hash whose multiplicity differs between
+    the two sides, emit (content_hash, n_a, n_b).  The incremental-
+    pipeline validation primitive ("did the rerun produce the same
+    corpus, and if not, which rows and how many copies?").
+
+    Each batch contributes (hash, n_a, n_b) count partials (side encoded
+    as which column carries the count), so the single groupby shuffle is
+    distinct-hash-sized, never row-sized; equal-multiplicity hashes are
+    filtered out after the reduce.
+    """
+    from ray.data.aggregate import Sum
+
+    from .dedup import add_content_hash
+
+    def mk_partial(side: str):
+        other = "n_b" if side == "n_a" else "n_a"
+
+        def partial(t: pa.Table) -> pa.Table:
+            h = add_content_hash(t, text_col=text_col)["content_hash"]
+            g = (pa.table({"content_hash": h})
+                 .group_by("content_hash").aggregate([([], "count_all")]))
+            g = g.select(["content_hash", "count_all"])
+            n = g["count_all"].combine_chunks().cast(pa.int64())
+            return pa.table({
+                "content_hash": g["content_hash"],
+                side: n,
+                other: pa.array(np.zeros(g.num_rows, np.int64), pa.int64()),
+            }).select(["content_hash", "n_a", "n_b"])
+        return partial
+
+    both = (a.map_batches(mk_partial("n_a"), batch_format="pyarrow")
+            .union(b.map_batches(mk_partial("n_b"), batch_format="pyarrow"))
+            .groupby("content_hash")
+            .aggregate(Sum("n_a", alias_name="n_a"),
+                       Sum("n_b", alias_name="n_b")))
+
+    def keep_diff(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t["n_a"], t["n_b"])))
+
+    return both.map_batches(keep_diff, batch_format="pyarrow")

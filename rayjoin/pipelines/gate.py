@@ -2562,6 +2562,50 @@ def q_dedup_exact(sf_dir: str):
 SQL_DEDUP_EXACT = "SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text"
 
 
+def q_multiset_diff(sf_dir: str):
+    """Dataset reconciliation (functions/corpus_ops.py:multiset_diff):
+    EXCEPT ALL both ways in one distinct-hash-sized shuffle.  B is the
+    corpus minus every 97th doc plus a second copy of every 89th —
+    the diff must list exactly the multiplicity mismatches."""
+    import ray.data
+
+    from ..functions.corpus_ops import multiset_diff
+
+    def docs():
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "text"])
+
+    def mk_filter(mod, keep_eq):
+        def f(t: pa.Table) -> pa.Table:
+            did = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+            m = (did % mod == 0) if keep_eq else (did % mod != 0)
+            return t.filter(pa.array(m))
+        return f
+
+    a = docs()
+    b = (docs().map_batches(mk_filter(97, False), batch_format="pyarrow")
+         .union(docs().map_batches(mk_filter(89, True),
+                                   batch_format="pyarrow")))
+    return multiset_diff(a, b)
+
+
+def sql_multiset_diff() -> str:
+    # lazy: _sql_fnv / _SQL_U64_TO_I64 are defined further down the module
+    return f"""
+WITH ca AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n_a
+            FROM documents GROUP BY text),
+bb AS (SELECT text FROM documents WHERE doc_id % 97 <> 0
+       UNION ALL SELECT text FROM documents WHERE doc_id % 89 = 0),
+cb AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS n_b FROM bb GROUP BY text),
+j AS (SELECT text, COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b
+      FROM ca FULL OUTER JOIN cb USING (text)
+      WHERE COALESCE(n_a, 0) <> COALESCE(n_b, 0))
+SELECT {_SQL_U64_TO_I64.format(v=f'({_sql_fnv("text")})')} AS content_hash,
+       n_a, n_b
+FROM j
+"""
+
+
 def _paraify7(t: pa.Table) -> pa.Table:
     """Deterministic paragraph synthesis for the paragraph_dedup gate row:
     every 7th space byte becomes a newline (documents.text is single-line
@@ -6374,6 +6418,7 @@ def build_queries():
         "rasterize_rect_area": q_rasterize_rect_area,
         "vectorize_boundary": q_vectorize_boundary,
         "dedup_exact": q_dedup_exact,
+        "multiset_diff": q_multiset_diff,
         "paragraph_dedup": q_paragraph_dedup,
         "token_stats": q_token_stats,
         "heavy_hitters": q_heavy_hitters,
@@ -6537,6 +6582,7 @@ def build_queries():
         "rasterize_rect_area": sql_rasterize_rect_area().format(rects=rsup),
         "vectorize_boundary": sql_vectorize_boundary().format(tri=tri),
         "dedup_exact": SQL_DEDUP_EXACT,
+        "multiset_diff": sql_multiset_diff(),
         "paragraph_dedup": SQL_PARAGRAPH_DEDUP,
         "token_stats": SQL_TOKEN_STATS,
         "heavy_hitters": SQL_HEAVY_HITTERS,

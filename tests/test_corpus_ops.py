@@ -357,3 +357,29 @@ def test_line_filter_rules_and_flag(ray_session):
     assert out["n_kept"].tolist() == [2, 0, 3]
     # doc 1 drops exactly 50% -> NOT flagged (strict >); doc 2 flagged
     assert out["doc_dropped"].tolist() == [False, True, False]
+
+
+def test_multiset_diff_exact_multiplicities(ray_session):
+    import ray.data
+
+    from rayjoin.functions.corpus_ops import multiset_diff
+    from rayjoin.functions.dedup import add_content_hash
+
+    def ds_of(texts):
+        return ray.data.from_arrow(pa.table(
+            {"text": pa.array(texts, pa.string())})).repartition(3)
+
+    a = ds_of(["x", "x", "y", "z", "w"])
+    b = ds_of(["x", "y", "y", "w", "q"])
+    out = multiset_diff(a, b).to_pandas()
+
+    def h(s):
+        t = pa.table({"text": pa.array([s], pa.string())})
+        return int(add_content_hash(t)["content_hash"][0].as_py())
+
+    got = {int(r.content_hash): (int(r.n_a), int(r.n_b))
+           for r in out.itertuples()}
+    assert got == {h("x"): (2, 1), h("y"): (1, 2), h("z"): (1, 0),
+                   h("q"): (0, 1)}
+    # identical multisets diff to empty
+    assert multiset_diff(a, a).count() == 0
