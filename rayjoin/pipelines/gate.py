@@ -4582,6 +4582,38 @@ FROM events
 """
 
 
+def q_user_distinct_types(sf_dir: str):
+    """Exact per-user COUNT(DISTINCT event_type): batch-local distinct
+    (user, type) pairs prune the shuffle to pair-sized, one groupby
+    dedups across batches, a second counts-sized groupby counts — the
+    two-level distinct-aggregation plan."""
+    import ray.data
+    from ray.data.aggregate import Count
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        return (pa.table({"user_id": t["user_id"], "et": t["event_type"]})
+                .group_by(["user_id", "et"]).aggregate([]))
+
+    pairs = (ev.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["user_id", "et"])
+             .aggregate(Count(alias_name="_c")))
+
+    def drop_et(t: pa.Table) -> pa.Table:
+        return t.select(["user_id"])
+
+    return (pairs.map_batches(drop_et, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Count(alias_name="n_types")))
+
+
+SQL_USER_DISTINCT_TYPES = """
+SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
+"""
+
+
 def q_daily_deltas(sf_dir: str):
     """Day-over-day trending counts per event type
     (functions/stream.py:daily_deltas): batch partials, (cat, day)-sized
@@ -6482,6 +6514,7 @@ def build_queries():
         "rolling_active": q_rolling_active,
         "user_top_event": q_user_top_event,
         "daily_deltas": q_daily_deltas,
+        "user_distinct_types": q_user_distinct_types,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "merge_intervals": q_merge_intervals,
@@ -6644,6 +6677,7 @@ def build_queries():
         "rolling_active": SQL_ROLLING_ACTIVE,
         "user_top_event": SQL_USER_TOP_EVENT,
         "daily_deltas": SQL_DAILY_DELTAS,
+        "user_distinct_types": SQL_USER_DISTINCT_TYPES,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "merge_intervals": SQL_MERGE_INTERVALS,
