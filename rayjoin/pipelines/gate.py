@@ -4345,6 +4345,49 @@ GROUP BY GROUPING SETS ((event_type, ubucket), (event_type), ())
 """
 
 
+def q_hot_blobs(sf_dir: str):
+    """Raster hot-spot blob labeling (pipelines/raster.py:
+    grid_hot_components): customer points -> 16-degree grid -> cells with
+    >= 2 points -> 4-connected components labeled by min packed cell id.
+    Power-of-two cell width keeps FLOOR(x/16) bit-exact vs SQL."""
+    import ray.data
+
+    from ..pipelines.raster import grid_hot_components
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    x, y = _latlon_np(k)
+    pts = ray.data.from_arrow(pa.table({
+        "x": pa.array(x, pa.float64()),
+        "y": pa.array(y, pa.float64()),
+    })).repartition(4)
+    return grid_hot_components(pts, cell_deg=16.0, threshold=2)
+
+
+def sql_hot_blobs() -> str:
+    pts = points_table("customer", "c_custkey")
+    return f"""
+WITH RECURSIVE
+p AS ({pts}),
+cells AS (SELECT CAST(FLOOR(x / 16.0) AS BIGINT) AS cx,
+                 CAST(FLOOR(y / 16.0) AS BIGINT) AS cy FROM p),
+hot AS (SELECT (cx + 16) * 1024 + (cy + 16) AS cell_id, cx, cy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cells GROUP BY cx, cy HAVING COUNT(*) >= 2),
+und AS (SELECT h1.cell_id AS a, h2.cell_id AS b
+        FROM hot h1 JOIN hot h2
+          ON (h2.cx = h1.cx + 1 AND h2.cy = h1.cy)
+          OR (h2.cx = h1.cx AND h2.cy = h1.cy + 1)),
+e AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+reach(v, u) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a),
+lab AS (SELECT v AS cell_id, least(v, MIN(u)) AS blob FROM reach GROUP BY v)
+SELECT h.cell_id, COALESCE(l.blob, h.cell_id) AS blob_id, h.n
+FROM hot h LEFT JOIN lab l ON l.cell_id = h.cell_id
+"""
+
+
 def q_segments_cross(sf_dir: str):
     """Line-segment x line-segment Intersects join (closed-segment
     semantics incl. endpoint touch and collinear overlap — differential
@@ -6501,6 +6544,7 @@ def build_queries():
         "zonal_stats": q_zonal_stats,
         "union_area": q_union_area,
         "segments_cross": q_segments_cross,
+        "hot_blobs": q_hot_blobs,
         "rollup_events": q_rollup_events,
         "prefix_match": q_prefix_match,
         "sessionize_events": q_sessionize_events,
@@ -6664,6 +6708,7 @@ def build_queries():
         "zonal_stats": sql_zonal_stats().format(tri=tri),
         "union_area": SQL_UNION_AREA,
         "segments_cross": SQL_SEGMENTS_CROSS,
+        "hot_blobs": sql_hot_blobs(),
         "rollup_events": SQL_ROLLUP_EVENTS,
         "prefix_match": SQL_PREFIX_MATCH,
         "sessionize_events": SQL_SESSIONIZE,

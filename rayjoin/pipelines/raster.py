@@ -230,3 +230,103 @@ def focal_sum(tile_ds, *, resolution: int, value_col: str = "n",
         .groupby(tile_col)
         .aggregate(Sum("focal_sum", alias_name="focal_sum"))
     )
+
+
+def grid_hot_components(pts, *, x_col: str = "x", y_col: str = "y",
+                        cell_deg: float = 16.0, threshold: int = 8,
+                        pack_w: int = 1024, pack_off: int = 16):
+    """Hot-spot blob labeling (raster connected components, the
+    urban-area-delineation step): bucket points into a lon/lat grid,
+    keep cells with >= ``threshold`` points, 4-connect adjacent hot
+    cells, and label each blob with its MIN packed cell id.
+
+    Scale shape: per-batch (cell, count) partials -> one counts-sized
+    groupby; adjacency via two ``Dataset.join`` hash joins on shifted
+    packed ids (east + north neighbors — west/south follow by symmetry);
+    components through the existing pointer-doubling/driver-tiered
+    ``dup_clusters``; singleton hot cells rejoin via a min-groupby with
+    self-labels, so every hot cell appears exactly once.  The hot-cell
+    table is grid-bounded (not data-bounded), never the point stream.
+
+    ``cell_deg`` SHOULD be a power of two so FLOOR(x / cell) is bit-exact
+    against a SQL twin.  Returns Dataset[cell_id, blob_id, n].
+    """
+    import pyarrow.compute as pc
+    import ray.data
+    from ray.data.aggregate import Min, Sum
+
+    from ..functions.dedup import _num_join_partitions, dup_clusters
+    from ..util import drop_schemaless_empty_blocks
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = np.asarray(t[x_col].combine_chunks(), dtype=np.float64)
+        y = np.asarray(t[y_col].combine_chunks(), dtype=np.float64)
+        cx = np.floor(x / cell_deg).astype(np.int64)
+        cy = np.floor(y / cell_deg).astype(np.int64)
+        cid = (cx + pack_off) * pack_w + (cy + pack_off)
+        if cid.size and (cid.min() < 0 or ((cy + pack_off) >= pack_w).any()):
+            raise ValueError("grid_hot_components: packing overflow — "
+                             "raise pack_w/pack_off for this grid")
+        g = (pa.table({"cell_id": pa.array(cid, pa.int64())})
+             .group_by("cell_id").aggregate([([], "count_all")]))
+        return (g.select(["cell_id", "count_all"])
+                .rename_columns(["cell_id", "n_p"]))
+
+    cells = (pts.map_batches(partial, batch_format="pyarrow")
+             .groupby("cell_id").aggregate(Sum("n_p", alias_name="n")))
+
+    def hot_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t["n"], threshold))
+
+    hot_schema = pa.table({"cell_id": pa.array([], pa.int64()),
+                           "n": pa.array([], pa.int64())})
+    hot = drop_schemaless_empty_blocks(
+        cells.map_batches(hot_only, batch_format="pyarrow").materialize(),
+        hot_schema)
+
+    # east neighbor: cell_id + pack_w; north neighbor: cell_id + 1
+    def shift(k: int):
+        def f(t: pa.Table) -> pa.Table:
+            cid = np.asarray(t["cell_id"].combine_chunks(), dtype=np.int64)
+            return pa.table({"id_a": pa.array(cid, pa.int64()),
+                             "probe": pa.array(cid + k, pa.int64())})
+        return f
+
+    nparts = _num_join_partitions(hot, hot)
+    ids_only = hot.select_columns(["cell_id"])
+    pairs = None
+    for k in (pack_w, 1):
+        cand = drop_schemaless_empty_blocks(
+            hot.map_batches(shift(k), batch_format="pyarrow").materialize(),
+            pa.table({"id_a": pa.array([], pa.int64()),
+                      "probe": pa.array([], pa.int64())}))
+        j = cand.join(ids_only, "inner", nparts,
+                      on=("probe",), right_on=("cell_id",))
+
+        def lab(t: pa.Table) -> pa.Table:
+            return pa.table({"id_a": t["id_a"],
+                             "id_b": t["probe"]})
+
+        p = j.map_batches(lab, batch_format="pyarrow")
+        pairs = p if pairs is None else pairs.union(p)
+
+    labels = dup_clusters(pairs)
+
+    def self_label(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": t["cell_id"],
+                         "cluster_id": t["cell_id"]})
+
+    lab_all = (labels.union(hot.map_batches(self_label,
+                                            batch_format="pyarrow"))
+               .groupby("doc_id")
+               .aggregate(Min("cluster_id", alias_name="blob_id")))
+
+    def relabel(t: pa.Table) -> pa.Table:
+        return pa.table({"cell_id": t["doc_id"], "blob_id": t["blob_id"]})
+
+    lab_all = drop_schemaless_empty_blocks(
+        lab_all.map_batches(relabel, batch_format="pyarrow").materialize(),
+        pa.table({"cell_id": pa.array([], pa.int64()),
+                  "blob_id": pa.array([], pa.int64())}))
+    out = hot.join(lab_all, "inner", nparts, on=("cell_id",))
+    return out.select_columns(["cell_id", "blob_id", "n"])

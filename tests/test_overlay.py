@@ -165,3 +165,56 @@ def test_buffer_points_shape():
         a = signed_area_scalar(pts)
         assert a > 0  # CCW
         assert abs(a - np.pi * r * r) < 0.02 * r * r
+
+
+def test_grid_hot_components_vs_bruteforce(ray_session):
+    import ray.data
+
+    from rayjoin.pipelines.raster import grid_hot_components
+
+    rng = np.random.default_rng(7)
+    n = 3000
+    # clustered points: a few gaussian blobs plus uniform noise
+    cx = rng.choice([-100.0, -96.0, 40.0, 44.0, 120.0], n)
+    cy = rng.choice([-40.0, 20.0, 24.0], n)
+    x = np.clip(cx + rng.normal(0, 6, n), -180, 179.9)
+    y = np.clip(cy + rng.normal(0, 6, n), -90, 89.9)
+    pts = ray.data.from_arrow(pa.table({
+        "x": pa.array(x, pa.float64()), "y": pa.array(y, pa.float64()),
+    })).repartition(5)
+    out = grid_hot_components(pts, cell_deg=8.0, threshold=5).to_pandas()
+    got = {int(r.cell_id): (int(r.blob_id), int(r.n))
+           for r in out.itertuples()}
+
+    # brute force
+    import collections
+    cnt = collections.Counter(
+        (int(np.floor(xx / 8.0)), int(np.floor(yy / 8.0)))
+        for xx, yy in zip(x, y))
+    hot = {c: v for c, v in cnt.items() if v >= 5}
+    pid = {c: (c[0] + 16) * 1024 + (c[1] + 16) for c in hot}
+    # union-find over 4-adjacency
+    parent = {c: c for c in hot}
+
+    def find(c):
+        while parent[c] != c:
+            parent[c] = parent[parent[c]]
+            c = parent[c]
+        return c
+
+    for (a, b) in list(hot):
+        for nb in ((a + 1, b), (a, b + 1)):
+            if nb in hot:
+                ra, rb = find((a, b)), find(nb)
+                if ra != rb:
+                    parent[rb] = ra
+    comp = {}
+    for c in hot:
+        comp.setdefault(find(c), []).append(c)
+    want = {}
+    for members in comp.values():
+        blob = min(pid[m] for m in members)
+        for m in members:
+            want[pid[m]] = (blob, hot[m])
+    assert got == want
+    assert len({b for b, _ in got.values()}) > 1  # several blobs formed
