@@ -3888,6 +3888,107 @@ GROUP BY c.c_nationkey
 """
 
 
+def q_region_revenue(sf_dir: str):
+    """TPC-H Q5-shaped 5-table pipeline: lineitem -> orders (date-pruned
+    at the read) -> customer hash joins, then nation/region resolve
+    through ONE broadcast lookup (dims are tiny — never shuffled);
+    revenue per nation name for regions 0 and 1, integer cents."""
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import _num_join_partitions
+
+    nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pq.read_table(f"{sf_dir}/region.parquet",
+                        columns=["r_regionkey"])
+    keep_regions = {int(r) for r in reg["r_regionkey"].to_pylist()
+                    if int(r) <= 1}
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    nrk = np.asarray(nat["n_regionkey"], dtype=np.int64)
+    names = nat["n_name"].to_pylist()
+    order = np.argsort(nk)
+    lut = ray.put((nk[order],
+                   np.array([names[i] for i in order], dtype=object),
+                   nrk[order]))
+
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1999-01-01", "us").astype(np.int64)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def prep_li(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        dpct = pc.cast(pc.round(pc.multiply(t["l_discount"], 100.0)),
+                       pa.int64())
+        rev = pc.multiply(cents, pc.subtract(pa.scalar(100, pa.int64()),
+                                             dpct))
+        g = (pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+             .group_by("l_orderkey").aggregate([("rev", "sum")]))
+        return (g.select(["l_orderkey", "rev_sum"])
+                .rename_columns(["l_orderkey", "rev"]))
+
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_orderdate"])
+
+    def prep_orders(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["o_orderdate"].combine_chunks()
+                        .cast(pa.timestamp("us")).cast(pa.int64()),
+                        dtype=np.int64)
+        keep = (ts >= lo) & (ts < hi)
+        return pa.table({"o_orderkey": t["o_orderkey"],
+                         "o_custkey": t["o_custkey"]}).filter(pa.array(keep))
+
+    orders = orders.map_batches(prep_orders, batch_format="pyarrow")
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_nationkey"])
+    li = li.map_batches(prep_li, batch_format="pyarrow")
+    j1 = li.join(orders, "inner", _num_join_partitions(li, orders),
+                 on=("l_orderkey",), right_on=("o_orderkey",))
+    j1 = j1.select_columns(["o_custkey", "rev"])
+    j2 = j1.join(cust, "inner", _num_join_partitions(j1, cust),
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def resolve(t: pa.Table) -> pa.Table:
+        ks, nms, rks = ray.get(lut)
+        k = np.asarray(t["c_nationkey"].combine_chunks(), dtype=np.int64)
+        pos = np.searchsorted(ks, k)
+        keep = np.isin(rks[pos], list(keep_regions))
+        g = (pa.table({
+                "n_name": pa.array(nms[pos][keep].tolist(), pa.string()),
+                "rev": t["rev"].filter(pa.array(keep)),
+            }).group_by("n_name").aggregate([("rev", "sum")]))
+        return (g.select(["n_name", "rev_sum"])
+                .rename_columns(["n_name", "rev_p"]))
+
+    return (j2.map_batches(resolve, batch_format="pyarrow")
+            .groupby("n_name")
+            .aggregate(Sum("rev_p", alias_name="revenue")))
+
+
+SQL_REGION_REVENUE = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(l.l_extendedprice * 100.0) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100.0) AS BIGINT)))
+            AS BIGINT) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_regionkey <= 1
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1999-01-01'
+GROUP BY n.n_name
+"""
+
+
 def q_join_orders_customer(sf_dir: str):
     """Broadcast hash join: orders enriched with customer market segment,
     aggregated per segment."""
@@ -6534,6 +6635,7 @@ def build_queries():
         "agg_lineitem": q_agg_lineitem,
         "join_orders_customer": q_join_orders_customer,
         "star_revenue": q_star_revenue,
+        "region_revenue": q_region_revenue,
         "join_orders_customer_shuffle": q_join_orders_customer_shuffle,
         "corpus_clean": q_corpus_clean,
         "window_events": q_window_events,
@@ -6698,6 +6800,7 @@ def build_queries():
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_orders_customer": SQL_JOIN_ORDERS,
         "star_revenue": SQL_STAR_REVENUE,
+        "region_revenue": SQL_REGION_REVENUE,
         "join_orders_customer_shuffle": SQL_JOIN_ORDERS,
         "corpus_clean": SQL_CORPUS_CLEAN,
         "window_events": SQL_WINDOW,
