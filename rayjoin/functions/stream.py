@@ -869,3 +869,72 @@ def daily_deltas(ds, *, cat_col: str = "event_type", ts_col: str = "ts",
 
     return (counts.map_batches(bucketize, batch_format="pyarrow")
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def rows_window_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                    id_col: str = "event_id", value_col: str = "value",
+                    frame_rows: int = 4, num_buckets: int = 256):
+    """ROWS-frame moving sum: for every row, the sum of its key's last
+    ``frame_rows`` values (current row included) in (ts, id) order —
+    ``SUM(vm) OVER (PARTITION BY key ORDER BY ts, id ROWS frame_rows-1
+    PRECEDING)``.
+
+    Same bucketed segmented-cumsum kernel as running_sum, plus a lagged
+    subtraction that respects key boundaries: win = run - run[i-k] when
+    row i-k is the same key, else run - base_of_key.
+
+    Returns Dataset[id_col, key_col, vm, win_vm].
+    """
+    k = int(frame_rows)
+    if k <= 0:
+        raise ValueError("frame_rows must be positive")
+
+    def prep(t: pa.Table) -> pa.Table:
+        from ..util import knuth_bucket
+
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            key_col: t[key_col],
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            id_col: t[id_col],
+            "vm": pc.cast(pc.floor(pc.multiply(t[value_col], 1000.0)),
+                          pa.int64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({id_col: pa.array([], pa.int64()),
+                      key_col: pa.array([], pa.int64()),
+                      "vm": pa.array([], pa.int64()),
+                      "win_vm": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        ev = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        vm = np.asarray(t["vm"].combine_chunks(), dtype=np.int64)
+        order = np.lexsort((ev, ts, key))
+        key, ev, vm = key[order], ev[order], vm[order]
+        run = np.cumsum(vm)
+        starts = np.flatnonzero(np.concatenate([[True],
+                                                key[1:] != key[:-1]]))
+        counts = np.diff(np.concatenate([starts, [key.size]]))
+        base = (run[starts] - vm[starts])  # prefix sum before each key
+        seg_base = np.repeat(base, counts)
+        pos = np.arange(key.size, dtype=np.int64) \
+            - np.repeat(starts, counts)  # 0-based rank within key
+        # prefix to subtract: run at rank pos-k within the key, or the
+        # key's base when fewer than k predecessors exist
+        prev_idx = np.arange(key.size, dtype=np.int64) - k
+        in_frame = pos >= k
+        sub = np.where(in_frame, run[np.maximum(prev_idx, 0)], seg_base)
+        win = run - sub
+        return pa.table({id_col: pa.array(ev, pa.int64()),
+                         key_col: pa.array(key, pa.int64()),
+                         "vm": pa.array(vm, pa.int64()),
+                         "win_vm": pa.array(win, pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))

@@ -4701,6 +4701,30 @@ WHERE 1000 * abs(e.vm - s.med) > 3000 * s.mad
 """
 
 
+def q_window_sum_rows(sf_dir: str):
+    """ROWS-frame moving sum (last 4 events per user, current included) —
+    functions/stream.py:rows_window_sum: the running_sum kernel plus a
+    key-boundary-aware lagged subtraction."""
+    import ray.data
+
+    from ..functions.stream import rows_window_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts",
+                                        "value"])
+    return rows_window_sum(ev, frame_rows=4)
+
+
+SQL_WINDOW_SUM_ROWS = """
+SELECT event_id, user_id,
+       CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm,
+       CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT) AS win_vm
+FROM events
+"""
+
+
 def q_running_sum(sf_dir: str):
     """Per-user running balance: SUM(vm) OVER (PARTITION BY user ORDER BY
     ts, event_id) via the bucketed segmented-cumsum kernel
@@ -6655,6 +6679,7 @@ def build_queries():
         "user_mad": q_user_mad,
         "user_outliers": q_user_outliers,
         "running_sum": q_running_sum,
+        "window_sum_rows": q_window_sum_rows,
         "interval_overlaps": q_interval_overlaps,
         "event_paths": q_event_paths,
         "rolling_active": q_rolling_active,
@@ -6820,6 +6845,7 @@ def build_queries():
         "user_mad": SQL_USER_MAD,
         "user_outliers": SQL_USER_OUTLIERS,
         "running_sum": SQL_RUNNING_SUM,
+        "window_sum_rows": SQL_WINDOW_SUM_ROWS,
         "interval_overlaps": SQL_INTERVAL_OVERLAPS,
         "event_paths": SQL_EVENT_PATHS,
         "rolling_active": SQL_ROLLING_ACTIVE,

@@ -2290,3 +2290,37 @@ def test_quantize_embeddings_vs_numpy_oracle(ray_session):
                 want[(i, j)] = int(abs(p) // int(ma[j])) * (1 if p >= 0 else -1)
     assert got == want
     assert max(abs(v) for v in got.values()) <= 127
+
+
+def test_rows_window_sum_vs_pandas_oracle(ray_session):
+    import pandas as pd
+    import ray.data
+
+    from rayjoin.functions.stream import rows_window_sum
+
+    rng = np.random.default_rng(29)
+    n = 3000
+    users = rng.integers(0, 50, n).astype(np.int64)
+    ts = rng.integers(0, 300, n).astype(np.int64) * 1_000_000
+    ev = rng.permutation(n).astype(np.int64)
+    val = rng.integers(-4000, 4000, n).astype(np.int64) / 1000.0
+    t = pa.table({
+        "event_id": pa.array(ev),
+        "user_id": pa.array(users),
+        "ts": pa.array(ts.astype("datetime64[us]"), pa.timestamp("us")),
+        "value": pa.array(val, pa.float64()),
+    })
+    for k in (1, 4, 100):
+        out = rows_window_sum(ray.data.from_arrow(t).repartition(5),
+                              frame_rows=k, num_buckets=7).to_pandas()
+        df = pd.DataFrame({"event_id": ev, "user_id": users, "ts": ts,
+                           "vm": np.floor(val * 1000.0).astype(np.int64)})
+        df = df.sort_values(["user_id", "ts", "event_id"])
+        df["win"] = (df.groupby("user_id")["vm"]
+                     .rolling(k, min_periods=1).sum()
+                     .reset_index(level=0, drop=True))
+        want = {int(r.event_id): (int(r.vm), int(r.win))
+                for r in df.itertuples()}
+        got = {int(r.event_id): (int(r.vm), int(r.win_vm))
+               for r in out.itertuples()}
+        assert got == want, k
