@@ -1184,6 +1184,59 @@ FROM pw p JOIN coh c USING (user_id) GROUP BY 1, 2
            for r in cr.itertuples()}
     assert got == want
     results["cohort_cells"] = len(got)
+
+    # 4) running_sum: segmented prefix scan, checksum-exact vs window SQL
+    from rayjoin.functions.stream import running_sum
+
+    t0 = time.time()
+    rs = running_sum(load())
+    agg = rs.map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "svm": pa.array([pc.sum(t["vm"]).as_py() or 0], pa.int64()),
+            "srun": pa.array([pc.sum(t["run_vm"]).as_py() or 0], pa.int64()),
+            "sxe": pa.array([pc.sum(pc.multiply(t["run_vm"],
+                                                t["event_id"])).as_py()
+                             or 0], pa.int64()),
+        }), batch_format="pyarrow").to_pandas().sum()
+    results["running_sum_sec"] = round(time.time() - t0, 1)
+    oracle = con.execute("""
+WITH w AS (SELECT event_id,
+        CAST(FLOOR(value * 1000.0) AS BIGINT) AS vm,
+        CAST(SUM(CAST(FLOOR(value * 1000.0) AS BIGINT)) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_vm
+      FROM events)
+SELECT COUNT(*), SUM(vm), SUM(run_vm), SUM(run_vm * event_id) FROM w
+""").fetchone()
+    assert int(agg["rows"]) == int(oracle[0])
+    assert int(agg["svm"]) == int(oracle[1])
+    assert int(agg["srun"]) == int(oracle[2])
+    assert int(agg["sxe"]) == int(oracle[3])
+
+    # 5) event_paths: ListArray+binary_join concat, length checksums
+    from rayjoin.functions.stream import event_paths
+
+    t0 = time.time()
+    ep = event_paths(load())
+    agg = ep.map_batches(
+        lambda t: pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "sn": pa.array([pc.sum(t["n_events"]).as_py() or 0], pa.int64()),
+            "slen": pa.array([pc.sum(pc.utf8_length(t["path"])).as_py()
+                              or 0], pa.int64()),
+        }), batch_format="pyarrow").to_pandas().sum()
+    results["event_paths_sec"] = round(time.time() - t0, 1)
+    oracle = con.execute("""
+WITH p AS (SELECT user_id, COUNT(*) AS n,
+        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM events GROUP BY user_id)
+SELECT COUNT(*), SUM(n), SUM(length(path)) FROM p
+""").fetchone()
+    assert int(agg["rows"]) == int(oracle[0])
+    assert int(agg["sn"]) == int(oracle[1])
+    assert int(agg["slen"]) == int(oracle[2])
+
     shutil.rmtree(ev_dir, ignore_errors=True)
     return results
 
