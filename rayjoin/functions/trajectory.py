@@ -101,3 +101,68 @@ def track_speed(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def od_matrix(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+              seq_col: str = "event_id", state_col: str = "tile_id",
+              num_buckets: int = 256):
+    """Origin-destination matrix over per-key ordered spatial states: every
+    adjacent ping pair (ordered by (ts, seq) within key) contributes one
+    count to its (from_tile, to_tile) cell — the mobility-analytics OD
+    matrix (trips between zones), with tiles standing in for zones.
+
+    Same plan as transition_counts (functions/stream.py) but for int64
+    states: one groupby(part) shuffle of (key, ts, seq, state) light rows;
+    each bucket lexsorts once, masks key boundaries with one shifted
+    compare, packs pairs into int64 (``from << 32 | to`` — tile ids are
+    < 2^31 at any resolution <= 15), and pre-aggregates with np.unique so
+    the final groupby sums OD-cell-sized partials, never ping-sized rows.
+    Self-transitions (consecutive pings in the same tile) count.
+
+    Returns Dataset[from_tile, to_tile, n].
+    """
+    from ..util import knuth_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "seq": t[seq_col],
+            "state": pc.cast(t[state_col], pa.int64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({"from_tile": pa.array([], pa.int64()),
+                      "to_tile": pa.array([], pa.int64()),
+                      "n_partial": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        key = np.asarray(t["key"].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        sq = np.asarray(t["seq"].combine_chunks(), dtype=np.int64)
+        st = np.asarray(t["state"].combine_chunks(), dtype=np.int64)
+        if (st < 0).any() or (st >> 31).any():
+            raise ValueError("od_matrix states must fit in uint31")
+        order = np.lexsort((sq, ts, key))
+        key, st = key[order], st[order]
+        same = key[1:] == key[:-1]
+        pk = (st[:-1][same] << 32) | st[1:][same]
+        if not pk.size:
+            return empty
+        uniq, counts = np.unique(pk, return_counts=True)
+        return pa.table({
+            "from_tile": pa.array(uniq >> 32, pa.int64()),
+            "to_tile": pa.array(uniq & 0x7FFFFFFF, pa.int64()),
+            "n_partial": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
+            .groupby(["from_tile", "to_tile"])
+            .aggregate(Sum("n_partial", alias_name="n")))

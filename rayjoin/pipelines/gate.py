@@ -5026,6 +5026,40 @@ FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
 
 
+def q_od_tile_matrix(sf_dir: str):
+    """Origin-destination matrix between map tiles: each event geocoded
+    from event_id, tiled at resolution 6, then every per-user adjacent
+    ping pair (ordered (ts, event_id)) counts one trip from its tile to
+    the next (functions/trajectory.py:od_matrix — bucketed lexsort +
+    packed-pair np.unique partials, one OD-cell-sized final groupby)."""
+    import ray.data
+
+    from ..functions.trajectory import od_matrix
+    from ..stages.geocode import geocode_from_key
+    from ..stages.tiles import tile_assign
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+    ds = ev.map_batches(lambda t: geocode_from_key(t, key_col="event_id"),
+                        batch_format="pyarrow")
+    ds = tile_assign(ds, resolution=6, with_hilbert=False)
+    return od_matrix(ds)
+
+
+def sql_od_tile_matrix() -> str:
+    lon, lat = _latlon_sql("event_id")
+    tile = _tile_sql("(" + lon + ")", "(" + lat + ")", 6)
+    return f"""
+WITH g AS (SELECT user_id, ts, event_id, {tile} AS tile_id FROM events),
+o AS (SELECT user_id, tile_id,
+             LEAD(tile_id) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM g)
+SELECT tile_id AS from_tile, nxt AS to_tile, CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2
+"""
+
+
 def q_resample_locf(sf_dir: str):
     """Hourly per-user resampling with forward fill: one row per hour from
     each user's first to last event, gap hours carrying the previous
@@ -6688,6 +6722,7 @@ def build_queries():
         "user_distinct_types": q_user_distinct_types,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
+        "od_tile_matrix": q_od_tile_matrix,
         "merge_intervals": q_merge_intervals,
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
@@ -6854,6 +6889,7 @@ def build_queries():
         "user_distinct_types": SQL_USER_DISTINCT_TYPES,
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
+        "od_tile_matrix": sql_od_tile_matrix(),
         "merge_intervals": SQL_MERGE_INTERVALS,
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,

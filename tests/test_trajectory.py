@@ -65,3 +65,56 @@ def test_single_ping_keys_emit_nothing(ray_session):
     })
     out = track_speed(ray.data.from_arrow(t), num_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_od_matrix_matches_brute(ray_session):
+    import ray.data
+    from collections import Counter
+
+    from rayjoin.functions.trajectory import od_matrix
+
+    rng = np.random.default_rng(7)
+    n = 600
+    key = rng.integers(0, 30, n).astype(np.int64)
+    ts = rng.integers(0, 5_000_000_000, n).astype(np.int64)
+    seq = np.arange(n, dtype=np.int64)
+    tile = rng.integers(0, 12, n).astype(np.int64)  # few tiles -> repeats
+    # duplicate timestamps within one key (seq breaks the tie)
+    key[:5] = 77
+    ts[:5] = 1000
+
+    ref = Counter()
+    for k in np.unique(key):
+        m = key == k
+        o = np.lexsort((seq[m], ts[m]))
+        tl = tile[m][o]
+        for i in range(len(tl) - 1):
+            ref[(int(tl[i]), int(tl[i + 1]))] += 1
+
+    t = pa.table({
+        "user_id": pa.array(key, pa.int64()),
+        "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array(seq, pa.int64()),
+        "tile_id": pa.array(tile, pa.int64()),
+    })
+    out = od_matrix(ray.data.from_arrow(t).repartition(4),
+                    num_buckets=8).to_pandas()
+    got = {(int(r.from_tile), int(r.to_tile)): int(r.n)
+           for r in out.itertuples()}
+    assert got == dict(ref)
+
+
+def test_od_matrix_rejects_wide_states(ray_session):
+    import pytest
+    import ray.data
+
+    from rayjoin.functions.trajectory import od_matrix
+
+    t = pa.table({
+        "user_id": pa.array([1, 1], pa.int64()),
+        "ts": pa.array([1, 2], pa.int64()).cast(pa.timestamp("us")),
+        "event_id": pa.array([0, 1], pa.int64()),
+        "tile_id": pa.array([1, 1 << 40], pa.int64()),
+    })
+    with pytest.raises(Exception, match="uint31"):
+        od_matrix(ray.data.from_arrow(t), num_buckets=2).materialize()
