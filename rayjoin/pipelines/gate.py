@@ -1341,6 +1341,42 @@ SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
 """
 
 
+def q_edge_embeddedness(sf_dir: str):
+    """Per-edge common-neighbor counts (functions/graph.py:edge_embeddedness)
+    over the same dense deterministic link graph as triangle_counts: the
+    shared oriented wedge-close core emits one row per triangle, then each
+    triangle charges its three canonical edges.  The SQL twin enumerates
+    ordered triples x<y<z and unions the three edge charges — a different
+    plan that must produce identical per-edge counts."""
+    from ..functions.graph import edge_embeddedness, synth_link_graph
+
+    edges, _ = synth_link_graph(sf_dir, deg_mod=6, target_div=4)
+    return edge_embeddedness(edges.materialize())
+
+
+def sql_edge_embeddedness(deg_mod: int = 6, target_div: int = 4) -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH nn AS (SELECT greatest(COUNT(*) // {target_div}, 1) AS m FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % {deg_mod}::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT m FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, {deg_mod - 1}) AS g(j)
+          WHERE g.j < outdeg),
+und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM edges WHERE src <> dst),
+tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+        FROM und a JOIN und b ON b.u = a.v
+                   JOIN und c ON c.u = a.u AND c.v = b.v),
+charges AS (SELECT x AS u, y AS v FROM tri
+            UNION ALL SELECT x, z FROM tri
+            UNION ALL SELECT y, z FROM tri)
+SELECT u, v, COUNT(*) AS n_common FROM charges GROUP BY u, v
+"""
+
+
 def q_link_components(sf_dir: str):
     """Connected components of the (undirected) outdeg-1 link graph via
     the DISTRIBUTED pointer-doubling path of dup_clusters (the 100 TB
@@ -6634,6 +6670,7 @@ def build_queries():
         "bfs_hops": q_bfs_hops,
         "link_components": q_link_components,
         "triangle_counts": q_triangle_counts,
+        "edge_embeddedness": q_edge_embeddedness,
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
         "lm_score": q_lm_score,
@@ -6803,6 +6840,7 @@ def build_queries():
         "bfs_hops": sql_bfs_hops(),
         "link_components": sql_link_components(),
         "triangle_counts": sql_triangle_counts(),
+        "edge_embeddedness": sql_edge_embeddedness(),
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
         "lm_score": SQL_LM_SCORE,

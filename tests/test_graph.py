@@ -108,6 +108,34 @@ def test_triangle_counts_exact_vs_bruteforce():
     assert list(zip(out.node.tolist(), out.n_tri.tolist())) == exp
 
 
+@pytest.mark.usefixtures("ray_session")
+def test_edge_embeddedness_exact_vs_bruteforce():
+    """Per-edge common-neighbor counts match brute force on a random
+    directed multigraph with self-loops and duplicate edges; only edges in
+    >= 1 triangle appear, and pairs come back canonical (u < v)."""
+    import ray.data
+
+    from rayjoin.functions.graph import edge_embeddedness
+
+    rng = np.random.default_rng(11)
+    n = 70
+    src = rng.integers(0, n, 500).astype(np.int64)
+    dst = rng.integers(0, n, 500).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    und = {(min(s, d), max(s, d)) for s, d in zip(src, dst) if s != d}
+    adj = {i: set() for i in range(n)}
+    for u, v in und:
+        adj[u].add(v); adj[v].add(u)
+    exp = sorted((u, v, len(adj[u] & adj[v])) for u, v in und
+                 if adj[u] & adj[v])
+    assert exp  # non-vacuous at this density
+
+    out = edge_embeddedness(
+        ray.data.from_arrow(t).repartition(4)).to_pandas().sort_values(["u", "v"])
+    assert list(zip(out.u.tolist(), out.v.tolist(), out.n_common.tolist())) == exp
+
+
 def _hits_ref(src, dst, n, iters, h0=1, shift=0):
     hub = np.full(n, h0, np.int64)
     auth = np.zeros(n, np.int64)
