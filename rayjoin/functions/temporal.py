@@ -305,10 +305,15 @@ def band_join(left, right, *, key_col, left_ts_col="ts", right_ts_col="ts",
 
 
 def interval_join(a, b, *, id_col: str = "id", start_col: str = "start_us",
-                  end_col: str = "end_us", cell_us: int, num_buckets: int = 256):
+                  end_col: str = "end_us", cell_us: int, num_buckets: int = 256,
+                  duration_col: str | None = None):
     """Keyless interval OVERLAP join: all (a, b) pairs whose closed
     intervals intersect — ``s_a <= e_b AND s_b <= e_a`` over int64
-    microseconds.  Returns Dataset[id_a, id_b].
+    microseconds.  Returns Dataset[id_a, id_b]; with ``duration_col`` set,
+    adds the overlap length ``min(e_a, e_b) - max(s_a, s_b)`` (int64 us,
+    >= 0 for closed intervals) under that name — computed in the reference
+    cell where both endpoints are already in hand, so the duration variant
+    costs no extra shuffle.
 
     This is the 1-D PBSM plan (same shape as the 2-D spatial partitioned
     join): each interval replicates to every time cell of width ``cell_us``
@@ -351,8 +356,11 @@ def interval_join(a, b, *, id_col: str = "id", start_col: str = "start_us",
             })
         return prep
 
-    empty = pa.table({"id_a": pa.array([], pa.int64()),
-                      "id_b": pa.array([], pa.int64())})
+    empty_cols = {"id_a": pa.array([], pa.int64()),
+                  "id_b": pa.array([], pa.int64())}
+    if duration_col is not None:
+        empty_cols[duration_col] = pa.array([], pa.int64())
+    empty = pa.table(empty_cols)
 
     def per_bucket(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
@@ -392,8 +400,13 @@ def interval_join(a, b, *, id_col: str = "id", start_col: str = "start_us",
         # second overlap half + reference-cell dedup
         ref = np.floor_divide(np.maximum(s[arows], s[brows]), cell)
         keep = (e[brows] >= s[arows]) & (ref == cells[arows])
-        return pa.table({"id_a": pa.array(ids[arows[keep]], pa.int64()),
-                         "id_b": pa.array(ids[brows[keep]], pa.int64())})
+        ka, kb = arows[keep], brows[keep]
+        out = {"id_a": pa.array(ids[ka], pa.int64()),
+               "id_b": pa.array(ids[kb], pa.int64())}
+        if duration_col is not None:
+            ov = np.minimum(e[ka], e[kb]) - np.maximum(s[ka], s[kb])
+            out[duration_col] = pa.array(ov, pa.int64())
+        return pa.table(out)
 
     return (a.map_batches(mk_prep(0), batch_format="pyarrow")
             .union(b.map_batches(mk_prep(1), batch_format="pyarrow"))

@@ -4958,6 +4958,58 @@ WHERE a.s <= b.e AND b.s <= a.e
 """
 
 
+def q_overlap_duration(sf_dir: str):
+    """Total overlapped time per click interval: the duration-emitting
+    variant of the keyless interval join (functions/temporal.py:
+    interval_join with duration_col — overlap length computed in the
+    reference cell, no extra shuffle) aggregated per id_a.  Same synthetic
+    intervals as interval_overlaps; the SQL twin is a theta-join with
+    least/greatest arithmetic and a GROUP BY."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    from ..functions.temporal import interval_join
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "ts", "event_type"])
+
+    def mk_prep(et):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], et))
+            s = np.asarray(
+                t["ts"].combine_chunks().cast(pa.timestamp("us"))
+                .cast(pa.int64()), dtype=np.int64)
+            eid = np.asarray(t["event_id"].combine_chunks(), dtype=np.int64)
+            dur = (eid % 7200 + 1) * 1_000_000
+            return pa.table({"event_id": pa.array(eid, pa.int64()),
+                             "start_us": pa.array(s, pa.int64()),
+                             "end_us": pa.array(s + dur, pa.int64())})
+        return prep
+
+    a = ev.map_batches(mk_prep("click"), batch_format="pyarrow")
+    b = ev.map_batches(mk_prep("purchase"), batch_format="pyarrow")
+    pairs = interval_join(a, b, id_col="event_id", cell_us=7_200_000_000,
+                          duration_col="ov_us")
+    return (pairs.groupby("id_a")
+            .aggregate(Count(alias_name="n_overlaps"),
+                       Sum("ov_us", alias_name="total_overlap_us")))
+
+
+SQL_OVERLAP_DURATION = """
+WITH a AS (SELECT event_id AS id_a, epoch_us(ts) AS s,
+                  epoch_us(ts) + (event_id % 7200 + 1) * 1000000 AS e
+           FROM events WHERE event_type = 'click'),
+b AS (SELECT event_id AS id_b, epoch_us(ts) AS s,
+             epoch_us(ts) + (event_id % 7200 + 1) * 1000000 AS e
+      FROM events WHERE event_type = 'purchase')
+SELECT a.id_a, COUNT(*) AS n_overlaps,
+       CAST(SUM(least(a.e, b.e) - greatest(a.s, b.s)) AS BIGINT) AS total_overlap_us
+FROM a, b
+WHERE a.s <= b.e AND b.s <= a.e
+GROUP BY a.id_a
+"""
+
+
 def q_skyline_users(sf_dir: str):
     """Pareto frontier over per-user activity profiles: users not dominated
     on (sum of milli-fixed-point values MAX, event count MAX, first-seen
@@ -6752,6 +6804,7 @@ def build_queries():
         "running_sum": q_running_sum,
         "window_sum_rows": q_window_sum_rows,
         "interval_overlaps": q_interval_overlaps,
+        "overlap_duration": q_overlap_duration,
         "event_paths": q_event_paths,
         "rolling_active": q_rolling_active,
         "user_top_event": q_user_top_event,
@@ -6920,6 +6973,7 @@ def build_queries():
         "running_sum": SQL_RUNNING_SUM,
         "window_sum_rows": SQL_WINDOW_SUM_ROWS,
         "interval_overlaps": SQL_INTERVAL_OVERLAPS,
+        "overlap_duration": SQL_OVERLAP_DURATION,
         "event_paths": SQL_EVENT_PATHS,
         "rolling_active": SQL_ROLLING_ACTIVE,
         "user_top_event": SQL_USER_TOP_EVENT,

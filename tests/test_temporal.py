@@ -177,3 +177,15 @@ def test_interval_join_vs_bruteforce(ray_session):
         interval_join(ds_of(ida[:2], sa[:2], sa[:2] - 1),
                       ds_of(idb[:2], sb[:2], eb[:2]),
                       cell_us=cell).materialize()
+
+    # duration variant: same pairs plus exact overlap lengths
+    out_d = interval_join(ds_of(ida, sa, ea), ds_of(idb, sb, eb),
+                          cell_us=cell, num_buckets=13,
+                          duration_col="ov_us").to_pandas()
+    got_d = {(r.id_a, r.id_b): r.ov_us for r in out_d.itertuples()}
+    assert set(got_d) == want
+    sa_by = {int(i): (int(s), int(e)) for i, s, e in zip(ida, sa, ea)}
+    sb_by = {int(i): (int(s), int(e)) for i, s, e in zip(idb, sb, eb)}
+    for (i, j), ov in got_d.items():
+        (s1, e1), (s2, e2) = sa_by[i], sb_by[j]
+        assert ov == min(e1, e2) - max(s1, s2) >= 0
