@@ -2366,6 +2366,65 @@ FROM fx
 """
 
 
+def q_hex_kring_sum(sf_dir: str):
+    """K-ring (k=2) neighborhood sums over the hex grid
+    (stages/hexgrid.py:hex_kring_sum): per occupied cell, the total of
+    doc_id%1000 over all docs within hex distance 2, plus the occupied-cell
+    count of the disc.  Scatter-by-offset plan — per-batch partial sums,
+    one groupby to cells, map-side replicate to the 19 disc targets, one
+    groupby to land; the SQL twin re-derives the cube-rounding ladder and
+    joins cells x a VALUES offset list."""
+    import ray.data
+
+    from ..stages.geocode import geocode_from_key
+    from ..stages.hexgrid import hex_kring_sum
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        t = geocode_from_key(t, key_col="doc_id")
+        ids = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        return t.append_column("val", pa.array(ids % 1000, pa.int64()))
+
+    ds = docs.map_batches(prep, batch_format="pyarrow")
+    return hex_kring_sum(ds, size=1.5, k=2, value_col="val")
+
+
+def sql_hex_kring_sum(size: float = 1.5, k: int = 2) -> str:
+    from ..stages.hexgrid import kring_offsets
+
+    lon, lat = _latlon_sql("doc_id")
+    offs = ", ".join(f"({dq}, {dr})" for dq, dr in kring_offsets(k))
+    return f"""
+WITH g AS (SELECT doc_id, {lat} AS lat, {lon} AS lon,
+                  doc_id % 1000 AS val FROM documents),
+f AS (SELECT doc_id, val,
+      (sqrt(3)/3 * lon - lat/3) / {size} AS xf,
+      (2.0/3.0 * lat) / {size} AS zf FROM g),
+rr AS (SELECT doc_id, val, xf, zf, -xf - zf AS yf,
+       floor(xf + 0.5) AS rx, floor(-xf - zf + 0.5) AS ry,
+       floor(zf + 0.5) AS rz FROM f),
+d AS (SELECT *, abs(rx - xf) AS dx, abs(ry - yf) AS dy, abs(rz - zf) AS dz
+      FROM rr),
+fx AS (SELECT doc_id, val,
+       CAST(CASE WHEN dx > dy AND dx > dz THEN -ry - rz ELSE rx END
+            AS BIGINT) AS q,
+       CAST(CASE WHEN NOT (dx > dy AND dx > dz) AND NOT (dy > dz)
+            THEN -rx - ry ELSE rz END AS BIGINT) AS r
+       FROM d),
+cells AS (SELECT q, r, CAST(SUM(val) AS BIGINT) AS v FROM fx GROUP BY q, r),
+offs(dq, dr) AS (VALUES {offs}),
+ring AS (SELECT c.q + o.dq AS tq, c.r + o.dr AS tr, c.v
+         FROM cells c CROSS JOIN offs o)
+SELECT (t.q + 1048576) * 2097152 + (t.r + 1048576) AS hex_id,
+       CAST(SUM(rg.v) AS BIGINT) AS kring_sum,
+       COUNT(*) AS n_cells
+FROM cells t JOIN ring rg ON rg.tq = t.q AND rg.tr = t.r
+GROUP BY t.q, t.r
+"""
+
+
 def q_geohash_assign(sf_dir: str):
     """Geohash base32 cell ids (stages/geohash.py) at precision 6: the
     interleaved code AND the string, both rebuilt in SQL (Morton
@@ -6708,6 +6767,7 @@ def build_queries():
         "tile_assign": q_tile_assign,
         "s2_assign": q_s2_assign,
         "hex_assign": q_hex_assign,
+        "hex_kring_sum": q_hex_kring_sum,
         "geohash_assign": q_geohash_assign,
         "s2_rollup": q_s2_rollup,
         "pages_e2e": q_pages_e2e,
@@ -6879,6 +6939,7 @@ def build_queries():
         "tile_assign": sql_tile_assign(),
         "s2_assign": sql_s2_assign(),
         "hex_assign": sql_hex_assign(),
+        "hex_kring_sum": sql_hex_kring_sum(),
         "geohash_assign": sql_geohash_assign(),
         "s2_rollup": sql_s2_rollup(),
         "pages_e2e": sql_pages_e2e(),

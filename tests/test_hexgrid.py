@@ -68,3 +68,43 @@ def test_geohash_canonical_and_prefix_property():
     g6 = geohash_strings(geohash_code(lats, lons, 6), 6).to_pylist()
     g9 = geohash_strings(geohash_code(lats, lons, 9), 9).to_pylist()
     assert all(b.startswith(a) for a, b in zip(g6, g9))
+
+
+def test_hex_kring_sum_vs_bruteforce(ray_session):
+    """K-ring disc sums match per-cell brute force for k = 0, 1, 2; only
+    occupied cells appear; n_cells counts occupied disc members."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from rayjoin.stages.hexgrid import hex_kring_sum, kring_offsets
+
+    rng = np.random.default_rng(5)
+    n, size = 3000, 2.5
+    lon = rng.uniform(-30, 30, n)
+    lat = rng.uniform(-20, 20, n)
+    val = rng.integers(0, 100, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"lon": lon, "lat": lat, "val": val})).repartition(6)
+
+    q, r = hex_qr(lon, lat, size)
+    cell = collections.defaultdict(int)
+    for qq, rr, v in zip(q, r, val):
+        cell[(int(qq), int(rr))] += int(v)
+
+    for k in (0, 1, 2):
+        offs = kring_offsets(k)
+        assert len(offs) == 1 + 3 * k * (k + 1)
+        exp = {}
+        for (cq, cr) in cell:
+            s = m = 0
+            for dq, dr in offs:
+                nb = (cq + dq, cr + dr)
+                if nb in cell:
+                    s += cell[nb]; m += 1
+            exp[int(hex_pack(np.array([cq]), np.array([cr]))[0])] = (s, m)
+        out = hex_kring_sum(ds, size=size, k=k, value_col="val").to_pandas()
+        got = {int(rw.hex_id): (int(rw.kring_sum), int(rw.n_cells))
+               for rw in out.itertuples()}
+        assert got == exp
