@@ -486,6 +486,51 @@ def edge_embeddedness(edges, *, src_col: str = "src", dst_col: str = "dst"):
     )
 
 
+def keyed_indegree(edges, *, src_key_col: str = "src_key",
+                   dst_key_col: str = "dst_key",
+                   drop_intra: bool = True):
+    """Webgraph-style indegree profile at a coarser key (host, domain,
+    bucket): for each distinct destination key, the number of DISTINCT
+    referring keys and the total number of referring links.  Intra-key
+    edges (src_key == dst_key, e.g. site-internal links) are dropped by
+    default, matching how host-level indegree is used for spam/authority
+    signals.  Returns Dataset[dst_key, n_ref_keys, n_links].
+
+    100 TB shape — the two-level distinct-aggregation plan: batch-local
+    (src_key, dst_key) partial counts prune the first shuffle to
+    pair-granularity, a pair groupby finishes exact link counts, then
+    batch-local per-dst partials feed the final (much smaller) dst
+    groupby.  No row-level distinct ever shuffles.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        s = t[src_key_col].combine_chunks()
+        d = t[dst_key_col].combine_chunks()
+        tab = pa.table({"sk": s, "dk": d})
+        if drop_intra:
+            tab = tab.filter(pc.invert(pc.equal(tab["sk"], tab["dk"])))
+        g = tab.group_by(["sk", "dk"]).aggregate([("sk", "count")])
+        return pa.table({"sk": g["sk"], "dk": g["dk"],
+                         "n": g["sk_count"].cast(pa.int64())})
+
+    pairs = (edges.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["sk", "dk"])
+             .aggregate(Sum("n", alias_name="n_links")))
+
+    def dst_partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["dk"]).aggregate([("dk", "count"),
+                                          ("n_links", "sum")])
+        return pa.table({"dst_key": g["dk"],
+                         "refs": g["dk_count"].cast(pa.int64()),
+                         "links": g["n_links_sum"].cast(pa.int64())})
+
+    return (pairs.map_batches(dst_partial, batch_format="pyarrow")
+            .groupby("dst_key")
+            .aggregate(Sum("refs", alias_name="n_ref_keys"),
+                       Sum("links", alias_name="n_links")))
+
+
 def _wedge_filter(t: pa.Table) -> pa.Table:
     """Keep out-neighbor pairs in strict rank order: (db_l, b_l) < (db_r, b_r)
     enumerates each unordered wedge exactly once, and the closing edge —

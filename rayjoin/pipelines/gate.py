@@ -1341,6 +1341,45 @@ SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY node
 """
 
 
+def q_host_indegree(sf_dir: str):
+    """Host-level indegree profile (functions/graph.py:keyed_indegree): the
+    doc->doc link graph coarsened to hosts (site{id%97}.example), counting
+    per target host the DISTINCT referring hosts and the total cross-host
+    links — the two-level distinct-aggregation plan where batch-local pair
+    partials prune the shuffle before any distinct runs."""
+    from ..functions.graph import keyed_indegree, synth_link_graph
+
+    edges, _ = synth_link_graph(sf_dir)
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["src"].combine_chunks(), dtype=np.int64) % 97
+        d = np.asarray(t["dst"].combine_chunks(), dtype=np.int64) % 97
+        mk = lambda a: pa.array(["site%d.example" % v for v in a], pa.string())
+        return pa.table({"src_key": mk(s), "dst_key": mk(d)})
+
+    return keyed_indegree(edges.map_batches(to_hosts, batch_format="pyarrow"))
+
+
+def sql_host_indegree() -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % 3::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, 2) AS g(j) WHERE g.j < outdeg),
+h AS (SELECT 'site' || CAST(src % 97 AS VARCHAR) || '.example' AS sk,
+             'site' || CAST(dst % 97 AS VARCHAR) || '.example' AS dk
+      FROM edges),
+x AS (SELECT sk, dk, COUNT(*) AS n FROM h WHERE sk <> dk GROUP BY sk, dk)
+SELECT dk AS dst_key, COUNT(*) AS n_ref_keys,
+       CAST(SUM(n) AS BIGINT) AS n_links
+FROM x GROUP BY dk
+"""
+
+
 def q_edge_embeddedness(sf_dir: str):
     """Per-edge common-neighbor counts (functions/graph.py:edge_embeddedness)
     over the same dense deterministic link graph as triangle_counts: the
@@ -6783,6 +6822,7 @@ def build_queries():
         "link_components": q_link_components,
         "triangle_counts": q_triangle_counts,
         "edge_embeddedness": q_edge_embeddedness,
+        "host_indegree": q_host_indegree,
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
         "lm_score": q_lm_score,
@@ -6955,6 +6995,7 @@ def build_queries():
         "link_components": sql_link_components(),
         "triangle_counts": sql_triangle_counts(),
         "edge_embeddedness": sql_edge_embeddedness(),
+        "host_indegree": sql_host_indegree(),
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
         "lm_score": SQL_LM_SCORE,

@@ -272,3 +272,36 @@ def test_kcore_bad_args(ray_session):
         kcore_nodes(_edges_ds([0], [1]), n_nodes=2, k=-1, max_rounds=2)
     with pytest.raises(ValueError):
         kcore_nodes(_edges_ds([0], [1]), n_nodes=2, k=1, max_rounds=-1)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_keyed_indegree_vs_bruteforce():
+    """Distinct-referrer counts and total cross-key links match brute
+    force; intra-key edges drop by default but are kept with
+    drop_intra=False."""
+    import collections
+
+    import ray.data
+
+    from rayjoin.functions.graph import keyed_indegree
+
+    rng = np.random.default_rng(21)
+    m = 800
+    sk = rng.integers(0, 12, m)
+    dk = rng.integers(0, 12, m)
+    t = pa.table({"src_key": pa.array([f"h{v}" for v in sk], pa.string()),
+                  "dst_key": pa.array([f"h{v}" for v in dk], pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    for drop in (True, False):
+        refs = collections.defaultdict(set)
+        links = collections.defaultdict(int)
+        for s, d in zip(sk, dk):
+            if drop and s == d:
+                continue
+            refs[f"h{d}"].add(f"h{s}")
+            links[f"h{d}"] += 1
+        exp = sorted((k, len(refs[k]), links[k]) for k in refs)
+        out = keyed_indegree(ds, drop_intra=drop).to_pandas().sort_values("dst_key")
+        got = list(zip(out.dst_key, out.n_ref_keys, out.n_links))
+        assert got == exp
