@@ -156,3 +156,51 @@ def knn_join(big, small, k: int, max_distance: float = float("inf"),
         _as_dataset(big), _as_dataset(small), k=k, max_distance=max_distance,
         target_cells=target_cells,
     )
+
+
+def spatial_anti_join(big, small, interaction: Interaction,
+                      config: Config = Config(),
+                      broadcast_threshold_rows: int = DEFAULT_BROADCAST_ROWS,
+                      target_cells: int = 1024,
+                      small_rows_hint: int | None = None, **kwargs):
+    """Spatial ANTI join: Dataset[big_row_id] of big rows with NO small
+    partner under ``interaction`` (points outside every service area, docs
+    matching no geofence).
+
+    Plan — subtract the matching join, never re-scan with NOT EXISTS: the
+    positive join runs through the normal dispatch (broadcast index or
+    PBSM by small-side size), per-batch partials collapse its pair bag to
+    distinct matched ids, the big side contributes one zero-count row per
+    row_id (a column-pruned scan), and ONE groupby keeps ids whose match
+    count stayed zero.  Matched-pair volume never lands on the driver and
+    the anti set is exact even when a big row matches in many cells.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    pairs = spatial_join(big, small, interaction, config,
+                         broadcast_threshold_rows, target_cells,
+                         small_rows_hint, **kwargs)
+
+    def matched(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["big_row_id"].combine_chunks(), dtype=np.int64)
+        uniq = np.unique(ids)
+        return pa.table({"big_row_id": pa.array(uniq, pa.int64()),
+                         "n": pa.array(np.ones(uniq.size, np.int64),
+                                       pa.int64())})
+
+    def zeros(t: pa.Table) -> pa.Table:
+        ids = t["row_id"].combine_chunks().cast(pa.int64())
+        return pa.table({"big_row_id": ids,
+                         "n": pa.repeat(pa.scalar(0, pa.int64()), len(ids))})
+
+    bag = (_as_dataset(big).map_batches(zeros, batch_format="pyarrow")
+           .union(pairs.map_batches(matched, batch_format="pyarrow")))
+    tot = bag.groupby("big_row_id").aggregate(Sum("n", alias_name="n"))
+
+    def unmatched(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["n"], 0)).select(["big_row_id"])
+
+    return tot.map_batches(unmatched, batch_format="pyarrow")

@@ -168,6 +168,31 @@ def q_sjoin_point_in_rect_hilbert(sf_dir: str):
                                 resolution=8)
 
 
+def q_sjoin_uncovered(sf_dir: str):
+    """Spatial ANTI join (join/auto.py:spatial_anti_join): customer points
+    inside NO supplier rect — the positive join's pair bag is subtracted
+    via zero-union + one groupby, never a NOT-EXISTS re-scan.  Forced
+    through the PBSM tier (broadcast_threshold_rows=0) so the gate
+    certifies the two-large-sides anti plan."""
+    from ..join.auto import spatial_anti_join
+
+    rects = _from_arrow(rects_geom_table(sf_dir), 2)
+    pts = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    return spatial_anti_join(pts, rects, Interaction.CONTAINS,
+                             broadcast_threshold_rows=0, target_cells=64)
+
+
+SQL_UNCOVERED = """
+WITH pts AS ({pts}), rects AS ({rects})
+SELECT p.row_id AS big_row_id
+FROM pts p
+WHERE NOT EXISTS (
+  SELECT 1 FROM rects r
+  WHERE p.x >= r.cx - r.w/2 AND p.x <= r.cx + r.w/2
+    AND p.y >= r.cy - r.h/2 AND p.y <= r.cy + r.h/2)
+"""
+
+
 def q_sjoin_rect_rect_intersects(sf_dir: str):
     """Supplier rects vs nation-derived rects, Intersects (inclusive bbox
     overlap)."""
@@ -6780,6 +6805,7 @@ def build_queries():
         "sjoin_point_in_rect": q_sjoin_point_in_rect,
         "sjoin_point_in_rect_partitioned": q_sjoin_point_in_rect_partitioned,
         "sjoin_point_in_rect_hilbert": q_sjoin_point_in_rect_hilbert,
+        "sjoin_uncovered": q_sjoin_uncovered,
         "sjoin_rect_rect_intersects": q_sjoin_rect_rect_intersects,
         "overlay_rect_area": q_overlay_rect_area,
         "sjoin_within": q_sjoin_within,
@@ -6953,6 +6979,7 @@ def build_queries():
         "sjoin_point_in_rect": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_point_in_rect_partitioned": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
         "sjoin_point_in_rect_hilbert": SQL_POINT_IN_RECT.format(pts=pts_cust, rects=rsup),
+        "sjoin_uncovered": SQL_UNCOVERED.format(pts=pts_cust, rects=rsup),
         "sjoin_rect_rect_intersects": SQL_RECT_RECT.format(a=rsup, b=rnat),
         "overlay_rect_area": SQL_OVERLAY_RECT.format(a=rsup, b=rnat),
         "sjoin_within": SQL_WITHIN.format(pts=pts_supp, rects=rnat),

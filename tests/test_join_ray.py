@@ -235,3 +235,24 @@ def test_knn_join_linestring_small_side_nearest_road():
         assert row.small_row_id == best + 1000
         assert np.float64(row.distance).view(np.int64) == \
             np.float64(dists[best]).view(np.int64)
+
+
+@pytest.mark.usefixtures("ray_session")
+@pytest.mark.parametrize("force_pbsm", [False, True])
+def test_spatial_anti_join_vs_oracle(force_pbsm):
+    """Anti join = big ids minus the oracle's matched ids, identical
+    through both dispatch tiers (broadcast and forced PBSM)."""
+    from rayjoin.join.auto import spatial_anti_join
+
+    small = mixed_random(40, seed=31)
+    big = mixed_random(60, seed=32)
+    exp_pairs = slow_spatial_join(small, big, Interaction.INTERSECTS)
+    matched = {b for b, _ in exp_pairs}
+    exp = sorted(set(range(len(big))) - matched)
+    assert exp and matched  # non-vacuous both ways
+
+    kw = {"broadcast_threshold_rows": 0, "target_cells": 16} if force_pbsm else {}
+    out = spatial_anti_join(
+        _ds(big), encode.geoms_to_table(small), Interaction.INTERSECTS, **kw
+    ).to_pandas()
+    assert sorted(out.big_row_id.tolist()) == exp
