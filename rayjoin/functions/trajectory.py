@@ -166,3 +166,87 @@ def od_matrix(ds, *, key_col: str = "user_id", ts_col: str = "ts",
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
             .groupby(["from_tile", "to_tile"])
             .aggregate(Sum("n_partial", alias_name="n")))
+
+
+def bearing_rose(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                 seq_col: str = "event_id", lon_col: str = "lon",
+                 lat_col: str = "lat", num_buckets: int = 256):
+    """Per-key travel-direction rose: each consecutive ping pair (ordered
+    by (ts, seq) within key) is classified into one of 8 half-open angular
+    octants — sector 0 = [E, NE), 1 = [NE, N), ... 7 = [SE, E) over the
+    PLANAR displacement (dx = Δlon, dy = Δlat; the planar contract is the
+    same as tiles.py) — or sector -1 for zero-displacement ("still")
+    segments.  Returns Dataset[<key_col>, sector, n].
+
+    Exactness: the octant ladder uses COMPARISONS ONLY (dy < dx, -dx >= dy,
+    ...) — no atan2, no constants — evaluated top-down in the same order as
+    the SQL twin's CASE ladder, so boundary segments (45-degree multiples)
+    classify identically everywhere.
+
+    Plan: one groupby(part) shuffle of light (key, ts, seq, lon, lat) rows;
+    keys hash whole into buckets, so each bucket's np.unique over packed
+    (key, sector) is FINAL — no second shuffle.
+    """
+    from ..util import knuth_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "seq": t[seq_col],
+            "lon": pc.cast(t[lon_col], pa.float64()),
+            "lat": pc.cast(t[lat_col], pa.float64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "sector": pa.array([], pa.int64()),
+                      "n": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        key = np.asarray(t["key"].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        sq = np.asarray(t["seq"].combine_chunks(), dtype=np.int64)
+        lon = np.asarray(t["lon"].combine_chunks(), dtype=np.float64)
+        lat = np.asarray(t["lat"].combine_chunks(), dtype=np.float64)
+        o = np.lexsort((sq, ts, key))
+        key, lon, lat = key[o], lon[o], lat[o]
+        same = key[1:] == key[:-1]
+        if not same.any():
+            return empty
+        a = np.flatnonzero(same)
+        dx = lon[a + 1] - lon[a]
+        dy = lat[a + 1] - lat[a]
+        # top-down octant ladder, comparisons only (mirrors the SQL CASE)
+        sec = np.select(
+            [
+                (dx == 0) & (dy == 0),
+                (dx > 0) & (dy >= 0) & (dy < dx),
+                (dx > 0) & (dy >= dx),
+                (dx <= 0) & (dy > 0) & (-dx < dy),
+                (dy > 0) & (-dx >= dy),
+                (dx < 0) & (dy <= 0) & (-dy < -dx),
+                (dx < 0) & (-dy >= -dx),
+                (dy < 0) & (dx >= 0) & (dx < -dy),
+            ],
+            [-1, 0, 1, 2, 3, 4, 5, 6],
+            default=7,
+        ).astype(np.int64)
+        # pack (key, sector) for one-pass counting: sector+1 in 4 bits
+        if (key[a] < 0).any() or (key[a] >> 59).any():
+            raise ValueError("bearing_rose keys must fit in uint59")
+        pk = (key[a] << 4) | (sec + 1)
+        uniq, counts = np.unique(pk, return_counts=True)
+        return pa.table({
+            key_col: pa.array(uniq >> 4, pa.int64()),
+            "sector": pa.array((uniq & 0xF).astype(np.int64) - 1, pa.int64()),
+            "n": pa.array(counts.astype(np.int64), pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pyarrow"))

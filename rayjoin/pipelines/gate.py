@@ -5675,6 +5675,63 @@ FROM seg
 """
 
 
+def q_bearing_rose(sf_dir: str):
+    """Per-user travel-direction rose (functions/trajectory.py:
+    bearing_rose): events become lon/lat pings (the track synthesis
+    convention), consecutive displacements classify into 8 angular octants
+    by COMPARISONS ONLY (no atan2, no constants), so the SQL CASE ladder —
+    same conditions, same top-down order — hash-matches bit-exactly even
+    on exact 45-degree boundaries."""
+    import ray.data
+
+    from ..functions.trajectory import bearing_rose
+    from ..stages.geocode import fnv1a64
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def ping(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["event_id"], pa.string()))
+        lon = (h % np.uint64(360000)).astype(np.float64) / 1000.0 - 180.0
+        lat = ((h >> np.uint64(8)) % np.uint64(160000)).astype(np.float64) / 1000.0 - 80.0
+        t = t.append_column("lon", pa.array(lon, pa.float64()))
+        return t.append_column("lat", pa.array(lat, pa.float64()))
+
+    return bearing_rose(ev.map_batches(ping, batch_format="pyarrow"))
+
+
+def sql_bearing_rose() -> str:
+    fnv = _sql_fnv("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST({fnv} % 360000::HUGEINT AS DOUBLE)/1000.0 - 180.0 AS lon,
+         CAST(({fnv} // 256::HUGEINT) % 160000::HUGEINT AS DOUBLE)/1000.0 - 80.0 AS lat
+  FROM events
+),
+s AS (
+  SELECT user_id,
+         LEAD(lon) OVER w - lon AS dx,
+         LEAD(lat) OVER w - lat AS dy
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+c AS (
+  SELECT user_id,
+         CASE WHEN dx = 0 AND dy = 0 THEN -1
+              WHEN dx > 0 AND dy >= 0 AND dy < dx THEN 0
+              WHEN dx > 0 AND dy >= dx THEN 1
+              WHEN dx <= 0 AND dy > 0 AND -dx < dy THEN 2
+              WHEN dy > 0 AND -dx >= dy THEN 3
+              WHEN dx < 0 AND dy <= 0 AND -dy < -dx THEN 4
+              WHEN dx < 0 AND -dy >= -dx THEN 5
+              WHEN dy < 0 AND dx >= 0 AND dx < -dy THEN 6
+              ELSE 7 END AS sector
+  FROM s WHERE dx IS NOT NULL
+)
+SELECT user_id, sector, COUNT(*) AS n FROM c GROUP BY user_id, sector
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -6822,6 +6879,7 @@ def build_queries():
         "ripley_k": q_ripley_k,
         "getis_ord": q_getis_ord,
         "track_speed": q_track_speed,
+        "bearing_rose": q_bearing_rose,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -6996,6 +7054,7 @@ def build_queries():
         "ripley_k": sql_ripley_k(),
         "getis_ord": sql_getis_ord(),
         "track_speed": sql_track_speed(),
+        "bearing_rose": sql_bearing_rose(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

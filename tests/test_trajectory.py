@@ -118,3 +118,41 @@ def test_od_matrix_rejects_wide_states(ray_session):
     })
     with pytest.raises(Exception, match="uint31"):
         od_matrix(ray.data.from_arrow(t), num_buckets=2).materialize()
+
+
+def test_bearing_rose_vs_atan2_octants(ray_session):
+    """The comparison-only octant ladder reproduces floor(atan2/45deg)
+    exactly — including zero displacements (sector -1) and exact
+    45-degree boundaries from grid-snapped coordinates."""
+    import collections
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from rayjoin.functions.trajectory import bearing_rose
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    key = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 10**9, n).astype(np.int64)
+    seq = np.arange(n, dtype=np.int64)
+    lon = rng.integers(-5, 6, n).astype(np.float64)
+    lat = rng.integers(-5, 6, n).astype(np.float64)
+    t = pa.table({"user_id": key, "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": seq, "lon": lon, "lat": lat})
+    out = bearing_rose(ray.data.from_arrow(t).repartition(5)).to_pandas()
+    got = {(r.user_id, r.sector): r.n for r in out.itertuples()}
+
+    def octant(dx, dy):
+        if dx == 0 and dy == 0:
+            return -1
+        return int((math.atan2(dy, dx) % (2 * math.pi)) // (math.pi / 4)) % 8
+
+    exp = collections.Counter()
+    order = np.lexsort((seq, ts, key))
+    k2, lo2, la2 = key[order], lon[order], lat[order]
+    for i in range(n - 1):
+        if k2[i] == k2[i + 1]:
+            exp[(k2[i], octant(lo2[i + 1] - lo2[i], la2[i + 1] - la2[i]))] += 1
+    assert got == dict(exp)
