@@ -4047,6 +4047,85 @@ GROUP BY c.c_nationkey
 """
 
 
+def q_q17_small_quantity(sf_dir: str):
+    """TPC-H Q17-shaped avg-threshold join: revenue from lineitems whose
+    quantity is below 20% of their part's average quantity, bucketed by
+    l_partkey % 50.  The fractional threshold is INTEGER-EXACT:
+    qty < 0.2*avg(qty) == 5*qty*cnt < sum_qty (quantities are integral),
+    so no float compare anywhere.  Plan: one per-partkey stats groupby
+    (per-batch partials first), one hash join of the light fact rows back
+    to stats, then per-batch partial sums into a 50-row groupby."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import _num_join_partitions
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        qty = pc.cast(t["l_quantity"], pa.int64())
+        cents = pc.cast(pc.floor(pc.multiply(t["l_extendedprice"], 100.0)),
+                        pa.int64())
+        return pa.table({"l_partkey": t["l_partkey"], "qty": qty,
+                         "cents": cents})
+
+    fact = li.map_batches(prep, batch_format="pyarrow")
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        g = (t.select(["l_partkey", "qty"]).group_by("l_partkey")
+             .aggregate([("qty", "sum"), ("qty", "count")]))
+        return pa.table({"p_key": g["l_partkey"],
+                         "sum_q": g["qty_sum"].cast(pa.int64()),
+                         "cnt": g["qty_count"].cast(pa.int64())})
+
+    stats = (fact.map_batches(stats_partial, batch_format="pyarrow")
+             .groupby("p_key")
+             .aggregate(Sum("sum_q", alias_name="sum_q"),
+                        Sum("cnt", alias_name="cnt")))
+
+    j = fact.join(stats, "inner", _num_join_partitions(fact, stats),
+                  on=("l_partkey",), right_on=("p_key",))
+
+    def threshold_partial(t: pa.Table) -> pa.Table:
+        qty = np.asarray(t["qty"].combine_chunks(), dtype=np.int64)
+        cnt = np.asarray(t["cnt"].combine_chunks(), dtype=np.int64)
+        sq = np.asarray(t["sum_q"].combine_chunks(), dtype=np.int64)
+        keep = 5 * qty * cnt < sq
+        pk = np.asarray(t["l_partkey"].combine_chunks(), dtype=np.int64)[keep]
+        cents = np.asarray(t["cents"].combine_chunks(), dtype=np.int64)[keep]
+        b = pk % 50
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.zeros(uniq.size, np.int64)
+        nrw = np.zeros(uniq.size, np.int64)
+        np.add.at(sums, inv, cents)
+        np.add.at(nrw, inv, 1)
+        return pa.table({"bucket": pa.array(uniq, pa.int64()),
+                         "s": pa.array(sums, pa.int64()),
+                         "c": pa.array(nrw, pa.int64())})
+
+    return (j.map_batches(threshold_partial, batch_format="pyarrow")
+            .groupby("bucket")
+            .aggregate(Sum("s", alias_name="sum_price_cents"),
+                       Sum("c", alias_name="n_rows")))
+
+
+SQL_Q17_SMALL_QUANTITY = """
+WITH s AS (SELECT l_partkey,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_q,
+                  COUNT(*) AS cnt
+           FROM lineitem GROUP BY l_partkey)
+SELECT l.l_partkey % 50 AS bucket,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0) AS BIGINT)) AS BIGINT)
+         AS sum_price_cents,
+       COUNT(*) AS n_rows
+FROM lineitem l JOIN s ON s.l_partkey = l.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * s.cnt < s.sum_q
+GROUP BY l.l_partkey % 50
+"""
+
+
 def q_region_revenue(sf_dir: str):
     """TPC-H Q5-shaped 5-table pipeline: lineitem -> orders (date-pruned
     at the read) -> customer hash joins, then nation/region resolve
@@ -6966,6 +7045,7 @@ def build_queries():
         "agg_lineitem": q_agg_lineitem,
         "join_orders_customer": q_join_orders_customer,
         "star_revenue": q_star_revenue,
+        "q17_small_quantity": q_q17_small_quantity,
         "region_revenue": q_region_revenue,
         "join_orders_customer_shuffle": q_join_orders_customer_shuffle,
         "corpus_clean": q_corpus_clean,
@@ -7139,6 +7219,7 @@ def build_queries():
         "agg_lineitem": SQL_AGG_LINEITEM,
         "join_orders_customer": SQL_JOIN_ORDERS,
         "star_revenue": SQL_STAR_REVENUE,
+        "q17_small_quantity": SQL_Q17_SMALL_QUANTITY,
         "region_revenue": SQL_REGION_REVENUE,
         "join_orders_customer_shuffle": SQL_JOIN_ORDERS,
         "corpus_clean": SQL_CORPUS_CLEAN,
