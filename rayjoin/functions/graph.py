@@ -876,3 +876,63 @@ def _kcore_join(simple, *, n_nodes: int, k: int, max_rounds: int):
                             "in_core": pa.repeat(zero, t.num_rows)}),
         batch_format="pyarrow")
     return ins.union(outs)
+
+
+def reciprocity_profile(edges, *, src_col: str = "src", dst_col: str = "dst"):
+    """Per-node reciprocity profile of the directed SIMPLE graph (self-loops
+    and duplicate edges collapsed): out-degree, in-degree, and the number of
+    MUTUAL (reciprocated) incident edges — the webgraph link-farm /
+    follow-back signal.  Returns Dataset[node, n_out, n_in, n_mutual].
+
+    Two shuffles at any scale: batch-local canonical (u, v, fwd, rev) flag
+    partials (group_by max inside the batch) feed one pair groupby that
+    OR-combines direction bits; each undirected pair row then charges BOTH
+    endpoints with (out, in, mutual) increments, pre-aggregated per batch
+    before the final node groupby.  Never joins the edge list to itself.
+    """
+    from ray.data.aggregate import Max, Sum
+
+    def canon_flags(t: pa.Table) -> pa.Table:
+        s = np.asarray(t[src_col].combine_chunks(), dtype=np.int64)
+        d = np.asarray(t[dst_col].combine_chunks(), dtype=np.int64)
+        m = s != d
+        s, d = s[m], d[m]
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        fwd = (s < d).astype(np.int64)
+        tab = pa.table({"u": pa.array(u, pa.int64()),
+                        "v": pa.array(v, pa.int64()),
+                        "f": pa.array(fwd, pa.int64()),
+                        "r": pa.array(1 - fwd, pa.int64())})
+        g = tab.group_by(["u", "v"]).aggregate([("f", "max"), ("r", "max")])
+        return pa.table({"u": g["u"], "v": g["v"],
+                         "f": g["f_max"], "r": g["r_max"]})
+
+    pairs = (edges.map_batches(canon_flags, batch_format="pyarrow")
+             .groupby(["u", "v"])
+             .aggregate(Max("f", alias_name="f"), Max("r", alias_name="r")))
+
+    def charge(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"].combine_chunks(), dtype=np.int64)
+        v = np.asarray(t["v"].combine_chunks(), dtype=np.int64)
+        f = np.asarray(t["f"].combine_chunks(), dtype=np.int64)
+        r = np.asarray(t["r"].combine_chunks(), dtype=np.int64)
+        mu = f * r
+        node = np.concatenate([u, v])
+        out = np.concatenate([f, r])   # u's out-edge is u->v (fwd); v's is v->u
+        inn = np.concatenate([r, f])
+        mut = np.concatenate([mu, mu])
+        uniq, inv = np.unique(node, return_inverse=True)
+        acc = np.zeros((uniq.size, 3), np.int64)
+        np.add.at(acc[:, 0], inv, out)
+        np.add.at(acc[:, 1], inv, inn)
+        np.add.at(acc[:, 2], inv, mut)
+        return pa.table({"node": pa.array(uniq, pa.int64()),
+                         "o": pa.array(acc[:, 0], pa.int64()),
+                         "i": pa.array(acc[:, 1], pa.int64()),
+                         "m": pa.array(acc[:, 2], pa.int64())})
+
+    return (pairs.map_batches(charge, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Sum("o", alias_name="n_out"),
+                       Sum("i", alias_name="n_in"),
+                       Sum("m", alias_name="n_mutual")))

@@ -1441,6 +1441,43 @@ SELECT u, v, COUNT(*) AS n_common FROM charges GROUP BY u, v
 """
 
 
+def q_reciprocity_profile(sf_dir: str):
+    """Per-node reciprocity profile (functions/graph.py:
+    reciprocity_profile) over the dense deterministic link graph:
+    out/in-degree of the simple graph plus mutual-edge counts, computed
+    with direction-bit pair flags and endpoint charging — never a
+    self-join of the edge list.  The SQL twin builds the simple graph
+    with DISTINCT and a least/greatest flag groupby."""
+    from ..functions.graph import reciprocity_profile, synth_link_graph
+
+    edges, _ = synth_link_graph(sf_dir, deg_mod=6, target_div=4)
+    return reciprocity_profile(edges.materialize())
+
+
+def sql_reciprocity_profile(deg_mod: int = 6, target_div: int = 4) -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH nn AS (SELECT greatest(COUNT(*) // {target_div}, 1) AS m FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % {deg_mod}::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT m FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, {deg_mod - 1}) AS g(j)
+          WHERE g.j < outdeg),
+e AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst),
+p AS (SELECT least(src, dst) AS u, greatest(src, dst) AS v,
+             MAX(CASE WHEN src < dst THEN 1 ELSE 0 END) AS f,
+             MAX(CASE WHEN src > dst THEN 1 ELSE 0 END) AS r
+      FROM e GROUP BY 1, 2),
+n AS (SELECT u AS node, f AS o, r AS i, f * r AS m FROM p
+      UNION ALL SELECT v, r, f, f * r FROM p)
+SELECT node, CAST(SUM(o) AS BIGINT) AS n_out, CAST(SUM(i) AS BIGINT) AS n_in,
+       CAST(SUM(m) AS BIGINT) AS n_mutual
+FROM n GROUP BY node
+"""
+
+
 def q_link_components(sf_dir: str):
     """Connected components of the (undirected) outdeg-1 link graph via
     the DISTRIBUTED pointer-doubling path of dup_clusters (the 100 TB
@@ -6986,6 +7023,7 @@ def build_queries():
         "triangle_counts": q_triangle_counts,
         "edge_embeddedness": q_edge_embeddedness,
         "host_indegree": q_host_indegree,
+        "reciprocity_profile": q_reciprocity_profile,
         "inverted_index": q_inverted_index,
         "tfidf_docs": q_tfidf_docs,
         "lm_score": q_lm_score,
@@ -7162,6 +7200,7 @@ def build_queries():
         "triangle_counts": sql_triangle_counts(),
         "edge_embeddedness": sql_edge_embeddedness(),
         "host_indegree": sql_host_indegree(),
+        "reciprocity_profile": sql_reciprocity_profile(),
         "inverted_index": SQL_INVERTED_INDEX,
         "tfidf_docs": SQL_TFIDF_DOCS,
         "lm_score": SQL_LM_SCORE,

@@ -305,3 +305,33 @@ def test_keyed_indegree_vs_bruteforce():
         out = keyed_indegree(ds, drop_intra=drop).to_pandas().sort_values("dst_key")
         got = list(zip(out.dst_key, out.n_ref_keys, out.n_links))
         assert got == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_reciprocity_profile_vs_bruteforce():
+    """Out/in degrees of the simple graph and mutual-edge counts match
+    brute force on a random multigraph with self-loops and duplicates."""
+    import ray.data
+
+    from rayjoin.functions.graph import reciprocity_profile
+
+    rng = np.random.default_rng(17)
+    m, n = 700, 50
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    t = pa.table({"src": pa.array(src), "dst": pa.array(dst)})
+
+    e = {(s, d) for s, d in zip(src, dst) if s != d}
+    exp = {}
+    for v in range(n):
+        outs = {d for s, d in e if s == v}
+        ins = {s for s, d in e if d == v}
+        mut = len(outs & ins)
+        if outs or ins:
+            exp[v] = (len(outs), len(ins), mut)
+    assert any(x[2] for x in exp.values())  # mutual edges exist
+
+    out = reciprocity_profile(ray.data.from_arrow(t).repartition(4)).to_pandas()
+    got = {int(r.node): (int(r.n_out), int(r.n_in), int(r.n_mutual))
+           for r in out.itertuples()}
+    assert got == exp
