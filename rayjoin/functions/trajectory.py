@@ -250,3 +250,106 @@ def bearing_rose(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def dwell_episodes(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   seq_col: str = "event_id", lon_col: str = "lon",
+                   lat_col: str = "lat", slow_mm_s: int = 1000,
+                   num_buckets: int = 256):
+    """Stop (dwell) detection: maximal runs of CONSECUTIVE slow segments
+    per key — segments with speed_mm_s < ``slow_mm_s``, speed defined
+    exactly as track_speed (chord micro-meters, integer division).
+    Returns Dataset[<key_col>, ep_idx, start_us, end_us, n_segs,
+    dist_micro]: episode index 1-based per key in time order, start/end
+    int64 microseconds, total chord length.
+
+    The gaps-and-islands kernel is vectorized RLE: island starts where a
+    slow segment follows a key boundary, a ping gap, or a fast segment;
+    per-island aggregation is np.add.at over the island index.  One
+    groupby(part) shuffle (keys live whole in their bucket), so per-bucket
+    episodes are final.
+    """
+    from ..join.geodesic import EARTH_RADIUS_M, _hav
+    from ..util import knuth_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "seq": t[seq_col],
+            "lon": pc.cast(t[lon_col], pa.float64()),
+            "lat": pc.cast(t[lat_col], pa.float64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "ep_idx": pa.array([], pa.int64()),
+                      "start_us": pa.array([], pa.int64()),
+                      "end_us": pa.array([], pa.int64()),
+                      "n_segs": pa.array([], pa.int64()),
+                      "dist_micro": pa.array([], pa.int64())})
+
+    thr = np.int64(slow_mm_s)
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        key = np.asarray(t["key"].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        sq = np.asarray(t["seq"].combine_chunks(), dtype=np.int64)
+        lon = np.asarray(t["lon"].combine_chunks(), dtype=np.float64)
+        lat = np.asarray(t["lat"].combine_chunks(), dtype=np.float64)
+        o = np.lexsort((sq, ts, key))
+        key, ts, lon, lat = key[o], ts[o], lon[o], lat[o]
+        same = key[1:] == key[:-1]
+        if not same.any():
+            return empty
+        a = np.flatnonzero(same)                      # segment = rows a, a+1
+        h = _hav(lat[a], lon[a], lat[a + 1], lon[a + 1])
+        dist = np.floor(
+            1_000_000 * ((2.0 * EARTH_RADIUS_M) * np.sqrt(h))
+        ).astype(np.int64)
+        dt = ts[a + 1] - ts[a]
+        speed = (dist * np.int64(1000)) // np.maximum(dt, np.int64(1))
+        slow = speed < thr
+        if not slow.any():
+            return empty
+        adjacent = np.concatenate([[False], a[1:] == a[:-1] + 1])
+        prev_slow = np.concatenate([[False], slow[:-1]])
+        starts = slow & ~(adjacent & prev_slow)
+        isl = np.cumsum(starts) - 1                   # island id per segment
+        srow = np.flatnonzero(slow)
+        sisl = isl[srow]
+        n_isl = int(isl[srow[-1]]) + 1
+        n_segs = np.zeros(n_isl, np.int64)
+        dsum = np.zeros(n_isl, np.int64)
+        np.add.at(n_segs, sisl, 1)
+        np.add.at(dsum, sisl, dist[srow])
+        # sisl is non-decreasing (islands are created in segment order), so
+        # unique's first-index gives each island's first slow row directly
+        _, fidx = np.unique(sisl, return_index=True)
+        lidx = np.concatenate([fidx[1:], [sisl.size]]) - 1
+        first = srow[fidx]
+        last = srow[lidx]
+        ikey = key[a[first]]
+        start_us = ts[a[first]]
+        end_us = ts[a[last] + 1]
+        # 1-based episode index per key (islands are in (key, time) order)
+        grp_start = np.concatenate([[True], ikey[1:] != ikey[:-1]])
+        idx = np.arange(n_isl, dtype=np.int64)
+        ep_idx = idx - np.repeat(idx[grp_start], np.diff(
+            np.concatenate([np.flatnonzero(grp_start), [n_isl]]))) + 1
+        return pa.table({
+            key_col: pa.array(ikey, pa.int64()),
+            "ep_idx": pa.array(ep_idx, pa.int64()),
+            "start_us": pa.array(start_us, pa.int64()),
+            "end_us": pa.array(end_us, pa.int64()),
+            "n_segs": pa.array(n_segs, pa.int64()),
+            "dist_micro": pa.array(dsum, pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(per_bucket, batch_format="pyarrow"))

@@ -5848,6 +5848,77 @@ SELECT user_id, sector, COUNT(*) AS n FROM c GROUP BY user_id, sector
 """
 
 
+def q_dwell_episodes(sf_dir: str):
+    """Stop/dwell detection (functions/trajectory.py:dwell_episodes):
+    maximal runs of consecutive slow segments per user over the synthesized
+    ping tracks — vectorized gaps-and-islands RLE per bucket, one shuffle.
+    The SQL twin is the classic seg_idx - ROW_NUMBER() islands trick over
+    the same windowed segment CTE; integer speeds make it hash-exact."""
+    import ray.data
+
+    from ..functions.trajectory import dwell_episodes
+    from ..stages.geocode import fnv1a64
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def ping(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["event_id"], pa.string()))
+        lon = (h % np.uint64(360000)).astype(np.float64) / 1000.0 - 180.0
+        lat = ((h >> np.uint64(8)) % np.uint64(160000)).astype(np.float64) / 1000.0 - 80.0
+        t = t.append_column("lon", pa.array(lon, pa.float64()))
+        return t.append_column("lat", pa.array(lat, pa.float64()))
+
+    return dwell_episodes(ev.map_batches(ping, batch_format="pyarrow"),
+                          slow_mm_s=300_000)
+
+
+def sql_dwell_episodes(slow_mm_s: int = 300_000) -> str:
+    fnv = _sql_fnv("CAST(event_id AS VARCHAR)")
+    hav = ("sin(radians(lat - plat)/2)*sin(radians(lat - plat)/2)"
+           " + (cos(radians(plat))*cos(radians(lat)))"
+           " * (sin(radians(lon - plon)/2)*sin(radians(lon - plon)/2))")
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST({fnv} % 360000::HUGEINT AS DOUBLE)/1000.0 - 180.0 AS lon,
+         CAST(({fnv} // 256::HUGEINT) % 160000::HUGEINT AS DOUBLE)/1000.0 - 80.0 AS lat
+  FROM events
+),
+o AS (
+  SELECT user_id, ts, lon, lat,
+         LAG(ts) OVER w AS pts, LAG(lon) OVER w AS plon,
+         LAG(lat) OVER w AS plat,
+         CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn
+  FROM p WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+seg AS (
+  SELECT user_id, rn - 1 AS seg_idx,
+         epoch_us(pts) AS s_us, epoch_us(ts) AS e_us,
+         epoch_us(ts) - epoch_us(pts) AS dt_us,
+         CAST(FLOOR(1000000 * ((2.0*6371000.0)*sqrt({hav}))) AS BIGINT)
+           AS dist_micro
+  FROM o WHERE pts IS NOT NULL
+),
+m AS (SELECT *,
+      ((dist_micro * 1000) // GREATEST(dt_us, 1)) < {slow_mm_s} AS slow
+      FROM seg),
+isl AS (SELECT *, seg_idx - ROW_NUMBER()
+          OVER (PARTITION BY user_id, slow ORDER BY seg_idx) AS grp
+        FROM m),
+agg AS (SELECT user_id, grp, MIN(seg_idx) AS min_seg,
+               MIN(s_us) AS start_us, MAX(e_us) AS end_us,
+               COUNT(*) AS n_segs,
+               CAST(SUM(dist_micro) AS BIGINT) AS dist_micro
+        FROM isl WHERE slow GROUP BY user_id, grp)
+SELECT user_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY min_seg)
+            AS BIGINT) AS ep_idx,
+       start_us, end_us, n_segs, dist_micro
+FROM agg
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -6996,6 +7067,7 @@ def build_queries():
         "getis_ord": q_getis_ord,
         "track_speed": q_track_speed,
         "bearing_rose": q_bearing_rose,
+        "dwell_episodes": q_dwell_episodes,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -7173,6 +7245,7 @@ def build_queries():
         "getis_ord": sql_getis_ord(),
         "track_speed": sql_track_speed(),
         "bearing_rose": sql_bearing_rose(),
+        "dwell_episodes": sql_dwell_episodes(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

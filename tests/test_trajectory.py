@@ -156,3 +156,54 @@ def test_bearing_rose_vs_atan2_octants(ray_session):
         if k2[i] == k2[i + 1]:
             exp[(k2[i], octant(lo2[i + 1] - lo2[i], la2[i + 1] - la2[i]))] += 1
     assert got == dict(exp)
+
+
+def test_dwell_episodes_vs_track_speed_runs(ray_session):
+    """Episodes reconstruct exactly from track_speed's (already
+    oracle-pinned) segments: same runs, bounds, counts, distances."""
+    import collections
+
+    import pyarrow as pa
+    import ray.data
+
+    from rayjoin.functions.trajectory import dwell_episodes, track_speed
+
+    rng = np.random.default_rng(3)
+    n = 3000
+    key = rng.integers(0, 30, n).astype(np.int64)
+    ts = np.sort(rng.integers(0, 10**10, n)).astype(np.int64)
+    seq = np.arange(n, dtype=np.int64)
+    lon = rng.uniform(-1, 1, n)
+    lat = rng.uniform(-1, 1, n)
+    t = pa.table({"user_id": key, "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": seq, "lon": lon, "lat": lat})
+    ds = ray.data.from_arrow(t).repartition(5)
+    thr = 50_000_000
+
+    out = (dwell_episodes(ds, slow_mm_s=thr).to_pandas()
+           .sort_values(["user_id", "ep_idx"]).reset_index(drop=True))
+
+    segs = track_speed(ds, moving_mm_s=thr).to_pandas()
+    o = np.lexsort((seq, ts, key))
+    k2, t2 = key[o], ts[o]
+    eps = []
+    for uid, g in segs.groupby("user_id"):
+        g = g.sort_values("seg_idx")
+        rows = np.flatnonzero(k2 == uid)
+        run = []
+        for _, r in g.iterrows():
+            i = int(r.seg_idx) - 1
+            if r.speed_mm_s < thr:
+                run.append((t2[rows[i]], t2[rows[i + 1]], r.dist_micro))
+            elif run:
+                eps.append((uid, run)); run = []
+        if run:
+            eps.append((uid, run))
+    exp, cnt = [], collections.Counter()
+    for uid, run in eps:
+        cnt[uid] += 1
+        exp.append((uid, cnt[uid], run[0][0], run[-1][1], len(run),
+                    sum(x[2] for x in run)))
+    exp.sort()
+    got = [tuple(map(int, r)) for r in out.itertuples(index=False)]
+    assert got == exp and exp
