@@ -938,3 +938,61 @@ def rows_window_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def state_transitions(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                      seq_col: str = "event_id", state_col: str = "state",
+                      num_buckets: int = 256):
+    """Status-change detection: one row per ping whose int64 state differs
+    from the SAME key's previous state in (ts, seq) order — geofence
+    entry/exit, subscription tier changes, online/offline flips.  Returns
+    Dataset[<key_col>, ts_us, <seq_col>, from_state, to_state] for the row
+    where the new state begins; a key's first observation emits nothing.
+
+    One groupby(part) shuffle of light (key, ts, seq, state) rows; each
+    bucket lexsorts once and masks key boundaries + unchanged states with
+    two shifted compares — per-bucket output is final (keys live whole in
+    their bucket).
+    """
+    from ..util import knuth_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "seq": pc.cast(t[seq_col], pa.int64()),
+            "state": pc.cast(t[state_col], pa.int64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "ts_us": pa.array([], pa.int64()),
+                      seq_col: pa.array([], pa.int64()),
+                      "from_state": pa.array([], pa.int64()),
+                      "to_state": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        key = np.asarray(t["key"].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        sq = np.asarray(t["seq"].combine_chunks(), dtype=np.int64)
+        st = np.asarray(t["state"].combine_chunks(), dtype=np.int64)
+        o = np.lexsort((sq, ts, key))
+        key, ts, sq, st = key[o], ts[o], sq[o], st[o]
+        chg = (key[1:] == key[:-1]) & (st[1:] != st[:-1])
+        if not chg.any():
+            return empty
+        i = np.flatnonzero(chg) + 1
+        return pa.table({
+            key_col: pa.array(key[i], pa.int64()),
+            "ts_us": pa.array(ts[i], pa.int64()),
+            seq_col: pa.array(sq[i], pa.int64()),
+            "from_state": pa.array(st[i - 1], pa.int64()),
+            "to_state": pa.array(st[i], pa.int64()),
+        })
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))

@@ -5919,6 +5919,99 @@ FROM agg
 """
 
 
+def q_geofence_transitions(sf_dir: str):
+    """Geofence entry/exit detection: pings classify in/out of the supplier
+    rect fence set through the broadcast R-tree join, the covered flag
+    joins back with one left_outer hash join, and state_transitions
+    (functions/stream.py) emits exactly the pings where the in/out state
+    flips per user.  The SQL twin is EXISTS + LAG."""
+    import ray.data
+
+    from ..functions.dedup import _num_join_partitions
+    from ..functions.stream import state_transitions
+    from ..geom.encode import points_geom
+    from ..join.broadcast import SpatialIndex
+    from ..stages.geocode import fnv1a64
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def ping(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["event_id"], pa.string()))
+        lon = (h % np.uint64(360000)).astype(np.float64) / 1000.0 - 180.0
+        lat = ((h >> np.uint64(8)) % np.uint64(160000)).astype(np.float64) / 1000.0 - 80.0
+        t = t.append_column("lon", pa.array(lon, pa.float64()))
+        return t.append_column("lat", pa.array(lat, pa.float64()))
+
+    pings = ev.map_batches(ping, batch_format="pyarrow").materialize()
+
+    def to_geom(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["event_id"].combine_chunks(), dtype=np.int64)
+        lon = np.asarray(t["lon"].combine_chunks(), dtype=np.float64)
+        lat = np.asarray(t["lat"].combine_chunks(), dtype=np.float64)
+        return points_geom(eid, lon, lat)
+
+    idx = SpatialIndex(rects_geom_table(sf_dir))
+    pairs = idx.spatial_join(pings.map_batches(to_geom, batch_format="pyarrow"),
+                             Interaction.CONTAINS)
+
+    def covered_partial(t: pa.Table) -> pa.Table:
+        ids = np.unique(np.asarray(t["big_row_id"].combine_chunks(),
+                                   dtype=np.int64))
+        return pa.table({"cov_id": pa.array(ids, pa.int64()),
+                         "one": pa.array(np.ones(ids.size, np.int64),
+                                         pa.int64())})
+
+    from ray.data.aggregate import Max
+
+    covered = (pairs.map_batches(covered_partial, batch_format="pyarrow")
+               .groupby("cov_id").aggregate(Max("one", alias_name="one")))
+
+    j = pings.join(covered, "left_outer",
+                   _num_join_partitions(pings, covered),
+                   on=("event_id",), right_on=("cov_id",))
+
+    def flag(t: pa.Table) -> pa.Table:
+        state = pc.cast(pc.coalesce(t["one"], pa.scalar(0, pa.int64())),
+                        pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "state": state})
+
+    return state_transitions(j.map_batches(flag, batch_format="pyarrow"))
+
+
+def sql_geofence_transitions() -> str:
+    fnv = _sql_fnv("CAST(event_id AS VARCHAR)")
+    rects = rects_sql("supplier", "s_suppkey")
+    return f"""
+WITH p AS (
+  SELECT user_id, ts, event_id,
+         CAST({fnv} % 360000::HUGEINT AS DOUBLE)/1000.0 - 180.0 AS lon,
+         CAST(({fnv} // 256::HUGEINT) % 160000::HUGEINT AS DOUBLE)/1000.0 - 80.0 AS lat
+  FROM events
+),
+rects AS ({rects}),
+st AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM rects r
+           WHERE p.lon >= r.cx - r.w/2 AND p.lon <= r.cx + r.w/2
+             AND p.lat >= r.cy - r.h/2 AND p.lat <= r.cy + r.h/2)
+         THEN 1 ELSE 0 END AS state
+  FROM p
+),
+w AS (
+  SELECT user_id, ts, event_id, state,
+         LAG(state) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS pstate
+  FROM st
+)
+SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+       CAST(pstate AS BIGINT) AS from_state, CAST(state AS BIGINT) AS to_state
+FROM w WHERE pstate IS NOT NULL AND pstate <> state
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -7068,6 +7161,7 @@ def build_queries():
         "track_speed": q_track_speed,
         "bearing_rose": q_bearing_rose,
         "dwell_episodes": q_dwell_episodes,
+        "geofence_transitions": q_geofence_transitions,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -7246,6 +7340,7 @@ def build_queries():
         "track_speed": sql_track_speed(),
         "bearing_rose": sql_bearing_rose(),
         "dwell_episodes": sql_dwell_episodes(),
+        "geofence_transitions": sql_geofence_transitions(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

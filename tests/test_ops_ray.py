@@ -2324,3 +2324,34 @@ def test_rows_window_sum_vs_pandas_oracle(ray_session):
         got = {int(r.event_id): (int(r.vm), int(r.win_vm))
                for r in out.itertuples()}
         assert got == want, k
+
+
+def test_state_transitions_vs_python_reference(ray_session):
+    """Change rows match a per-key LAG reference; first observations and
+    unchanged states emit nothing; (ts, seq) tie-break is honored."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayjoin.functions.stream import state_transitions
+
+    rng = np.random.default_rng(13)
+    n = 2500
+    key = rng.integers(0, 25, n).astype(np.int64)
+    ts = rng.integers(0, 1000, n).astype(np.int64)  # many ties -> seq breaks
+    seq = rng.permutation(n).astype(np.int64)
+    st = rng.integers(0, 3, n).astype(np.int64)
+    t = pa.table({"user_id": key, "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": seq, "state": st})
+
+    out = state_transitions(
+        ray.data.from_arrow(t).repartition(6)).to_pandas()
+    got = sorted(map(tuple, out[["user_id", "ts_us", "event_id",
+                                 "from_state", "to_state"]].values.tolist()))
+
+    o = np.lexsort((seq, ts, key))
+    k2, t2, s2, v2 = key[o], ts[o], seq[o], st[o]
+    exp = sorted(
+        (int(k2[i]), int(t2[i]), int(s2[i]), int(v2[i - 1]), int(v2[i]))
+        for i in range(1, n)
+        if k2[i] == k2[i - 1] and v2[i] != v2[i - 1])
+    assert got == exp and exp
