@@ -996,3 +996,63 @@ def state_transitions(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def time_weighted_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                      seq_col: str = "event_id", value_col: str = "value_fp",
+                      num_buckets: int = 256):
+    """Time-weighted usage integral per key (metering/billing): each
+    observation holds until the key's next one (LOCF), contributing
+    value * dt_us; the key's last observation contributes nothing (no
+    horizon assumed).  Values are caller-scaled int64 fixed-point, so the
+    integral is exact int64 (dt in us: keep |value| * total_span_us below
+    2^63).  Returns Dataset[<key_col>, tw_sum, span_us, n_obs].
+
+    One groupby(part) shuffle; per bucket a single lexsort + shifted-diff
+    segment kernel with np.add.at per-key accumulation — final output per
+    bucket, no second shuffle.
+    """
+    from ..util import knuth_bucket
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "key": pa.array(key, pa.int64()),
+            "ts_us": pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                             pa.int64()),
+            "seq": pc.cast(t[seq_col], pa.int64()),
+            "v": pc.cast(t[value_col], pa.int64()),
+            "part": pa.array(knuth_bucket(key, num_buckets), pa.int64()),
+        })
+
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "tw_sum": pa.array([], pa.int64()),
+                      "span_us": pa.array([], pa.int64()),
+                      "n_obs": pa.array([], pa.int64())})
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = np.asarray(t["key"].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(t["ts_us"].combine_chunks(), dtype=np.int64)
+        sq = np.asarray(t["seq"].combine_chunks(), dtype=np.int64)
+        v = np.asarray(t["v"].combine_chunks(), dtype=np.int64)
+        o = np.lexsort((sq, ts, key))
+        key, ts, v = key[o], ts[o], v[o]
+        uniq, inv = np.unique(key, return_inverse=True)
+        inv = inv.astype(np.int64, copy=False)
+        same = key[1:] == key[:-1]
+        contrib = np.where(same, v[:-1] * (ts[1:] - ts[:-1]), 0)
+        tw = np.zeros(uniq.size, np.int64)
+        np.add.at(tw, inv[:-1], contrib)
+        span = np.zeros(uniq.size, np.int64)
+        np.add.at(span, inv[:-1], np.where(same, ts[1:] - ts[:-1], 0))
+        n = np.zeros(uniq.size, np.int64)
+        np.add.at(n, inv, 1)
+        return pa.table({key_col: pa.array(uniq, pa.int64()),
+                         "tw_sum": pa.array(tw, pa.int64()),
+                         "span_us": pa.array(span, pa.int64()),
+                         "n_obs": pa.array(n, pa.int64())})
+
+    return (ds.map_batches(prep, batch_format="pyarrow")
+            .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))

@@ -6012,6 +6012,44 @@ FROM w WHERE pstate IS NOT NULL AND pstate <> state
 """
 
 
+def q_time_weighted_sum(sf_dir: str):
+    """Per-user time-weighted usage integral (functions/stream.py:
+    time_weighted_sum): each event's milli-fixed-point value holds until
+    the user's next event (LOCF) and contributes value * dt_us — exact
+    int64, one bucketed shuffle.  The SQL twin is a LEAD window with the
+    same last-observation-contributes-nothing rule."""
+    import ray.data
+
+    from ..functions.stream import time_weighted_sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        vfp = pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"], "ts": t["ts"],
+                         "event_id": t["event_id"], "value_fp": vfp})
+
+    return time_weighted_sum(ev.map_batches(prep, batch_format="pyarrow"))
+
+
+SQL_TIME_WEIGHTED_SUM = """
+WITH v AS (SELECT user_id, ts, event_id,
+                  CAST(FLOOR(value * 1000.0) AS BIGINT) AS vfp FROM events),
+w AS (SELECT user_id, vfp, epoch_us(ts) AS ts_us,
+             LEAD(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+      FROM v)
+SELECT user_id,
+       CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                     ELSE vfp * (nxt - ts_us) END) AS BIGINT) AS tw_sum,
+       CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                     ELSE nxt - ts_us END) AS BIGINT) AS span_us,
+       COUNT(*) AS n_obs
+FROM w GROUP BY user_id
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -7162,6 +7200,7 @@ def build_queries():
         "bearing_rose": q_bearing_rose,
         "dwell_episodes": q_dwell_episodes,
         "geofence_transitions": q_geofence_transitions,
+        "time_weighted_sum": q_time_weighted_sum,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -7341,6 +7380,7 @@ def build_queries():
         "bearing_rose": sql_bearing_rose(),
         "dwell_episodes": sql_dwell_episodes(),
         "geofence_transitions": sql_geofence_transitions(),
+        "time_weighted_sum": SQL_TIME_WEIGHTED_SUM,
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

@@ -2355,3 +2355,38 @@ def test_state_transitions_vs_python_reference(ray_session):
         for i in range(1, n)
         if k2[i] == k2[i - 1] and v2[i] != v2[i - 1])
     assert got == exp and exp
+
+
+def test_time_weighted_sum_vs_python_reference(ray_session):
+    """LOCF integral, span, and counts match a per-key reference; last
+    observation contributes nothing; single-obs keys get zeros."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayjoin.functions.stream import time_weighted_sum
+
+    rng = np.random.default_rng(19)
+    n = 2000
+    key = rng.integers(0, 30, n).astype(np.int64)
+    key[0] = 99  # a singleton key
+    ts = rng.integers(0, 10**7, n).astype(np.int64)
+    seq = np.arange(n, dtype=np.int64)
+    v = rng.integers(-50, 50, n).astype(np.int64)
+    t = pa.table({"user_id": key, "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": seq, "value_fp": v})
+
+    out = time_weighted_sum(ray.data.from_arrow(t).repartition(6)).to_pandas()
+    got = {int(r.user_id): (int(r.tw_sum), int(r.span_us), int(r.n_obs))
+           for r in out.itertuples()}
+
+    o = np.lexsort((seq, ts, key))
+    k2, t2, v2 = key[o], ts[o], v[o]
+    exp = {}
+    for i in range(n):
+        tw, sp, c = exp.get(int(k2[i]), (0, 0, 0))
+        if i + 1 < n and k2[i + 1] == k2[i]:
+            tw += int(v2[i]) * int(t2[i + 1] - t2[i])
+            sp += int(t2[i + 1] - t2[i])
+        exp[int(k2[i])] = (tw, sp, c + 1)
+    assert got == exp
+    assert got[99] == (0, 0, 1)
