@@ -1056,3 +1056,54 @@ def time_weighted_sum(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def changelog_compact(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                      seq_col: str = "event_id", op_col: str = "op",
+                      delete_op: str = "D", num_buckets: int = 256):
+    """CDC changelog compaction (the Iceberg/Delta MERGE semantics as a
+    batch op): per key the row with the greatest (ts, seq) wins; if the
+    winner's op equals ``delete_op`` the key vanishes from the output.
+    ALL payload columns ride along unchanged — the result is the final
+    table state after replaying the log.
+
+    Two-level plan: each input batch compacts locally first (argmax per
+    key via one lexsort — deletes are KEPT locally so they can still
+    outrank older upserts from other batches), shrinking the shuffle to at
+    most keys-per-batch rows; the bucketed final pass re-runs the same
+    kernel and drops delete winners.  One shuffle total.
+    """
+    from ..util import knuth_bucket
+
+    def compact_kernel(t: pa.Table, drop_deletes: bool) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            dtype=np.int64)
+        sq = np.asarray(t[seq_col].combine_chunks(), dtype=np.int64)
+        o = np.lexsort((sq, ts, key))
+        ks = key[o]
+        last = np.flatnonzero(
+            np.concatenate([ks[1:] != ks[:-1], [True]]))
+        out = t.take(pa.array(o[last], pa.int64()))
+        if drop_deletes:
+            out = out.filter(
+                pc.invert(pc.equal(out[op_col], pa.scalar(delete_op))))
+        return out
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = compact_kernel(t, drop_deletes=False)
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return t.append_column(
+            "part", pa.array(knuth_bucket(key, num_buckets), pa.int64()))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        if t.num_rows == 0:
+            return t
+        return compact_kernel(t, drop_deletes=True)
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby("part").map_groups(final, batch_format="pyarrow"))

@@ -6050,6 +6050,48 @@ FROM w GROUP BY user_id
 """
 
 
+def q_changelog_compact(sf_dir: str):
+    """CDC changelog compaction (functions/stream.py:changelog_compact):
+    events replay as a per-user log — views are deletes, everything else
+    upserts — and the final state keeps each user's latest surviving row
+    with its full payload.  Local argmax compaction shrinks the shuffle
+    to keys-per-batch before the single bucketed final pass; the SQL twin
+    is the ROW_NUMBER()=1 QUALIFY idiom."""
+    import ray.data
+
+    from ..functions.stream import changelog_compact
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type", "value"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        op = pc.if_else(pc.equal(t["event_type"], "view"),
+                        pa.scalar("D"), pa.scalar("U"))
+        vfp = pc.cast(pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64())
+        return pa.table({"user_id": t["user_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_id": t["event_id"], "op": op,
+                         "event_type": t["event_type"], "vfp": vfp})
+
+    log = ev.map_batches(prep, batch_format="pyarrow")
+    return changelog_compact(log, ts_col="ts_us")
+
+
+SQL_CHANGELOG_COMPACT = """
+WITH c AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+                  CASE WHEN event_type = 'view' THEN 'D' ELSE 'U' END AS op,
+                  event_type,
+                  CAST(FLOOR(value * 1000.0) AS BIGINT) AS vfp
+           FROM events),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts_us DESC, event_id DESC) AS rn
+      FROM c)
+SELECT user_id, ts_us, event_id, op, event_type, vfp
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+
 def q_token_entropy(sf_dir: str):
     """Fixed-point Shannon-entropy signal per doc: ent_num =
     sum c*floor(1e6*ln(c)) over token multiplicities — int64 terms, so the
@@ -7201,6 +7243,7 @@ def build_queries():
         "dwell_episodes": q_dwell_episodes,
         "geofence_transitions": q_geofence_transitions,
         "time_weighted_sum": q_time_weighted_sum,
+        "changelog_compact": q_changelog_compact,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -7381,6 +7424,7 @@ def build_queries():
         "dwell_episodes": sql_dwell_episodes(),
         "geofence_transitions": sql_geofence_transitions(),
         "time_weighted_sum": SQL_TIME_WEIGHTED_SUM,
+        "changelog_compact": SQL_CHANGELOG_COMPACT,
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

@@ -2390,3 +2390,39 @@ def test_time_weighted_sum_vs_python_reference(ray_session):
         exp[int(k2[i])] = (tw, sp, c + 1)
     assert got == exp
     assert got[99] == (0, 0, 1)
+
+
+def test_changelog_compact_vs_python_reference(ray_session):
+    """Latest (ts, seq) row per key wins with full payload; delete winners
+    remove the key; a delete outranked by a later upsert does not."""
+    import pyarrow as pa
+    import ray.data
+
+    from rayjoin.functions.stream import changelog_compact
+
+    rng = np.random.default_rng(23)
+    n = 1500
+    key = rng.integers(0, 40, n).astype(np.int64)
+    ts = rng.integers(0, 500, n).astype(np.int64)  # heavy ties -> seq breaks
+    seq = rng.permutation(n).astype(np.int64)
+    op = np.where(rng.random(n) < 0.3, "D", "U")
+    payload = rng.integers(0, 10**6, n).astype(np.int64)
+    t = pa.table({"user_id": key, "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": seq, "op": pa.array(op.tolist(), pa.string()),
+                  "payload": payload})
+
+    out = changelog_compact(
+        ray.data.from_arrow(t).repartition(6)).to_pandas()
+    got = {int(r.user_id): (int(r.event_id), str(r.op), int(r.payload))
+           for r in out.itertuples()}
+
+    winners = {}
+    for i in range(n):
+        k = int(key[i])
+        cand = (int(ts[i]), int(seq[i]))
+        if k not in winners or cand > winners[k][0]:
+            winners[k] = (cand, i)
+    exp = {k: (int(seq[i]), str(op[i]), int(payload[i]))
+           for k, (_, i) in winners.items() if op[i] == "U"}
+    assert got == exp
+    assert len(exp) < len(winners)  # some keys really were deleted
