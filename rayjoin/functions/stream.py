@@ -1107,3 +1107,57 @@ def changelog_compact(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 
     return (ds.map_batches(local, batch_format="pyarrow")
             .groupby("part").map_groups(final, batch_format="pyarrow"))
+
+
+def event_thinning(ds, *, key_col: str = "user_id", ts_col: str = "ts",
+                   seq_col: str = "event_id", window_us: int,
+                   num_buckets: int = 256):
+    """Telemetry thinning: keep only the FIRST event (by (ts, seq)) per key
+    per fixed time window of ``window_us`` (tumbling, epoch-aligned:
+    window = ts_us // window_us).  The standard ping-rate cap before
+    expensive downstream joins.  Returns the surviving rows with all their
+    columns plus the window id.
+
+    Two-level plan like changelog_compact: batch-local winners first (one
+    lexsort + unique on packed (key, window)), so the single bucketed
+    shuffle carries at most one row per (key, window) per batch.
+    """
+    from ..util import knuth_bucket
+
+    w = np.int64(window_us)
+    if w <= 0:
+        raise ValueError("window_us must be positive")
+
+    def winners(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ts = np.asarray(
+            pc.cast(pc.cast(t[ts_col], pa.timestamp("us")), pa.int64()),
+            dtype=np.int64)
+        sq = np.asarray(t[seq_col].combine_chunks(), dtype=np.int64)
+        win = np.floor_divide(ts, w)
+        o = np.lexsort((sq, ts, win, key))
+        ks, ws = key[o], win[o]
+        first = np.concatenate(
+            [[True], (ks[1:] != ks[:-1]) | (ws[1:] != ws[:-1])])
+        take = o[first]
+        out = t.take(pa.array(take, pa.int64()))
+        if "win_id" not in out.column_names:
+            out = out.append_column("win_id", pa.array(win[take], pa.int64()))
+        return out
+
+    def local(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        t = winners(t)
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        return t.append_column(
+            "part", pa.array(knuth_bucket(key, num_buckets), pa.int64()))
+
+    def final(t: pa.Table) -> pa.Table:
+        t = t.drop_columns(["part"])
+        if t.num_rows == 0:
+            return t
+        return winners(t)
+
+    return (ds.map_batches(local, batch_format="pyarrow")
+            .groupby("part").map_groups(final, batch_format="pyarrow"))

@@ -6050,6 +6050,40 @@ FROM w GROUP BY user_id
 """
 
 
+def q_event_thinning(sf_dir: str):
+    """Telemetry thinning (functions/stream.py:event_thinning): first event
+    per user per epoch-aligned 1-hour window survives with its payload.
+    Batch-local winners cap the shuffle at one row per (key, window) per
+    batch; QUALIFY ROW_NUMBER()=1 SQL twin."""
+    import ray.data
+
+    from ..functions.stream import event_thinning
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+    thin = event_thinning(ev, window_us=3_600_000_000)
+
+    def out(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["user_id"], "win_id": t["win_id"],
+                         "event_id": t["event_id"],
+                         "ts_us": pc.cast(t["ts"], pa.int64()),
+                         "event_type": t["event_type"]})
+
+    return thin.map_batches(out, batch_format="pyarrow")
+
+
+SQL_EVENT_THINNING = """
+WITH r AS (SELECT user_id, epoch_us(ts) // 3600000000 AS win_id, event_id,
+                  epoch_us(ts) AS ts_us, event_type,
+                  ROW_NUMBER() OVER (
+                    PARTITION BY user_id, epoch_us(ts) // 3600000000
+                    ORDER BY ts, event_id) AS rn
+           FROM events)
+SELECT user_id, win_id, event_id, ts_us, event_type FROM r WHERE rn = 1
+"""
+
+
 def q_changelog_compact(sf_dir: str):
     """CDC changelog compaction (functions/stream.py:changelog_compact):
     events replay as a per-user log — views are deletes, everything else
@@ -7244,6 +7278,7 @@ def build_queries():
         "geofence_transitions": q_geofence_transitions,
         "time_weighted_sum": q_time_weighted_sum,
         "changelog_compact": q_changelog_compact,
+        "event_thinning": q_event_thinning,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -7425,6 +7460,7 @@ def build_queries():
         "geofence_transitions": sql_geofence_transitions(),
         "time_weighted_sum": SQL_TIME_WEIGHTED_SUM,
         "changelog_compact": SQL_CHANGELOG_COMPACT,
+        "event_thinning": SQL_EVENT_THINNING,
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

@@ -2426,3 +2426,42 @@ def test_changelog_compact_vs_python_reference(ray_session):
            for k, (_, i) in winners.items() if op[i] == "U"}
     assert got == exp
     assert len(exp) < len(winners)  # some keys really were deleted
+
+
+def test_event_thinning_vs_python_reference(ray_session):
+    """First (ts, seq) event per key per tumbling window survives with all
+    columns; everything else drops; bad window raises."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from rayjoin.functions.stream import event_thinning
+
+    rng = np.random.default_rng(29)
+    n = 2000
+    key = rng.integers(0, 20, n).astype(np.int64)
+    ts = rng.integers(0, 10**6, n).astype(np.int64)
+    seq = rng.permutation(n).astype(np.int64)
+    payload = rng.integers(0, 99, n).astype(np.int64)
+    t = pa.table({"user_id": key, "ts": pa.array(ts, pa.timestamp("us")),
+                  "event_id": seq, "payload": payload})
+    W = 10_000
+
+    out = event_thinning(ray.data.from_arrow(t).repartition(6),
+                         window_us=W).to_pandas()
+    got = sorted(map(tuple, out[["user_id", "win_id", "event_id",
+                                 "payload"]].values.tolist()))
+
+    best = {}
+    for i in range(n):
+        kk = (int(key[i]), int(ts[i]) // W)
+        cand = (int(ts[i]), int(seq[i]), i)
+        if kk not in best or cand < best[kk]:
+            best[kk] = cand
+    exp = sorted((k, w, int(seq[i]), int(payload[i]))
+                 for (k, w), (_, __, i) in best.items())
+    assert got == exp
+    assert len(exp) < n  # thinning actually dropped rows
+
+    with pytest.raises(ValueError, match="window_us"):
+        event_thinning(ray.data.from_arrow(t), window_us=0)
