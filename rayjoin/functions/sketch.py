@@ -304,3 +304,76 @@ def heavy_hitters(ds, *, text_col: str = "text", phi_num: int = 1,
         .aggregate(Sum("cnt", alias_name="cnt"))
         .map_batches(finish, batch_format="pyarrow")
     )
+
+
+# --- KMV / theta sketch ------------------------------------------------------
+
+
+def kmv_sketch(ds, *, value_col: str, k: int = 256):
+    """KMV (k-minimum-values / theta) distinct sketch: the k smallest
+    DISTINCT fnv1a64 hashes of ``value_col`` — the mergeable bottom-k state
+    behind theta-sketch set operations (union = merged bottom-k,
+    intersection = common hashes below the smaller theta).  Deterministic
+    pure function of the input SET, so the gate can check sketch state and
+    every downstream estimate bit-exactly against ORDER BY h LIMIT k SQL.
+
+    Scale shape: each batch reduces to its local distinct bottom-k inside
+    map_batches (np.partition, O(batch)); one distinct groupby over
+    <= k x n_batches light rows, then a k-row sort+limit.  Returns
+    Dataset[h] with <= k rows; ``h`` is the hash SIGN-FLIPPED into int64
+    (h ^ 2^63 bit-reinterpreted) so signed order equals unsigned hash
+    order — Ray's sort rejects uint64 columns, and the flip keeps every
+    comparison downstream order-true.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def local_bottom_k(t: pa.Table) -> pa.Table:
+        h = np.unique(_double_hashes(t[value_col], 0))
+        if h.size > k:
+            h = np.partition(h, k - 1)[:k]
+        hi = (h ^ np.uint64(1 << 63)).view(np.int64)
+        return pa.table({"h": pa.array(hi, pa.int64())})
+
+    return (ds.map_batches(local_bottom_k, batch_format="pyarrow")
+            .groupby("h").count()
+            .select_columns(["h"])
+            .sort("h")
+            .limit(k))
+
+
+def kmv_intersect_stats(a, b, *, k: int = 256):
+    """Theta-sketch set-overlap statistics from two kmv_sketch results:
+    (n_a, n_b, theta = min of the two sketch maxima, n_union_k = bottom-k
+    of the merged set below theta, n_inter = common hashes below theta).
+    All int64 except theta (uint64 rendered as string for exact transport);
+    Jaccard estimate = n_inter / n_union_k downstream.  The sketches are
+    <= k rows each, so the driver-side merge is O(k) — the documented
+    small-result exception."""
+    import ray
+
+    # the sign-flipped int64 domain is order-isomorphic to the unsigned
+    # hashes, so every comparison below runs on it directly
+    ha = np.asarray(
+        pa.concat_tables(ray.get(a.to_arrow_refs()))["h"], dtype=np.int64)
+    hb = np.asarray(
+        pa.concat_tables(ray.get(b.to_arrow_refs()))["h"], dtype=np.int64)
+    if ha.size == 0 or hb.size == 0:
+        theta_u = 0
+        inter = union_k = 0
+    else:
+        theta = min(ha.max(), hb.max())
+        merged = np.unique(np.concatenate([ha, hb]))
+        merged = merged[merged <= theta]
+        union_k = int(min(merged.size, k))
+        common = np.intersect1d(ha, hb)
+        inter = int((common <= theta).sum())
+        theta_u = int((np.int64(theta).view(np.uint64)
+                       ^ np.uint64(1 << 63)))
+    return pa.table({
+        "n_a": pa.array([int(ha.size)], pa.int64()),
+        "n_b": pa.array([int(hb.size)], pa.int64()),
+        "n_union_k": pa.array([union_k], pa.int64()),
+        "n_inter": pa.array([inter], pa.int64()),
+        "theta": pa.array([str(theta_u)], pa.string()),
+    })

@@ -6050,6 +6050,53 @@ FROM w GROUP BY user_id
 """
 
 
+def q_theta_users(sf_dir: str):
+    """Theta/KMV distinct-set overlap (functions/sketch.py:kmv_sketch):
+    bottom-256 fnv hashes of click-user ids vs purchase-user ids, with the
+    intersection statistics (theta, common-below-theta, union bottom-k)
+    the Jaccard estimate divides — sketch state and every count checked
+    bit-exactly against ORDER BY h LIMIT k SQL."""
+    import ray.data
+
+    from ..functions.sketch import kmv_intersect_stats, kmv_sketch
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "event_type"])
+
+    def users_of(et):
+        def prep(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["event_type"], et))
+            return pa.table({"v": t["user_id"]})
+        return ev.map_batches(prep, batch_format="pyarrow")
+
+    k = 256
+    sa = kmv_sketch(users_of("click"), value_col="v", k=k)
+    sb = kmv_sketch(users_of("purchase"), value_col="v", k=k)
+    return kmv_intersect_stats(sa, sb, k=k)
+
+
+def sql_theta_users(k: int = 256) -> str:
+    fnv = _sql_fnv("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH a AS (SELECT DISTINCT {fnv} AS h FROM events
+           WHERE event_type = 'click'),
+ak AS (SELECT h FROM a ORDER BY h LIMIT {k}),
+b AS (SELECT DISTINCT {fnv} AS h FROM events
+      WHERE event_type = 'purchase'),
+bk AS (SELECT h FROM b ORDER BY h LIMIT {k}),
+th AS (SELECT least((SELECT MAX(h) FROM ak), (SELECT MAX(h) FROM bk)) AS t),
+u AS (SELECT h FROM (SELECT h FROM ak UNION SELECT h FROM bk)
+      WHERE h <= (SELECT t FROM th)),
+i AS (SELECT h FROM (SELECT h FROM ak INTERSECT SELECT h FROM bk)
+      WHERE h <= (SELECT t FROM th))
+SELECT CAST((SELECT COUNT(*) FROM ak) AS BIGINT) AS n_a,
+       CAST((SELECT COUNT(*) FROM bk) AS BIGINT) AS n_b,
+       CAST(LEAST((SELECT COUNT(*) FROM u), {k}) AS BIGINT) AS n_union_k,
+       CAST((SELECT COUNT(*) FROM i) AS BIGINT) AS n_inter,
+       CAST((SELECT t FROM th) AS VARCHAR) AS theta
+"""
+
+
 def q_event_thinning(sf_dir: str):
     """Telemetry thinning (functions/stream.py:event_thinning): first event
     per user per epoch-aligned 1-hour window survives with its payload.
@@ -7279,6 +7326,7 @@ def build_queries():
         "time_weighted_sum": q_time_weighted_sum,
         "changelog_compact": q_changelog_compact,
         "event_thinning": q_event_thinning,
+        "theta_users": q_theta_users,
         "dbscan_geodesic": q_dbscan_geodesic,
         "knn_points": q_knn_points,
         "knn_points_partitioned": q_knn_points_partitioned,
@@ -7461,6 +7509,7 @@ def build_queries():
         "time_weighted_sum": SQL_TIME_WEIGHTED_SUM,
         "changelog_compact": SQL_CHANGELOG_COMPACT,
         "event_thinning": SQL_EVENT_THINNING,
+        "theta_users": sql_theta_users(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),

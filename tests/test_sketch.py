@@ -125,3 +125,44 @@ def test_heavy_hitters_exact_with_real_compression(ray_session):
     with pytest.raises(ValueError, match="max_candidates"):
         heavy_hitters(_ds(t, 7), phi_num=1, phi_den=20, capacity=25,
                       max_candidates=1).to_pandas()
+
+
+def test_kmv_sketch_and_intersect_vs_bruteforce(ray_session):
+    """The bottom-k state equals the true k smallest distinct hashes (in
+    the order-preserving sign-flipped domain), and the intersection stats
+    match a brute-force replay; the Jaccard estimate lands near truth."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+    import ray.data
+
+    from rayjoin.functions.sketch import kmv_intersect_stats, kmv_sketch
+    from rayjoin.stages.geocode import fnv1a64
+
+    rng = np.random.default_rng(1)
+    A = rng.integers(0, 5000, 20000).astype(np.int64)
+    B = rng.integers(2500, 7500, 20000).astype(np.int64)
+    k = 256
+
+    def bottom(vals):
+        h = np.unique(fnv1a64(pc.cast(pa.array(np.unique(vals)), pa.string())))
+        return np.sort((h ^ np.uint64(1 << 63)).view(np.int64))[:k]
+
+    sa = kmv_sketch(ray.data.from_arrow(pa.table({"v": A})).repartition(6),
+                    value_col="v", k=k)
+    sb = kmv_sketch(ray.data.from_arrow(pa.table({"v": B})).repartition(6),
+                    value_col="v", k=k)
+    got_a = np.sort(np.asarray(
+        pa.concat_tables(ray.get(sa.to_arrow_refs()))["h"], dtype=np.int64))
+    assert np.array_equal(got_a, bottom(A))
+
+    stats = kmv_intersect_stats(sa, sb, k=k).to_pydict()
+    ba, bb = bottom(A), bottom(B)
+    theta = min(ba.max(), bb.max())
+    common = np.intersect1d(ba, bb)
+    merged = np.unique(np.concatenate([ba, bb]))
+    assert stats["n_inter"][0] == int((common <= theta).sum())
+    assert stats["n_union_k"][0] == int(min((merged <= theta).sum(), k))
+    est = stats["n_inter"][0] / stats["n_union_k"][0]
+    true_j = len(set(A) & set(B)) / len(set(A) | set(B))
+    assert abs(est - true_j) < 0.12  # ~2 sigma at k=256
