@@ -3820,6 +3820,49 @@ def sql_kmeans_cte(*, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
     return "WITH " + ",\n".join(parts)
 
 
+def q_cluster_purity(sf_dir: str):
+    """Clustering-evaluation confusion counts: the full distributed k-means
+    fit (kmeans_assign, integer-quantized updates) hash-joined back to the
+    embeddings' ground-truth labels, counted per (cluster, label) — the
+    purity/NMI numerator table.  The SQL twin replays the ENTIRE fit via
+    sql_kmeans_assign as a CTE and joins in SQL, so the whole composed
+    pipeline is checked end-to-end."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import _num_join_partitions
+    from ..functions.kmeans import kmeans_assign
+
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    assign = kmeans_assign(
+        ds, k=KMEANS_K, iters=KMEANS_ITERS, quant_bits=KMEANS_QUANT_BITS)
+    labels = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"])
+    j = assign.join(labels, "inner", _num_join_partitions(assign, labels),
+                    on=("vec_id",), left_suffix="_l", right_suffix="_r")
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = (pa.table({"cluster": t["cluster"],
+                       "label": pc.cast(t["label"], pa.int64())})
+             .group_by(["cluster", "label"]).aggregate([("label", "count")]))
+        return pa.table({"cluster": g["cluster"], "label": g["label"],
+                         "n": g["label_count"].cast(pa.int64())})
+
+    return (j.map_batches(partial, batch_format="pyarrow")
+            .groupby(["cluster", "label"])
+            .aggregate(Sum("n", alias_name="n")))
+
+
+def sql_cluster_purity() -> str:
+    return f"""
+WITH assign AS ({{kmeans}})
+SELECT a.cluster, CAST(e.label AS BIGINT) AS label, COUNT(*) AS n
+FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+GROUP BY a.cluster, e.label
+"""
+
+
 def sql_kmeans_assign() -> str:
     return (sql_kmeans_cte()
             + f"\nSELECT vec_id, c AS cluster FROM a{KMEANS_ITERS}")
@@ -7396,6 +7439,7 @@ def build_queries():
         "ann_cosine": q_ann_cosine,
         "quantize_embeddings": q_quantize_embeddings,
         "kmeans_assign": q_kmeans_assign,
+        "cluster_purity": q_cluster_purity,
         "semdedup_drop": q_semdedup_drop,
         "embedding_gram": q_embedding_gram,
         "dsir_scores": q_dsir_scores,
@@ -7579,6 +7623,8 @@ def build_queries():
         "ann_cosine": SQL_ANN,
         "quantize_embeddings": SQL_QUANTIZE_EMB,
         "kmeans_assign": sql_kmeans_assign(),
+        "cluster_purity": sql_cluster_purity().format(
+            kmeans=sql_kmeans_assign()),
         "semdedup_drop": sql_semdedup_drop(),
         "embedding_gram": sql_embedding_gram(),
         "dsir_scores": sql_dsir_scores(),

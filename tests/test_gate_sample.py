@@ -13,7 +13,8 @@ TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
 ]
-SAMPLE = ["prox_points", "agg_lineitem", "tile_assign", "pip_triangle", "dedup_exact"]
+SAMPLE = ["prox_points", "agg_lineitem", "tile_assign", "pip_triangle",
+          "dedup_exact", "hex_kring_sum", "changelog_compact", "theta_users"]
 
 
 def _canonical(df: pd.DataFrame) -> pd.DataFrame:
