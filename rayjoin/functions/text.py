@@ -1025,3 +1025,83 @@ def bigram_lm_scores(ds, *, text_col: str = "text", id_col: str = "doc_id",
     return (parts.groupby(id_col)
             .aggregate(Sum("nbg", alias_name="n_bigrams"),
                        Sum("lpsum", alias_name="logprob_micro")))
+
+
+def novelty_score(docs, *, id_col: str = "doc_id", text_col: str = "text",
+                  n: int = 1):
+    """Shingle novelty per doc (the data-curation "how much of this page is
+    new" signal): the fraction of a doc's DISTINCT token n-gram hashes
+    whose globally FIRST occurrence (min doc id) is this doc.  Returns
+    Dataset[<id_col>, n_shingles, n_novel, novelty_milli].
+
+    Plan (paragraph-dedup shape): one scan emits per-doc-distinct light
+    (hash, doc) rows, one groupby finds each shingle's min-doc winner, one
+    hash join charges docs, per-batch partials collapse before the final
+    doc groupby.  Hashes are plain fnv1a64 of the n-gram (rolling fnv
+    combine for n > 1), sign-flipped into int64; a hash collision merges
+    the same way in the SQL twin, so parity is exact by construction.
+    """
+    from ray.data.aggregate import Min, Sum
+
+    from ..geom.primitives import repeat_expand
+    from ..stages.geocode import fnv1a64
+    from .dedup import _num_join_partitions
+
+    if n < 1:
+        raise ValueError("n must be >= 1")
+
+    def shingles(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        toks = pc.split_pattern(t[text_col].combine_chunks(), pattern=" ")
+        flat = pc.list_flatten(toks)
+        lens = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        th = fnv1a64(flat.combine_chunks()
+                     if isinstance(flat, pa.ChunkedArray) else flat)
+        if n > 1:
+            off = np.concatenate([[0], np.cumsum(lens)])
+            counts = np.maximum(lens - n + 1, 0)
+            with np.errstate(over="ignore"):
+                h = np.zeros(max(th.size - n + 1, 0), dtype=np.uint64)
+                for j in range(n):
+                    h = h * np.uint64(1099511628211) ^ th[j: th.size - n + 1 + j]
+            gid, kk = repeat_expand(counts)
+            th = h[off[:-1][gid] + kk] if h.size else np.empty(0, np.uint64)
+            lens = counts
+        doc_of = np.repeat(ids, lens)
+        hi = (th ^ np.uint64(1 << 63)).view(np.int64)
+        # per-doc distinct: unique over (doc, hash) pairs
+        pk = np.stack([doc_of, hi], axis=1)
+        uniq = np.unique(pk, axis=0)
+        return pa.table({"doc": pa.array(uniq[:, 0], pa.int64()),
+                         "h": pa.array(uniq[:, 1], pa.int64())})
+
+    rows = docs.map_batches(shingles, batch_format="pyarrow").materialize()
+    winners = rows.groupby("h").aggregate(Min("doc", alias_name="mdoc"))
+    j = rows.join(winners, "inner", _num_join_partitions(rows, winners),
+                  on=("h",))
+
+    def charge(t: pa.Table) -> pa.Table:
+        doc = np.asarray(t["doc"].combine_chunks(), dtype=np.int64)
+        md = np.asarray(t["mdoc"].combine_chunks(), dtype=np.int64)
+        novel = (md == doc).astype(np.int64)
+        uniq, inv = np.unique(doc, return_inverse=True)
+        tot = np.zeros(uniq.size, np.int64)
+        nov = np.zeros(uniq.size, np.int64)
+        np.add.at(tot, inv, 1)
+        np.add.at(nov, inv, novel)
+        return pa.table({id_col: pa.array(uniq, pa.int64()),
+                         "tot": pa.array(tot, pa.int64()),
+                         "nov": pa.array(nov, pa.int64())})
+
+    agg = (j.map_batches(charge, batch_format="pyarrow")
+           .groupby(id_col)
+           .aggregate(Sum("tot", alias_name="n_shingles"),
+                      Sum("nov", alias_name="n_novel")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = np.asarray(t["n_shingles"].combine_chunks(), dtype=np.int64)
+        nv = np.asarray(t["n_novel"].combine_chunks(), dtype=np.int64)
+        nm = 1000 * nv // np.maximum(ns, 1)
+        return t.append_column("novelty_milli", pa.array(nm, pa.int64()))
+
+    return agg.map_batches(finish, batch_format="pyarrow")

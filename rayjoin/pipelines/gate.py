@@ -3127,6 +3127,40 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_novelty_score(sf_dir: str):
+    """Shingle novelty per doc (functions/text.py:novelty_score, n=1 for
+    SQL-checkability; n>1 pinned in pytest): fraction of the doc's distinct
+    token hashes first seen (min doc id) in this doc.  Winner groupby +
+    one hash join + per-batch charge partials — the paragraph-dedup plan
+    re-pointed at a curation metric."""
+    import ray.data
+
+    from ..functions.text import novelty_score
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return novelty_score(docs, n=1)
+
+
+def sql_novelty_score() -> str:
+    fnv = _sql_fnv("tok")
+    hi = _SQL_U64_TO_I64.format(v=f"({fnv})")
+    return f"""
+WITH s AS (SELECT DISTINCT doc_id,
+                  unnest(list_distinct(string_split(text, ' '))) AS tok
+           FROM documents),
+h AS (SELECT DISTINCT doc_id, {hi} AS hh FROM s),
+w AS (SELECT hh, MIN(doc_id) AS mdoc FROM h GROUP BY hh)
+SELECT h.doc_id AS doc_id, COUNT(*) AS n_shingles,
+       CAST(SUM(CASE WHEN w.mdoc = h.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_novel,
+       CAST(1000 * SUM(CASE WHEN w.mdoc = h.doc_id THEN 1 ELSE 0 END)
+            // COUNT(*) AS BIGINT) AS novelty_milli
+FROM h JOIN w ON w.hh = h.hh
+GROUP BY h.doc_id
+"""
+
+
 def q_minhash_dedup(sf_dir: str):
     import ray.data
 
@@ -7427,6 +7461,7 @@ def build_queries():
         "lang_id": q_lang_id,
         "token_regex": q_token_regex,
         "ngram_jaccard": q_ngram_jaccard,
+        "novelty_score": q_novelty_score,
         "minhash_dedup": q_minhash_dedup,
         "similarity_join": q_similarity_join,
         "near_dup_drop_list": q_near_dup_drop_list,
@@ -7611,6 +7646,7 @@ def build_queries():
         "lang_id": sql_lang_id(),
         "token_regex": sql_token_regex(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "novelty_score": sql_novelty_score(),
         "minhash_dedup": SQL_MINHASH_PAIRS,
         "similarity_join": SQL_SIMILARITY_JOIN.format(shingles=SQL_MINHASH_SHINGLES),
         "near_dup_drop_list": SQL_NEAR_DUP_DROP,

@@ -2465,3 +2465,57 @@ def test_event_thinning_vs_python_reference(ray_session):
 
     with pytest.raises(ValueError, match="window_us"):
         event_thinning(ray.data.from_arrow(t), window_us=0)
+
+
+def test_novelty_score_ngram_vs_python_reference(ray_session):
+    """Novelty fractions match a per-doc python replay for n=1 and n=2
+    (same fnv + rolling combine), including all-novel first docs and
+    all-seen exact repeats."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from rayjoin.functions.text import novelty_score
+    from rayjoin.stages.geocode import fnv1a64
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [" ".join(rng.choice(vocab, rng.integers(3, 25)))
+             for _ in range(60)]
+    texts.append(texts[0])  # doc 60 repeats doc 0 verbatim -> novelty 0
+    ids = np.arange(len(texts), dtype=np.int64)
+    t = pa.table({"doc_id": ids, "text": pa.array(texts, pa.string())})
+    ds = ray.data.from_arrow(t).repartition(5)
+
+    def doc_hashes(text, n):
+        toks = text.split(" ")
+        th = fnv1a64(pa.array(toks, pa.string()))
+        if n == 1:
+            return set(th.tolist())
+        out = set()
+        with np.errstate(over="ignore"):
+            for i in range(len(toks) - n + 1):
+                h = np.uint64(0)
+                for j in range(n):
+                    h = h * np.uint64(1099511628211) ^ th[i + j]
+                out.add(int(h))
+        return out
+
+    for n in (1, 2):
+        seen = {}
+        exp = {}
+        for d, text in zip(ids, texts):
+            hs = doc_hashes(text, n)
+            for h in hs:
+                seen.setdefault(h, int(d))
+        for d, text in zip(ids, texts):
+            hs = doc_hashes(text, n)
+            nov = sum(1 for h in hs if seen[h] == int(d))
+            exp[int(d)] = (len(hs), nov, 1000 * nov // max(len(hs), 1))
+        out = novelty_score(ds, n=n).to_pandas()
+        got = {int(r.doc_id): (int(r.n_shingles), int(r.n_novel),
+                               int(r.novelty_milli))
+               for r in out.itertuples()}
+        assert got == exp
+        assert exp[0][1] == exp[0][0]      # first doc all-novel
+        assert exp[60][1] == 0             # verbatim repeat all-seen
