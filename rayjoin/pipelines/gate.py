@@ -3127,6 +3127,61 @@ FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
 """
 
 
+def q_dup_source_matrix(sf_dir: str):
+    """Near-duplicate leakage matrix between corpus sources: the certified
+    MinHash near-dup pairs hash-joined to each side's source label and
+    counted per unordered (source_a, source_b) cell — the "which crawls
+    copy which" curation report.  SQL twin reuses the exact all-pairs
+    MinHash oracle as a CTE, so the whole composition is end-to-end
+    checked."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..functions.dedup import _num_join_partitions, minhash_dedup_pairs
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(docs, threshold=0.8)
+    src = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                columns=["doc_id", "source"]).materialize()
+    nparts = _num_join_partitions(pairs, src)
+    j1 = pairs.join(src, "inner", nparts, on=("id_a",), right_on=("doc_id",))
+    j1 = j1.map_batches(
+        lambda t: pa.table({"id_b": t["id_b"], "src_a": t["source"]}),
+        batch_format="pyarrow")
+    j2 = j1.join(src, "inner", nparts, on=("id_b",), right_on=("doc_id",))
+
+    def cell(t: pa.Table) -> pa.Table:
+        a = t["src_a"].combine_chunks()
+        b = t["source"].combine_chunks()
+        lo = pc.min_element_wise(a, b)
+        hi = pc.max_element_wise(a, b)
+        g = (pa.table({"source_a": lo, "source_b": hi})
+             .group_by(["source_a", "source_b"])
+             .aggregate([("source_a", "count")]))
+        return pa.table({"source_a": g["source_a"],
+                         "source_b": g["source_b"],
+                         "n": g["source_a_count"].cast(pa.int64())})
+
+    return (j2.map_batches(cell, batch_format="pyarrow")
+            .groupby(["source_a", "source_b"])
+            .aggregate(Sum("n", alias_name="n_pairs")))
+
+
+def sql_dup_source_matrix() -> str:
+    return f"""
+WITH {SQL_MINHASH_PAIRS_BODY},
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b
+  FROM good g
+  JOIN documents da ON da.doc_id = g.id_a
+  JOIN documents db ON db.doc_id = g.id_b)
+SELECT source_a, source_b, COUNT(*) AS n_pairs
+FROM lab GROUP BY source_a, source_b
+"""
+
+
 def q_novelty_score(sf_dir: str):
     """Shingle novelty per doc (functions/text.py:novelty_score, n=1 for
     SQL-checkability; n>1 pinned in pytest): fraction of the doc's distinct
@@ -7463,6 +7518,7 @@ def build_queries():
         "ngram_jaccard": q_ngram_jaccard,
         "novelty_score": q_novelty_score,
         "minhash_dedup": q_minhash_dedup,
+        "dup_source_matrix": q_dup_source_matrix,
         "similarity_join": q_similarity_join,
         "near_dup_drop_list": q_near_dup_drop_list,
         "simhash": q_simhash,
@@ -7648,6 +7704,7 @@ def build_queries():
         "ngram_jaccard": SQL_NGRAM_JACCARD,
         "novelty_score": sql_novelty_score(),
         "minhash_dedup": SQL_MINHASH_PAIRS,
+        "dup_source_matrix": sql_dup_source_matrix(),
         "similarity_join": SQL_SIMILARITY_JOIN.format(shingles=SQL_MINHASH_SHINGLES),
         "near_dup_drop_list": SQL_NEAR_DUP_DROP,
         "simhash": sql_simhash(),
