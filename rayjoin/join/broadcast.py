@@ -61,7 +61,8 @@ class BroadcastIndex:
     """Built small side: GeomBatch + STR tree over max_distance-dilated boxes
     (the ``cheap_buffer`` trick, /root/reference/src/rtrees.rs:159-166)."""
 
-    def __init__(self, small, config: Config = Config(), keep_table: bool = True):
+    def __init__(self, small, config: Config = Config(), keep_table: bool = True,
+                 radius_col: str | None = None):
         self.config = config
         table = _to_table(small)
         # original-coords table is only needed for *_with_geos outputs;
@@ -69,7 +70,22 @@ class BroadcastIndex:
         self.table = table if keep_table else None
         self.batch = GeomBatch.from_arrow(table)
         validate_batch(self.batch)
-        self.tree = STRtree(dilate(self.batch.bbox, config.max_distance))
+        if radius_col is not None:
+            # per-row proximity radius: each indexed box dilates by ITS OWN
+            # radius, and _probe_prox compares d <= radius[s].  Same
+            # cheap_buffer trick, one extra float64 per indexed row.
+            r = np.asarray(table[radius_col].combine_chunks(), dtype=np.float64)
+            if r.size and (not np.isfinite(r).all() or (r < 0).any()):
+                from ..config import BadMaxDistance
+
+                bad = np.flatnonzero(~np.isfinite(r) | (r < 0))[0]
+                raise BadMaxDistance(float(r[bad]))
+            self.radius = r
+        else:
+            self.radius = None
+        self.tree = STRtree(dilate(
+            self.batch.bbox,
+            self.radius if self.radius is not None else config.max_distance))
         # domain extent for kNN radius scheduling
         if self.batch.n:
             self.extent = (
@@ -82,9 +98,10 @@ class BroadcastIndex:
             self.extent = (0.0, 0.0, 0.0, 0.0)
 
 
-def build_index(small, config: Config = Config(), keep_table: bool = True) -> "ray.ObjectRef":
+def build_index(small, config: Config = Config(), keep_table: bool = True,
+                radius_col: str | None = None) -> "ray.ObjectRef":
     """Build + broadcast: one ray.put, read by every probe actor."""
-    return ray.put(BroadcastIndex(small, config, keep_table))
+    return ray.put(BroadcastIndex(small, config, keep_table, radius_col))
 
 
 def _candidates(index: BroadcastIndex, big: GeomBatch):
@@ -133,7 +150,10 @@ def _probe_prox(index: BroadcastIndex, big: GeomBatch, big_table: pa.Table = Non
     d = relate("distance", index.batch, s, big, q)
     if not np.isfinite(d).all():
         raise AssertionError("non-finite distance")  # index.rs:436 assert
-    keep = d <= index.config.max_distance  # inclusive (index.rs:438)
+    # inclusive threshold (index.rs:438); per-row radius when the index was
+    # built with radius_col, else the scalar Config.max_distance
+    thr = index.radius[s] if index.radius is not None else index.config.max_distance
+    keep = d <= thr
     out = pa.table(
         {
             "big_row_id": pa.array(big.row_id[q[keep]], pa.int64()),
@@ -311,12 +331,13 @@ class SpatialIndex:
     lazy ``ray.data.Dataset`` instead of an iterator."""
 
     def __init__(self, small, config: Config = Config(), concurrency: int | None = None,
-                 batch_size: int = 8192, use_actors: bool = False, keep_table: bool = True):
+                 batch_size: int = 8192, use_actors: bool = False, keep_table: bool = True,
+                 radius_col: str | None = None):
         self.config = config
         self.concurrency = concurrency
         self.batch_size = batch_size
         self.use_actors = use_actors
-        self.index_ref = build_index(small, config, keep_table)
+        self.index_ref = build_index(small, config, keep_table, radius_col)
 
     def _probe(self, big, **kwargs):
         if isinstance(big, (list, tuple, pa.Table)):

@@ -266,6 +266,35 @@ WHERE sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) <= 3.0
 """
 
 
+def q_prox_varradius(sf_dir: str):
+    """Per-row-radius proximity join: each supplier point carries its own
+    search radius (1.0 + key%5 * 0.5) — the ST_DWithin-with-expression
+    shape (species dispersal radii, per-sensor ranges).  The broadcast
+    index dilates every indexed bbox by ITS OWN radius (cheap_buffer per
+    row, state/rtree.py:dilate) and the probe compares d <= radius[s]."""
+    import ray.data
+
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    k = np.asarray(small["row_id"], dtype=np.int64)
+    small = small.append_column(
+        "radius", pa.array(1.0 + (k % 5) * 0.5, pa.float64()))
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    idx = SpatialIndex(small, Config(), radius_col="radius")
+    return idx.proximity_map(big)
+
+
+SQL_PROX_VARRADIUS = """
+WITH big AS ({big}), small AS ({small})
+SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+       sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) AS distance
+FROM big b, small s
+WHERE sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y))
+      <= 1.0 + (s.row_id % 5) * 0.5
+"""
+
+
 def q_prox_points_partitioned(sf_dir: str):
     """Same proximity map through the PBSM path (dilated small-side
     replication + reference-point dedup); same oracle SQL as broadcast."""
@@ -7442,6 +7471,7 @@ def build_queries():
         "sjoin_with_geos": q_sjoin_with_geos,
         "sjoin_with_geos_partitioned": q_sjoin_with_geos_partitioned,
         "prox_points": q_prox_points,
+        "prox_varradius": q_prox_varradius,
         "prox_points_partitioned": q_prox_points_partitioned,
         "prox_with_geos": q_prox_with_geos,
         "geodesic_prox": q_geodesic_prox,
@@ -7628,6 +7658,7 @@ def build_queries():
         "sjoin_with_geos": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),
         "sjoin_with_geos_partitioned": SQL_SJOIN_GEOS.format(pts=pts_cust, rects=rsup),
         "prox_points": SQL_PROX.format(big=pts_cust, small=pts_supp),
+        "prox_varradius": SQL_PROX_VARRADIUS.format(big=pts_cust, small=pts_supp),
         "prox_points_partitioned": SQL_PROX.format(big=pts_cust, small=pts_supp),
         "prox_with_geos": SQL_PROX_GEOS.format(big=pts_cust, small=pts_supp),
         "geodesic_prox": SQL_GEODESIC_PROX.format(big=pts_cust, small=pts_supp),

@@ -147,14 +147,22 @@ class STRtree:
         return fq, self.ids[self.order[fn]]
 
 
-def dilate(bbox: np.ndarray, max_distance: float) -> np.ndarray:
+def dilate(bbox: np.ndarray, max_distance) -> np.ndarray:
     """cheap_buffer (/root/reference/src/rtrees.rs:159-166): dilate AABBs on
-    all sides; applied to the indexed (small) side only."""
-    if max_distance == 0.0:
-        return bbox
+    all sides; applied to the indexed (small) side only.  ``max_distance``
+    may be a scalar or a per-row array (the per-row-radius proximity
+    variant dilates each indexed box by its own radius)."""
+    if np.ndim(max_distance) == 0:
+        if max_distance == 0.0:
+            return bbox
+        r = float(max_distance)
+    else:
+        r = np.asarray(max_distance, np.float64)
+        if r.size != bbox.shape[0]:
+            raise ValueError("per-row radius length != bbox count")
     out = bbox.copy()
-    out[:, 0] -= max_distance
-    out[:, 1] -= max_distance
-    out[:, 2] += max_distance
-    out[:, 3] += max_distance
+    out[:, 0] -= r
+    out[:, 1] -= r
+    out[:, 2] += r
+    out[:, 3] += r
     return out

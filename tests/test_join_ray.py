@@ -256,3 +256,61 @@ def test_spatial_anti_join_vs_oracle(force_pbsm):
         _ds(big), encode.geoms_to_table(small), Interaction.INTERSECTS, **kw
     ).to_pandas()
     assert sorted(out.big_row_id.tolist()) == exp
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prox_varradius_vs_per_radius_oracle():
+    """Per-row-radius proximity: the result must equal the UNION over radii r
+    of (pairs from a scalar-radius run restricted to smalls with radius r) —
+    checked directly against slow_prox_map per distinct radius."""
+    import pyarrow as pa
+
+    from rayjoin.join.broadcast import SpatialIndex
+
+    small = mixed_random(30, seed=41)
+    big = mixed_random(40, seed=42)
+    radii = np.asarray([(i % 4) * 0.7 for i in range(len(small))], np.float64)
+    st = encode.geoms_to_table(small)
+    st = st.append_column("radius", pa.array(radii, pa.float64()))
+    idx = SpatialIndex(st, Config(), concurrency=2, radius_col="radius")
+    got = _sorted_rows(idx.proximity_map(_ds(big)))
+
+    exp = []
+    for r in np.unique(radii):
+        rows = slow_prox_map(small, big, float(r))
+        keep_ids = {int(sid) for sid, rad in enumerate(radii) if rad == r}
+        exp.extend(t for t in map(tuple, rows) if t[1] in keep_ids)
+    assert got == sorted(exp)
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prox_varradius_constant_equals_scalar_config():
+    import pyarrow as pa
+
+    from rayjoin.join.broadcast import SpatialIndex
+
+    small = mixed_random(25, seed=51)
+    big = mixed_random(35, seed=52)
+    st = encode.geoms_to_table(small)
+    st_r = st.append_column(
+        "radius", pa.array(np.full(len(small), 1.5), pa.float64()))
+    got = _sorted_rows(
+        SpatialIndex(st_r, Config(), radius_col="radius").proximity_map(_ds(big)))
+    ref = _sorted_rows(
+        SpatialIndex(st, Config(max_distance=1.5)).proximity_map(_ds(big)))
+    assert got == ref
+
+
+@pytest.mark.usefixtures("ray_session")
+def test_prox_varradius_negative_radius_raises():
+    import pyarrow as pa
+
+    from rayjoin.config import BadMaxDistance
+    from rayjoin.join.broadcast import SpatialIndex
+
+    small = mixed_random(5, seed=61)
+    st = encode.geoms_to_table(small)
+    st = st.append_column(
+        "radius", pa.array([1.0, -0.5, 2.0, 0.0, 3.0], pa.float64()))
+    with pytest.raises(BadMaxDistance):
+        SpatialIndex(st, Config(), radius_col="radius")
