@@ -353,3 +353,111 @@ def dwell_episodes(ds, *, key_col: str = "user_id", ts_col: str = "ts",
     return (ds.map_batches(prep, batch_format="pyarrow")
             .groupby("part")
             .map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def copresence_pairs(ds, *, key_col: str = "user_id", cx_col: str = "cx",
+                     cy_col: str = "cy", window_col: str = "w",
+                     min_shared: int = 1, num_buckets: int = 256,
+                     max_cell_keys: int | None = 100_000):
+    """Spatio-temporal co-occurrence join: pairs of keys observed in the
+    same (cell, time-window) at least ``min_shared`` DISTINCT windows-cells.
+
+    Input rows are (key, cx, cy, w) cell assignments from ANY upstream
+    tiling stage (tile_assign / hex_assign / s2_assign / geohash all emit
+    compatible integer cells); duplicates are fine — presence is counted
+    once per (key, cell, window).  Output: Dataset[user_a, user_b,
+    n_shared] with user_a < user_b.
+
+    Plan (the LSH-banding shape re-pointed at space-time cells): per-batch
+    local distinct -> ONE groupby(bucket-of-cell) shuffle -> per-bucket
+    global distinct + per-(cell,w) i<j pair expansion + partial pair counts
+    -> groupby(pair).sum -> filter >= min_shared.  Pair expansion per cell
+    is O(occupancy^2) BY SEMANTICS (every co-present pair is an output
+    candidate); ``max_cell_keys`` fail-fasts with a clear error when a
+    single (cell, window) holds more keys than that — choose cells sized to
+    physical density instead of capping silently (a silent cap would change
+    the counts)."""
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    from ..util import knuth_bucket
+
+    out_empty = pa.table({
+        "user_a": pa.array([], pa.int64()),
+        "user_b": pa.array([], pa.int64()),
+        "n": pa.array([], pa.int64()),
+    })
+
+    def prep(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        cx = np.asarray(t[cx_col].combine_chunks(), dtype=np.int64)
+        cy = np.asarray(t[cy_col].combine_chunks(), dtype=np.int64)
+        w = np.asarray(t[window_col].combine_chunks(), dtype=np.int64)
+        # local distinct (the partial-aggregation rule: shrink before the
+        # shuffle; duplicate presences are common in ping streams)
+        o = np.lexsort((key, w, cy, cx))
+        key, cx, cy, w = key[o], cx[o], cy[o], w[o]
+        if key.size:
+            keep = np.concatenate([[True], (key[1:] != key[:-1]) | (cx[1:] != cx[:-1])
+                                   | (cy[1:] != cy[:-1]) | (w[1:] != w[:-1])])
+            key, cx, cy, w = key[keep], cx[keep], cy[keep], w[keep]
+        with np.errstate(over="ignore"):
+            mix = cx * np.int64(-7046029254386353131) ^ cy * np.int64(
+                2654435761) ^ w * np.int64(40503)
+        return pa.table({
+            key_col: pa.array(key, pa.int64()),
+            "cx": pa.array(cx, pa.int64()),
+            "cy": pa.array(cy, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+            "part": pa.array(knuth_bucket(mix, num_buckets), pa.int64()),
+        })
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        cx = np.asarray(t["cx"].combine_chunks(), dtype=np.int64)
+        cy = np.asarray(t["cy"].combine_chunks(), dtype=np.int64)
+        w = np.asarray(t["w"].combine_chunks(), dtype=np.int64)
+        o = np.lexsort((key, w, cy, cx))
+        key, cx, cy, w = key[o], cx[o], cy[o], w[o]
+        if not key.size:
+            return out_empty
+        # global distinct (all rows of a cell land in this bucket)
+        keep = np.concatenate([[True], (key[1:] != key[:-1]) | (cx[1:] != cx[:-1])
+                               | (cy[1:] != cy[:-1]) | (w[1:] != w[:-1])])
+        key, cx, cy, w = key[keep], cx[keep], cy[keep], w[keep]
+        new_grp = np.concatenate([[True], (cx[1:] != cx[:-1]) | (cy[1:] != cy[:-1])
+                                  | (w[1:] != w[:-1])])
+        starts = np.flatnonzero(new_grp)
+        sizes = np.diff(np.concatenate([starts, [key.size]]))
+        if max_cell_keys is not None and sizes.size and sizes.max() > max_cell_keys:
+            raise ValueError(
+                f"a single (cell, window) holds {int(sizes.max())} keys "
+                f"(> max_cell_keys={max_cell_keys}); use smaller cells/windows "
+                "or raise the cap — capping silently would change the counts")
+        out_a, out_b = [], []
+        for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            # mask-free i<j expansion (keys ascend within the group, so
+            # user_a < user_b by construction)
+            cnts = np.arange(m - 1, 0, -1)
+            ia = np.repeat(np.arange(m - 1), cnts)
+            ib = np.arange(m * (m - 1) // 2) - (np.cumsum(cnts) - cnts)[ia] + ia + 1
+            out_a.append(key[st + ia])
+            out_b.append(key[st + ib])
+        if not out_a:
+            return out_empty
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # partial per-bucket pair counts shrink the final shuffle
+        g = (pa.table({"user_a": pa.array(a, pa.int64()),
+                       "user_b": pa.array(b, pa.int64())})
+             .group_by(["user_a", "user_b"]).aggregate([("user_a", "count")]))
+        return pa.table({"user_a": g["user_a"], "user_b": g["user_b"],
+                         "n": g["user_a_count"].cast(pa.int64())})
+
+    agg = (ds.map_batches(prep, batch_format="pyarrow")
+           .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
+           .groupby(["user_a", "user_b"]).aggregate(Sum("n", alias_name="n_shared")))
+    thr = int(min_shared)
+    return agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_shared"], thr)),
+        batch_format="pyarrow")

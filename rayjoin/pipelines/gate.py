@@ -6173,6 +6173,54 @@ FROM w WHERE pstate IS NOT NULL AND pstate <> state
 """
 
 
+def q_cotravel_pairs(sf_dir: str):
+    """Spatio-temporal co-occurrence join (functions/trajectory.py:
+    copresence_pairs): pairs of users present in the same integer
+    space-time cell (12x8 milli-degree grid from the ping hash, 6-hour
+    windows) in >= 2 distinct cells-windows — the co-travel / contact
+    analysis primitive.  Pure integer cell math end to end, so the SQL
+    self-join twin is bit-exact."""
+    import ray.data
+
+    from ..functions.trajectory import copresence_pairs
+    from ..stages.geocode import fnv1a64
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id", "ts"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        h = fnv1a64(pc.cast(t["event_id"], pa.string()))
+        cx = ((h % np.uint64(360000)) // np.uint64(30000)).astype(np.int64)
+        cy = (((h >> np.uint64(8)) % np.uint64(160000)) // np.uint64(20000)).astype(np.int64)
+        w = np.asarray(t["ts"].combine_chunks().cast(pa.int64()),
+                       dtype=np.int64) // np.int64(6 * 3600 * 1_000_000)
+        return pa.table({
+            "user_id": t["user_id"],
+            "cx": pa.array(cx, pa.int64()),
+            "cy": pa.array(cy, pa.int64()),
+            "w": pa.array(w, pa.int64()),
+        })
+
+    return copresence_pairs(ev.map_batches(assign, batch_format="pyarrow"),
+                            min_shared=2)
+
+
+def sql_cotravel_pairs() -> str:
+    fnv = _sql_fnv("CAST(event_id AS VARCHAR)")
+    return f"""
+WITH p AS (
+  SELECT DISTINCT user_id,
+         CAST(({fnv} % 360000::HUGEINT) // 30000 AS BIGINT) AS cx,
+         CAST((({fnv} // 256::HUGEINT) % 160000::HUGEINT) // 20000 AS BIGINT) AS cy,
+         epoch_us(ts) // {6 * 3600 * 1_000_000} AS w
+  FROM events)
+SELECT a.user_id AS user_a, b.user_id AS user_b, COUNT(*) AS n_shared
+FROM p a JOIN p b
+  ON a.cx = b.cx AND a.cy = b.cy AND a.w = b.w AND a.user_id < b.user_id
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_time_weighted_sum(sf_dir: str):
     """Per-user time-weighted usage integral (functions/stream.py:
     time_weighted_sum): each event's milli-fixed-point value holds until
@@ -7486,6 +7534,7 @@ def build_queries():
         "dwell_episodes": q_dwell_episodes,
         "geofence_transitions": q_geofence_transitions,
         "time_weighted_sum": q_time_weighted_sum,
+        "cotravel_pairs": q_cotravel_pairs,
         "changelog_compact": q_changelog_compact,
         "event_thinning": q_event_thinning,
         "theta_users": q_theta_users,
@@ -7673,6 +7722,7 @@ def build_queries():
         "dwell_episodes": sql_dwell_episodes(),
         "geofence_transitions": sql_geofence_transitions(),
         "time_weighted_sum": SQL_TIME_WEIGHTED_SUM,
+        "cotravel_pairs": sql_cotravel_pairs(),
         "changelog_compact": SQL_CHANGELOG_COMPACT,
         "event_thinning": SQL_EVENT_THINNING,
         "theta_users": sql_theta_users(),

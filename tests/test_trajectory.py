@@ -207,3 +207,58 @@ def test_dwell_episodes_vs_track_speed_runs(ray_session):
     exp.sort()
     got = [tuple(map(int, r)) for r in out.itertuples(index=False)]
     assert got == exp and exp
+
+
+def test_copresence_pairs_matches_brute(ray_session):
+    """copresence_pairs vs a brute itertools count over distinct presences,
+    including duplicate presence rows (counted once) and the min_shared
+    filter."""
+    import collections
+    import itertools
+
+    import ray.data
+
+    from rayjoin.functions.trajectory import copresence_pairs
+
+    rng = np.random.default_rng(7)
+    n = 4000
+    key = rng.integers(0, 40, n).astype(np.int64)
+    cx = rng.integers(0, 4, n).astype(np.int64)
+    cy = rng.integers(0, 3, n).astype(np.int64)
+    w = rng.integers(0, 5, n).astype(np.int64)
+    t = pa.table({"user_id": pa.array(key), "cx": pa.array(cx),
+                  "cy": pa.array(cy), "w": pa.array(w)})
+    ds = ray.data.from_arrow(t).repartition(6)
+
+    presences = collections.defaultdict(set)
+    for i in range(n):
+        presences[(cx[i], cy[i], w[i])].add(int(key[i]))
+    cnt = collections.Counter()
+    for cell, users in presences.items():
+        for a, b in itertools.combinations(sorted(users), 2):
+            cnt[(a, b)] += 1
+
+    for min_shared in (1, 3):
+        got = (copresence_pairs(ds, min_shared=min_shared, num_buckets=8)
+               .to_pandas().sort_values(["user_a", "user_b"]))
+        exp = sorted((a, b, c) for (a, b), c in cnt.items() if c >= min_shared)
+        assert [tuple(map(int, r)) for r in got.itertuples(index=False)] == exp
+        assert exp  # non-trivial fixture
+
+
+def test_copresence_pairs_cell_cap_fail_fast(ray_session):
+    import ray.data
+
+    from rayjoin.functions.trajectory import copresence_pairs
+
+    n = 50
+    t = pa.table({"user_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "cx": pa.array(np.zeros(n, np.int64)),
+                  "cy": pa.array(np.zeros(n, np.int64)),
+                  "w": pa.array(np.zeros(n, np.int64))})
+    ds = ray.data.from_arrow(t)
+    with np.testing.assert_raises(Exception):
+        copresence_pairs(ds, max_cell_keys=10).to_pandas()
+    # and the documented remedy works: raising the cap completes
+    out = copresence_pairs(ds, max_cell_keys=None).to_pandas()
+    assert len(out) == n * (n - 1) // 2
