@@ -277,3 +277,103 @@ def buffer_points_batch(t: pa.Table, *, k: int = 16, radius_col: str = "radius",
         "geom_type": pa.array(np.full(ids.size, POLYGON, np.int8), pa.int8()),
         "coords": pack_single_rings(flat.ravel(), 2 * k),
     })
+
+
+# ---------------------------------------------------------------------------
+# polyline x rect clipped LENGTH (Liang–Barsky, 1984)
+# ---------------------------------------------------------------------------
+
+
+def clip_length_scalar(verts, rect, scale: int = 1_000_000) -> int:
+    """Reference Liang–Barsky clipped length: ``verts`` is a polyline
+    [(x, y), ...], ``rect`` is (x0, y0, x1, y1).  Returns the summed
+    per-segment clipped length floored to int fixed-point units BEFORE the
+    sum (aggregation-order-free — the same exactness contract as
+    polyline_chord_length)."""
+    x0, y0, x1, y1 = rect
+    BIG = 1e300
+    total = 0
+    for (sx, sy), (ex, ey) in zip(verts[:-1], verts[1:]):
+        dx, dy = ex - sx, ey - sy
+        if dx > 0:
+            tx_lo, tx_hi = (x0 - sx) / dx, (x1 - sx) / dx
+        elif dx < 0:
+            tx_lo, tx_hi = (x1 - sx) / dx, (x0 - sx) / dx
+        elif x0 <= sx <= x1:
+            tx_lo, tx_hi = -BIG, BIG
+        else:
+            tx_lo, tx_hi = BIG, -BIG
+        if dy > 0:
+            ty_lo, ty_hi = (y0 - sy) / dy, (y1 - sy) / dy
+        elif dy < 0:
+            ty_lo, ty_hi = (y1 - sy) / dy, (y0 - sy) / dy
+        elif y0 <= sy <= y1:
+            ty_lo, ty_hi = -BIG, BIG
+        else:
+            ty_lo, ty_hi = BIG, -BIG
+        t0 = max(0.0, tx_lo, ty_lo)
+        t1 = min(1.0, tx_hi, ty_hi)
+        if t1 > t0:
+            import math
+
+            total += int(math.floor(scale * ((t1 - t0) * math.sqrt(dx * dx + dy * dy))))
+    return total
+
+
+def clip_length_batch(t: pa.Table, *, out_col: str = "clip_micro",
+                      scale: int = 1_000_000) -> pa.Table:
+    """Append the Liang–Barsky clipped polyline length (int64 fixed-point,
+    ``scale`` units per coordinate unit) to a *_with_geos join batch whose
+    big side is LINE/LINESTRING and small side RECT.  Per SEGMENT the
+    in-rect parameter interval [t0, t1] comes from the four half-plane
+    entry/exit parameters (GREATEST/LEAST of exact IEEE divisions — the
+    SQL twin spells the identical expression graph), the contribution is
+    floor(scale * ((t1-t0) * sqrt(dx*dx+dy*dy))) floored BEFORE the
+    per-pair sum so the total is aggregation-order-free and hash-exact.
+    Pairs whose sides are not (line-ish, rect) get 0."""
+    from .primitives import repeat_expand
+
+    bk = np.asarray(t["big_geom_type"].combine_chunks(), dtype=np.int8)
+    sk = np.asarray(t["small_geom_type"].combine_chunks(), dtype=np.int8)
+    n = len(t)
+    out = np.zeros(n, np.int64)
+    ok = np.isin(bk, (LINE, LINESTRING)) & (sk == RECT)
+    idx = np.flatnonzero(ok)
+    if idx.size:
+        bflat, boff = _ring0(t["big_coords"])
+        sflat, soff = _ring0(t["small_coords"])
+        nseg = np.maximum((boff[1:] - boff[:-1])[idx] // 2 - 1, 0)
+        pid, j = repeat_expand(nseg)
+        rows = idx[pid]
+        b = boff[:-1][rows] + 2 * j
+        sx, sy = bflat[b], bflat[b + 1]
+        ex, ey = bflat[b + 2], bflat[b + 3]
+        s = soff[:-1][rows]
+        rx0, ry0, rx1, ry1 = sflat[s], sflat[s + 1], sflat[s + 2], sflat[s + 3]
+        dx, dy = ex - sx, ey - sy
+        BIG = 1e300
+        dxs = np.where(dx == 0.0, 1.0, dx)
+        dys = np.where(dy == 0.0, 1.0, dy)
+        in_x = (sx >= rx0) & (sx <= rx1)
+        in_y = (sy >= ry0) & (sy <= ry1)
+        tx_lo = np.where(dx > 0, (rx0 - sx) / dxs,
+                         np.where(dx < 0, (rx1 - sx) / dxs,
+                                  np.where(in_x, -BIG, BIG)))
+        tx_hi = np.where(dx > 0, (rx1 - sx) / dxs,
+                         np.where(dx < 0, (rx0 - sx) / dxs,
+                                  np.where(in_x, BIG, -BIG)))
+        ty_lo = np.where(dy > 0, (ry0 - sy) / dys,
+                         np.where(dy < 0, (ry1 - sy) / dys,
+                                  np.where(in_y, -BIG, BIG)))
+        ty_hi = np.where(dy > 0, (ry1 - sy) / dys,
+                         np.where(dy < 0, (ry0 - sy) / dys,
+                                  np.where(in_y, BIG, -BIG)))
+        t0 = np.maximum.reduce([np.zeros_like(dx), tx_lo, ty_lo])
+        t1 = np.minimum.reduce([np.ones_like(dx), tx_hi, ty_hi])
+        seglen = np.sqrt(dx * dx + dy * dy)
+        contrib = np.where(
+            t1 > t0, np.floor(scale * ((t1 - t0) * seglen)), 0.0)
+        # contributions are integer-valued doubles < 2^53: bincount's float
+        # accumulation is exact
+        out += np.bincount(rows, weights=contrib, minlength=n).astype(np.int64)
+    return t.append_column(out_col, pa.array(out, pa.int64()))

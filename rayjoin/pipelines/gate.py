@@ -5834,6 +5834,89 @@ FROM r WHERE rn = 1
 """
 
 
+def q_route_zone_length(sf_dir: str):
+    """Clipped-length overlay (geom/overlay.py:clip_length_batch): supplier
+    ROADS (the 4-vertex polylines of q_nearest_polyline) x nation rect
+    ZONES, Intersects join carrying geometries, then the Liang–Barsky
+    in-rect length of every road per zone — 'how many km of each route lie
+    inside each zone', the line-on-areal overlay the area kernel can't
+    express.  Per segment the length is floored to int64 micro-units
+    BEFORE the per-pair sum (aggregation-order-free), and the SQL twin
+    spells the identical IEEE expression graph, so the join filters to
+    clip_micro > 0 on both sides and hash-matches bit-for-bit."""
+    from ..geom.encode import LINESTRING, _geom_table, pack_single_rings
+    from ..geom.overlay import clip_length_batch
+    from ..join.broadcast import SpatialIndex
+    from ..stages.geocode import fnv1a64
+
+    k = _read_keys(sf_dir, "supplier", "s_suppkey")
+    lon, lat = _latlon_np(k)
+    flat = np.empty((k.size, 2 * _NP_NV), np.float64)
+    s = pc.cast(pa.array(k), pa.string())
+    for j in range(_NP_NV):
+        h = fnv1a64(pc.binary_join_element_wise(s, ".", str(j), ""))
+        flat[:, 2 * j] = lon + ((h % np.uint64(21)).astype(np.int64) - 10)
+        flat[:, 2 * j + 1] = lat + (((h >> np.uint64(8)) % np.uint64(21)).astype(np.int64) - 10)
+    roads = _from_arrow(
+        _geom_table(k, LINESTRING, pack_single_rings(flat.ravel(), 2 * _NP_NV)), 2)
+
+    zones = rects_geom_table(sf_dir, "nation", "n_nationkey")
+    ds = SpatialIndex(zones).spatial_join_with_geos(roads, Interaction.INTERSECTS)
+
+    def finish(t: pa.Table) -> pa.Table:
+        t = clip_length_batch(t)
+        t = t.filter(pc.greater(t["clip_micro"], 0))
+        return t.select(["big_row_id", "small_row_id", "clip_micro"])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+def sql_route_zone_length() -> str:
+    lon, lat = _latlon_sql("s_suppkey")
+    fnv = _sql_fnv("(CAST(s_suppkey AS VARCHAR) || '.' || CAST(g.j AS VARCHAR))")
+    rects = rects_sql("nation", "n_nationkey")
+    return f"""
+WITH rects AS ({rects}),
+r AS (SELECT row_id, cx - w/2 AS x0, cy - h/2 AS y0,
+             cx + w/2 AS x1, cy + h/2 AS y1 FROM rects),
+v AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS line_id, g.j AS j,
+         ({lon}) + (CAST({fnv} % 21::HUGEINT AS BIGINT) - 10) AS x,
+         ({lat}) + (CAST(({fnv} // 256::HUGEINT) % 21::HUGEINT AS BIGINT) - 10) AS y
+  FROM supplier CROSS JOIN generate_series(0, {_NP_NV - 1}) AS g(j)
+),
+seg AS (
+  SELECT a.line_id, a.x AS sx, a.y AS sy,
+         b.x - a.x AS dx, b.y - a.y AS dy
+  FROM v a JOIN v b ON b.line_id = a.line_id AND b.j = a.j + 1
+),
+lb AS (
+  SELECT s.line_id, r.row_id AS zone_id, dx, dy,
+    GREATEST(0.0,
+      CASE WHEN dx > 0 THEN (x0 - sx)/dx WHEN dx < 0 THEN (x1 - sx)/dx
+           WHEN sx >= x0 AND sx <= x1 THEN -1e300 ELSE 1e300 END,
+      CASE WHEN dy > 0 THEN (y0 - sy)/dy WHEN dy < 0 THEN (y1 - sy)/dy
+           WHEN sy >= y0 AND sy <= y1 THEN -1e300 ELSE 1e300 END) AS t0,
+    LEAST(1.0,
+      CASE WHEN dx > 0 THEN (x1 - sx)/dx WHEN dx < 0 THEN (x0 - sx)/dx
+           WHEN sx >= x0 AND sx <= x1 THEN 1e300 ELSE -1e300 END,
+      CASE WHEN dy > 0 THEN (y1 - sy)/dy WHEN dy < 0 THEN (y0 - sy)/dy
+           WHEN sy >= y0 AND sy <= y1 THEN 1e300 ELSE -1e300 END) AS t1
+  FROM seg s CROSS JOIN r
+)
+SELECT line_id AS big_row_id, zone_id AS small_row_id,
+       CAST(SUM(CASE WHEN t1 > t0
+                     THEN CAST(FLOOR(1000000 * ((t1 - t0) * sqrt(dx*dx + dy*dy)))
+                          AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS clip_micro
+FROM lb GROUP BY 1, 2
+HAVING SUM(CASE WHEN t1 > t0
+                THEN CAST(FLOOR(1000000 * ((t1 - t0) * sqrt(dx*dx + dy*dy)))
+                     AS BIGINT)
+                ELSE 0 END) > 0
+"""
+
+
 _TRACK_NV = 8  # vertices per synthetic geodesic track
 
 
@@ -7525,6 +7608,7 @@ def build_queries():
         "geodesic_prox": q_geodesic_prox,
         "geodesic_knn": q_geodesic_knn,
         "nearest_polyline": q_nearest_polyline,
+        "route_zone_length": q_route_zone_length,
         "dbscan_points": q_dbscan_points,
         "local_moran": q_local_moran,
         "ripley_k": q_ripley_k,
@@ -7713,6 +7797,7 @@ def build_queries():
         "geodesic_prox": SQL_GEODESIC_PROX.format(big=pts_cust, small=pts_supp),
         "geodesic_knn": SQL_GEODESIC_KNN.format(big=pts_cust, small=pts_supp),
         "nearest_polyline": sql_nearest_polyline(),
+        "route_zone_length": sql_route_zone_length(),
         "dbscan_points": sql_dbscan_points(),
         "local_moran": sql_local_moran(),
         "ripley_k": sql_ripley_k(),

@@ -218,3 +218,72 @@ def test_grid_hot_components_vs_bruteforce(ray_session):
             want[pid[m]] = (blob, hot[m])
     assert got == want
     assert len({b for b, _ in got.values()}) > 1  # several blobs formed
+
+
+# ---------------------------------------------------------------------------
+# Liang–Barsky clipped length
+# ---------------------------------------------------------------------------
+
+
+def _pair_table(lines, rects):
+    """(big=LINESTRING, small=RECT) *_with_geos pair batch from python
+    lists: lines[i] = [(x, y), ...], rects[i] = (x0, y0, x1, y1)."""
+    from rayjoin.geom.encode import pack_single_rings
+    from rayjoin.geom.spec import LINESTRING, RECT
+
+    n = len(lines)
+    nv = len(lines[0])
+    flat = np.array([c for v in lines for p in v for c in p], np.float64)
+    rflat = np.array([c for r in rects for c in r], np.float64)
+    return pa.table({
+        "big_row_id": pa.array(np.arange(n), pa.int64()),
+        "small_row_id": pa.array(np.arange(n) + 1000, pa.int64()),
+        "big_geom_type": pa.array(np.full(n, LINESTRING, np.int8), pa.int8()),
+        "big_coords": pack_single_rings(flat, 2 * nv),
+        "small_geom_type": pa.array(np.full(n, RECT, np.int8), pa.int8()),
+        "small_coords": pack_single_rings(rflat, 4),
+    })
+
+
+def test_clip_length_bit_exact_vs_scalar():
+    from rayjoin.geom.overlay import clip_length_batch, clip_length_scalar
+
+    rng = np.random.default_rng(11)
+    nv = 6
+    lines, rects = [], []
+    for _ in range(800):
+        lines.append([tuple(rng.uniform(-6, 6, 2)) for _ in range(nv)])
+        x0, y0 = rng.uniform(-5, 0, 2)
+        w, h = rng.uniform(0.5, 6, 2)
+        rects.append((x0, y0, x0 + w, y0 + h))
+    # force degenerate + axis-aligned + boundary-running segments
+    lines[0] = [(0.0, 0.0)] * nv                                  # all-degenerate
+    lines[1] = [(-10.0, 0.5), (10.0, 0.5)] + [(10.0, 0.5)] * (nv - 2)  # horiz crossing
+    rects[1] = (-1.0, 0.0, 1.0, 1.0)
+    lines[2] = [(1.0, -5.0), (1.0, 5.0)] + [(1.0, 5.0)] * (nv - 2)     # runs ON x=1 edge
+    rects[2] = (0.0, 0.0, 1.0, 1.0)
+    lines[3] = [(9.0, 9.0), (9.5, 9.5)] * (nv // 2)                    # fully outside
+    rects[3] = (0.0, 0.0, 1.0, 1.0)
+    out = clip_length_batch(_pair_table(lines, rects))
+    got = np.asarray(out["clip_micro"], dtype=np.int64)
+    exp = np.array([clip_length_scalar(v, r) for v, r in zip(lines, rects)],
+                   np.int64)
+    assert (got == exp).all()
+    # pinned cases: horiz crossing clips to width 2 exactly; the
+    # edge-running segment counts its full in-rect run (closed rect) —
+    # 999999, not 1e6: (0.6 - 0.5)*10 rounds DOWN in IEEE and the contract
+    # floors (exactly what the SQL twin computes)
+    assert got[1] == 2_000_000
+    assert got[2] == 999_999
+    assert got[0] == 0 and got[3] == 0
+
+
+def test_clip_length_non_line_pairs_zero():
+    from rayjoin.geom.overlay import clip_length_batch
+    from rayjoin.geom.spec import RECT
+
+    t = _pair_table([[(0.0, 0.0), (1.0, 1.0)]], [(0.0, 0.0, 2.0, 2.0)])
+    t = t.set_column(t.schema.get_field_index("big_geom_type"), "big_geom_type",
+                     pa.array(np.array([RECT], np.int8), pa.int8()))
+    out = clip_length_batch(t)
+    assert out["clip_micro"].to_pylist() == [0]
