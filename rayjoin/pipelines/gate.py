@@ -617,6 +617,46 @@ SELECT big_row_id, small_row_id, distance, rn - 1 AS knn_rank FROM r WHERE rn <=
 """
 
 
+def q_rknn_capture(sf_dir: str):
+    """Reverse-kNN 'market capture': per supplier, how many customers have
+    IT as their single nearest supplier (Voronoi cell population) plus the
+    farthest captured distance — the facility-location / coverage primitive.
+    Composition: the exact broadcast 1-NN join (ties (distance,
+    small_row_id)) -> groupby(small_row_id) count+max.  MAX over doubles is
+    order-free, so the whole chain hash-matches the SQL window twin."""
+    from ray.data.aggregate import Count, Max
+
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    ds = SpatialIndex(small).knn_join(big, k=1).map_batches(
+        lambda t: t.rename_columns(
+            ["big_row_id", "small_row_id", "distance", "knn_rank"]),
+        batch_format="pyarrow",
+    )
+    return ds.groupby("small_row_id").aggregate(
+        Count(alias_name="n_captured"),
+        Max("distance", alias_name="max_distance"),
+    )
+
+
+SQL_RKNN_CAPTURE = """
+WITH big AS ({big}), small AS ({small}),
+d AS (
+  SELECT b.row_id AS big_row_id, s.row_id AS small_row_id,
+         sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) AS distance
+  FROM big b, small s),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY big_row_id
+                               ORDER BY distance, small_row_id) AS rn
+  FROM d)
+SELECT small_row_id, CAST(COUNT(*) AS BIGINT) AS n_captured,
+       MAX(distance) AS max_distance
+FROM r WHERE rn = 1 GROUP BY small_row_id
+"""
+
+
 def q_idw_interpolate(sf_dir: str):
     """IDW spatial interpolation (functions/interp.py) on top of the exact
     kNN join: each customer point gets the fixed-point inverse-distance-
@@ -7609,6 +7649,7 @@ def build_queries():
         "geodesic_knn": q_geodesic_knn,
         "nearest_polyline": q_nearest_polyline,
         "route_zone_length": q_route_zone_length,
+        "rknn_capture": q_rknn_capture,
         "dbscan_points": q_dbscan_points,
         "local_moran": q_local_moran,
         "ripley_k": q_ripley_k,
@@ -7813,6 +7854,7 @@ def build_queries():
         "theta_users": sql_theta_users(),
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
+        "rknn_capture": SQL_RKNN_CAPTURE.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "idw_interpolate": SQL_IDW.format(big=pts_cust, small=pts_supp),
         "knn_points_capped": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
