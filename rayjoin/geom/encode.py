@@ -54,6 +54,23 @@ def pack_single_rings(flat: np.ndarray, ring_len: int) -> pa.ListArray:
     )
 
 
+def pack_rings(flat: np.ndarray, ring_len: int, rings_per_geom: int) -> pa.ListArray:
+    """``coords`` column for n MULTI-ring geometries (e.g. polygons with
+    holes): ``flat`` holds ``rings_per_geom`` consecutive rings of
+    ``ring_len`` doubles per geometry (exterior ring first, then holes —
+    the module-header layout).  Same zero-per-row-Python construction as
+    ``pack_single_rings``."""
+    flat = np.ascontiguousarray(flat, dtype=np.float64)
+    nrings = flat.size // ring_len
+    inner = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, flat.size + 1, ring_len, dtype=np.int32)),
+        pa.array(flat, pa.float64()),
+    )
+    return pa.ListArray.from_arrays(
+        pa.array(np.arange(0, nrings + 1, rings_per_geom, dtype=np.int32)), inner
+    )
+
+
 def _geom_table(row_id: np.ndarray, geom_type: int, coords: pa.ListArray) -> pa.Table:
     return pa.table(
         {

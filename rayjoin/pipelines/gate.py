@@ -778,6 +778,50 @@ def q_pip_triangle(sf_dir: str):
     return idx.spatial_join(big, Interaction.CONTAINS)
 
 
+def q_pip_holed(sf_dir: str):
+    """Point-in-HOLED-polygon join: customer points in supplier 'donut'
+    polygons (exterior = the supplier rect ring, hole = the quarter-size
+    rect in the upper-right quadrant — OFF-center, because customer k sits
+    exactly at supplier k's rect center by the shared key->lat/lon
+    synthesis, and a concentric hole would swallow every coincident point;
+    both rings CCW — geom/encode.py:pack_rings).  Exercises the multi-ring
+    polygon path end-to-end at the gate: Contains is strict interior of
+    the MATERIAL (strictly inside the exterior ring AND not inside-or-on
+    the hole — spec semantics, pinned by
+    tests/test_kernels.py:test_polygon_hole_cases), which the SQL twin
+    spells with the identical inclusive/exclusive comparisons on the
+    identical IEEE ring coordinates."""
+    from ..geom.encode import POLYGON, _geom_table, pack_rings
+    from ..join.broadcast import SpatialIndex
+
+    k = _read_keys(sf_dir, "supplier", "s_suppkey")
+    cx, cy = _latlon_np(k)
+    w = 2.0 + (k % 7) * 0.25
+    h = 2.0 + (k % 5) * 0.25
+    flat = np.empty((k.size, 16), np.float64)
+    for col, vals in enumerate((
+        cx - w / 2, cy - h / 2, cx + w / 2, cy - h / 2,          # outer CCW
+        cx + w / 2, cy + h / 2, cx - w / 2, cy + h / 2,
+        cx + w / 8, cy + h / 8, cx + 3 * w / 8, cy + h / 8,      # hole CCW
+        cx + 3 * w / 8, cy + 3 * h / 8, cx + w / 8, cy + 3 * h / 8,
+    )):
+        flat[:, col] = vals
+    donuts = _geom_table(k, POLYGON, pack_rings(flat.ravel(), 8, 2))
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    return SpatialIndex(donuts).spatial_join(big, Interaction.CONTAINS)
+
+
+SQL_PIP_HOLED = """
+WITH pts AS ({pts}), rects AS ({rects})
+SELECT p.row_id AS big_row_id, r.row_id AS small_row_id
+FROM pts p, rects r
+WHERE p.x > r.cx - r.w/2 AND p.x < r.cx + r.w/2
+  AND p.y > r.cy - r.h/2 AND p.y < r.cy + r.h/2
+  AND NOT (p.x >= r.cx + r.w/8 AND p.x <= r.cx + 3*r.w/8
+       AND p.y >= r.cy + r.h/8 AND p.y <= r.cy + 3*r.h/8)
+"""
+
+
 _SIGN = "(({px} - {bx})*({ay} - {by}) - ({ax} - {bx})*({py} - {by}))"
 
 SQL_PIP_TRI = f"""
@@ -7670,6 +7714,7 @@ def build_queries():
         "knn_points_capped": q_knn_points_capped,
         "knn_points_capped_partitioned": q_knn_points_capped_partitioned,
         "pip_triangle": q_pip_triangle,
+        "pip_holed": q_pip_holed,
         "tile_assign": q_tile_assign,
         "s2_assign": q_s2_assign,
         "hex_assign": q_hex_assign,
@@ -7860,6 +7905,7 @@ def build_queries():
         "knn_points_capped": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
         "knn_points_capped_partitioned": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
+        "pip_holed": SQL_PIP_HOLED.format(pts=pts_cust, rects=rsup),
         "tile_assign": sql_tile_assign(),
         "s2_assign": sql_s2_assign(),
         "hex_assign": sql_hex_assign(),

@@ -287,3 +287,15 @@ def test_clip_length_non_line_pairs_zero():
                      pa.array(np.array([RECT], np.int8), pa.int8()))
     out = clip_length_batch(t)
     assert out["clip_micro"].to_pylist() == [0]
+
+
+def test_pack_rings_layout():
+    """pack_rings: 2 rings x 8 doubles per geometry, exterior first."""
+    from rayjoin.geom.encode import pack_rings
+
+    flat = np.arange(32, dtype=np.float64)  # 2 geometries
+    col = pack_rings(flat, 8, 2)
+    assert len(col) == 2
+    g0 = col[0].as_py()
+    assert len(g0) == 2 and g0[0] == list(range(8)) and g0[1] == list(range(8, 16))
+    assert col[1].as_py()[1] == list(range(24, 32))
