@@ -688,6 +688,181 @@ def _bfs_join(edges, srcs, *, n_nodes: int, max_rounds: int,
     return labels.union(unreached)
 
 
+_SSSP_INF = np.int64(1) << np.int64(62)
+
+
+def sssp_hops(edges, sources, *, n_nodes: int, max_rounds: int,
+              broadcast_threshold: int = 50_000_000,
+              src_col: str = "src", dst_col: str = "dst",
+              weight_col: str = "w"):
+    """Multi-source WEIGHTED shortest paths (Bellman–Ford rounds) over a
+    directed edge list with non-negative int64 weights: dist is the
+    minimum total weight over paths of AT MOST ``max_rounds`` edges from
+    any source — the hop bound is part of the RESULT CONTRACT (same rule
+    as ``bfs_hops``), which keeps the SQL recursive-CTE twin finite on
+    cyclic graphs and makes every value exact integer math.
+
+    Returns Dataset[node, dist] covering nodes 0..n_nodes-1, -1 for nodes
+    unreached within the bound.  Two plans, identical results:
+
+    - n_nodes <= broadcast_threshold: the improved frontier rides as a
+      ray.put (nodes, dists) pair per round; workers relax edges and emit
+      per-batch per-dst MIN partials; the driver owns the O(n_nodes) dist
+      array.  One map per round, no shuffles.
+    - beyond: per-round hash joins — frontier x edges (inner on src),
+      per-batch per-dst min partials + groupby(dst) min, then improvement
+      detection via one left_anti (fresh nodes) + one inner join (beat the
+      incumbent label).  Each round's labels are materialized so round
+      k+1 never re-executes rounds 1..k; early exit on an empty frontier.
+    """
+    srcs = np.unique(np.asarray(sources, dtype=np.int64))
+    if srcs.size and (srcs.min() < 0 or srcs.max() >= n_nodes):
+        raise ValueError("sources outside [0, n_nodes)")
+    if max_rounds < 0:
+        raise ValueError("max_rounds must be >= 0")
+    if n_nodes <= broadcast_threshold:
+        return _sssp_broadcast(edges, srcs, n_nodes=n_nodes,
+                               max_rounds=max_rounds, src_col=src_col,
+                               dst_col=dst_col, weight_col=weight_col)
+    return _sssp_join(edges, srcs, n_nodes=n_nodes, max_rounds=max_rounds,
+                      src_col=src_col, dst_col=dst_col, weight_col=weight_col)
+
+
+def _min_per_dst(dst: np.ndarray, d: np.ndarray):
+    """(unique dsts, per-dst min d) via one lexsort — the per-batch partial
+    that keeps the relax shuffle tiny (pre-aggregation rule)."""
+    order = np.lexsort((d, dst))
+    ds_, dd = dst[order], d[order]
+    first = np.concatenate([[True], ds_[1:] != ds_[:-1]]) if ds_.size else np.empty(0, bool)
+    return ds_[first], dd[first]
+
+
+def _sssp_broadcast(edges, srcs, *, n_nodes: int, max_rounds: int,
+                    src_col: str, dst_col: str, weight_col: str):
+    import ray
+    import ray.data
+
+    dist = np.full(n_nodes, _SSSP_INF, np.int64)
+    dist[srcs] = 0
+    f_nodes, f_dist = srcs, np.zeros(srcs.size, np.int64)
+    for _ in range(max_rounds):
+        if f_nodes.size == 0:
+            break
+        fref = ray.put((f_nodes, f_dist))  # f_nodes sorted
+
+        def relax(t: pa.Table, fref=fref) -> pa.Table:
+            fn, fd = ray.get(fref)
+            src = np.asarray(t[src_col].combine_chunks(), dtype=np.int64)
+            dst = np.asarray(t[dst_col].combine_chunks(), dtype=np.int64)
+            w = np.asarray(t[weight_col].combine_chunks(), dtype=np.int64)
+            pos = np.searchsorted(fn, src)
+            pos_c = np.minimum(pos, max(fn.size - 1, 0))
+            hit = fn[pos_c] == src if fn.size else np.zeros(src.size, bool)
+            cand_n, cand_d = _min_per_dst(dst[hit], fd[pos_c[hit]] + w[hit])
+            return pa.table({"node": pa.array(cand_n, pa.int64()),
+                             "d": pa.array(cand_d, pa.int64())})
+
+        refs = ray.get(
+            edges.map_batches(relax, batch_format="pyarrow").to_arrow_refs())
+        parts = [t for t in refs if t.num_rows]
+        if not parts:
+            break
+        cat = pa.concat_tables(parts)
+        cand_n, cand_d = _min_per_dst(
+            np.asarray(cat["node"], dtype=np.int64),
+            np.asarray(cat["d"], dtype=np.int64))
+        better = cand_d < dist[cand_n]
+        f_nodes, f_dist = cand_n[better], cand_d[better]
+        dist[f_nodes] = f_dist
+    out = pa.table({
+        "node": pa.array(np.arange(n_nodes), pa.int64()),
+        "dist": pa.array(np.where(dist == _SSSP_INF, -1, dist), pa.int64()),
+    })
+    return ray.data.from_arrow(out)
+
+
+def _sssp_join(edges, srcs, *, n_nodes: int, max_rounds: int,
+               src_col: str, dst_col: str, weight_col: str):
+    import ray.data
+
+    from ..util import drop_schemaless_empty_blocks
+    from .dedup import _num_join_partitions
+
+    nparts = _num_join_partitions()
+    node_schema = pa.table({"node": pa.array([], pa.int64()),
+                            "dist": pa.array([], pa.int64())})
+    minus1 = pa.scalar(-1, pa.int64())
+
+    def all_unreached():
+        return ray.data.range(n_nodes).map_batches(
+            lambda t: pa.table({"node": t["id"].cast(pa.int64()),
+                                "dist": pa.repeat(minus1, t.num_rows)}),
+            batch_format="pyarrow")
+
+    if srcs.size == 0:
+        return all_unreached()
+
+    frontier = ray.data.from_arrow(pa.table({
+        "node": pa.array(srcs, pa.int64()),
+        "dist": pa.array(np.zeros(srcs.size, np.int64), pa.int64()),
+    })).materialize()
+    labels = frontier
+
+    def relax_join(t: pa.Table) -> pa.Table:
+        dst = np.asarray(t[dst_col].combine_chunks(), dtype=np.int64)
+        d = (np.asarray(t["dist"].combine_chunks(), dtype=np.int64)
+             + np.asarray(t[weight_col].combine_chunks(), dtype=np.int64))
+        cn, cd = _min_per_dst(dst, d)
+        return pa.table({"node": pa.array(cn, pa.int64()),
+                         "cand": pa.array(cd, pa.int64())})
+
+    from ray.data.aggregate import Min
+
+    for _ in range(max_rounds):
+        if frontier.count() == 0:
+            break
+        j = edges.join(frontier, "inner", nparts,
+                       on=(src_col,), right_on=("node",))
+        cand = (j.map_batches(relax_join, batch_format="pyarrow")
+                .groupby("node").aggregate(Min("cand", alias_name="cand")))
+        cand = drop_schemaless_empty_blocks(
+            cand.materialize(),
+            pa.table({"node": pa.array([], pa.int64()),
+                      "cand": pa.array([], pa.int64())}))
+        fresh = cand.join(labels, "left_anti", nparts, on=("node",))
+        fresh = fresh.map_batches(
+            lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                                "dist": t["cand"].cast(pa.int64())}),
+            batch_format="pyarrow")
+        beat = cand.join(labels, "inner", nparts, on=("node",))
+
+        def improved(t: pa.Table) -> pa.Table:
+            keep = pc.less(t["cand"], t["dist"])
+            t = t.filter(keep)
+            return pa.table({"node": t["node"].cast(pa.int64()),
+                             "dist": t["cand"].cast(pa.int64())})
+
+        beat = beat.map_batches(improved, batch_format="pyarrow")
+        frontier = drop_schemaless_empty_blocks(
+            fresh.union(beat).materialize(), node_schema)
+        if frontier.count() == 0:
+            break
+        labels = (labels.union(frontier)
+                  .groupby("node").aggregate(Min("dist", alias_name="dist")))
+        labels = drop_schemaless_empty_blocks(labels.materialize(), node_schema)
+
+    unreached = (
+        ray.data.range(n_nodes)
+        .map_batches(lambda t: t.rename_columns(["node"]),
+                     batch_format="pyarrow")
+        .join(labels, "left_anti", nparts, on=("node",))
+        .map_batches(
+            lambda t: pa.table({"node": t["node"].cast(pa.int64()),
+                                "dist": pa.repeat(minus1, t.num_rows)}),
+            batch_format="pyarrow"))
+    return labels.union(unreached)
+
+
 def simple_undirected_edges(edges, *, n_nodes: int,
                             src_col: str = "src", dst_col: str = "dst"):
     """Collapse a directed multi-edge list into the SIMPLE UNDIRECTED edge

@@ -1443,6 +1443,56 @@ FROM documents doc LEFT JOIN b ON b.node = doc.doc_id
 """
 
 
+_SSSP_MAX_ROUNDS = 4
+
+
+def q_sssp_weighted(sf_dir: str):
+    """Multi-source WEIGHTED shortest paths (functions/graph.py:sssp_hops,
+    Bellman–Ford rounds) over the deterministic doc link graph with
+    integer edge weights w = 1 + (src*31 + dst*17) % 9; sources
+    doc_id % 89 == 0; dist = min path weight over <= 4 edges (the hop
+    bound is the result contract that keeps the recursive-CTE twin finite
+    on this cyclic graph).  All-integer relaxation — bit-exact."""
+    from ..functions.graph import sssp_hops, synth_link_graph
+
+    edges, n = synth_link_graph(sf_dir)
+
+    def weigh(t: pa.Table) -> pa.Table:
+        src = np.asarray(t["src"].combine_chunks(), dtype=np.int64)
+        dst = np.asarray(t["dst"].combine_chunks(), dtype=np.int64)
+        w = 1 + (src * 31 + dst * 17) % 9
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": pa.array(w, pa.int64())})
+
+    k = _read_keys(sf_dir, "documents", "doc_id")
+    return sssp_hops(edges.map_batches(weigh, batch_format="pyarrow").materialize(),
+                     k[k % 89 == 0], n_nodes=n, max_rounds=_SSSP_MAX_ROUNDS)
+
+
+def sql_sssp_weighted(max_rounds: int = _SSSP_MAX_ROUNDS) -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % 3::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, 2) AS g(j) WHERE g.j < outdeg),
+we AS (SELECT src, dst, 1 + (src*31 + dst*17) % 9 AS w FROM edges),
+reach(node, d, h) AS (
+  SELECT doc_id AS node, CAST(0 AS BIGINT) AS d, 0 AS h FROM documents
+  WHERE doc_id % 89 = 0
+  UNION
+  SELECT e.dst, r.d + e.w, r.h + 1 FROM reach r JOIN we e ON e.src = r.node
+  WHERE r.h < {max_rounds}),
+b AS (SELECT node, CAST(MIN(d) AS BIGINT) AS dist FROM reach GROUP BY node)
+SELECT doc.doc_id AS node, COALESCE(b.dist, CAST(-1 AS BIGINT)) AS dist
+FROM documents doc LEFT JOIN b ON b.node = doc.doc_id
+"""
+
+
 def q_triangle_counts(sf_dir: str):
     """Per-node triangle counts via the degree-oriented forward algorithm
     (functions/graph.py:triangle_counts) over a denser deterministic link
@@ -7731,6 +7781,7 @@ def build_queries():
         "hits_docs": q_hits_docs,
         "kcore_docs": q_kcore_docs,
         "bfs_hops": q_bfs_hops,
+        "sssp_weighted": q_sssp_weighted,
         "link_components": q_link_components,
         "triangle_counts": q_triangle_counts,
         "edge_embeddedness": q_edge_embeddedness,
@@ -7922,6 +7973,7 @@ def build_queries():
         "hits_docs": sql_hits_docs(),
         "kcore_docs": sql_kcore_docs(),
         "bfs_hops": sql_bfs_hops(),
+        "sssp_weighted": sql_sssp_weighted(),
         "link_components": sql_link_components(),
         "triangle_counts": sql_triangle_counts(),
         "edge_embeddedness": sql_edge_embeddedness(),
