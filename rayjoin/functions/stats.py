@@ -920,3 +920,107 @@ def grouped_mode(ds, *, key_col: str, cat_col: str, num_buckets: int = 256):
 
     return (counts.map_batches(bucketize, batch_format="pyarrow")
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow"))
+
+
+def profile_columns(ds, columns):
+    """One-scan data-quality PROFILE of ``columns`` (int64 or string):
+    Dataset[col_name, n_rows, n_null, n_distinct, min_i, max_i, min_s,
+    max_s] — the ingest-validation primitive (row counts, null rates,
+    cardinalities, ranges) every 100 TB pipeline runs before training.
+
+    Typed min/max lanes keep every value native-exact: integer columns
+    fill (min_i, max_i) and leave the string lane NULL, string columns the
+    reverse — no cross-type casts whose formatting could drift from SQL.
+    Plan: per-batch stat partials (8 tiny rows per batch) + per-batch
+    DISTINCT (col, value) pairs -> one groupby(col) for the stats, the
+    two-level distinct plan (pair groupby, then count) for cardinality,
+    then a left_outer join of the two ncols-row results.  The shuffle
+    carries only distinct pairs and constant-size partials."""
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    cols = list(columns)
+
+    def stat_partial(t: pa.Table) -> pa.Table:
+        names, nrows, nnull = [], [], []
+        min_i, max_i, min_s, max_s = [], [], [], []
+        for c in cols:
+            col = t[c].combine_chunks()
+            names.append(c)
+            nrows.append(t.num_rows)
+            nnull.append(col.null_count)
+            if pa.types.is_integer(col.type):
+                mm = pc.min_max(col)
+                min_i.append(mm["min"].as_py()); max_i.append(mm["max"].as_py())
+                min_s.append(None); max_s.append(None)
+            else:
+                mm = pc.min_max(col.cast(pa.string()))
+                min_s.append(mm["min"].as_py()); max_s.append(mm["max"].as_py())
+                min_i.append(None); max_i.append(None)
+        return pa.table({
+            "col_name": pa.array(names, pa.string()),
+            "n_rows": pa.array(nrows, pa.int64()),
+            "n_null": pa.array(nnull, pa.int64()),
+            "min_i": pa.array(min_i, pa.int64()),
+            "max_i": pa.array(max_i, pa.int64()),
+            "min_s": pa.array(min_s, pa.string()),
+            "max_s": pa.array(max_s, pa.string()),
+        })
+
+    stats = (ds.map_batches(stat_partial, batch_format="pyarrow")
+             .groupby("col_name").aggregate(
+                 Sum("n_rows", alias_name="n_rows"),
+                 Sum("n_null", alias_name="n_null"),
+                 Min("min_i", alias_name="min_i"),
+                 Max("max_i", alias_name="max_i"),
+                 Min("min_s", alias_name="min_s"),
+                 Max("max_s", alias_name="max_s")))
+
+    def retype(t: pa.Table) -> pa.Table:
+        # a block whose min/max lane is ALL null comes out of the aggregate
+        # as Arrow's null type, which the hash join refuses as a non-key
+        # field — pin the declared lane types
+        return pa.table({
+            "col_name": t["col_name"].cast(pa.string()),
+            "n_rows": t["n_rows"].cast(pa.int64()),
+            "n_null": t["n_null"].cast(pa.int64()),
+            "min_i": t["min_i"].cast(pa.int64()),
+            "max_i": t["max_i"].cast(pa.int64()),
+            "min_s": t["min_s"].cast(pa.string()),
+            "max_s": t["max_s"].cast(pa.string()),
+        })
+
+    stats = stats.map_batches(retype, batch_format="pyarrow")
+
+    def pair_partial(t: pa.Table) -> pa.Table:
+        names, vals = [], []
+        for c in cols:
+            col = pc.drop_null(t[c].combine_chunks())
+            v = pc.unique(col.cast(pa.string()))
+            vals.append(v)
+            names.append(pa.array(np.full(len(v), c, dtype=object), pa.string()))
+        return pa.table({"col_name": pa.concat_arrays(names),
+                         "v": pa.concat_arrays([v.combine_chunks() if isinstance(v, pa.ChunkedArray) else v for v in vals])})
+
+    pairs = (ds.map_batches(pair_partial, batch_format="pyarrow")
+             .groupby(["col_name", "v"]).aggregate(Count(alias_name="_c")))
+    distinct = (pairs.map_batches(lambda t: t.select(["col_name"]),
+                                  batch_format="pyarrow")
+                .groupby("col_name").aggregate(Count(alias_name="n_distinct")))
+
+    joined = stats.join(distinct, "left_outer", 2, on=("col_name",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        nd = pc.coalesce(t["n_distinct"], pa.scalar(0, pa.int64()))
+        return pa.table({
+            "col_name": t["col_name"],
+            "n_rows": t["n_rows"].cast(pa.int64()),
+            "n_null": t["n_null"].cast(pa.int64()),
+            "n_distinct": nd.cast(pa.int64()) if isinstance(nd, (pa.Array, pa.ChunkedArray)) else pa.array([nd.as_py()] * t.num_rows, pa.int64()),
+            "min_i": t["min_i"],
+            "max_i": t["max_i"],
+            "min_s": t["min_s"],
+            "max_s": t["max_s"],
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

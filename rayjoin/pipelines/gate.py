@@ -5352,6 +5352,61 @@ FROM events GROUP BY user_id
 """
 
 
+def q_profile_table(sf_dir: str):
+    """One-scan data-quality profile (functions/stats.py:profile_columns)
+    of a 5-column events projection — int64 ids, epoch-us timestamps, a
+    string category, and NULLIF(user_id % 7, 0) as a genuinely nullable
+    lane — emitting per column the row count, null count, exact distinct
+    cardinality (two-level distinct plan) and typed min/max.  The SQL twin
+    is a UNION ALL of per-column aggregates over the same projection."""
+    import ray.data
+
+    from ..functions.stats import profile_columns
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"])
+
+    def project(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"].combine_chunks(), dtype=np.int64)
+        u7 = u % 7
+        return pa.table({
+            "event_id": t["event_id"],
+            "user_id": t["user_id"],
+            "ts_us": t["ts"].combine_chunks().cast(pa.int64()),
+            "event_type": t["event_type"],
+            "u7": pa.array(u7, pa.int64(), mask=(u7 == 0)),
+        })
+
+    return profile_columns(
+        ev.map_batches(project, batch_format="pyarrow"),
+        ["event_id", "user_id", "ts_us", "event_type", "u7"])
+
+
+def sql_profile_table() -> str:
+    def one(c: str, kind: str) -> str:
+        mins = (f"CAST(MIN({c}) AS BIGINT) AS min_i, CAST(MAX({c}) AS BIGINT) AS max_i, "
+                "CAST(NULL AS VARCHAR) AS min_s, CAST(NULL AS VARCHAR) AS max_s"
+                if kind == "i" else
+                "CAST(NULL AS BIGINT) AS min_i, CAST(NULL AS BIGINT) AS max_i, "
+                f"MIN({c}) AS min_s, MAX({c}) AS max_s")
+        return (f"SELECT '{c}' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows, "
+                f"CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null, "
+                f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, {mins} FROM p")
+
+    parts = " UNION ALL ".join(
+        one(c, k) for c, k in (("event_id", "i"), ("user_id", "i"),
+                               ("ts_us", "i"), ("event_type", "s"),
+                               ("u7", "i")))
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+         NULLIF(user_id % 7, 0) AS u7
+  FROM events)
+{parts}
+"""
+
+
 def q_daily_deltas(sf_dir: str):
     """Day-over-day trending counts per event type
     (functions/stream.py:daily_deltas): batch partials, (cat, day)-sized
@@ -7878,6 +7933,7 @@ def build_queries():
         "user_top_event": q_user_top_event,
         "daily_deltas": q_daily_deltas,
         "user_distinct_types": q_user_distinct_types,
+        "profile_table": q_profile_table,
         "resample_locf": q_resample_locf,
         "transition_counts": q_transition_counts,
         "od_tile_matrix": q_od_tile_matrix,
@@ -8069,6 +8125,7 @@ def build_queries():
         "user_top_event": SQL_USER_TOP_EVENT,
         "daily_deltas": SQL_DAILY_DELTAS,
         "user_distinct_types": SQL_USER_DISTINCT_TYPES,
+        "profile_table": sql_profile_table(),
         "resample_locf": sql_resample_locf(),
         "transition_counts": SQL_TRANSITION_COUNTS,
         "od_tile_matrix": sql_od_tile_matrix(),

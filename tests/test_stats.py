@@ -319,3 +319,25 @@ def test_grouped_mode_vs_pandas_oracle(ray_session):
         top = min(c for c, v in vc.items() if v == top_n)
         want[int(kk)] = (top, top_n)
     assert got == want
+
+
+def test_profile_columns_exact(ray_session):
+    import ray.data
+
+    from rayjoin.functions.stats import profile_columns
+
+    t = pa.table({
+        "a": pa.array([3, 1, 2, 2, None, 7], pa.int64()),
+        "s": pa.array(["b", "", None, "b", "aa", "z"], pa.string()),
+        "allnull": pa.array([None] * 6, pa.int64()),
+    })
+    out = (profile_columns(ray.data.from_arrow(t).repartition(3),
+                           ["a", "s", "allnull"])
+           .to_pandas().set_index("col_name"))
+    a = out.loc["a"]
+    assert (a.n_rows, a.n_null, a.n_distinct, a.min_i, a.max_i) == (6, 1, 4, 1, 7)
+    assert a.min_s is None  # string lane empty for int columns
+    s = out.loc["s"]
+    assert (s.n_rows, s.n_null, s.n_distinct, s.min_s, s.max_s) == (6, 1, 4, "", "z")
+    nn = out.loc["allnull"]
+    assert (nn.n_rows, nn.n_null, nn.n_distinct) == (6, 6, 0)
