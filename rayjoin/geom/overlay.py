@@ -350,30 +350,38 @@ def clip_length_batch(t: pa.Table, *, out_col: str = "clip_micro",
         ex, ey = bflat[b + 2], bflat[b + 3]
         s = soff[:-1][rows]
         rx0, ry0, rx1, ry1 = sflat[s], sflat[s + 1], sflat[s + 2], sflat[s + 3]
-        dx, dy = ex - sx, ey - sy
-        BIG = 1e300
-        dxs = np.where(dx == 0.0, 1.0, dx)
-        dys = np.where(dy == 0.0, 1.0, dy)
-        in_x = (sx >= rx0) & (sx <= rx1)
-        in_y = (sy >= ry0) & (sy <= ry1)
-        tx_lo = np.where(dx > 0, (rx0 - sx) / dxs,
-                         np.where(dx < 0, (rx1 - sx) / dxs,
-                                  np.where(in_x, -BIG, BIG)))
-        tx_hi = np.where(dx > 0, (rx1 - sx) / dxs,
-                         np.where(dx < 0, (rx0 - sx) / dxs,
-                                  np.where(in_x, BIG, -BIG)))
-        ty_lo = np.where(dy > 0, (ry0 - sy) / dys,
-                         np.where(dy < 0, (ry1 - sy) / dys,
-                                  np.where(in_y, -BIG, BIG)))
-        ty_hi = np.where(dy > 0, (ry1 - sy) / dys,
-                         np.where(dy < 0, (ry0 - sy) / dys,
-                                  np.where(in_y, BIG, -BIG)))
-        t0 = np.maximum.reduce([np.zeros_like(dx), tx_lo, ty_lo])
-        t1 = np.minimum.reduce([np.ones_like(dx), tx_hi, ty_hi])
-        seglen = np.sqrt(dx * dx + dy * dy)
-        contrib = np.where(
-            t1 > t0, np.floor(scale * ((t1 - t0) * seglen)), 0.0)
+        contrib = lb_clip_micro(sx, sy, ex, ey, rx0, ry0, rx1, ry1, scale=scale)
         # contributions are integer-valued doubles < 2^53: bincount's float
         # accumulation is exact
         out += np.bincount(rows, weights=contrib, minlength=n).astype(np.int64)
     return t.append_column(out_col, pa.array(out, pa.int64()))
+
+
+def lb_clip_micro(sx, sy, ex, ey, rx0, ry0, rx1, ry1, *,
+                  scale: int = 1_000_000) -> np.ndarray:
+    """Per-(segment, rect) Liang–Barsky clipped length, floored to
+    fixed-point units — the shared kernel behind ``clip_length_batch`` and
+    the line-density raster.  Returns integer-valued float64 contributions
+    (exact < 2^53), one per input row."""
+    dx, dy = ex - sx, ey - sy
+    BIG = 1e300
+    dxs = np.where(dx == 0.0, 1.0, dx)
+    dys = np.where(dy == 0.0, 1.0, dy)
+    in_x = (sx >= rx0) & (sx <= rx1)
+    in_y = (sy >= ry0) & (sy <= ry1)
+    tx_lo = np.where(dx > 0, (rx0 - sx) / dxs,
+                     np.where(dx < 0, (rx1 - sx) / dxs,
+                              np.where(in_x, -BIG, BIG)))
+    tx_hi = np.where(dx > 0, (rx1 - sx) / dxs,
+                     np.where(dx < 0, (rx0 - sx) / dxs,
+                              np.where(in_x, BIG, -BIG)))
+    ty_lo = np.where(dy > 0, (ry0 - sy) / dys,
+                     np.where(dy < 0, (ry1 - sy) / dys,
+                              np.where(in_y, -BIG, BIG)))
+    ty_hi = np.where(dy > 0, (ry1 - sy) / dys,
+                     np.where(dy < 0, (ry0 - sy) / dys,
+                              np.where(in_y, BIG, -BIG)))
+    t0 = np.maximum.reduce([np.zeros_like(dx), tx_lo, ty_lo])
+    t1 = np.minimum.reduce([np.ones_like(dx), tx_hi, ty_hi])
+    seglen = np.sqrt(dx * dx + dy * dy)
+    return np.where(t1 > t0, np.floor(scale * ((t1 - t0) * seglen)), 0.0)

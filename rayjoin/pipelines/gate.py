@@ -6106,6 +6106,102 @@ HAVING SUM(CASE WHEN t1 > t0
 """
 
 
+_LD_RES = 6  # line-density grid resolution (64 x 64 tiles)
+
+
+def q_line_density(sf_dir: str):
+    """Line-density raster (pipelines/raster.py:line_density): total
+    in-tile length of the supplier road polylines per 64x64 grid tile —
+    the GIS 'line density' heatmap.  Candidate tiles come from each
+    segment's bbox, the in-tile length is the shared Liang–Barsky kernel
+    (geom/overlay.py:lb_clip_micro) floored to micro-units per
+    (segment, tile) before any sum; per-batch partials + one
+    groupby(tile_id).  The SQL twin enumerates candidates with
+    generate_series + BETWEEN on the same floor()-derived tile ranges and
+    spells the identical IEEE tile-rect and clip expressions."""
+    from ..geom.encode import LINESTRING, _geom_table, pack_single_rings
+    from ..pipelines.raster import line_density
+    from ..stages.geocode import fnv1a64
+
+    import ray.data
+
+    k = _read_keys(sf_dir, "supplier", "s_suppkey")
+    lon, lat = _latlon_np(k)
+    flat = np.empty((k.size, 2 * _NP_NV), np.float64)
+    s = pc.cast(pa.array(k), pa.string())
+    for j in range(_NP_NV):
+        h = fnv1a64(pc.binary_join_element_wise(s, ".", str(j), ""))
+        flat[:, 2 * j] = lon + ((h % np.uint64(21)).astype(np.int64) - 10)
+        flat[:, 2 * j + 1] = lat + (((h >> np.uint64(8)) % np.uint64(21)).astype(np.int64) - 10)
+    roads = _from_arrow(
+        _geom_table(k, LINESTRING, pack_single_rings(flat.ravel(), 2 * _NP_NV)), 2)
+    return line_density(roads, resolution=_LD_RES)
+
+
+def sql_line_density(res: int = _LD_RES) -> str:
+    n = 1 << res
+    lon, lat = _latlon_sql("s_suppkey")
+    fnv = _sql_fnv("(CAST(s_suppkey AS VARCHAR) || '.' || CAST(g.j AS VARCHAR))")
+
+    def tix(e: str) -> str:  # latlon_to_xy x-axis
+        return (f"LEAST(GREATEST(CAST(FLOOR(({e} + 180.0)/360.0*{n}) AS BIGINT),"
+                f" 0), {n - 1})")
+
+    def tiy(e: str) -> str:
+        return (f"LEAST(GREATEST(CAST(FLOOR(({e} + 90.0)/180.0*{n}) AS BIGINT),"
+                f" 0), {n - 1})")
+
+    return f"""
+WITH v AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS line_id, g.j AS j,
+         ({lon}) + (CAST({fnv} % 21::HUGEINT AS BIGINT) - 10) AS x,
+         ({lat}) + (CAST(({fnv} // 256::HUGEINT) % 21::HUGEINT AS BIGINT) - 10) AS y
+  FROM supplier CROSS JOIN generate_series(0, {_NP_NV - 1}) AS g(j)
+),
+seg AS (
+  SELECT a.line_id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey,
+         b.x - a.x AS dx, b.y - a.y AS dy
+  FROM v a JOIN v b ON b.line_id = a.line_id AND b.j = a.j + 1
+),
+rng AS (
+  SELECT seg.*,
+         {tix('LEAST(sx, ex)')} AS ix0, {tix('GREATEST(sx, ex)')} AS ix1,
+         {tiy('LEAST(sy, ey)')} AS iy0, {tiy('GREATEST(sy, ey)')} AS iy1
+  FROM seg),
+cand AS (
+  SELECT rng.*, gx.i AS ix, gy.j AS iy,
+         CAST(gx.i AS DOUBLE)/{n}*360.0 - 180.0 AS x0,
+         CAST(gx.i + 1 AS DOUBLE)/{n}*360.0 - 180.0 AS x1,
+         CAST(gy.j AS DOUBLE)/{n}*180.0 - 90.0 AS y0,
+         CAST(gy.j + 1 AS DOUBLE)/{n}*180.0 - 90.0 AS y1
+  FROM rng, generate_series(0, {n - 1}) AS gx(i), generate_series(0, {n - 1}) AS gy(j)
+  WHERE gx.i BETWEEN ix0 AND ix1 AND gy.j BETWEEN iy0 AND iy1),
+lb AS (
+  SELECT iy*{n} + ix AS tile_id, dx, dy,
+    GREATEST(0.0,
+      CASE WHEN dx > 0 THEN (x0 - sx)/dx WHEN dx < 0 THEN (x1 - sx)/dx
+           WHEN sx >= x0 AND sx <= x1 THEN -1e300 ELSE 1e300 END,
+      CASE WHEN dy > 0 THEN (y0 - sy)/dy WHEN dy < 0 THEN (y1 - sy)/dy
+           WHEN sy >= y0 AND sy <= y1 THEN -1e300 ELSE 1e300 END) AS t0,
+    LEAST(1.0,
+      CASE WHEN dx > 0 THEN (x1 - sx)/dx WHEN dx < 0 THEN (x0 - sx)/dx
+           WHEN sx >= x0 AND sx <= x1 THEN 1e300 ELSE -1e300 END,
+      CASE WHEN dy > 0 THEN (y1 - sy)/dy WHEN dy < 0 THEN (y0 - sy)/dy
+           WHEN sy >= y0 AND sy <= y1 THEN 1e300 ELSE -1e300 END) AS t1
+  FROM cand)
+SELECT tile_id,
+       CAST(SUM(CASE WHEN t1 > t0
+                     THEN CAST(FLOOR(1000000 * ((t1 - t0) * sqrt(dx*dx + dy*dy)))
+                          AS BIGINT)
+                     ELSE 0 END) AS BIGINT) AS density_micro
+FROM lb GROUP BY tile_id
+HAVING SUM(CASE WHEN t1 > t0
+                THEN CAST(FLOOR(1000000 * ((t1 - t0) * sqrt(dx*dx + dy*dy)))
+                     AS BIGINT)
+                ELSE 0 END) > 0
+"""
+
+
 _TRACK_NV = 8  # vertices per synthetic geodesic track
 
 
@@ -7798,6 +7894,7 @@ def build_queries():
         "geodesic_knn": q_geodesic_knn,
         "nearest_polyline": q_nearest_polyline,
         "route_zone_length": q_route_zone_length,
+        "line_density": q_line_density,
         "rknn_capture": q_rknn_capture,
         "dbscan_points": q_dbscan_points,
         "local_moran": q_local_moran,
@@ -7991,6 +8088,7 @@ def build_queries():
         "geodesic_knn": SQL_GEODESIC_KNN.format(big=pts_cust, small=pts_supp),
         "nearest_polyline": sql_nearest_polyline(),
         "route_zone_length": sql_route_zone_length(),
+        "line_density": sql_line_density(),
         "dbscan_points": sql_dbscan_points(),
         "local_moran": sql_local_moran(),
         "ripley_k": sql_ripley_k(),

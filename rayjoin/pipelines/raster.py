@@ -330,3 +330,64 @@ def grid_hot_components(pts, *, x_col: str = "x", y_col: str = "y",
                   "blob_id": pa.array([], pa.int64())}))
     out = hot.join(lab_all, "inner", nparts, on=("cell_id",))
     return out.select_columns(["cell_id", "blob_id", "n"])
+
+
+def line_density_batch(batch: pa.Table, resolution: int,
+                       scale: int = 1_000_000) -> pa.Table:
+    """Line-density rasterization: per-batch partial (tile_id,
+    density_micro) sums of the Liang–Barsky clipped length of every
+    LINE/LINESTRING segment against every candidate grid tile (candidates
+    from the segment bbox, same latlon_to_xy convention as ``rasterize``).
+    Lengths are floored to int64 micro-units per (segment, tile) BEFORE
+    any sum, so the global per-tile totals are aggregation-order-free and
+    bit-exact vs the SQL twin."""
+    from ..geom.overlay import _ring0, lb_clip_micro
+    from ..geom.spec import LINE, LINESTRING
+
+    kind = np.asarray(batch["geom_type"].combine_chunks(), dtype=np.int8)
+    flat, off = _ring0(batch["coords"])
+    idx = np.flatnonzero(np.isin(kind, (LINE, LINESTRING)))
+    empty = pa.table({"tile_id": pa.array([], pa.int64()),
+                      "density_micro": pa.array([], pa.int64())})
+    if idx.size == 0:
+        return empty
+    nseg = np.maximum((off[1:] - off[:-1])[idx] // 2 - 1, 0)
+    pid, j = repeat_expand(nseg)
+    b = off[:-1][idx][pid] + 2 * j
+    sx, sy = flat[b], flat[b + 1]
+    ex, ey = flat[b + 2], flat[b + 3]
+    n = np.int64(1) << resolution
+    ix0, iy0 = latlon_to_xy(np.minimum(sy, ey), np.minimum(sx, ex), resolution)
+    ix1, iy1 = latlon_to_xy(np.maximum(sy, ey), np.maximum(sx, ex), resolution)
+    nx, ny = ix1 - ix0 + 1, iy1 - iy0 + 1
+    sid, k = repeat_expand(nx * ny)
+    if sid.size == 0:
+        return empty
+    ix = ix0[sid] + k % nx[sid]
+    iy = iy0[sid] + k // nx[sid]
+    fn = float(n)
+    tx0 = ix / fn * 360.0 - 180.0
+    tx1 = (ix + 1) / fn * 360.0 - 180.0
+    ty0 = iy / fn * 180.0 - 90.0
+    ty1 = (iy + 1) / fn * 180.0 - 90.0
+    contrib = lb_clip_micro(sx[sid], sy[sid], ex[sid], ey[sid],
+                            tx0, ty0, tx1, ty1, scale=scale)
+    tile = xy_to_tile(ix, iy, resolution)
+    ut, inv = np.unique(tile, return_inverse=True)
+    sums = np.bincount(inv, weights=contrib).astype(np.int64)
+    keep = sums > 0
+    return pa.table({"tile_id": pa.array(ut[keep], pa.int64()),
+                     "density_micro": pa.array(sums[keep], pa.int64())})
+
+
+def line_density(ds, resolution: int = 8, batch_size: int = 2048):
+    """Dataset[tile_id, density_micro]: total in-tile polyline length per
+    grid tile (the GIS 'line density' raster).  Per-batch partials keep
+    the shuffle tile-sized; one groupby(tile_id) sum."""
+    from ray.data.aggregate import Sum
+
+    parts = ds.map_batches(
+        lambda t: line_density_batch(t, resolution),
+        batch_format="pyarrow", batch_size=batch_size)
+    return parts.groupby("tile_id").aggregate(
+        Sum("density_micro", alias_name="density_micro"))

@@ -299,3 +299,36 @@ def test_pack_rings_layout():
     g0 = col[0].as_py()
     assert len(g0) == 2 and g0[0] == list(range(8)) and g0[1] == list(range(8, 16))
     assert col[1].as_py()[1] == list(range(24, 32))
+
+
+def test_line_density_vs_scalar(ray_session):
+    """line_density == brute: per tile, sum of scalar Liang–Barsky clip
+    over every segment of every line (full-grid scan, no bbox pruning)."""
+    import ray.data
+
+    from rayjoin.geom.encode import _geom_table, pack_single_rings
+    from rayjoin.geom.overlay import clip_length_scalar
+    from rayjoin.geom.spec import LINESTRING
+    from rayjoin.pipelines.raster import line_density
+
+    rng = np.random.default_rng(23)
+    res, n = 4, 16
+    nl, nv = 30, 5
+    flat = rng.uniform(-170, 170, (nl, 2 * nv))
+    flat[:, 1::2] = rng.uniform(-85, 85, (nl, nv))
+    lines = _geom_table(np.arange(nl), LINESTRING,
+                        pack_single_rings(flat.ravel(), 2 * nv))
+    got = (line_density(ray.data.from_arrow(lines).repartition(3), resolution=res)
+           .to_pandas().set_index("tile_id")["density_micro"].to_dict())
+    exp = {}
+    for i in range(nl):
+        verts = [(flat[i, 2 * j], flat[i, 2 * j + 1]) for j in range(nv)]
+        for iy in range(n):
+            for ix in range(n):
+                rect = (ix / n * 360.0 - 180.0, iy / n * 180.0 - 90.0,
+                        (ix + 1) / n * 360.0 - 180.0, (iy + 1) / n * 180.0 - 90.0)
+                m = clip_length_scalar(verts, rect)
+                if m:
+                    key = iy * n + ix
+                    exp[key] = exp.get(key, 0) + m
+    assert got == exp
