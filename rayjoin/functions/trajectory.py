@@ -461,3 +461,74 @@ def copresence_pairs(ds, *, key_col: str = "user_id", cx_col: str = "cx",
     return agg.map_batches(
         lambda t: t.filter(pc.greater_equal(t["n_shared"], thr)),
         batch_format="pyarrow")
+
+
+def hausdorff_pairs(ds, *, nv: int, id_col: str = "track_id",
+                    cell_col: str = "cell", max_pairs_per_cell: int = 2_000_000):
+    """Discrete HAUSDORFF distance between candidate track pairs — the
+    trajectory-similarity join.  Input: one row per fixed-length track
+    with flat vertex columns x0,y0..x{nv-1},y{nv-1} plus a BLOCKING cell
+    id (tracks only compare within a cell; the blocking rule is part of
+    the result contract, mirrored by the SQL twin).  Output:
+    Dataset[id_a, id_b, hausdorff] for every in-cell pair id_a < id_b,
+    H = max(h(A->B), h(B->A)), h directed = max over A's vertices of the
+    min distance to B's vertices.
+
+    One groupby(cell) shuffle; each cell expands its pairs and evaluates
+    the (pairs, nv, nv) distance tensor fully vectorized.  Only
+    comparisons and one sqrt touch the doubles, so values hash-match the
+    SQL twin bit-for-bit.  ``max_pairs_per_cell`` bounds the per-group
+    quadratic expansion (a hot cell raises rather than OOMs — pick a finer
+    blocking cell, the standard skew answer for similarity joins)."""
+    cols = [f"{a}{j}" for j in range(nv) for a in ("x", "y")]
+
+    empty = pa.table({"id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "hausdorff": pa.array([], pa.float64())})
+
+    def per_cell(t: pa.Table) -> pa.Table:
+        if t.num_rows < 2:
+            return empty
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        cell = np.asarray(t[cell_col].combine_chunks(), dtype=np.int64)
+        V = np.empty((ids.size, nv, 2), np.float64)
+        for j in range(nv):
+            V[:, j, 0] = np.asarray(t[f"x{j}"].combine_chunks(), dtype=np.float64)
+            V[:, j, 1] = np.asarray(t[f"y{j}"].combine_chunks(), dtype=np.float64)
+        # group rows by cell (map_groups may hand several cells per call),
+        # order ids within cell so pairs are (min, max)
+        order = np.lexsort((ids, cell))
+        ids, cell, V = ids[order], cell[order], V[order]
+        starts = np.flatnonzero(np.concatenate([[True], cell[1:] != cell[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [cell.size]]))
+        total = int((sizes * (sizes - 1) // 2).sum())
+        if total == 0:
+            return empty
+        if total > max_pairs_per_cell:
+            raise ValueError(
+                f"hausdorff_pairs: {total} pairs in one shuffle group exceeds "
+                f"max_pairs_per_cell={max_pairs_per_cell}; use a finer blocking cell")
+        ia = np.empty(total, np.int64)
+        ib = np.empty(total, np.int64)
+        pos = 0
+        for st, m in zip(starts[sizes >= 2], sizes[sizes >= 2]):
+            cnts = np.arange(m - 1, 0, -1)
+            pa_ = np.repeat(np.arange(m - 1), cnts)
+            pb_ = np.arange(m * (m - 1) // 2) - (np.cumsum(cnts) - cnts)[pa_] + pa_ + 1
+            k = pa_.size
+            ia[pos:pos + k] = st + pa_
+            ib[pos:pos + k] = st + pb_
+            pos += k
+        A, B = V[ia], V[ib]                       # (p, nv, 2)
+        diff = A[:, :, None, :] - B[:, None, :, :]  # (p, nv, nv, 2)
+        d = np.sqrt(diff[..., 0] * diff[..., 0] + diff[..., 1] * diff[..., 1])
+        h_ab = d.min(axis=2).max(axis=1)
+        h_ba = d.min(axis=1).max(axis=1)
+        return pa.table({
+            "id_a": pa.array(ids[ia], pa.int64()),
+            "id_b": pa.array(ids[ib], pa.int64()),
+            "hausdorff": pa.array(np.maximum(h_ab, h_ba), pa.float64()),
+        })
+
+    return (ds.select_columns([id_col, cell_col] + cols)
+            .groupby(cell_col).map_groups(per_cell, batch_format="pyarrow"))

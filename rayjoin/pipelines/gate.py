@@ -6106,6 +6106,68 @@ HAVING SUM(CASE WHEN t1 > t0
 """
 
 
+def q_track_hausdorff(sf_dir: str):
+    """Trajectory-similarity join (functions/trajectory.py:
+    hausdorff_pairs): discrete Hausdorff distance between supplier road
+    polylines whose FIRST vertices share a 4-degree blocking cell (the
+    blocking rule is part of the result contract, mirrored in SQL).
+    One groupby(cell) shuffle + a fully vectorized (pairs, nv, nv)
+    distance tensor per cell; only comparisons and one sqrt touch the
+    doubles, so values hash-match bit-for-bit."""
+    from ..functions.trajectory import hausdorff_pairs
+    from ..stages.geocode import fnv1a64
+
+    import ray.data
+
+    k = _read_keys(sf_dir, "supplier", "s_suppkey")
+    lon, lat = _latlon_np(k)
+    cols = {"track_id": pa.array(k, pa.int64())}
+    s = pc.cast(pa.array(k), pa.string())
+    xs = []
+    for j in range(_NP_NV):
+        h = fnv1a64(pc.binary_join_element_wise(s, ".", str(j), ""))
+        x = lon + ((h % np.uint64(21)).astype(np.int64) - 10)
+        y = lat + (((h >> np.uint64(8)) % np.uint64(21)).astype(np.int64) - 10)
+        cols[f"x{j}"] = pa.array(x, pa.float64())
+        cols[f"y{j}"] = pa.array(y, pa.float64())
+        xs.append((x, y))
+    cell = (np.floor(xs[0][0] / 16.0).astype(np.int64) * 1024
+            + np.floor(xs[0][1] / 16.0).astype(np.int64))
+    cols["cell"] = pa.array(cell, pa.int64())
+    tracks = ray.data.from_arrow(pa.table(cols)).repartition(2)
+    return hausdorff_pairs(tracks, nv=_NP_NV)
+
+
+def sql_track_hausdorff() -> str:
+    lon, lat = _latlon_sql("s_suppkey")
+    fnv = _sql_fnv("(CAST(s_suppkey AS VARCHAR) || '.' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH v AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS id, g.j AS j,
+         ({lon}) + (CAST({fnv} % 21::HUGEINT AS BIGINT) - 10) AS x,
+         ({lat}) + (CAST(({fnv} // 256::HUGEINT) % 21::HUGEINT AS BIGINT) - 10) AS y
+  FROM supplier CROSS JOIN generate_series(0, {_NP_NV - 1}) AS g(j)
+),
+t0 AS (
+  SELECT id, CAST(FLOOR(x/16.0) AS BIGINT)*1024 + CAST(FLOOR(y/16.0) AS BIGINT)
+             AS cell
+  FROM v WHERE j = 0),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b
+  FROM t0 a JOIN t0 b ON b.cell = a.cell AND a.id < b.id),
+dmat AS (
+  SELECT p.id_a, p.id_b, va.j AS ja, vb.j AS jb,
+         sqrt((va.x - vb.x)*(va.x - vb.x) + (va.y - vb.y)*(va.y - vb.y)) AS d
+  FROM p JOIN v va ON va.id = p.id_a JOIN v vb ON vb.id = p.id_b),
+ma AS (SELECT id_a, id_b, ja, MIN(d) AS md FROM dmat GROUP BY 1, 2, 3),
+h1 AS (SELECT id_a, id_b, MAX(md) AS h FROM ma GROUP BY 1, 2),
+mb AS (SELECT id_a, id_b, jb, MIN(d) AS md FROM dmat GROUP BY 1, 2, 3),
+h2 AS (SELECT id_a, id_b, MAX(md) AS h FROM mb GROUP BY 1, 2)
+SELECT h1.id_a, h1.id_b, GREATEST(h1.h, h2.h) AS hausdorff
+FROM h1 JOIN h2 ON h2.id_a = h1.id_a AND h2.id_b = h1.id_b
+"""
+
+
 _LD_RES = 6  # line-density grid resolution (64 x 64 tiles)
 
 
@@ -7895,6 +7957,7 @@ def build_queries():
         "nearest_polyline": q_nearest_polyline,
         "route_zone_length": q_route_zone_length,
         "line_density": q_line_density,
+        "track_hausdorff": q_track_hausdorff,
         "rknn_capture": q_rknn_capture,
         "dbscan_points": q_dbscan_points,
         "local_moran": q_local_moran,
@@ -8089,6 +8152,7 @@ def build_queries():
         "nearest_polyline": sql_nearest_polyline(),
         "route_zone_length": sql_route_zone_length(),
         "line_density": sql_line_density(),
+        "track_hausdorff": sql_track_hausdorff(),
         "dbscan_points": sql_dbscan_points(),
         "local_moran": sql_local_moran(),
         "ripley_k": sql_ripley_k(),

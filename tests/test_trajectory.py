@@ -262,3 +262,56 @@ def test_copresence_pairs_cell_cap_fail_fast(ray_session):
     # and the documented remedy works: raising the cap completes
     out = copresence_pairs(ds, max_cell_keys=None).to_pandas()
     assert len(out) == n * (n - 1) // 2
+
+
+def test_hausdorff_pairs_vs_brute(ray_session):
+    import ray.data
+
+    from rayjoin.functions.trajectory import hausdorff_pairs
+
+    rng = np.random.default_rng(31)
+    n, nv = 40, 4
+    cell = rng.integers(0, 5, n).astype(np.int64)
+    V = rng.uniform(-50, 50, (n, nv, 2))
+    cols = {"track_id": pa.array(np.arange(n), pa.int64()),
+            "cell": pa.array(cell, pa.int64())}
+    for j in range(nv):
+        cols[f"x{j}"] = pa.array(V[:, j, 0], pa.float64())
+        cols[f"y{j}"] = pa.array(V[:, j, 1], pa.float64())
+    out = (hausdorff_pairs(ray.data.from_arrow(pa.table(cols)).repartition(3),
+                           nv=nv)
+           .to_pandas().set_index(["id_a", "id_b"])["hausdorff"].to_dict())
+
+    def brute_h(a, b):
+        import math
+        d = [[math.sqrt((a[j][0]-b[k][0])**2 + (a[j][1]-b[k][1])**2)
+              for k in range(nv)] for j in range(nv)]
+        hab = max(min(row) for row in d)
+        hba = max(min(d[j][k] for j in range(nv)) for k in range(nv))
+        return max(hab, hba)
+
+    exp = {}
+    for i in range(n):
+        for j in range(i + 1, n):
+            if cell[i] == cell[j]:
+                exp[(i, j)] = brute_h(V[i], V[j])
+    assert set(out) == set(exp)
+    for key in exp:
+        assert out[key] == exp[key]  # bit-exact: comparisons + one sqrt
+
+
+def test_hausdorff_pairs_cap_raises(ray_session):
+    import ray.data
+    import pytest
+
+    from rayjoin.functions.trajectory import hausdorff_pairs
+
+    n, nv = 30, 2
+    cols = {"track_id": pa.array(np.arange(n), pa.int64()),
+            "cell": pa.array(np.zeros(n, np.int64), pa.int64())}
+    for j in range(nv):
+        cols[f"x{j}"] = pa.array(np.random.default_rng(1).uniform(0, 1, n))
+        cols[f"y{j}"] = pa.array(np.random.default_rng(2).uniform(0, 1, n))
+    ds = ray.data.from_arrow(pa.table(cols))
+    with pytest.raises(Exception, match="finer blocking cell"):
+        hausdorff_pairs(ds, nv=nv, max_pairs_per_cell=10).materialize()
