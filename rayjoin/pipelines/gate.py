@@ -266,6 +266,47 @@ WHERE sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) <= 3.0
 """
 
 
+def q_kde_epanechnikov(sf_dir: str):
+    """Kernel density estimation at supplier locations over customer mass
+    with the EPANECHNIKOV kernel (bandwidth h=3): the classic spatial-stats
+    hotspot surface, built on the exact proximity join.  The kernel is a
+    POLYNOMIAL (1 - (d/h)^2), so unlike a gaussian there is no libm
+    dependency — each pair's contribution floors to int64 micro-units
+    BEFORE the per-center sum (aggregation-order-free, bit-exact)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..join.broadcast import SpatialIndex
+
+    small = points_geom_table(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    pairs = SpatialIndex(small, Config(max_distance=3.0)).proximity_map(big)
+
+    def kern(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["distance"].combine_chunks(), dtype=np.float64)
+        w = np.floor(1000000 * (1.0 - (d / 3.0) * (d / 3.0))).astype(np.int64)
+        return pa.table({"small_row_id": t["small_row_id"],
+                         "w": pa.array(w, pa.int64())})
+
+    return (pairs.map_batches(kern, batch_format="pyarrow")
+            .groupby("small_row_id")
+            .aggregate(Count(alias_name="n_neighbors"),
+                       Sum("w", alias_name="kde_micro")))
+
+
+SQL_KDE = """
+WITH big AS ({big}), small AS ({small}),
+d AS (
+  SELECT s.row_id AS small_row_id,
+         sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) AS dist
+  FROM big b, small s
+  WHERE sqrt((b.x - s.x)*(b.x - s.x) + (b.y - s.y)*(b.y - s.y)) <= 3.0)
+SELECT small_row_id, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       CAST(SUM(CAST(FLOOR(1000000 * (1.0 - (dist/3.0)*(dist/3.0)))
+                AS BIGINT)) AS BIGINT) AS kde_micro
+FROM d GROUP BY small_row_id
+"""
+
+
 def q_prox_varradius(sf_dir: str):
     """Per-row-radius proximity join: each supplier point carries its own
     search radius (1.0 + key%5 * 0.5) — the ST_DWithin-with-expression
@@ -7959,6 +8000,7 @@ def build_queries():
         "line_density": q_line_density,
         "track_hausdorff": q_track_hausdorff,
         "rknn_capture": q_rknn_capture,
+        "kde_epanechnikov": q_kde_epanechnikov,
         "dbscan_points": q_dbscan_points,
         "local_moran": q_local_moran,
         "ripley_k": q_ripley_k,
@@ -8169,6 +8211,7 @@ def build_queries():
         "dbscan_geodesic": sql_dbscan_geodesic(),
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "rknn_capture": SQL_RKNN_CAPTURE.format(big=pts_cust, small=pts_supp),
+        "kde_epanechnikov": SQL_KDE.format(big=pts_cust, small=pts_supp),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "idw_interpolate": SQL_IDW.format(big=pts_cust, small=pts_supp),
         "knn_points_capped": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
