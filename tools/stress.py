@@ -1353,7 +1353,102 @@ SELECT grp, CAST(SUM((xb - xa) * clen) AS BIGINT) FROM per GROUP BY grp
     return results
 
 
+def stress_linedensity(n: int = 2_000_000) -> dict:
+    """Line-density raster at n 4-vertex polylines on a 1024x1024 grid:
+    each road spans ~2 degrees (a handful of candidate tiles per segment),
+    certifying the bbox-pruned candidate expansion + per-batch partial
+    sums at web scale.  Wide step: ONE groupby(tile_id) over partials."""
+    import ray.data
+
+    from rayjoin.geom.encode import LINESTRING, _geom_table, pack_single_rings
+    from rayjoin.pipelines.raster import line_density
+
+    k = np.arange(n, dtype=np.int64)
+    bx = ((k * 2654435761) % 356_000_000) / 1_000_000.0 - 178.0
+    by = ((k * 40503) % 176_000_000) / 1_000_000.0 - 88.0
+    flat = np.empty((n, 8), np.float64)
+    for j in range(4):
+        flat[:, 2 * j] = bx + ((k * (7 + j)) % 2000) / 1000.0
+        flat[:, 2 * j + 1] = by + ((k * (13 + j)) % 2000) / 1000.0
+    lines = ray.data.from_arrow(
+        _geom_table(k, LINESTRING, pack_single_rings(flat.ravel(), 8))
+    ).repartition(64).materialize()
+    t0 = time.time()
+    out = line_density(lines, resolution=10)
+    agg = out.map_batches(
+        lambda t: pa.table({"tiles": [t.num_rows],
+                            "micro": [int(pa.compute.sum(t["density_micro"]).as_py() or 0)]}),
+        batch_format="pyarrow").to_pandas().sum()
+    dt = time.time() - t0
+    return {"stress": "linedensity", "lines": n, "tiles": int(agg["tiles"]),
+            "sec": round(dt, 1), "lines_per_sec": round(n / dt)}
+
+
+def stress_sssp(n: int = 2_000_000) -> dict:
+    """Weighted Bellman–Ford at 2M nodes x 8 out-edges (16M edges), 1%
+    sources, 8 relaxation rounds — the broadcast-frontier tier (driver
+    dist array bounded by the same node-cap contract as pagerank); the
+    join tier is plan-parity pytest'd."""
+    import ray.data
+
+    from rayjoin.functions.graph import sssp_hops
+
+    deg = 8
+    src = np.repeat(np.arange(n, dtype=np.int64), deg)
+    j = np.tile(np.arange(deg, dtype=np.int64), n)
+    dst = (src * 2654435761 + j * 40503) % n
+    w = 1 + (src * 31 + dst * 17) % 9
+    edges = ray.data.from_arrow(pa.table({
+        "src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64()),
+        "w": pa.array(w, pa.int64())})).repartition(64).materialize()
+    sources = np.arange(0, n, 100, dtype=np.int64)
+    t0 = time.time()
+    out = sssp_hops(edges, sources, n_nodes=n, max_rounds=8)
+    agg = out.map_batches(
+        lambda t: pa.table({
+            "reached": [int(pa.compute.sum(
+                pa.compute.cast(pa.compute.not_equal(t["dist"], -1),
+                                pa.int64())).as_py() or 0)],
+            "rows": [t.num_rows]}),
+        batch_format="pyarrow").to_pandas().sum()
+    dt = time.time() - t0
+    assert int(agg["rows"]) == n
+    m = src.size
+    return {"stress": "sssp", "nodes": n, "edges": m,
+            "reached": int(agg["reached"]), "sec": round(dt, 1),
+            "edge_relax_per_sec": round(8 * m / dt)}
+
+
+def stress_hausdorff(n: int = 1_000_000) -> dict:
+    """Hausdorff similarity join at 1M 4-vertex tracks, ~4 tracks per
+    blocking cell (~1.5M pairs): certifies the one-shuffle map_groups plan
+    and the vectorized (pairs, nv, nv) tensor at scale."""
+    import ray.data
+
+    from rayjoin.functions.trajectory import hausdorff_pairs
+
+    nv = 4
+    k = np.arange(n, dtype=np.int64)
+    cell = (k * 2654435761) % (n // 4)
+    cols = {"track_id": pa.array(k, pa.int64()),
+            "cell": pa.array(cell.astype(np.int64), pa.int64())}
+    for j in range(nv):
+        cols[f"x{j}"] = pa.array(((k * (7 + j)) % 360_000) / 1000.0 - 180.0)
+        cols[f"y{j}"] = pa.array(((k * (13 + j)) % 160_000) / 1000.0 - 80.0)
+    tracks = ray.data.from_arrow(pa.table(cols)).repartition(64).materialize()
+    t0 = time.time()
+    out = hausdorff_pairs(tracks, nv=nv)
+    stats = out.map_batches(
+        lambda t: pa.table({"pairs": [t.num_rows]}),
+        batch_format="pyarrow").to_pandas().sum()
+    dt = time.time() - t0
+    return {"stress": "hausdorff", "tracks": n, "pairs": int(stats["pairs"]),
+            "sec": round(dt, 1), "tracks_per_sec": round(n / dt)}
+
+
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
+            "linedensity": stress_linedensity, "sssp": stress_sssp,
+            "hausdorff": stress_hausdorff,
             "dbscan": stress_dbscan, "geodesic": stress_geodesic,
             "embedding": stress_embedding, "minhash": stress_minhash,
             "corpus": stress_corpus, "corpus_resume": stress_corpus_resume,
