@@ -1353,6 +1353,57 @@ SELECT grp, CAST(SUM((xb - xa) * clen) AS BIGINT) FROM per GROUP BY grp
     return results
 
 
+def stress_annrecall(n: int = 2_000_000) -> dict:
+    """ANN quality at scale: recall@10 of the IVF path vs the EXACT
+    brute-force top-10 (the oracle-checked `ann_cosine` kernel) on 2M
+    64-dim mixture-of-Gaussians vectors, 200 held-out queries, across an
+    nprobe sweep — the measured accuracy/cost curve for the one genuinely
+    approximate operator family (VERDICT: `ann_ivf` is intentionally
+    non-hash-checked; this pins its quality instead)."""
+    import ray.data
+
+    from rayjoin.functions.ann import ann_cosine_topk, ann_ivf_topk
+
+    rng = np.random.default_rng(5)
+    dim, n_centers, nq, k = 64, 512, 5000, 10
+    centers = rng.standard_normal((n_centers, dim))
+    which = rng.integers(0, n_centers, n)
+    M = (centers[which] + 0.3 * rng.standard_normal((n, dim))).astype(np.float32)
+    ids = np.arange(n, dtype=np.int64)
+    emb = pa.ListArray.from_arrays(
+        pa.array(np.arange(0, M.size + 1, dim, dtype=np.int32)),
+        pa.array(M.ravel(), pa.float32()))
+    ds = ray.data.from_arrow(pa.table({
+        "vec_id": pa.array(ids), "embedding": emb})).repartition(64).materialize()
+    # hard queries: a MIXTURE of two centers plus noise, so each query's
+    # true neighbors straddle at least two Voronoi cells (single-center
+    # queries scored recall 1.0 even at nprobe=1 — no curve to measure)
+    qa = rng.integers(0, n_centers, nq)
+    qb = rng.integers(0, n_centers, nq)
+    Q = (0.5 * centers[qa] + 0.5 * centers[qb]
+         + 0.3 * rng.standard_normal((nq, dim)))
+    qids = np.arange(nq, dtype=np.int64)
+
+    t0 = time.time()
+    exact = ann_cosine_topk(ds, Q, qids, k=k).to_pandas()
+    t_exact = time.time() - t0
+    truth = exact.groupby("query_id")["vec_id"].apply(set).to_dict()
+
+    out = {"stress": "annrecall", "vectors": n, "queries": nq, "k": k,
+           "exact_sec": round(t_exact, 1)}
+    for nprobe in (1, 4, 16):
+        t0 = time.time()
+        approx = ann_ivf_topk(ds, Q, qids, k=k, n_lists=256,
+                              nprobe=nprobe, sample_size=65536).to_pandas()
+        dt = time.time() - t0
+        got = approx.groupby("query_id")["vec_id"].apply(set).to_dict()
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        out[f"recall_at_{k}_nprobe{nprobe}"] = round(
+            hits / (k * len(truth)), 4)
+        out[f"sec_nprobe{nprobe}"] = round(dt, 1)
+    return out
+
+
 def stress_linedensity(n: int = 2_000_000) -> dict:
     """Line-density raster at n 4-vertex polylines on a 1024x1024 grid:
     each road spans ~2 degrees (a handful of candidate tiles per segment),
@@ -1448,7 +1499,7 @@ def stress_hausdorff(n: int = 1_000_000) -> dict:
 
 STRESSES = {"pbsm": stress_pbsm, "knn": stress_knn,
             "linedensity": stress_linedensity, "sssp": stress_sssp,
-            "hausdorff": stress_hausdorff,
+            "hausdorff": stress_hausdorff, "annrecall": stress_annrecall,
             "dbscan": stress_dbscan, "geodesic": stress_geodesic,
             "embedding": stress_embedding, "minhash": stress_minhash,
             "corpus": stress_corpus, "corpus_resume": stress_corpus_resume,
