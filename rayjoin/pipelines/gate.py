@@ -5498,6 +5498,49 @@ WHERE rn = 1
 """
 
 
+def q_decayed_counts(sf_dir: str):
+    """Recency-weighted per-user engagement: every event contributes
+    1e6 >> age_days (integer halving per day of age, relative to the
+    corpus max day) — the exponential-decay aggregate of streaming
+    analytics made EXACT: contributions are int64 BEFORE the sum, so the
+    result is aggregation-order-free and bit-identical to the SQL twin.
+    The reference day is the dataset max (one metadata-cheap aggregate),
+    then a single map + groupby(user)."""
+    import ray.data
+    from ray.data.aggregate import Count, Sum
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    ref_day = int(ev.max("ts").timestamp() * 1_000_000) // 86_400_000_000
+
+    def decay(t: pa.Table) -> pa.Table:
+        day = (np.asarray(t["ts"].combine_chunks().cast(pa.int64()),
+                          dtype=np.int64) // np.int64(86_400_000_000))
+        age = np.minimum(ref_day - day, 62)
+        w = np.int64(1_000_000) >> age
+        return pa.table({"user_id": t["user_id"],
+                         "w": pa.array(w, pa.int64())})
+
+    return (ev.map_batches(decay, batch_format="pyarrow")
+            .groupby("user_id")
+            .aggregate(Count(alias_name="n_events"),
+                       Sum("w", alias_name="decayed_micro")))
+
+
+SQL_DECAYED_COUNTS = """
+WITH mx AS (SELECT MAX(epoch_us(ts)) // 86400000000 AS ref_day FROM events),
+w AS (
+  SELECT user_id,
+         1000000 // (1::BIGINT << LEAST(
+             (SELECT ref_day FROM mx) - epoch_us(ts) // 86400000000, 62))
+           AS w
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(w) AS BIGINT) AS decayed_micro
+FROM w GROUP BY user_id
+"""
+
+
 def q_rolling_active(sf_dir: str):
     """Exact 7-day rolling distinct users per active day (the WAU curve)
     via coverage algebra (functions/stream.py:rolling_active_counts):
@@ -8132,6 +8175,7 @@ def build_queries():
         "overlap_duration": q_overlap_duration,
         "event_paths": q_event_paths,
         "rolling_active": q_rolling_active,
+        "decayed_counts": q_decayed_counts,
         "user_top_event": q_user_top_event,
         "daily_deltas": q_daily_deltas,
         "user_distinct_types": q_user_distinct_types,
@@ -8327,6 +8371,7 @@ def build_queries():
         "overlap_duration": SQL_OVERLAP_DURATION,
         "event_paths": SQL_EVENT_PATHS,
         "rolling_active": SQL_ROLLING_ACTIVE,
+        "decayed_counts": SQL_DECAYED_COUNTS,
         "user_top_event": SQL_USER_TOP_EVENT,
         "daily_deltas": SQL_DAILY_DELTAS,
         "user_distinct_types": SQL_USER_DISTINCT_TYPES,
