@@ -21,7 +21,8 @@ import pyarrow.compute as pc
 
 def grouped_quantiles(ds, *, key_col: str, val_col: str,
                       qs: tuple[float, ...] = (0.25, 0.5, 0.9),
-                      num_buckets: int = 256, pre_aggregate: bool = False):
+                      num_buckets: int = 256, pre_aggregate: bool = False,
+                      weight_col: str | None = None):
     """Exact per-key quantiles of an int64 value column.
 
     Returns Dataset[key_col, n, q<pct> per q] — one row per distinct key,
@@ -40,6 +41,13 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str,
     from O(rows) to O(distinct (key, value) pairs per batch).  The right
     mode when the value domain repeats (scores, bucketed sizes, milli
     units); pointless for unique-per-row values.
+
+    ``weight_col`` (int64, strictly positive) computes WEIGHTED quantiles:
+    q's value is the smallest v whose cumulative weight over values <= v
+    reaches ceil(q * W) within the key (W = the key's total weight; the
+    ``n`` output column reports W).  Same bucket/lexsort plan — weights
+    ride the shuffle as the ``cnt`` lane, and ``pre_aggregate`` sums them
+    per (key, value) partial instead of counting.
     """
     if not qs:
         raise ValueError("qs must be non-empty")
@@ -55,14 +63,22 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str,
     def prep(t: pa.Table) -> pa.Table:
         from ..util import knuth_bucket
 
-        t = pa.table(
-            {key_col: t[key_col], "val": pc.cast(t[val_col], pa.int64())}
-        )
+        cols = {key_col: t[key_col], "val": pc.cast(t[val_col], pa.int64())}
+        if weight_col is not None:
+            w = pc.cast(t[weight_col], pa.int64())
+            if t.num_rows and pc.min(w).as_py() <= 0:
+                raise ValueError("weight_col must be strictly positive")
+            cols["cnt"] = w
+        t = pa.table(cols)
         if pre_aggregate:
-            t = t.group_by([key_col, "val"]).aggregate([([], "count_all")])
-            # select by NAME (key/aggregate column order is a pyarrow
-            # implementation detail) before the positional rename
-            t = t.select([key_col, "val", "count_all"])
+            if weight_col is not None:
+                t = t.group_by([key_col, "val"]).aggregate([("cnt", "sum")])
+                t = t.select([key_col, "val", "cnt_sum"])
+            else:
+                t = t.group_by([key_col, "val"]).aggregate([([], "count_all")])
+                # select by NAME (key/aggregate column order is a pyarrow
+                # implementation detail) before the positional rename
+                t = t.select([key_col, "val", "count_all"])
             t = t.rename_columns([key_col, "val", "cnt"])
         key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
         part = knuth_bucket(key, num_buckets)
@@ -80,7 +96,8 @@ def grouped_quantiles(ds, *, key_col: str, val_col: str,
         key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
         val = np.asarray(t["val"].combine_chunks(), dtype=np.int64)
         cnt = (np.asarray(t["cnt"].combine_chunks(), dtype=np.int64)
-               if pre_aggregate else np.ones(key.size, np.int64))
+               if (pre_aggregate or weight_col is not None)
+               else np.ones(key.size, np.int64))
         order = np.lexsort((val, key))
         key, val, cnt = key[order], val[order], cnt[order]
         starts = np.flatnonzero(

@@ -7953,6 +7953,58 @@ FROM p GROUP BY user_id
 """
 
 
+def q_user_weighted_quantiles(sf_dir: str):
+    """Exact per-user WEIGHTED quantiles (functions/stats.py:
+    grouped_quantiles with weight_col): each event carries an integer
+    weight 1 + event_id % 9 (duration/importance semantics); q's value is
+    the smallest v whose cumulative weight reaches ceil(q * W).  Same
+    bucketed-lexsort plan as the unweighted row — the SQL twin is a
+    RANGE-frame cumulative-weight window."""
+    import ray.data
+
+    from ..functions.stats import grouped_quantiles
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        eid = np.asarray(t["event_id"].combine_chunks(), dtype=np.int64)
+        return pa.table(
+            {"user_id": t["user_id"],
+             "value_milli": pc.cast(
+                 pc.floor(pc.multiply(t["value"], 1000.0)), pa.int64()),
+             "wt": pa.array(1 + eid % 9, pa.int64())})
+
+    ev = ev.map_batches(prep, batch_format="pyarrow")
+    return grouped_quantiles(
+        ev, key_col="user_id", val_col="value_milli", qs=(0.25, 0.5, 0.9),
+        weight_col="wt", pre_aggregate=True)
+
+
+SQL_USER_WEIGHTED_QUANTILES = """
+WITH e AS (
+  SELECT user_id, CAST(FLOOR(value * 1000.0) AS BIGINT) AS v,
+         1 + event_id % 9 AS wt
+  FROM events),
+c AS (
+  SELECT user_id, v, wt,
+         SUM(wt) OVER (PARTITION BY user_id ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(wt) OVER (PARTITION BY user_id) AS tw
+  FROM e)
+SELECT user_id, CAST(MAX(tw) AS BIGINT) AS n,
+       CAST(MIN(CASE WHEN cw >= GREATEST(CEIL(0.25 * tw), 1) THEN v END)
+            AS BIGINT) AS q25,
+       CAST(MIN(CASE WHEN cw >= GREATEST(CEIL(0.5 * tw), 1) THEN v END)
+            AS BIGINT) AS q50,
+       CAST(MIN(CASE WHEN cw >= GREATEST(CEIL(0.9 * tw), 1) THEN v END)
+            AS BIGINT) AS q90
+FROM c GROUP BY user_id
+"""
+
+
 def q_user_quantiles(sf_dir: str):
     """Exact per-user value quantiles (p25/p50/p90) over the events log —
     bucketed merge: one lexsort per shuffle bucket, zero Python per key;
@@ -8217,6 +8269,7 @@ def build_queries():
         "pack_sequences_fold": q_pack_sequences_fold,
         "user_regression": q_user_regression,
         "user_quantiles": q_user_quantiles,
+        "user_weighted_quantiles": q_user_weighted_quantiles,
         "user_quantiles_preagg": q_user_quantiles_preagg,
     }
     oracle = {
@@ -8413,6 +8466,7 @@ def build_queries():
         "pack_sequences_fold": SQL_PACK_SEQUENCES_FOLD,
         "user_regression": SQL_USER_REGRESSION,
         "user_quantiles": SQL_USER_QUANTILES,
+        "user_weighted_quantiles": SQL_USER_WEIGHTED_QUANTILES,
         "user_quantiles_preagg": SQL_USER_QUANTILES,
         # ann_ivf / embedding_dups: genuinely approximate (nprobe<n_lists,
         # LSH recall<1) -> rows-only driver check + pytest planted-truth

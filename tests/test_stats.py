@@ -341,3 +341,47 @@ def test_profile_columns_exact(ray_session):
     assert (s.n_rows, s.n_null, s.n_distinct, s.min_s, s.max_s) == (6, 1, 4, "", "z")
     nn = out.loc["allnull"]
     assert (nn.n_rows, nn.n_null, nn.n_distinct) == (6, 6, 0)
+
+
+@pytest.mark.parametrize("preagg", [False, True])
+def test_grouped_weighted_quantiles_vs_brute(ray_session, preagg):
+    import ray.data
+
+    from rayjoin.functions.stats import grouped_quantiles
+
+    rng = np.random.default_rng(41)
+    n = 2000
+    key = rng.integers(0, 30, n).astype(np.int64)
+    val = rng.integers(-50, 50, n).astype(np.int64)
+    wt = rng.integers(1, 10, n).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(key), "v": pa.array(val), "w": pa.array(wt)})
+    ).repartition(4)
+    out = (grouped_quantiles(ds, key_col="k", val_col="v", qs=(0.25, 0.5, 0.9),
+                             weight_col="w", pre_aggregate=preagg)
+           .to_pandas().set_index("k").sort_index())
+
+    import math
+    for k in np.unique(key):
+        m = key == k
+        order = np.argsort(val[m], kind="stable")
+        v, w = val[m][order], wt[m][order]
+        cw = np.cumsum(w)
+        W = int(cw[-1])
+        assert out.loc[k, "n"] == W
+        for q, lab in ((0.25, "q25"), (0.5, "q50"), (0.9, "q90")):
+            rank = min(max(math.ceil(q * W), 1), W)
+            assert out.loc[k, lab] == v[np.searchsorted(cw, rank)], (k, lab)
+
+
+def test_grouped_weighted_quantiles_rejects_nonpositive(ray_session):
+    import ray.data
+
+    from rayjoin.functions.stats import grouped_quantiles
+
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array([1, 1], pa.int64()), "v": pa.array([1, 2], pa.int64()),
+        "w": pa.array([1, 0], pa.int64())}))
+    with pytest.raises(Exception, match="strictly positive"):
+        grouped_quantiles(ds, key_col="k", val_col="v",
+                          weight_col="w").materialize()
