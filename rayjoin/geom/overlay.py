@@ -385,3 +385,34 @@ def lb_clip_micro(sx, sy, ex, ey, rx0, ry0, rx1, ry1, *,
     t1 = np.minimum.reduce([np.ones_like(dx), tx_hi, ty_hi])
     seglen = np.sqrt(dx * dx + dy * dy)
     return np.where(t1 > t0, np.floor(scale * ((t1 - t0) * seglen)), 0.0)
+
+
+def line_cross_points_batch(t: pa.Table, *, keep_cols=("big_row_id", "small_row_id")) -> pa.Table:
+    """Intersection POINT coordinates for PROPER segment crossings in a
+    *_with_geos LINE x LINE join batch: pairs whose endpoints STRICTLY
+    straddle each other's supporting line (endpoint touches and collinear
+    overlaps are excluded — they have no unique crossing point).  With the
+    classical orientation cross-products d1..d4, the crossing parameter
+    along the big segment is t = d1/(d1-d2) and the point is
+    p1 + t*(p2-p1) — the exact expression graph the SQL twin spells, so
+    for integer-valued coordinates the emitted doubles hash-match."""
+    bflat, boff = _ring0(t["big_coords"])
+    sflat, soff = _ring0(t["small_coords"])
+    b = boff[:-1]
+    s = soff[:-1]
+    ax1, ay1, ax2, ay2 = bflat[b], bflat[b + 1], bflat[b + 2], bflat[b + 3]
+    bx1, by1, bx2, by2 = sflat[s], sflat[s + 1], sflat[s + 2], sflat[s + 3]
+    d1 = (bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)
+    d2 = (bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)
+    d3 = (ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)
+    d4 = (ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)
+    proper = (((d1 > 0) != (d2 > 0)) & (d1 != 0) & (d2 != 0)
+              & ((d3 > 0) != (d4 > 0)) & (d3 != 0) & (d4 != 0))
+    idx = np.flatnonzero(proper)
+    tt = d1[idx] / (d1[idx] - d2[idx])
+    px = ax1[idx] + tt * (ax2[idx] - ax1[idx])
+    py = ay1[idx] + tt * (ay2[idx] - ay1[idx])
+    out = {c: t[c].take(pa.array(idx)) for c in keep_cols}
+    out["ix"] = pa.array(px, pa.float64())
+    out["iy"] = pa.array(py, pa.float64())
+    return pa.table(out)

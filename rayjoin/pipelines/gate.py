@@ -5162,6 +5162,58 @@ WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
 """
 
 
+def q_segment_intersections(sf_dir: str):
+    """Intersection POINT coordinates for proper segment crossings (the
+    road-network 'compute the junctions' op): the same part x supplier
+    segment layers as segments_cross through the R-tree Intersects join
+    carrying geometries, then geom/overlay.py:line_cross_points_batch —
+    endpoint touches / collinear overlaps excluded (no unique point).
+    Coordinates are integer-valued, the d1..d4 cross products exact, and
+    t = d1/(d1-d2) -> p1 + t*(p2-p1) is the identical IEEE graph in the
+    SQL twin, so the emitted doubles hash-match bit-for-bit."""
+    from ..geom.encode import lines_geom
+    from ..geom.overlay import line_cross_points_batch
+    from ..join.broadcast import SpatialIndex
+
+    def seg_arrays(k, m1, m2):
+        sx = (k * m1) % 4000
+        sy = (k * m2) % 4000
+        ex = sx + (k * 31) % 1201 - 600
+        ey = sy + (k * 37) % 1201 - 600
+        return (sx.astype(np.float64), sy.astype(np.float64),
+                ex.astype(np.float64), ey.astype(np.float64))
+
+    ka = _read_keys(sf_dir, "part", "p_partkey")
+    kb = _read_keys(sf_dir, "supplier", "s_suppkey")
+    big = _from_arrow(lines_geom(ka, *seg_arrays(ka, 7919, 104729)))
+    small = lines_geom(kb, *seg_arrays(kb, 7907, 104717))
+    ds = SpatialIndex(small).spatial_join_with_geos(big, Interaction.INTERSECTS)
+    return ds.map_batches(line_cross_points_batch, batch_format="pyarrow")
+
+
+SQL_SEGMENT_INTERSECTIONS = f"""
+WITH a AS ({_seg_sql('part', 'p_partkey', 7919, 104729)}),
+b AS ({_seg_sql('supplier', 's_suppkey', 7907, 104717)}),
+d AS (SELECT a.row_id AS big_row_id, b.row_id AS small_row_id,
+             a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+             (b.x2-b.x1)*(a.y1-b.y1) - (b.y2-b.y1)*(a.x1-b.x1) AS d1,
+             (b.x2-b.x1)*(a.y2-b.y1) - (b.y2-b.y1)*(a.x2-b.x1) AS d2,
+             (a.x2-a.x1)*(b.y1-a.y1) - (a.y2-a.y1)*(b.x1-a.x1) AS d3,
+             (a.x2-a.x1)*(b.y2-a.y1) - (a.y2-a.y1)*(b.x2-a.x1) AS d4
+      FROM a, b)
+SELECT big_row_id, small_row_id,
+       CAST(ax1 AS DOUBLE)
+         + (CAST(d1 AS DOUBLE) / CAST(d1 - d2 AS DOUBLE))
+           * CAST(ax2 - ax1 AS DOUBLE) AS ix,
+       CAST(ay1 AS DOUBLE)
+         + (CAST(d1 AS DOUBLE) / CAST(d1 - d2 AS DOUBLE))
+           * CAST(ay2 - ay1 AS DOUBLE) AS iy
+FROM d
+WHERE ((d1 > 0) <> (d2 > 0)) AND d1 <> 0 AND d2 <> 0
+  AND ((d3 > 0) <> (d4 > 0)) AND d3 <> 0 AND d4 <> 0
+"""
+
+
 def q_union_area(sf_dir: str):
     """Dissolve-by-attribute: EXACT union area (overlaps counted once) of
     integer rects per group via the strip-parallel coordinate-compression
@@ -8213,6 +8265,7 @@ def build_queries():
         "zonal_stats": q_zonal_stats,
         "union_area": q_union_area,
         "segments_cross": q_segments_cross,
+        "segment_intersections": q_segment_intersections,
         "hot_blobs": q_hot_blobs,
         "rollup_events": q_rollup_events,
         "prefix_match": q_prefix_match,
@@ -8410,6 +8463,7 @@ def build_queries():
         "zonal_stats": sql_zonal_stats().format(tri=tri),
         "union_area": SQL_UNION_AREA,
         "segments_cross": SQL_SEGMENTS_CROSS,
+        "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
         "hot_blobs": sql_hot_blobs(),
         "rollup_events": SQL_ROLLUP_EVENTS,
         "prefix_match": SQL_PREFIX_MATCH,

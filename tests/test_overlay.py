@@ -332,3 +332,46 @@ def test_line_density_vs_scalar(ray_session):
                     key = iy * n + ix
                     exp[key] = exp.get(key, 0) + m
     assert got == exp
+
+
+def test_line_cross_points_vs_scalar():
+    """Proper-crossing points == scalar parametric solve; touches and
+    collinear overlaps excluded."""
+    from rayjoin.geom.encode import lines_geom
+    from rayjoin.geom.overlay import line_cross_points_batch
+
+    rng = np.random.default_rng(43)
+    n = 500
+    A = rng.integers(-50, 50, (n, 4)).astype(np.float64)
+    B = rng.integers(-50, 50, (n, 4)).astype(np.float64)
+    # pinned rows: touch at endpoint (excluded), collinear overlap
+    # (excluded), clean crossing (included)
+    A[0] = (0, 0, 2, 0); B[0] = (2, 0, 4, 5)      # endpoint touch
+    A[1] = (0, 0, 4, 0); B[1] = (1, 0, 3, 0)      # collinear overlap
+    A[2] = (0, -2, 0, 2); B[2] = (-1, 0, 1, 0)    # crossing at origin
+    bt = lines_geom(np.arange(n), A[:, 0], A[:, 1], A[:, 2], A[:, 3])
+    st = lines_geom(np.arange(n), B[:, 0], B[:, 1], B[:, 2], B[:, 3])
+    tbl = pa.table({
+        "big_row_id": pa.array(np.arange(n), pa.int64()),
+        "small_row_id": pa.array(np.arange(n), pa.int64()),
+        "big_geom_type": bt["geom_type"], "big_coords": bt["coords"],
+        "small_geom_type": st["geom_type"], "small_coords": st["coords"],
+    })
+    out = line_cross_points_batch(tbl)
+    got = {int(r["big_row_id"]): (r["ix"], r["iy"])
+           for r in out.to_pylist()}
+    assert 0 not in got and 1 not in got
+    assert got[2] == (0.0, 0.0)
+    for i in range(n):
+        ax1, ay1, ax2, ay2 = A[i]
+        bx1, by1, bx2, by2 = B[i]
+        d1 = (bx2-bx1)*(ay1-by1) - (by2-by1)*(ax1-bx1)
+        d2 = (bx2-bx1)*(ay2-by1) - (by2-by1)*(ax2-bx1)
+        d3 = (ax2-ax1)*(by1-ay1) - (ay2-ay1)*(bx1-ax1)
+        d4 = (ax2-ax1)*(by2-ay1) - (ay2-ay1)*(bx2-ax1)
+        proper = (((d1 > 0) != (d2 > 0)) and d1 != 0 and d2 != 0
+                  and ((d3 > 0) != (d4 > 0)) and d3 != 0 and d4 != 0)
+        assert (i in got) == proper
+        if proper:
+            t = d1 / (d1 - d2)
+            assert got[i] == (ax1 + t * (ax2 - ax1), ay1 + t * (ay2 - ay1))
