@@ -2629,6 +2629,42 @@ def sql_tile_assign() -> str:
     )
 
 
+def q_zonal_majority(sf_dir: str):
+    """Zonal MAJORITY (the land-use/dominant-category raster op): events
+    geocoded from event_id, binned to resolution-6 quadtree tiles, then the
+    per-tile modal event_type (functions/stats.py:grouped_mode — counts
+    pre-aggregated per batch, ties to the lexicographically smallest
+    category, so the ROW_NUMBER SQL twin hash-matches)."""
+    import ray.data
+
+    from ..functions.stats import grouped_mode
+    from ..stages.geocode import geocode_from_key
+    from ..stages.tiles import tile_assign
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "event_type"])
+    ds = ev.map_batches(lambda t: geocode_from_key(t, key_col="event_id"),
+                        batch_format="pyarrow")
+    ds = tile_assign(ds, resolution=6, with_hilbert=False)
+    return grouped_mode(ds.select_columns(["tile_id", "event_type"]),
+                        key_col="tile_id", cat_col="event_type")
+
+
+def sql_zonal_majority() -> str:
+    lon, lat = _latlon_sql("event_id")
+    return f"""
+WITH g AS (
+  SELECT {_tile_sql('(' + lon + ')', '(' + lat + ')', 6)} AS tile_id,
+         event_type
+  FROM events),
+c AS (SELECT tile_id, event_type, COUNT(*) AS n FROM g GROUP BY 1, 2),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY tile_id
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM c)
+SELECT tile_id, event_type AS top, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1
+"""
+
+
 def q_hex_assign(sf_dir: str):
     """Hex-grid binning (stages/hexgrid.py): axial cube-rounding with
     floor(v+0.5) rounding so every branch — including the dx/dy/dz
@@ -8170,6 +8206,7 @@ def build_queries():
         "pip_triangle": q_pip_triangle,
         "pip_holed": q_pip_holed,
         "tile_assign": q_tile_assign,
+        "zonal_majority": q_zonal_majority,
         "s2_assign": q_s2_assign,
         "hex_assign": q_hex_assign,
         "hex_kring_sum": q_hex_kring_sum,
@@ -8369,6 +8406,7 @@ def build_queries():
         "pip_triangle": SQL_PIP_TRI.format(pts=pts_ev, tri=tri),
         "pip_holed": SQL_PIP_HOLED.format(pts=pts_cust, rects=rsup),
         "tile_assign": sql_tile_assign(),
+        "zonal_majority": sql_zonal_majority(),
         "s2_assign": sql_s2_assign(),
         "hex_assign": sql_hex_assign(),
         "hex_kring_sum": sql_hex_kring_sum(),
