@@ -3354,6 +3354,70 @@ def q_ngram_jaccard(sf_dir: str):
     return j.map_batches(jac, batch_format="pyarrow")
 
 
+def q_containment_pairs(sf_dir: str):
+    """ASYMMETRIC set-overlap of consecutive doc pairs: containment in each
+    direction (|A∩B|/|A|, /|B|) plus the overlap coefficient
+    (|A∩B|/min) — the quote/subsumption detector that Jaccard hides (a
+    short doc fully quoted inside a long one has low Jaccard but
+    containment 1.0).  Same hashed-token-set machinery and hash join as
+    ngram_jaccard; all three scores integer milli (exact division)."""
+    import ray.data
+
+    from ..functions.dedup import _num_join_partitions
+    from ..functions.text import jaccard_hash_lists, token_hash_sets
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def prep(t: pa.Table) -> pa.Table:
+        lists, counts = token_hash_sets(t)
+        return pa.table({"doc_id": t["doc_id"], "toks": lists,
+                         "nset": pa.array(counts, pa.int64())})
+
+    sets = docs.map_batches(prep, batch_format="pyarrow")
+    right = sets.map_batches(
+        lambda t: pa.table({"pair_key": pc.add(t["doc_id"], -1),
+                            "toks_b": t["toks"], "nb": t["nset"]}),
+        batch_format="pyarrow")
+    left = sets.map_batches(
+        lambda t: t.rename_columns(["pair_key", "toks", "na"]),
+        batch_format="pyarrow")
+    j = left.join(right, "inner", _num_join_partitions(), on=("pair_key",))
+
+    def cont(t: pa.Table) -> pa.Table:
+        inter, _ = jaccard_hash_lists(t["toks"], t["toks_b"])
+        doc_a = np.asarray(t["pair_key"].combine_chunks(), dtype=np.int64)
+        na = np.asarray(t["na"].combine_chunks(), dtype=np.int64)
+        nb = np.asarray(t["nb"].combine_chunks(), dtype=np.int64)
+        return pa.table({
+            "doc_a": pa.array(doc_a, pa.int64()),
+            "doc_b": pa.array(doc_a + 1, pa.int64()),
+            "inter": pa.array(inter, pa.int64()),
+            "cont_ab_milli": pa.array(1000 * inter // np.maximum(na, 1), pa.int64()),
+            "cont_ba_milli": pa.array(1000 * inter // np.maximum(nb, 1), pa.int64()),
+            "overlap_milli": pa.array(
+                1000 * inter // np.maximum(np.minimum(na, nb), 1), pa.int64()),
+        })
+
+    return j.map_batches(cont, batch_format="pyarrow")
+
+
+SQL_CONTAINMENT_PAIRS = """
+WITH s AS (
+  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(array_length(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+       CAST(1000 * array_length(list_intersect(a.toks, b.toks))
+            // GREATEST(array_length(a.toks), 1) AS BIGINT) AS cont_ab_milli,
+       CAST(1000 * array_length(list_intersect(a.toks, b.toks))
+            // GREATEST(array_length(b.toks), 1) AS BIGINT) AS cont_ba_milli,
+       CAST(1000 * array_length(list_intersect(a.toks, b.toks))
+            // GREATEST(LEAST(array_length(a.toks), array_length(b.toks)), 1)
+            AS BIGINT) AS overlap_milli
+FROM s a JOIN s b ON b.doc_id = a.doc_id + 1
+"""
+
+
 SQL_NGRAM_JACCARD = """
 WITH s AS (
   SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
@@ -8257,6 +8321,7 @@ def build_queries():
         "lang_id": q_lang_id,
         "token_regex": q_token_regex,
         "ngram_jaccard": q_ngram_jaccard,
+        "containment_pairs": q_containment_pairs,
         "novelty_score": q_novelty_score,
         "minhash_dedup": q_minhash_dedup,
         "dup_source_matrix": q_dup_source_matrix,
@@ -8457,6 +8522,7 @@ def build_queries():
         "lang_id": sql_lang_id(),
         "token_regex": sql_token_regex(),
         "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "containment_pairs": SQL_CONTAINMENT_PAIRS,
         "novelty_score": sql_novelty_score(),
         "minhash_dedup": SQL_MINHASH_PAIRS,
         "dup_source_matrix": sql_dup_source_matrix(),
