@@ -513,3 +513,70 @@ def union_area_rects(ds, *, grp_col: str = "grp", x0_col: str = "x0",
             .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
             .groupby(grp_col)
             .aggregate(Sum("part_area", alias_name="area")))
+
+
+def group_diameter(ds, *, key_col: str, id_col: str, x_col: str = "x",
+                   y_col: str = "y", pair_chunk: int = 4_000_000):
+    """Per-group DIAMETER: the farthest point pair within each key (the
+    dispersion / spatial-extent statistic).  Returns Dataset[key, id_a,
+    id_b, diameter] with the deterministic argmax tie-break
+    (distance DESC, id_a, id_b) — so the ROW_NUMBER SQL twin hash-matches
+    on identical sqrt doubles.
+
+    One groupby(key) shuffle; each group's O(g^2) pair scan runs
+    vectorized in ``pair_chunk``-bounded row blocks (a 10^4-point group
+    costs 5*10^7 distance evaluations, never 5*10^7 Python steps; the
+    quadratic cost per group is inherent to the exact statistic and is the
+    documented partitioning assumption — keys are city/region-sized, not
+    corpus-sized)."""
+    empty = pa.table({key_col: pa.array([], pa.int64()),
+                      "id_a": pa.array([], pa.int64()),
+                      "id_b": pa.array([], pa.int64()),
+                      "diameter": pa.array([], pa.float64())})
+
+    def per_group(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        key = np.asarray(t[key_col].combine_chunks(), dtype=np.int64)
+        ids = np.asarray(t[id_col].combine_chunks(), dtype=np.int64)
+        x = np.asarray(t[x_col].combine_chunks(), dtype=np.float64)
+        y = np.asarray(t[y_col].combine_chunks(), dtype=np.float64)
+        order = np.lexsort((ids, key))
+        key, ids, x, y = key[order], ids[order], x[order], y[order]
+        starts = np.flatnonzero(np.concatenate([[True], key[1:] != key[:-1]]))
+        ends = np.concatenate([starts[1:], [key.size]])
+        out_k, out_a, out_b, out_d = [], [], [], []
+        for st, en in zip(starts, ends):
+            g = en - st
+            if g < 2:
+                continue
+            gx, gy, gi = x[st:en], y[st:en], ids[st:en]
+            best = None  # (-d, id_a, id_b)
+            rows_per_chunk = max(1, pair_chunk // g)
+            for c0 in range(0, g - 1, rows_per_chunk):
+                c1 = min(c0 + rows_per_chunk, g - 1)
+                dx = gx[c0:c1, None] - gx[None, :]
+                dy = gy[c0:c1, None] - gy[None, :]
+                d = np.sqrt(dx * dx + dy * dy)
+                # mask to strict upper triangle (i < j)
+                ii = np.arange(c0, c1)[:, None]
+                jj = np.arange(g)[None, :]
+                d[jj <= ii] = -1.0
+                flat = np.argmax(d)
+                r, cc = np.unravel_index(flat, d.shape)
+                # within-chunk ties: argmax returns the FIRST max in row-major
+                # order == smallest (i, j) == smallest (id_a, id_b) since ids
+                # ascend within the sorted group
+                cand = (-d[r, cc], gi[c0 + r], gi[cc])
+                if best is None or cand < best:
+                    best = cand
+            out_k.append(key[st]); out_a.append(best[1])
+            out_b.append(best[2]); out_d.append(-best[0])
+        if not out_k:
+            return empty
+        return pa.table({key_col: pa.array(out_k, pa.int64()),
+                         "id_a": pa.array(out_a, pa.int64()),
+                         "id_b": pa.array(out_b, pa.int64()),
+                         "diameter": pa.array(out_d, pa.float64())})
+
+    return ds.groupby(key_col).map_groups(per_group, batch_format="pyarrow")

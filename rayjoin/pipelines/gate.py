@@ -5262,6 +5262,49 @@ WHERE (((d1 > 0 AND d2 < 0) OR (d1 < 0 AND d2 > 0))
 """
 
 
+def q_group_diameter(sf_dir: str):
+    """Per-nation spatial EXTENT: the farthest customer pair (diameter)
+    within each nation (functions/spatial_stats.py:group_diameter) — one
+    groupby(nation) shuffle, chunked vectorized O(g^2) pair scan per
+    group, deterministic (distance DESC, id_a, id_b) argmax, so the
+    ROW_NUMBER SQL twin hash-matches on identical sqrt doubles."""
+    import ray.data
+
+    from ..functions.spatial_stats import group_diameter
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    lon, lat = _latlon_np(k)
+    import pyarrow.parquet as pq
+
+    nat = np.asarray(pq.read_table(f"{sf_dir}/customer.parquet",
+                                   columns=["c_custkey", "c_nationkey"])
+                     .sort_by("c_custkey")["c_nationkey"], dtype=np.int64)
+    ks = np.sort(k)
+    pts = ray.data.from_arrow(pa.table({
+        "nation": pa.array(nat, pa.int64()),
+        "cust": pa.array(ks, pa.int64()),
+        "x": pa.array(_latlon_np(ks)[0], pa.float64()),
+        "y": pa.array(_latlon_np(ks)[1], pa.float64()),
+    })).repartition(4)
+    return group_diameter(pts, key_col="nation", id_col="cust")
+
+
+SQL_GROUP_DIAMETER = """
+WITH p AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, pts.row_id AS cust,
+         pts.x AS x, pts.y AS y
+  FROM ({pts}) pts JOIN customer ON CAST(c_custkey AS BIGINT) = pts.row_id),
+d AS (
+  SELECT a.nation, a.cust AS id_a, b.cust AS id_b,
+         sqrt((a.x - b.x)*(a.x - b.x) + (a.y - b.y)*(a.y - b.y)) AS dist
+  FROM p a JOIN p b ON b.nation = a.nation AND a.cust < b.cust),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY nation
+                                   ORDER BY dist DESC, id_a, id_b) AS rn
+      FROM d)
+SELECT nation, id_a, id_b, dist AS diameter FROM r WHERE rn = 1
+"""
+
+
 def q_segment_intersections(sf_dir: str):
     """Intersection POINT coordinates for proper segment crossings (the
     road-network 'compute the junctions' op): the same part x supplier
@@ -8368,6 +8411,7 @@ def build_queries():
         "union_area": q_union_area,
         "segments_cross": q_segments_cross,
         "segment_intersections": q_segment_intersections,
+        "group_diameter": q_group_diameter,
         "hot_blobs": q_hot_blobs,
         "rollup_events": q_rollup_events,
         "prefix_match": q_prefix_match,
@@ -8568,6 +8612,7 @@ def build_queries():
         "union_area": SQL_UNION_AREA,
         "segments_cross": SQL_SEGMENTS_CROSS,
         "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
+        "group_diameter": SQL_GROUP_DIAMETER.format(pts=pts_cust),
         "hot_blobs": sql_hot_blobs(),
         "rollup_events": SQL_ROLLUP_EVENTS,
         "prefix_match": SQL_PREFIX_MATCH,

@@ -174,3 +174,44 @@ def test_union_area_rects_vs_grid_bruteforce(ray_session):
                         "y0": pa.array([0], pa.int64()),
                         "y1": pa.array([1], pa.int64())})
         union_area_rects(ray.data.from_arrow(bad), strip_w=8).materialize()
+
+
+def test_group_diameter_vs_brute(ray_session):
+    import ray.data
+
+    from rayjoin.functions.spatial_stats import group_diameter
+
+    rng = np.random.default_rng(53)
+    n = 400
+    key = rng.integers(0, 8, n).astype(np.int64)
+    ids = rng.permutation(n).astype(np.int64)
+    x = rng.uniform(-100, 100, n)
+    y = rng.uniform(-100, 100, n)
+    # force an exact-tie group: a unit square (two equal diagonals) — the
+    # tie must break to the smallest (id_a, id_b)
+    key[:4] = 99
+    ids[:4] = [10, 11, 12, 13]
+    x[:4] = [0.0, 1.0, 0.0, 1.0]
+    y[:4] = [0.0, 0.0, 1.0, 1.0]
+    ds = ray.data.from_arrow(pa.table({
+        "k": pa.array(key), "i": pa.array(ids),
+        "x": pa.array(x), "y": pa.array(y)})).repartition(4)
+    out = (group_diameter(ds, key_col="k", id_col="i", pair_chunk=777)
+           .to_pandas().set_index("k").sort_index())
+    import math
+    for kk in np.unique(key):
+        m = key == kk
+        best = None
+        gi, gx, gy = ids[m], x[m], y[m]
+        o = np.argsort(gi)
+        gi, gx, gy = gi[o], gx[o], gy[o]
+        for a in range(gi.size):
+            for b in range(a + 1, gi.size):
+                d = math.sqrt((gx[a]-gx[b])**2 + (gy[a]-gy[b])**2)
+                cand = (-d, gi[a], gi[b])
+                if best is None or cand < best:
+                    best = cand
+        row = out.loc[kk]
+        assert (row.id_a, row.id_b, row.diameter) == (best[1], best[2], -best[0])
+    trow = out.loc[99]
+    assert (trow.id_a, trow.id_b) == (10, 13)  # tie -> smallest pair
