@@ -358,7 +358,8 @@ def dwell_episodes(ds, *, key_col: str = "user_id", ts_col: str = "ts",
 def copresence_pairs(ds, *, key_col: str = "user_id", cx_col: str = "cx",
                      cy_col: str = "cy", window_col: str = "w",
                      min_shared: int = 1, num_buckets: int = 256,
-                     max_cell_keys: int | None = 100_000):
+                     max_cell_keys: int | None = 100_000,
+                     out_cols: tuple = ("user_a", "user_b", "n_shared")):
     """Spatio-temporal co-occurrence join: pairs of keys observed in the
     same (cell, time-window) at least ``min_shared`` DISTINCT windows-cells.
 
@@ -458,9 +459,22 @@ def copresence_pairs(ds, *, key_col: str = "user_id", cx_col: str = "cx",
            .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
            .groupby(["user_a", "user_b"]).aggregate(Sum("n", alias_name="n_shared")))
     thr = int(min_shared)
-    return agg.map_batches(
-        lambda t: t.filter(pc.greater_equal(t["n_shared"], thr)),
-        batch_format="pyarrow")
+    ca, cb, cn = out_cols
+
+    def finish(t: pa.Table) -> pa.Table:
+        # rebuild (rather than rename) so an all-empty aggregate — whose
+        # blocks can arrive schemaless at tiny scale — still emits the
+        # declared output schema
+        if t.num_rows == 0 or "user_a" not in t.column_names:
+            return pa.table({ca: pa.array([], pa.int64()),
+                             cb: pa.array([], pa.int64()),
+                             cn: pa.array([], pa.int64())})
+        t = t.filter(pc.greater_equal(t["n_shared"], thr))
+        return pa.table({ca: t["user_a"].cast(pa.int64()),
+                         cb: t["user_b"].cast(pa.int64()),
+                         cn: t["n_shared"].cast(pa.int64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def hausdorff_pairs(ds, *, nv: int, id_col: str = "track_id",

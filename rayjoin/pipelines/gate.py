@@ -2665,6 +2665,49 @@ SELECT tile_id, event_type AS top, CAST(n AS BIGINT) AS n FROM r WHERE rn = 1
 """
 
 
+def q_covisit_tiles(sf_dir: str):
+    """Bipartite co-visitation projection (the 'related places' / item-item
+    collaborative primitive): pairs of resolution-6 tiles visited by >= 2
+    common users.  Reuses the copresence machinery with the roles SWAPPED —
+    key = tile, cell = user — demonstrating that the space-time
+    co-occurrence plan is a generic bipartite projection (per-key distinct,
+    one bucket shuffle, per-cell i<j expansion, pair-count groupby)."""
+    import ray.data
+
+    from ..functions.trajectory import copresence_pairs
+    from ..stages.geocode import geocode_from_key
+    from ..stages.tiles import tile_assign
+
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_id", "user_id"])
+    ds = ev.map_batches(lambda t: geocode_from_key(t, key_col="event_id"),
+                        batch_format="pyarrow")
+    ds = tile_assign(ds, resolution=6, with_hilbert=False)
+
+    def proj(t: pa.Table) -> pa.Table:
+        z = pa.array(np.zeros(t.num_rows, np.int64), pa.int64())
+        return pa.table({"tile_id": t["tile_id"], "u": t["user_id"],
+                         "zy": z, "zw": z})
+
+    return copresence_pairs(
+        ds.map_batches(proj, batch_format="pyarrow"),
+        key_col="tile_id", cx_col="u", cy_col="zy", window_col="zw",
+        min_shared=2, out_cols=("tile_a", "tile_b", "n_shared"))
+
+
+def sql_covisit_tiles() -> str:
+    lon, lat = _latlon_sql("event_id")
+    return f"""
+WITH g AS (
+  SELECT DISTINCT {_tile_sql('(' + lon + ')', '(' + lat + ')', 6)} AS tile,
+         user_id
+  FROM events)
+SELECT a.tile AS tile_a, b.tile AS tile_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+FROM g a JOIN g b ON b.user_id = a.user_id AND a.tile < b.tile
+GROUP BY 1, 2 HAVING COUNT(*) >= 2
+"""
+
+
 def q_hex_assign(sf_dir: str):
     """Hex-grid binning (stages/hexgrid.py): axial cube-rounding with
     floor(v+0.5) rounding so every branch — including the dx/dy/dz
@@ -8314,6 +8357,7 @@ def build_queries():
         "pip_holed": q_pip_holed,
         "tile_assign": q_tile_assign,
         "zonal_majority": q_zonal_majority,
+        "covisit_tiles": q_covisit_tiles,
         "s2_assign": q_s2_assign,
         "hex_assign": q_hex_assign,
         "hex_kring_sum": q_hex_kring_sum,
@@ -8516,6 +8560,7 @@ def build_queries():
         "pip_holed": SQL_PIP_HOLED.format(pts=pts_cust, rects=rsup),
         "tile_assign": sql_tile_assign(),
         "zonal_majority": sql_zonal_majority(),
+        "covisit_tiles": sql_covisit_tiles(),
         "s2_assign": sql_s2_assign(),
         "hex_assign": sql_hex_assign(),
         "hex_kring_sum": sql_hex_kring_sum(),
