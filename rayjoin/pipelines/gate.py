@@ -6589,6 +6589,74 @@ HAVING SUM(CASE WHEN t1 > t0
 _TRACK_NV = 8  # vertices per synthetic geodesic track
 
 
+def q_corridor_count(sf_dir: str):
+    """Corridor search: customers within distance 2 of each supplier ROAD
+    (LINESTRING small side through the proximity join — the prox gate rows
+    are otherwise point x point), aggregated to per-road exposure (count +
+    closest approach).  The pair distance is the exact min-over-segments
+    point-segment kernel that nearest_polyline already hash-certifies; MIN
+    and COUNT over it stay exact."""
+    from ray.data.aggregate import Count, Min
+
+    from ..geom.encode import LINESTRING, _geom_table, pack_single_rings
+    from ..join.broadcast import SpatialIndex
+    from ..stages.geocode import fnv1a64
+
+    k = _read_keys(sf_dir, "supplier", "s_suppkey")
+    lon, lat = _latlon_np(k)
+    flat = np.empty((k.size, 2 * _NP_NV), np.float64)
+    s = pc.cast(pa.array(k), pa.string())
+    for j in range(_NP_NV):
+        h = fnv1a64(pc.binary_join_element_wise(s, ".", str(j), ""))
+        flat[:, 2 * j] = lon + ((h % np.uint64(21)).astype(np.int64) - 10)
+        flat[:, 2 * j + 1] = lat + (((h >> np.uint64(8)) % np.uint64(21)).astype(np.int64) - 10)
+    roads = _geom_table(k, LINESTRING, pack_single_rings(flat.ravel(), 2 * _NP_NV))
+    big = _from_arrow(points_geom_table(sf_dir, "customer", "c_custkey"))
+    pairs = SpatialIndex(roads, Config(max_distance=2.0)).proximity_map(big)
+    return pairs.groupby("small_row_id").aggregate(
+        Count(alias_name="n_nearby"),
+        Min("distance", alias_name="closest"))
+
+
+def sql_corridor_count() -> str:
+    lon, lat = _latlon_sql("s_suppkey")
+    fnv = _sql_fnv("(CAST(s_suppkey AS VARCHAR) || '.' || CAST(g.j AS VARCHAR))")
+    pts = points_table("customer", "c_custkey")
+    case = """
+      CASE WHEN (sx = ex AND sy = ey)
+             OR ((px-sx)*(ex-sx) + (py-sy)*(ey-sy))
+                / ((ex-sx)*(ex-sx) + (ey-sy)*(ey-sy)) <= 0.0
+           THEN sqrt((sx-px)*(sx-px) + (sy-py)*(sy-py))
+           WHEN ((px-sx)*(ex-sx) + (py-sy)*(ey-sy))
+                / ((ex-sx)*(ex-sx) + (ey-sy)*(ey-sy)) >= 1.0
+           THEN sqrt((ex-px)*(ex-px) + (ey-py)*(ey-py))
+           ELSE abs(((sy-py)*(ex-sx) - (sx-px)*(ey-sy))
+                    / ((ex-sx)*(ex-sx) + (ey-sy)*(ey-sy)))
+                * sqrt((ex-sx)*(ex-sx) + (ey-sy)*(ey-sy))
+      END"""
+    return f"""
+WITH pts AS ({pts}),
+v AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS line_id, g.j AS j,
+         ({lon}) + (CAST({fnv} % 21::HUGEINT AS BIGINT) - 10) AS x,
+         ({lat}) + (CAST(({fnv} // 256::HUGEINT) % 21::HUGEINT AS BIGINT) - 10) AS y
+  FROM supplier CROSS JOIN generate_series(0, {_NP_NV - 1}) AS g(j)
+),
+seg AS (
+  SELECT a.line_id, a.x AS sx, a.y AS sy, b.x AS ex, b.y AS ey
+  FROM v a JOIN v b ON b.line_id = a.line_id AND b.j = a.j + 1
+),
+d AS (
+  SELECT p.row_id AS big_row_id, s.line_id AS small_row_id,
+         MIN({case}) AS distance
+  FROM (SELECT row_id, x AS px, y AS py FROM pts) p CROSS JOIN seg s
+  GROUP BY 1, 2)
+SELECT small_row_id, CAST(COUNT(*) AS BIGINT) AS n_nearby,
+       MIN(distance) AS closest
+FROM d WHERE distance <= 2.0 GROUP BY small_row_id
+"""
+
+
 def q_geodesic_track_length(sf_dir: str):
     """Great-circle CHORD length of per-doc lon/lat tracks in fixed-point
     micro-meters: each segment floors 1e6*(2R)*sqrt(hav) to int64 BEFORE
@@ -8334,6 +8402,7 @@ def build_queries():
         "track_hausdorff": q_track_hausdorff,
         "rknn_capture": q_rknn_capture,
         "kde_epanechnikov": q_kde_epanechnikov,
+        "corridor_count": q_corridor_count,
         "dbscan_points": q_dbscan_points,
         "local_moran": q_local_moran,
         "ripley_k": q_ripley_k,
@@ -8552,6 +8621,7 @@ def build_queries():
         "knn_points": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "rknn_capture": SQL_RKNN_CAPTURE.format(big=pts_cust, small=pts_supp),
         "kde_epanechnikov": SQL_KDE.format(big=pts_cust, small=pts_supp),
+        "corridor_count": sql_corridor_count(),
         "knn_points_partitioned": SQL_KNN.format(big=pts_cust, small=pts_supp),
         "idw_interpolate": SQL_IDW.format(big=pts_cust, small=pts_supp),
         "knn_points_capped": SQL_KNN_CAPPED.format(big=pts_ev, small=pts_supp),
