@@ -7402,6 +7402,93 @@ FROM g GROUP BY user_id, island_id
 """
 
 
+def q_interval_gaps(sf_dir: str):
+    """Per-user coverage GAPS (downtime detection): the complement of
+    merge_intervals' islands — for every pair of consecutive islands, the
+    uncovered (gap_start, gap_end] range and its integer duration.  A
+    composition: the certified islands pipeline, then one bucketed lag
+    (lexsort + same-user-adjacent mask, no per-key Python)."""
+    import ray.data
+
+    from ..functions.stream import merge_intervals
+    from ..util import knuth_bucket
+
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+
+    def spans(t: pa.Table) -> pa.Table:
+        s = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        dur = pc.multiply(
+            pc.cast(pc.floor(pc.multiply(t["value"], 100.0)), pa.int64()),
+            pa.scalar(1_000_000, pa.int64()))
+        return pa.table(
+            {"user_id": t["user_id"],
+             "s": pc.cast(s, pa.timestamp("us")),
+             "e": pc.cast(pc.add(s, dur), pa.timestamp("us"))})
+
+    islands = merge_intervals(ev.map_batches(spans, batch_format="pyarrow"))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"].combine_chunks(), dtype=np.int64)
+        return t.append_column("part", pa.array(knuth_bucket(u, 64), pa.int64()))
+
+    empty = pa.table({"user_id": pa.array([], pa.int64()),
+                      "gap_idx": pa.array([], pa.int64()),
+                      "gap_start": pa.array([], pa.timestamp("us")),
+                      "gap_end": pa.array([], pa.timestamp("us")),
+                      "gap_us": pa.array([], pa.int64())})
+
+    def gaps(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        u = np.asarray(t["user_id"].combine_chunks(), dtype=np.int64)
+        i = np.asarray(t["island_id"].combine_chunks(), dtype=np.int64)
+        s = np.asarray(t["island_start"].combine_chunks().cast(pa.int64()), dtype=np.int64)
+        e = np.asarray(t["island_end"].combine_chunks().cast(pa.int64()), dtype=np.int64)
+        o = np.lexsort((i, u))
+        u, i, s, e = u[o], i[o], s[o], e[o]
+        adj = np.flatnonzero(u[1:] == u[:-1]) + 1  # same-user successor rows
+        return pa.table({
+            "user_id": pa.array(u[adj], pa.int64()),
+            "gap_idx": pa.array(i[adj] - 1, pa.int64()),
+            "gap_start": pa.array(e[adj - 1], pa.int64()).cast(pa.timestamp("us")),
+            "gap_end": pa.array(s[adj], pa.int64()).cast(pa.timestamp("us")),
+            "gap_us": pa.array(s[adj] - e[adj - 1], pa.int64()),
+        })
+
+    return (islands.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("part").map_groups(gaps, batch_format="pyarrow"))
+
+
+SQL_INTERVAL_GAPS = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+         CAST(ts AS TIMESTAMP)
+           + to_microseconds(CAST(FLOOR(value * 100.0) AS BIGINT) * 1000000) AS e
+  FROM events
+), o AS (
+  SELECT user_id, s, e,
+         MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM iv
+), f AS (
+  SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS brk FROM o
+), g AS (
+  SELECT *, CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island_id
+  FROM f
+), isl AS (
+  SELECT user_id, island_id, MIN(s) AS island_start, MAX(e) AS island_end
+  FROM g GROUP BY user_id, island_id)
+SELECT user_id, island_id - 1 AS gap_idx,
+       LAG(island_end) OVER w AS gap_start,
+       island_start AS gap_end,
+       epoch_us(island_start) - epoch_us(LAG(island_end) OVER w) AS gap_us
+FROM isl WINDOW w AS (PARTITION BY user_id ORDER BY island_id)
+QUALIFY LAG(island_end) OVER w IS NOT NULL
+"""
+
+
 def q_semi_join_lineitem(sf_dir: str):
     """Broadcast semi join: lineitems of high-value orders, aggregated
     (semi/anti pattern: broadcast key set, filter in map_batches)."""
@@ -8548,6 +8635,7 @@ def build_queries():
         "transition_counts": q_transition_counts,
         "od_tile_matrix": q_od_tile_matrix,
         "merge_intervals": q_merge_intervals,
+        "interval_gaps": q_interval_gaps,
         "gopher_rules": q_gopher_rules,
         "global_quantiles": q_global_quantiles,
         "winsorized_sum": q_winsorized_sum,
@@ -8751,6 +8839,7 @@ def build_queries():
         "transition_counts": SQL_TRANSITION_COUNTS,
         "od_tile_matrix": sql_od_tile_matrix(),
         "merge_intervals": SQL_MERGE_INTERVALS,
+        "interval_gaps": SQL_INTERVAL_GAPS,
         "gopher_rules": SQL_GOPHER_RULES,
         "global_quantiles": SQL_GLOBAL_QUANTILES,
         "winsorized_sum": SQL_WINSORIZED_SUM,
