@@ -73,7 +73,8 @@ def ids_noise_only(pts):
 def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
            components_method: str = "auto",
            core_broadcast_rows: int = 16_000_000,
-           metric: str = "euclidean"):
+           metric: str = "euclidean",
+           times=None, eps_t: int | None = None):
     """Exact DBSCAN over a point geometry table/Dataset (columns
     row_id/geom_type/coords, as built by ``geom.encode.points_geom``).
     row_ids must be unique.  Returns Dataset[row_id, cluster_id, is_core]
@@ -99,6 +100,14 @@ def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
     self-join) or "geodesic" (lon/lat points on the R=6371km sphere; eps in
     METERS, pole- and antimeridian-safe grid self-join from
     join/geodesic.py).  Everything downstream of the edge list is shared.
+
+    ``times`` + ``eps_t`` turn this into ST-DBSCAN (Birant & Kut 2007):
+    ``times`` is a Dataset/Table[row_id, t] (int64; every point present)
+    and a pair is a neighbor only when BOTH the spatial eps and
+    |t_a - t_b| <= eps_t hold.  The temporal predicate filters the spatial
+    edge list through the engine's usual tiering: a sorted (row_id, t)
+    plasma broadcast + searchsorted inside map_batches under
+    ``core_broadcast_rows``, two hash joins above it.
     """
     import ray
     import ray.data
@@ -139,6 +148,58 @@ def dbscan(points, *, eps: float, min_pts: int, target_cells: int = 256,
         batch_format="pyarrow",
     )
     edges = drop_schemaless_empty_blocks(edges, edge_schema)
+
+    # 1b) ST-DBSCAN temporal predicate on the spatial edge list
+    if times is not None:
+        if eps_t is None:
+            raise ValueError("times given without eps_t")
+        tds = ray.data.from_arrow(times) if isinstance(times, pa.Table) else times
+        n_times = tds.count()
+        if n_times <= core_broadcast_rows:
+            @ray.remote
+            def _prep_times(tabs):
+                tabs = ray.get(list(tabs))  # a LIST of refs is not auto-resolved
+                cat = pa.concat_tables([t for t in tabs if t.num_rows])
+                ids = np.asarray(cat["row_id"], dtype=np.int64)
+                tv = np.asarray(cat["t"], dtype=np.int64)
+                o = np.argsort(ids, kind="stable")
+                return ids[o], tv[o]
+
+            tref = _prep_times.remote(
+                tds.select_columns(["row_id", "t"]).to_arrow_refs())
+            et = np.int64(int(eps_t))
+
+            def tfilter(t: pa.Table, tref=tref) -> pa.Table:
+                ids_s, tv = ray.get(tref)
+                a = np.asarray(t["big_row_id"].combine_chunks(), dtype=np.int64)
+                b = np.asarray(t["small_row_id"].combine_chunks(), dtype=np.int64)
+                ta = tv[np.searchsorted(ids_s, a)]
+                tb = tv[np.searchsorted(ids_s, b)]
+                keep = np.abs(ta - tb) <= et
+                return t.filter(pa.array(keep))
+
+            edges = edges.map_batches(tfilter, batch_format="pyarrow")
+        else:
+            ta_ds = tds.map_batches(
+                lambda t: pa.table({"big_row_id": t["row_id"].cast(pa.int64()),
+                                    "ta": t["t"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            tb_ds = tds.map_batches(
+                lambda t: pa.table({"small_row_id": t["row_id"].cast(pa.int64()),
+                                    "tb": t["t"].cast(pa.int64())}),
+                batch_format="pyarrow")
+            nj = _num_join_partitions(edges)
+            edges = (edges.join(ta_ds, "inner", nj, on=("big_row_id",))
+                     .join(tb_ds, "inner", nj, on=("small_row_id",)))
+            et = pa.scalar(int(eps_t), pa.int64())
+
+            def tkeep(t: pa.Table) -> pa.Table:
+                keep = pc.less_equal(
+                    pc.abs(pc.subtract(t["ta"], t["tb"])), et)
+                return t.filter(keep).select(["big_row_id", "small_row_id"])
+
+            edges = edges.map_batches(tkeep, batch_format="pyarrow")
+        edges = drop_schemaless_empty_blocks(edges.materialize(), edge_schema)
 
     # 2) core points: |N_eps(p)| >= min_pts.  Partial count per block, one
     #    tiny groupby over (row_id, cnt) partials.

@@ -438,6 +438,57 @@ def q_dbscan_points(sf_dir: str):
     return dbscan(pts, eps=3.0, min_pts=4, target_cells=64)
 
 
+def q_st_dbscan(sf_dir: str):
+    """ST-DBSCAN (Birant & Kut 2007): the same clustered customer points
+    with synthetic integer timestamps t = (key*7919) % 100000; a neighbor
+    must satisfy BOTH eps=3 spatially AND |dt| <= 20000 — so space-only
+    clusters split into temporal episodes.  The temporal predicate rides
+    the engine's broadcast/join tiering over the PBSM spatial edge list
+    (functions/cluster.py:dbscan times/eps_t)."""
+    import ray.data
+
+    from ..functions.cluster import dbscan
+    from ..geom.encode import points_geom
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    x, y = _dbscan_pts_np(k)
+    pts = _from_arrow(points_geom(k, x, y))
+    times = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(k, pa.int64()),
+        "t": pa.array((k * 7919) % 100000, pa.int64()),
+    })).repartition(2)
+    return dbscan(pts, eps=3.0, min_pts=4, target_cells=64,
+                  times=times, eps_t=20000)
+
+
+def sql_st_dbscan() -> str:
+    x = f"((c_custkey%23)*15.0 - 165.0) + (((c_custkey*{LON_MULT})%4000)/1000.0 - 2.0)"
+    y = f"((c_custkey%11)*15.0 - 75.0) + (((c_custkey*{LAT_MULT})%4000)/1000.0 - 2.0)"
+    return f"""
+WITH RECURSIVE
+pts AS (SELECT CAST(c_custkey AS BIGINT) AS row_id, {x} AS x, {y} AS y,
+               CAST((c_custkey * 7919) % 100000 AS BIGINT) AS t
+        FROM customer),
+pairs AS (SELECT a.row_id AS ra, b.row_id AS rb FROM pts a, pts b
+          WHERE sqrt((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)) <= 3.0
+            AND ABS(a.t - b.t) <= 20000),
+core AS (SELECT ra AS id FROM pairs GROUP BY ra HAVING COUNT(*) >= 4),
+ce AS (SELECT p.ra, p.rb FROM pairs p
+       JOIN core ca ON ca.id = p.ra JOIN core cb ON cb.id = p.rb),
+reach(v, u) AS (SELECT ra, rb FROM ce
+                UNION SELECT r.v, e.rb FROM reach r JOIN ce e ON r.u = e.ra),
+comp AS (SELECT v AS id, MIN(u) AS lbl FROM reach GROUP BY v),
+assigned AS (SELECT p.ra AS id, MIN(c.lbl) AS cluster_id
+             FROM pairs p JOIN comp c ON c.id = p.rb GROUP BY p.ra)
+SELECT a.id AS row_id, a.cluster_id,
+       a.id IN (SELECT id FROM core) AS is_core
+FROM assigned a
+UNION ALL
+SELECT p.row_id, CAST(-1 AS BIGINT) AS cluster_id, FALSE AS is_core
+FROM pts p WHERE p.row_id NOT IN (SELECT id FROM assigned)
+"""
+
+
 def sql_dbscan_points() -> str:
     x = f"((c_custkey%23)*15.0 - 165.0) + (((c_custkey*{LON_MULT})%4000)/1000.0 - 2.0)"
     y = f"((c_custkey%11)*15.0 - 75.0) + (((c_custkey*{LAT_MULT})%4000)/1000.0 - 2.0)"
@@ -8491,6 +8542,7 @@ def build_queries():
         "kde_epanechnikov": q_kde_epanechnikov,
         "corridor_count": q_corridor_count,
         "dbscan_points": q_dbscan_points,
+        "st_dbscan": q_st_dbscan,
         "local_moran": q_local_moran,
         "ripley_k": q_ripley_k,
         "getis_ord": q_getis_ord,
@@ -8693,6 +8745,7 @@ def build_queries():
         "line_density": sql_line_density(),
         "track_hausdorff": sql_track_hausdorff(),
         "dbscan_points": sql_dbscan_points(),
+        "st_dbscan": sql_st_dbscan(),
         "local_moran": sql_local_moran(),
         "ripley_k": sql_ripley_k(),
         "getis_ord": sql_getis_ord(),

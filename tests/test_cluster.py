@@ -182,3 +182,36 @@ def test_dbscan_geodesic_matches_brute_force(ray_session):
     assert got == exp
     kinds = {(c == -1, ic) for c, ic in exp.values()}
     assert (False, True) in kinds  # clusters exist near pole/antimeridian
+
+
+@pytest.mark.parametrize("tier_kw", [{}, {"core_broadcast_rows": 0}],
+                         ids=["broadcast", "join"])
+def test_st_dbscan_splits_temporal_episodes(ray_session, tier_kw):
+    """Two co-located bursts separated in time: spatial DBSCAN sees one
+    cluster, ST-DBSCAN two; both time-filter tiers agree."""
+    import ray.data
+
+    from rayjoin.functions.cluster import dbscan
+    from rayjoin.geom.encode import points_geom
+
+    rng = np.random.default_rng(61)
+    n = 40  # 20 early + 20 late, all inside one 0.5-unit blob
+    ids = np.arange(n, dtype=np.int64)
+    x = 10.0 + rng.uniform(-0.25, 0.25, n)
+    y = -5.0 + rng.uniform(-0.25, 0.25, n)
+    t = np.where(ids < 20, ids * 10, 100000 + ids * 10).astype(np.int64)
+    import pyarrow as pa
+
+    pts = ray.data.from_arrow(points_geom(ids, x, y)).repartition(3)
+    times = ray.data.from_arrow(pa.table({
+        "row_id": pa.array(ids), "t": pa.array(t)})).repartition(2)
+
+    plain = dbscan(pts, eps=1.0, min_pts=4).to_pandas()
+    assert plain["cluster_id"].nunique() == 1  # one spatial blob
+
+    st = dbscan(pts, eps=1.0, min_pts=4, times=times, eps_t=5000,
+                **tier_kw).to_pandas().sort_values("row_id")
+    labels = st["cluster_id"].to_numpy()
+    assert (labels >= 0).all()
+    early, late = set(labels[:20]), set(labels[20:])
+    assert len(early) == 1 and len(late) == 1 and early != late
