@@ -5383,6 +5383,43 @@ def q_group_diameter(sf_dir: str):
     return group_diameter(pts, key_col="nation", id_col="cust")
 
 
+def q_group_extent(sf_dir: str):
+    """ST_Extent aggregate: per-nation bounding box of customer points
+    plus member count — min/max over identical doubles, order-free and
+    hash-exact.  The bbox aggregate every tiling/partitioning planner
+    starts from."""
+    import pyarrow.parquet as pq
+
+    import ray.data
+    from ray.data.aggregate import Count, Max, Min
+
+    k = _read_keys(sf_dir, "customer", "c_custkey")
+    ks = np.sort(k)
+    nat = np.asarray(pq.read_table(f"{sf_dir}/customer.parquet",
+                                   columns=["c_custkey", "c_nationkey"])
+                     .sort_by("c_custkey")["c_nationkey"], dtype=np.int64)
+    lon, lat = _latlon_np(ks)
+    pts = ray.data.from_arrow(pa.table({
+        "nation": pa.array(nat, pa.int64()),
+        "x": pa.array(lon, pa.float64()),
+        "y": pa.array(lat, pa.float64()),
+    })).repartition(4)
+    return pts.groupby("nation").aggregate(
+        Min("x", alias_name="xmin"), Min("y", alias_name="ymin"),
+        Max("x", alias_name="xmax"), Max("y", alias_name="ymax"),
+        Count(alias_name="n"))
+
+
+SQL_GROUP_EXTENT = """
+WITH p AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS nation, pts.x AS x, pts.y AS y
+  FROM ({pts}) pts JOIN customer ON CAST(c_custkey AS BIGINT) = pts.row_id)
+SELECT nation, MIN(x) AS xmin, MIN(y) AS ymin, MAX(x) AS xmax, MAX(y) AS ymax,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM p GROUP BY nation
+"""
+
+
 SQL_GROUP_DIAMETER = """
 WITH p AS (
   SELECT CAST(c_nationkey AS BIGINT) AS nation, pts.row_id AS cust,
@@ -8664,6 +8701,7 @@ def build_queries():
         "segments_cross": q_segments_cross,
         "segment_intersections": q_segment_intersections,
         "group_diameter": q_group_diameter,
+        "group_extent": q_group_extent,
         "hot_blobs": q_hot_blobs,
         "rollup_events": q_rollup_events,
         "prefix_match": q_prefix_match,
@@ -8869,6 +8907,7 @@ def build_queries():
         "segments_cross": SQL_SEGMENTS_CROSS,
         "segment_intersections": SQL_SEGMENT_INTERSECTIONS,
         "group_diameter": SQL_GROUP_DIAMETER.format(pts=pts_cust),
+        "group_extent": SQL_GROUP_EXTENT.format(pts=pts_cust),
         "hot_blobs": sql_hot_blobs(),
         "rollup_events": SQL_ROLLUP_EVENTS,
         "prefix_match": SQL_PREFIX_MATCH,
