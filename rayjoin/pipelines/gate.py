@@ -1786,6 +1786,105 @@ SELECT v AS doc_id, least(v, MIN(u)) AS cluster_id FROM reach GROUP BY v
 """
 
 
+def q_cluster_best_rep(sf_dir: str):
+    """Survivorship policy for dedup: per connected component of the link
+    graph, keep the HIGHEST-QUALITY doc (quality = char length; ties to
+    the smallest doc_id) — real pipelines keep the best canonical page,
+    not the min id.  Composition: the certified distributed components
+    (dup_clusters) hash-joined to per-doc quality, then a bucketed argmax
+    (one lexsort per shuffle group, no per-cluster Python)."""
+    import ray.data
+
+    from ..functions.dedup import _num_join_partitions, dup_clusters
+    from ..functions.graph import synth_link_graph
+    from ..util import knuth_bucket
+
+    edges, _ = synth_link_graph(sf_dir, deg_mod=1, target_div=1)
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        dst = t["dst"].combine_chunks()
+        out = pa.table({"id_a": pc.min_element_wise(src, dst),
+                        "id_b": pc.max_element_wise(src, dst)})
+        keep = pc.and_(pc.not_equal(out["id_a"], out["id_b"]),
+                       pc.equal(pc.bit_wise_and(src, pa.scalar(3, pa.int64())),
+                                pa.scalar(0, pa.int64())))
+        return out.filter(keep)
+
+    comps = dup_clusters(
+        edges.map_batches(to_pairs, batch_format="pyarrow"),
+        method="distributed")
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    qual = docs.map_batches(
+        lambda t: pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(pc.utf8_length(t["text"]), pa.int64())}),
+        batch_format="pyarrow")
+    j = comps.join(qual, "inner", _num_join_partitions(), on=("doc_id",))
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cluster_id"].combine_chunks(), dtype=np.int64)
+        return t.append_column("part", pa.array(knuth_bucket(c, 64), pa.int64()))
+
+    empty = pa.table({"cluster_id": pa.array([], pa.int64()),
+                      "best_doc": pa.array([], pa.int64()),
+                      "best_chars": pa.array([], pa.int64()),
+                      "size": pa.array([], pa.int64())})
+
+    def argmax(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return empty
+        c = np.asarray(t["cluster_id"].combine_chunks(), dtype=np.int64)
+        d = np.asarray(t["doc_id"].combine_chunks(), dtype=np.int64)
+        q = np.asarray(t["n_chars"].combine_chunks(), dtype=np.int64)
+        o = np.lexsort((d, -q, c))
+        c, d, q = c[o], d[o], q[o]
+        starts = np.flatnonzero(np.concatenate([[True], c[1:] != c[:-1]]))
+        sizes = np.diff(np.concatenate([starts, [c.size]]))
+        return pa.table({"cluster_id": pa.array(c[starts], pa.int64()),
+                         "best_doc": pa.array(d[starts], pa.int64()),
+                         "best_chars": pa.array(q[starts], pa.int64()),
+                         "size": pa.array(sizes, pa.int64())})
+
+    return (j.map_batches(bucketize, batch_format="pyarrow")
+            .groupby("part").map_groups(argmax, batch_format="pyarrow"))
+
+
+def sql_cluster_best_rep() -> str:
+    fnv_id = _sql_fnv("CAST(doc_id AS VARCHAR)")
+    fnv_tgt = _sql_fnv("(CAST(src AS VARCHAR) || '>' || CAST(g.j AS VARCHAR))")
+    return f"""
+WITH RECURSIVE
+nn AS (SELECT COUNT(*) AS n FROM documents),
+deg AS (SELECT doc_id AS src,
+        1 + CAST({fnv_id} % 1::HUGEINT AS BIGINT) AS outdeg FROM documents),
+edges AS (SELECT src,
+          CAST({fnv_tgt} % CAST((SELECT n FROM nn) AS HUGEINT) AS BIGINT) AS dst
+          FROM deg CROSS JOIN generate_series(0, 0) AS g(j) WHERE g.j < outdeg),
+und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+        FROM edges WHERE src <> dst AND src % 4 = 0),
+e AS (SELECT a, b FROM und UNION SELECT b, a FROM und),
+reach(v, u) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.v, e.b FROM reach r JOIN e ON r.u = e.a),
+comp AS (SELECT v AS doc_id, least(v, MIN(u)) AS cluster_id
+         FROM reach GROUP BY v),
+jq AS (SELECT c.cluster_id, c.doc_id,
+              CAST(length(d.text) AS BIGINT) AS n_chars
+       FROM comp c JOIN documents d ON d.doc_id = c.doc_id),
+r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                   ORDER BY n_chars DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY cluster_id) AS size
+      FROM jq)
+SELECT cluster_id, doc_id AS best_doc, n_chars AS best_chars,
+       CAST(size AS BIGINT) AS size
+FROM r WHERE rn = 1
+"""
+
+
 def q_inverted_index(sf_dir: str):
     """Postings (doc_id, token, tf): per-doc term frequencies need NO
     shuffle (each doc lives in one batch) — one split + dictionary encode
@@ -8620,6 +8719,7 @@ def build_queries():
         "bfs_hops": q_bfs_hops,
         "sssp_weighted": q_sssp_weighted,
         "link_components": q_link_components,
+        "cluster_best_rep": q_cluster_best_rep,
         "triangle_counts": q_triangle_counts,
         "edge_embeddedness": q_edge_embeddedness,
         "host_indegree": q_host_indegree,
@@ -8827,6 +8927,7 @@ def build_queries():
         "bfs_hops": sql_bfs_hops(),
         "sssp_weighted": sql_sssp_weighted(),
         "link_components": sql_link_components(),
+        "cluster_best_rep": sql_cluster_best_rep(),
         "triangle_counts": sql_triangle_counts(),
         "edge_embeddedness": sql_edge_embeddedness(),
         "host_indegree": sql_host_indegree(),
